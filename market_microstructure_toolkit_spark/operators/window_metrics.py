@@ -1,0 +1,340 @@
+"""Series/window operators (SURVEY §2.5 W1-W13) — the heart of the toolkit.
+
+Every operator runs over the canonical per-instrument window
+``partitionBy(exchange_id, symbol).orderBy(ts_ms)``; on a cluster that is
+ONE shuffle (hash-partition by instrument, in-partition sort) shared by all
+of them — Catalyst reuses the exchange for every window in the same select.
+
+Scale note (SURVEY §4.1): a single instrument's multi-year history in one
+partition is the known risk at 100 TB; the mitigation (date-bucketed
+segmented prefix-sums for the unbounded cumsums) is documented but not
+needed at bench scale. All lag/rolling ops here use bounded frames, which
+Spark evaluates in a streaming fashion within the sorted partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+from market_microstructure_toolkit_spark import schema as S
+
+
+def book_window(
+    keys: tuple[str, ...] = S.PARTITION_KEYS, order_col: str | list = "ts_ms"
+) -> WindowSpec:
+    """The canonical series window: per instrument, ordered by time."""
+    order = [order_col] if isinstance(order_col, str) else list(order_col)
+    return Window.partitionBy(*keys).orderBy(*order)
+
+
+# ---------------------------------------------------------------------------
+# W1/W2/W3 — the three order-flow-imbalance definitions
+# ---------------------------------------------------------------------------
+
+def ofi_l1_expr(w: WindowSpec, mode: str = "strict") -> Column:
+    """L1 order-flow imbalance vs previous row; three reference variants
+    (implemented as one parameterized operator per SURVEY §7.3.1):
+
+    - ``strict`` (metrics.py:293-333, "Cont-style"): strict inequalities on
+      ``bid1_price``/``ask1_price``; bid: +delta(size) if up, -prev size if
+      down, 0 if equal; ask: +delta(size) if DOWN, -prev size if UP, 0 if
+      equal; OFI = bid_part + ask_part. NULL if ANY of the 8 inputs
+      (prev/cur L1 price & size, both sides) is missing; first row NULL
+      (reference emits ``""``).
+    - ``kyle`` (event_metrics.py:84-105, ties-included): indicators
+      ``1{b_t >= b_{t-1}}*q_t - 1{b_t <= b_{t-1}}*q_{t-1}`` on
+      ``best_bid``/``best_ask`` (so equal prices contribute q_t - q_{t-1});
+      ask mirrored; a missing prev price makes BOTH indicators true; sizes
+      null-filled to 0; OFI = dB - dA; first row of each series forced 0.0.
+    - ``lobster`` (plot_cli.py:145-162): strict inequalities on
+      ``best_bid``/``best_ask``, ``up_bid*q^b_t - dn_bid*q^b_{t-1} -
+      up_ask*q^a_{t-1} + dn_ask*q^a_t``; any NULL term nulls the TOTAL,
+      which then coalesces to 0 (pandas ``fillna(0)`` on the final series).
+    """
+    bq, aq = F.col("bid1_size"), F.col("ask1_size")
+    pbq, paq = F.lag(bq).over(w), F.lag(aq).over(w)
+
+    if mode == "strict":
+        bb, ba = F.col("bid1_price"), F.col("ask1_price")
+        pbb, pba = F.lag(bb).over(w), F.lag(ba).over(w)
+        bid_part = (
+            F.when(bb > pbb, bq - pbq)
+            .when(bb < pbb, -pbq)
+            .otherwise(F.lit(0.0))
+        )
+        ask_part = (
+            F.when(ba < pba, aq - paq)
+            .when(ba > pba, -paq)
+            .otherwise(F.lit(0.0))
+        )
+        any_null = (
+            bb.isNull() | ba.isNull() | bq.isNull() | aq.isNull()
+            | pbb.isNull() | pba.isNull() | pbq.isNull() | paq.isNull()
+        )
+        return F.when(~any_null, bid_part + ask_part)
+
+    if mode == "kyle":
+        bb, ba = F.col("best_bid"), F.col("best_ask")
+        pbb, pba = F.lag(bb).over(w), F.lag(ba).over(w)
+        bq0, aq0 = F.coalesce(bq, F.lit(0.0)), F.coalesce(aq, F.lit(0.0))
+        pbq0, paq0 = F.coalesce(pbq, F.lit(0.0)), F.coalesce(paq, F.lit(0.0))
+
+        # pandas: NaN comparisons are False; a missing prev price makes
+        # both directional indicators true (event_metrics.py:97-103).
+        bid_up = F.when(F.coalesce(bb >= pbb, F.lit(False)) | pbb.isNull(), 1.0).otherwise(0.0)
+        bid_dn = F.when(F.coalesce(bb <= pbb, F.lit(False)) | pbb.isNull(), 1.0).otherwise(0.0)
+        ask_dn = F.when(F.coalesce(ba <= pba, F.lit(False)) | pba.isNull(), 1.0).otherwise(0.0)
+        ask_up = F.when(F.coalesce(ba >= pba, F.lit(False)) | pba.isNull(), 1.0).otherwise(0.0)
+        d_bid = bid_up * bq0 - bid_dn * pbq0
+        d_ask = ask_dn * aq0 - ask_up * paq0
+        first = F.row_number().over(w) == 1
+        return F.when(first, F.lit(0.0)).otherwise(d_bid - d_ask)
+
+    if mode == "lobster":
+        bb, ba = F.col("best_bid"), F.col("best_ask")
+        pbb, pba = F.lag(bb).over(w), F.lag(ba).over(w)
+
+        def ind01(cond: Column) -> Column:
+            return F.when(F.coalesce(cond, F.lit(False)), 1.0).otherwise(0.0)
+
+        total = (
+            ind01(bb > pbb) * bq
+            - ind01(bb < pbb) * pbq
+            - ind01(ba > pba) * paq
+            + ind01(ba < pba) * aq
+        )
+        return F.coalesce(total, F.lit(0.0))
+
+    raise ValueError(f"unknown OFI mode: {mode!r}")
+
+
+def add_ofi_l1(
+    df: DataFrame,
+    mode: str = "strict",
+    out_col: str = "ofi_l1",
+    keys: tuple[str, ...] = S.PARTITION_KEYS,
+    order_col: str = "ts_ms",
+) -> DataFrame:
+    return df.withColumn(out_col, ofi_l1_expr(book_window(keys, order_col), mode))
+
+
+# ---------------------------------------------------------------------------
+# W4/W5/W6 — returns & realized variance
+# ---------------------------------------------------------------------------
+
+def add_log_return(
+    df: DataFrame,
+    price_col: str = "mid",
+    out_col: str = "ret",
+    keys: tuple[str, ...] = S.PARTITION_KEYS,
+    order_col: str = "ts_ms",
+) -> DataFrame:
+    """``ln(p_t) - ln(p_{t-1})`` (np.log(s).diff() — realized_var
+    metrics.py:190-191, event_metrics.py:109); NULL on first row or
+    non-positive/missing price."""
+    w = book_window(keys, order_col)
+    p = F.col(price_col)
+    lp = F.when(p > 0, F.log(p))
+    return df.withColumn(out_col, lp - F.lag(lp).over(w))
+
+
+def add_pct_return(
+    df: DataFrame,
+    price_col: str = "mid",
+    out_col: str = "ret",
+    keys: tuple[str, ...] = S.PARTITION_KEYS,
+    order_col: str = "ts_ms",
+) -> DataFrame:
+    """Simple return ``p_t / p_{t-1} - 1`` (pandas ``pct_change``, the
+    ``use_log=False`` branch of realized_var, metrics.py:189-192)."""
+    w = book_window(keys, order_col)
+    p = F.col(price_col)
+    return df.withColumn(out_col, p / F.lag(p).over(w) - F.lit(1.0))
+
+
+def add_rolling_rv(
+    df: DataFrame,
+    ret_col: str = "ret",
+    window: int = 20,
+    out_col: str = "rv",
+    keys: tuple[str, ...] = S.PARTITION_KEYS,
+    order_col: str = "ts_ms",
+) -> DataFrame:
+    """Rolling realized variance, pandas semantics (W5, metrics.py:172-193):
+    ``sum(r^2)`` over the last ``window`` rows, NULL until the window holds
+    ``window`` non-null returns (``min_periods=window``)."""
+    w = book_window(keys, order_col).rowsBetween(-(window - 1), 0)
+    r = F.col(ret_col)
+    return df.withColumn(
+        out_col,
+        F.when(F.count(r).over(w) == window, F.sum(r * r).over(w)),
+    )
+
+
+def add_rolling_rv_reset(
+    df: DataFrame,
+    price_col: str = "mid",
+    window: int = 20,
+    out_col: str = "rv",
+    keys: tuple[str, ...] = S.PARTITION_KEYS,
+    order_col: str = "ts_ms",
+) -> DataFrame:
+    """Reset-on-gap realized variance (W6, metrics.py:196-232): like W5 but
+    any missing/invalid price CLEARS the accumulator — RV stays NULL until
+    ``window`` consecutive valid returns accumulate again.
+
+    Two stacked windows, no UDF (SURVEY §7.2): a running count of nulls
+    assigns each row a gap-group id; the rolling sum/count then runs inside
+    ``partitionBy(keys + gap_group)`` so a window frame can never span a
+    gap. Within a gap-free run the count gate reduces to W5.
+    """
+    w = book_window(keys, order_col)
+    p = F.col(price_col)
+    pp = F.lag(p).over(w)
+    # The reference's reset variant computes log(p1/p0) — ratio THEN log
+    # (metrics.py:212-214), unlike W5's log-diff; kept bit-faithful.
+    ret = F.when((p > 0) & (pp > 0), F.log(p / pp))
+    df2 = df.withColumn("__ret", ret).withColumn(
+        # A row with a NULL return starts a new gap group (the reference
+        # clears its deque on any None price/return, metrics.py:221-225).
+        "__gap_grp",
+        F.sum(F.when(F.col("__ret").isNull(), 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    wg = Window.partitionBy(*keys, "__gap_grp").orderBy(order_col).rowsBetween(
+        -(window - 1), 0
+    )
+    r = F.col("__ret")
+    out = df2.withColumn(
+        out_col, F.when(F.count(r).over(wg) == window, F.sum(r * r).over(wg))
+    )
+    return out.drop("__ret", "__gap_grp")
+
+
+# ---------------------------------------------------------------------------
+# W7/W8/W9 — cumulative sums & depth-K OFIs
+# ---------------------------------------------------------------------------
+
+def add_cumulative(
+    df: DataFrame,
+    col: str,
+    out_col: str | None = None,
+    keys: tuple[str, ...] = S.PARTITION_KEYS,
+    order_col: str = "ts_ms",
+) -> DataFrame:
+    """Running total from the start of each instrument's series (W7,
+    plot_cli.py:162/175/183). NULL inputs contribute nothing."""
+    w = book_window(keys, order_col).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(out_col or f"{col}_cum", F.sum(F.col(col)).over(w))
+
+
+def add_depth_ofi(
+    df: DataFrame,
+    depth: int,
+    notional: bool = False,
+    out_col: str | None = None,
+    keys: tuple[str, ...] = S.PARTITION_KEYS,
+    order_col: str = "ts_ms",
+) -> DataFrame:
+    """Depth-K OFI (W8/W9, plot_cli.py:168-183): lag-diff of the per-side
+    top-K size (or price*size notional) sums, bid minus ask; per-side diff
+    null-fills to 0 (pandas ``.diff().fillna(0)``), so the first row is 0.
+
+    Null handling mirrors the reference's asymmetry: the SIZE sums skip
+    NULL levels (pandas skipna sum, plot_cli.py:72-80) while the NOTIONAL
+    sums propagate NULL (plain ``+`` accumulation, plot_cli.py:83-95) —
+    a NULL level nulls that row's notional sum, and its diffs fall back
+    to 0.
+
+    The reference caps K at ``min(depth, 10)`` (plot_cli.py:169) — caller
+    passes the capped depth.
+    """
+    from market_microstructure_toolkit_spark.functions.microstructure import _sum_levels
+
+    if notional:
+        # NULL-propagating accumulation, as in _sum_depth_notional.
+        def side_sum(side: str) -> Column:
+            out = F.col(f"{side}1_price") * F.col(f"{side}1_size")
+            for i in range(2, depth + 1):
+                out = out + F.col(f"{side}{i}_price") * F.col(f"{side}{i}_size")
+            return out
+
+        bid_sum, ask_sum = side_sum("bid"), side_sum("ask")
+    else:
+        bid_sum = _sum_levels("bid", depth, lambda p, s: s)
+        ask_sum = _sum_levels("ask", depth, lambda p, s: s)
+
+    w = book_window(keys, order_col)
+    name = out_col or ("depth_ofi_notional" if notional else "depth_ofi")
+    d = F.coalesce(bid_sum - F.lag(bid_sum).over(w), F.lit(0.0)) - F.coalesce(
+        ask_sum - F.lag(ask_sum).over(w), F.lit(0.0)
+    )
+    return df.withColumn(name, d)
+
+
+# ---------------------------------------------------------------------------
+# W10/W13 — rolling correlation, tail limit
+# ---------------------------------------------------------------------------
+
+def add_rolling_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    window: int,
+    out_col: str = "roll_corr",
+    keys: tuple[str, ...] = S.PARTITION_KEYS,
+    order_col: str = "ts_ms",
+) -> DataFrame:
+    """Rolling Pearson correlation over the last ``window`` rows (W10,
+    advanced_plots.py:169)."""
+    w = book_window(keys, order_col).rowsBetween(-(window - 1), 0)
+    return df.withColumn(out_col, F.corr(F.col(x_col), F.col(y_col)).over(w))
+
+
+def tail_n(
+    df: DataFrame,
+    n: int,
+    keys: tuple[str, ...] = S.PARTITION_KEYS,
+    order_col: str = "ts_ms",
+) -> DataFrame:
+    """Keep the most recent N rows per instrument (W13,
+    advanced_plots.py:310-312) — a per-group top-k by recency, which Spark
+    executes without a global sort."""
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def slice_indices(n_rows: int, slices: int) -> list[int]:
+    """Evenly-spaced positional sampling (W14, impact.py:196-224): the
+    reference's ``np.linspace(0, n-1, slices)`` rounded, dedup'd, sorted.
+    Driver-side arithmetic on tiny inputs (slices ~ 10-100)."""
+    if n_rows <= 0 or slices <= 0:
+        return []
+    if slices == 1:
+        return [0]
+    step = (n_rows - 1) / (slices - 1)
+    idx = sorted({int(round(i * step)) for i in range(slices)})
+    return [i for i in idx if 0 <= i < n_rows]
+
+
+def pick_rows_by_index(
+    df: DataFrame,
+    indices: list[int],
+    keys: tuple[str, ...] = S.PARTITION_KEYS,
+    order_col: str = "ts_ms",
+) -> DataFrame:
+    """Select rows at the given 0-based positions within each instrument's
+    time-ordered series (W14/W15) — ``row_number`` + ``isin`` on a tiny
+    driver-computed list; no collect of data rows."""
+    w = book_window(keys, order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w) - 1)
+        .filter(F.col("__rn").isin(indices))
+        .withColumnRenamed("__rn", "slice_idx")
+    )

@@ -1,0 +1,108 @@
+"""Deterministic synthetic L2 book derived from the driver's ``events``
+table — the shared fixture for every book-metric oracle query.
+
+The reference operates on recorded snapshot files; the driver's correctness
+gate runs on its synthetic TPC-H-ish tables. Bridge: derive an F1-shaped
+book (FIXTURES.md §F1, depth 5) from ``events`` using ONLY per-row integer
+modulus and IEEE-754 double arithmetic, so Spark and DuckDB produce
+bit-identical values and the driver's value-hash comparison is exact.
+
+Derivation (one snapshot row per event; 4 symbols partitioned by user_id):
+
+- ``ts_ms   = epoch millis of ts``; ties broken by ``raw_nonce = event_id``
+- ``mid0    = 100.0 + value * 0.1``; ``spr = 0.02 + (event_id % 5) * 0.01``
+- ``best_bid/best_ask = mid0 -/+ spr * 0.5``
+- level i: price offset ``(i-1) * 0.05`` from L1, size
+  ``1.0 + ((event_id + i*7|i*11) % 13) * 0.25``
+- NULL padding: level i >= 2 entirely NULL when ``(event_id + i) % 17 == 0``
+  (the reference's blank-pad case); L1 sizes NULL when
+  ``event_id % 97 == 0`` (microprice/imbalance null paths).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BOOK_DEPTH = 5
+
+#: Window-order columns giving a total order per symbol (ts_ms can tie
+#: after millisecond truncation; event_id is unique).
+ORDER_COLS = ["ts_ms", "raw_nonce"]
+
+
+def synthetic_book(spark: SparkSession, sf_dir: str, depth: int = BOOK_DEPTH) -> DataFrame:
+    """events.parquet -> wide depth-K book frame (Spark side)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    mid0 = F.lit(100.0) + F.col("value") * F.lit(0.1)
+    spr = F.lit(0.02) + (eid % 5).cast("double") * F.lit(0.01)
+    best_bid = mid0 - spr * F.lit(0.5)
+    best_ask = mid0 + spr * F.lit(0.5)
+
+    cols = {
+        # ts arrives as epoch-nanos (nanosAsLong read); integer-div to
+        # millis — matches DuckDB's nanos->micros->epoch_ms flooring.
+        "ts_ms": F.expr("ts DIV 1000000"),
+        "exchange_id": F.lit("sim"),
+        "symbol": F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")),
+        "book_level": F.lit("L2"),
+        "raw_nonce": eid,
+        "best_bid": best_bid,
+        "best_ask": best_ask,
+    }
+    l1_sizes_null = eid % 97 == 0
+    for i in range(1, depth + 1):
+        pad_null = F.lit(i >= 2) & ((eid + i) % 17 == 0)
+        bp = best_bid if i == 1 else best_bid - F.lit((i - 1) * 0.05)
+        ap = best_ask if i == 1 else best_ask + F.lit((i - 1) * 0.05)
+        bs = F.lit(1.0) + ((eid + i * 7) % 13).cast("double") * F.lit(0.25)
+        asz = F.lit(1.0) + ((eid + i * 11) % 13).cast("double") * F.lit(0.25)
+        if i == 1:
+            bs = F.when(~l1_sizes_null, bs)
+            asz = F.when(~l1_sizes_null, asz)
+        cols[f"bid{i}_price"] = F.when(~pad_null, bp)
+        cols[f"bid{i}_size"] = F.when(~pad_null, bs)
+        cols[f"ask{i}_price"] = F.when(~pad_null, ap)
+        cols[f"ask{i}_size"] = F.when(~pad_null, asz)
+    return ev.select(*[v.alias(k) for k, v in cols.items()])
+
+
+def book_sql(depth: int = BOOK_DEPTH) -> str:
+    """The identical derivation as DuckDB SQL (for oracle CTEs)."""
+    level_cols = []
+    for i in range(1, depth + 1):
+        if i == 1:
+            null_size = "event_id % 97 = 0"
+            level_cols.append(
+                f"  best_bid AS bid1_price,\n"
+                f"  CASE WHEN NOT ({null_size}) THEN 1.0 + CAST((event_id + 7) % 13 AS DOUBLE) * 0.25 END AS bid1_size,\n"
+                f"  best_ask AS ask1_price,\n"
+                f"  CASE WHEN NOT ({null_size}) THEN 1.0 + CAST((event_id + 11) % 13 AS DOUBLE) * 0.25 END AS ask1_size"
+            )
+        else:
+            pad = f"(event_id + {i}) % 17 = 0"
+            level_cols.append(
+                f"  CASE WHEN NOT ({pad}) THEN best_bid - {(i - 1) * 0.05!r} END AS bid{i}_price,\n"
+                f"  CASE WHEN NOT ({pad}) THEN 1.0 + CAST((event_id + {i * 7}) % 13 AS DOUBLE) * 0.25 END AS bid{i}_size,\n"
+                f"  CASE WHEN NOT ({pad}) THEN best_ask + {(i - 1) * 0.05!r} END AS ask{i}_price,\n"
+                f"  CASE WHEN NOT ({pad}) THEN 1.0 + CAST((event_id + {i * 11}) % 13 AS DOUBLE) * 0.25 END AS ask{i}_size"
+            )
+    levels = ",\n".join(level_cols)
+    return f"""
+SELECT
+  epoch_ms(ts) AS ts_ms,
+  'sim' AS exchange_id,
+  'S' || CAST(user_id % 4 AS VARCHAR) AS symbol,
+  'L2' AS book_level,
+  event_id AS raw_nonce,
+  best_bid,
+  best_ask,
+{levels}
+FROM (
+  SELECT *,
+    (100.0 + value * 0.1) - (0.02 + CAST(event_id % 5 AS DOUBLE) * 0.01) * 0.5 AS best_bid,
+    (100.0 + value * 0.1) + (0.02 + CAST(event_id % 5 AS DOUBLE) * 0.01) * 0.5 AS best_ask
+  FROM events
+)
+"""

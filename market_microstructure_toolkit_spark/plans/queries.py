@@ -1,0 +1,554 @@
+"""Named query definitions: Spark DataFrame plan + DuckDB oracle SQL.
+
+Each entry is the same logical query expressed twice — idiomatic PySpark
+(lazy, Catalyst-optimized) and ANSI SQL for DuckDB. The driver hash-compares
+values, so float determinism is engineered per query:
+
+- per-row arithmetic (add/mul/div) is IEEE-754-identical across engines —
+  no rounding needed;
+- sums of exact binary fractions (sizes are multiples of 0.25) are exact in
+  any order — no rounding needed;
+- money-style aggregates use DECIMAL accumulation (exact, order-free) cast
+  back to DOUBLE;
+- genuinely associativity-sensitive reductions (rolling variance of
+  returns, correlations, cosine) are rounded at a granularity several
+  orders of magnitude above the worst-case reordering error.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from market_microstructure_toolkit_spark.functions import arrays as A
+from market_microstructure_toolkit_spark.functions import microstructure as M
+from market_microstructure_toolkit_spark.operators import row_metrics as RM
+from market_microstructure_toolkit_spark.operators import window_metrics as W
+from market_microstructure_toolkit_spark.plans.book import (
+    BOOK_DEPTH,
+    ORDER_COLS,
+    book_sql,
+    synthetic_book,
+)
+
+KEYS = ("exchange_id", "symbol")
+IDS = ["exchange_id", "symbol", "ts_ms", "raw_nonce"]
+
+#: SQL fragments shared by every book oracle.
+_BOOK_CTE = f"WITH book AS ({book_sql()})"
+_W = "PARTITION BY exchange_id, symbol ORDER BY ts_ms, raw_nonce"
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    spark: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None -> rows-only check (non-SQL-expressible)
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(spark=fn, sql=sql)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the mmt-metrics scalar bundle (P2-P9) over the synthetic book
+# ---------------------------------------------------------------------------
+
+_ROW_METRICS_SQL = f"""{_BOOK_CTE}
+SELECT
+  exchange_id, symbol, ts_ms, raw_nonce,
+  best_ask - best_bid AS spread,
+  (best_bid + best_ask) / 2.0 AS mid,
+  CASE WHEN best_bid > 0 AND best_ask > best_bid
+            AND (best_bid + best_ask) / 2.0 > 0
+       THEN 1e4 * (best_ask - best_bid) / ((best_bid + best_ask) / 2.0)
+  END AS relative_spread_bps,
+  CASE WHEN bid1_size + ask1_size > 0
+       THEN (best_ask * bid1_size + best_bid * ask1_size) / (bid1_size + ask1_size)
+  END AS microprice,
+  CASE WHEN (best_bid + best_ask) / 2.0 > 0
+       THEN 1e4 * (CASE WHEN bid1_size + ask1_size > 0
+                        THEN (best_ask * bid1_size + best_bid * ask1_size) / (bid1_size + ask1_size)
+                   END - (best_bid + best_ask) / 2.0) / ((best_bid + best_ask) / 2.0)
+  END AS microprice_imbalance_bps,
+  CASE WHEN COALESCE(bid1_size, 0.0) + COALESCE(ask1_size, 0.0) > 0
+       THEN COALESCE(bid1_size, 0.0) / (COALESCE(bid1_size, 0.0) + COALESCE(ask1_size, 0.0))
+  END AS imbalance_l1,
+  CASE WHEN ({" + ".join(f"COALESCE(bid{i}_size, 0.0)" for i in range(1, BOOK_DEPTH + 1))})
+          + ({" + ".join(f"COALESCE(ask{i}_size, 0.0)" for i in range(1, BOOK_DEPTH + 1))}) > 0
+       THEN ({" + ".join(f"COALESCE(bid{i}_size, 0.0)" for i in range(1, BOOK_DEPTH + 1))})
+          / (({" + ".join(f"COALESCE(bid{i}_size, 0.0)" for i in range(1, BOOK_DEPTH + 1))})
+           + ({" + ".join(f"COALESCE(ask{i}_size, 0.0)" for i in range(1, BOOK_DEPTH + 1))}))
+  END AS imbalance_k,
+  CASE WHEN ({" + ".join(f"(CASE WHEN bid{i}_price IS NOT NULL AND bid{i}_size IS NOT NULL THEN 1 ELSE 0 END)" for i in range(1, BOOK_DEPTH + 1))}) > 0
+       THEN ({" + ".join(f"COALESCE(bid{i}_price * bid{i}_size, 0.0)" for i in range(1, BOOK_DEPTH + 1))})
+  END AS notional_bid_k,
+  CASE WHEN ({" + ".join(f"(CASE WHEN ask{i}_price IS NOT NULL AND ask{i}_size IS NOT NULL THEN 1 ELSE 0 END)" for i in range(1, BOOK_DEPTH + 1))}) > 0
+       THEN ({" + ".join(f"COALESCE(ask{i}_price * ask{i}_size, 0.0)" for i in range(1, BOOK_DEPTH + 1))})
+  END AS notional_ask_k
+FROM book
+"""
+
+
+@register("book_row_metrics", _ROW_METRICS_SQL)
+def q_book_row_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P3/P4/P5/P7/P8/P9 as one shuffle-free projection (SURVEY §2.2)."""
+    book = synthetic_book(spark, sf_dir)
+    return RM.compute_row_metrics(book, BOOK_DEPTH).select(
+        *IDS, *RM.METRIC_COLS
+    )
+
+
+# ---------------------------------------------------------------------------
+# The three OFI variants (W1/W2/W3) + cumulative OFI (W7)
+# ---------------------------------------------------------------------------
+
+_OFI_STRICT_SQL = f"""{_BOOK_CTE},
+lagged AS (
+  SELECT exchange_id, symbol, ts_ms, raw_nonce,
+         bid1_price, ask1_price, bid1_size, ask1_size,
+         LAG(bid1_price) OVER ({_W}) AS pbb,
+         LAG(ask1_price) OVER ({_W}) AS pba,
+         LAG(bid1_size) OVER ({_W}) AS pbq,
+         LAG(ask1_size) OVER ({_W}) AS paq
+  FROM book
+)
+SELECT exchange_id, symbol, ts_ms, raw_nonce,
+  CASE WHEN bid1_price IS NOT NULL AND ask1_price IS NOT NULL
+            AND bid1_size IS NOT NULL AND ask1_size IS NOT NULL
+            AND pbb IS NOT NULL AND pba IS NOT NULL
+            AND pbq IS NOT NULL AND paq IS NOT NULL
+       THEN (CASE WHEN bid1_price > pbb THEN bid1_size - pbq
+                  WHEN bid1_price < pbb THEN -pbq
+                  ELSE 0.0 END)
+          + (CASE WHEN ask1_price < pba THEN ask1_size - paq
+                  WHEN ask1_price > pba THEN -paq
+                  ELSE 0.0 END)
+  END AS ofi_l1
+FROM lagged
+"""
+
+
+@register("book_ofi_strict", _OFI_STRICT_SQL)
+def q_book_ofi_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cont-style strict OFI (W1, metrics.py:293-333)."""
+    book = synthetic_book(spark, sf_dir)
+    out = W.add_ofi_l1(book, mode="strict", keys=KEYS, order_col=ORDER_COLS)
+    return out.select(*IDS, "ofi_l1")
+
+
+_OFI_KYLE_SQL = f"""{_BOOK_CTE},
+lagged AS (
+  SELECT exchange_id, symbol, ts_ms, raw_nonce, best_bid, best_ask,
+         COALESCE(bid1_size, 0.0) AS bq0, COALESCE(ask1_size, 0.0) AS aq0,
+         LAG(best_bid) OVER ({_W}) AS pbb,
+         LAG(best_ask) OVER ({_W}) AS pba,
+         COALESCE(LAG(COALESCE(bid1_size, 0.0)) OVER ({_W}), 0.0) AS pbq0,
+         COALESCE(LAG(COALESCE(ask1_size, 0.0)) OVER ({_W}), 0.0) AS paq0,
+         ROW_NUMBER() OVER ({_W}) AS rn
+  FROM book
+)
+SELECT exchange_id, symbol, ts_ms, raw_nonce,
+  CASE WHEN rn = 1 THEN 0.0
+       ELSE ((CASE WHEN COALESCE(best_bid >= pbb, FALSE) OR pbb IS NULL THEN 1.0 ELSE 0.0 END) * bq0
+           - (CASE WHEN COALESCE(best_bid <= pbb, FALSE) OR pbb IS NULL THEN 1.0 ELSE 0.0 END) * pbq0)
+          - ((CASE WHEN COALESCE(best_ask <= pba, FALSE) OR pba IS NULL THEN 1.0 ELSE 0.0 END) * aq0
+           - (CASE WHEN COALESCE(best_ask >= pba, FALSE) OR pba IS NULL THEN 1.0 ELSE 0.0 END) * paq0)
+  END AS ofi_l1
+FROM lagged
+"""
+
+
+@register("book_ofi_kyle", _OFI_KYLE_SQL)
+def q_book_ofi_kyle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kyle-style ties-included OFI (W2, event_metrics.py:84-105)."""
+    book = synthetic_book(spark, sf_dir)
+    out = W.add_ofi_l1(book, mode="kyle", keys=KEYS, order_col=ORDER_COLS)
+    return out.select(*IDS, "ofi_l1")
+
+
+_OFI_LOBSTER_SQL = f"""{_BOOK_CTE},
+lagged AS (
+  SELECT exchange_id, symbol, ts_ms, raw_nonce, best_bid, best_ask,
+         bid1_size, ask1_size,
+         LAG(best_bid) OVER ({_W}) AS pbb,
+         LAG(best_ask) OVER ({_W}) AS pba,
+         LAG(bid1_size) OVER ({_W}) AS pbq,
+         LAG(ask1_size) OVER ({_W}) AS paq
+  FROM book
+),
+ofi AS (
+  SELECT exchange_id, symbol, ts_ms, raw_nonce,
+    COALESCE(
+      (CASE WHEN COALESCE(best_bid > pbb, FALSE) THEN 1.0 ELSE 0.0 END) * bid1_size
+      - (CASE WHEN COALESCE(best_bid < pbb, FALSE) THEN 1.0 ELSE 0.0 END) * pbq
+      - (CASE WHEN COALESCE(best_ask > pba, FALSE) THEN 1.0 ELSE 0.0 END) * paq
+      + (CASE WHEN COALESCE(best_ask < pba, FALSE) THEN 1.0 ELSE 0.0 END) * ask1_size,
+      0.0) AS ofi_l1
+  FROM lagged
+)
+SELECT exchange_id, symbol, ts_ms, raw_nonce, ofi_l1,
+       SUM(ofi_l1) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ofi_l1_cum
+FROM ofi
+"""
+
+
+@register("book_ofi_lobster_cum", _OFI_LOBSTER_SQL)
+def q_book_ofi_lobster_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOBSTER-style OFI + running cumulative (W3+W7, plot_cli.py:145-162).
+
+    Sizes are exact binary fractions (multiples of 0.25) so the cumulative
+    sum is order-insensitive-exact — no rounding required for the oracle.
+    """
+    book = synthetic_book(spark, sf_dir)
+    out = W.add_ofi_l1(book, mode="lobster", keys=KEYS, order_col=ORDER_COLS)
+    out = W.add_cumulative(out, "ofi_l1", out_col="ofi_l1_cum", keys=KEYS, order_col=ORDER_COLS)
+    return out.select(*IDS, "ofi_l1", "ofi_l1_cum")
+
+
+# ---------------------------------------------------------------------------
+# Returns + rolling realized variance (W4/W5, bps-scaled for hash stability)
+# ---------------------------------------------------------------------------
+
+_RV_SQL = f"""{_BOOK_CTE},
+mids AS (
+  SELECT exchange_id, symbol, ts_ms, raw_nonce,
+         (best_bid + best_ask) / 2.0 AS mid
+  FROM book
+),
+rets AS (
+  SELECT *,
+         (mid / LAG(mid) OVER ({_W}) - 1.0) * 1e4 AS ret_bps
+  FROM mids
+),
+quant AS (
+  SELECT *, floor(ret_bps * 1024.0 + 0.5) / 1024.0 AS ret_q
+  FROM rets
+)
+SELECT exchange_id, symbol, ts_ms, raw_nonce, mid, ret_bps,
+  CASE WHEN COUNT(ret_q) OVER ({_W} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) = 20
+       THEN SUM(ret_q * ret_q) OVER ({_W} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+  END AS rv_20
+FROM quant
+"""
+
+
+@register("book_returns_rv", _RV_SQL)
+def q_book_returns_rv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple returns (bps) + 20-row realized variance, pandas
+    ``min_periods=window`` semantics (W4/W5, metrics.py:172-193).
+
+    Returns are division-based (bit-identical across engines). For the
+    rolling sum, returns are quantized to multiples of 2^-10 bps first:
+    squares and 20-term sums of such binary fractions stay well under 53
+    mantissa bits, so the window sum is EXACT in any evaluation order —
+    immune to Spark-vs-DuckDB window-aggregation associativity.
+    """
+    book = synthetic_book(spark, sf_dir)
+    mids = book.select(
+        *IDS, ((F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)).alias("mid")
+    )
+    w = W.book_window(KEYS, ORDER_COLS)
+    rets = mids.withColumn(
+        "ret_bps", (F.col("mid") / F.lag("mid").over(w) - F.lit(1.0)) * F.lit(1e4)
+    )
+    rq = F.floor(F.col("ret_bps") * F.lit(1024.0) + F.lit(0.5)) / F.lit(1024.0)
+    rets = rets.withColumn("__ret_q", rq)
+    wf = w.rowsBetween(-19, 0)
+    r = F.col("__ret_q")
+    return rets.withColumn(
+        "rv_20",
+        F.when(F.count(r).over(wf) == 20, F.sum(r * r).over(wf)),
+    ).drop("__ret_q")
+
+
+# ---------------------------------------------------------------------------
+# Depth-K OFIs (W8/W9) — size sums exact; notional rounded (price*size mix)
+# ---------------------------------------------------------------------------
+
+def _sql_size_sum(side: str) -> str:
+    return " + ".join(
+        f"COALESCE({side}{i}_size, 0.0)" for i in range(1, BOOK_DEPTH + 1)
+    )
+
+
+def _sql_notional_sum(side: str) -> str:
+    return " + ".join(
+        f"{side}{i}_price * {side}{i}_size" for i in range(1, BOOK_DEPTH + 1)
+    )
+
+
+_DEPTH_OFI_SQL = f"""{_BOOK_CTE},
+sums AS (
+  SELECT exchange_id, symbol, ts_ms, raw_nonce,
+         {_sql_size_sum("bid")} AS bsz,
+         {_sql_size_sum("ask")} AS asz,
+         {_sql_notional_sum("bid")} AS bnot,
+         {_sql_notional_sum("ask")} AS anot
+  FROM book
+)
+SELECT exchange_id, symbol, ts_ms, raw_nonce,
+  COALESCE(bsz - LAG(bsz) OVER ({_W}), 0.0)
+    - COALESCE(asz - LAG(asz) OVER ({_W}), 0.0) AS ofi_k_size,
+  ROUND(COALESCE(bnot - LAG(bnot) OVER ({_W}), 0.0)
+    - COALESCE(anot - LAG(anot) OVER ({_W}), 0.0), 6) AS ofi_k_notional
+FROM sums
+"""
+
+
+@register("book_depth_ofi", _DEPTH_OFI_SQL)
+def q_book_depth_ofi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-K size & notional OFI (W8/W9, plot_cli.py:168-183)."""
+    book = synthetic_book(spark, sf_dir)
+    out = W.add_depth_ofi(
+        book, BOOK_DEPTH, notional=False, out_col="ofi_k_size", keys=KEYS, order_col=ORDER_COLS
+    )
+    out = W.add_depth_ofi(
+        out, BOOK_DEPTH, notional=True, out_col="ofi_k_notional", keys=KEYS, order_col=ORDER_COLS
+    )
+    return out.select(
+        *IDS, "ofi_k_size", F.round("ofi_k_notional", 6).alias("ofi_k_notional")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage (the engine beyond the reference surface): joins,
+# aggregations, top-k — exercised on the driver's TPC-H-ish tables.
+# Money aggregates accumulate in DECIMAL (exact, order-free) then cast back
+# to DOUBLE so Spark's partial-aggregation order can't perturb the hash.
+# ---------------------------------------------------------------------------
+
+_PRICING_SUMMARY_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(24,8))) AS DOUBLE) AS sum_charge,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("lineitem_pricing_summary", _PRICING_SUMMARY_SQL)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: filter -> partial-aggregated groupBy.
+
+    Catalyst pushes the shipdate filter to the parquet scan and map-side
+    combines before the single shuffle on (returnflag, linestatus).
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.filter(
+            F.col("l_shipdate")
+            <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(24,8)")).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(24,8)")).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_REVENUE_BY_NATION_SQL = """
+SELECT
+  n.n_name AS nation,
+  r.r_name AS region,
+  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name, r.r_name
+"""
+
+
+@register("revenue_by_nation", _REVENUE_BY_NATION_SQL)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join: fact ⋈ dims with explicit broadcast of the small
+    dimension tables (customer/nation/region) — only the lineitem⋈orders
+    join shuffles; at cluster scale that one is sort-merge with AQE.
+    """
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    li, orders = rd("lineitem"), rd("orders")
+    cust, nation, region = rd("customer"), rd("nation"), rd("region")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.sum(revenue.cast("decimal(24,8)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_TOP_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+@register("top_orders_per_customer", _TOP_ORDERS_SQL)
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (the W13 tail-N pattern on a relational table):
+    rank-and-filter, no global sort."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators over documents / embeddings
+# ---------------------------------------------------------------------------
+
+_DEDUP_EXACT_SQL = """
+SELECT content_hash,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS canonical_doc_id
+FROM (SELECT doc_id, md5(text) AS content_hash FROM documents)
+GROUP BY content_hash
+HAVING COUNT(*) >= 1
+"""
+
+
+@register("dedup_exact", _DEDUP_EXACT_SQL)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy keeping the lowest doc_id as
+    canonical. At 100 TB this is the standard single-shuffle dedup; the
+    hash-group keys distribute uniformly so no skew handling needed."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(F.col("doc_id"), F.md5(F.col("text")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+_TEXT_STATS_SQL = """
+SELECT
+  doc_id,
+  lang,
+  n_chars,
+  length(text) AS text_len,
+  len(string_split(text, ' ')) AS n_tokens,
+  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+  CASE WHEN len(string_split(text, ' ')) > 0
+       THEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            / CAST(len(string_split(text, ' ')) AS DOUBLE)
+  END AS avg_token_len
+FROM documents
+"""
+
+
+@register("doc_text_stats", _TEXT_STATS_SQL)
+def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality stats: length, whitespace token count, avg token
+    length — pure JVM string expressions, no UDF."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    text = F.col("text")
+    n_tokens = F.size(F.split(text, " ", -1))
+    nonspace = F.length(F.regexp_replace(text, " ", ""))
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.length(text).alias("text_len"),
+        n_tokens.cast("long").alias("n_tokens"),
+        (F.length(text) - nonspace).cast("long").alias("n_spaces"),
+        F.when(
+            n_tokens > 0, nonspace.cast("double") / n_tokens.cast("double")
+        ).alias("avg_token_len"),
+    )
+
+
+_SIMILARITY_SQL = """
+WITH q AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         ROUND(
+           list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))),
+           6) AS cos_sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, label, cos_sim
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM scored
+)
+WHERE rk <= 25
+"""
+
+
+@register("similarity_topk", _SIMILARITY_SQL)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against a query vector (vec_id=0): the
+    exact-ANN baseline. The query vector broadcasts; scoring is a
+    shuffle-free map (zip_with + aggregate); top-k is a single reduce.
+    Cosine rounded at 6dp (64-term dot products reorder at ~1e-15)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    emb_d = emb.select("vec_id", "label", vec_d.alias("v"))
+    qv = F.broadcast(
+        emb_d.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    )
+    scored = (
+        emb_d.filter(F.col("vec_id") != 0)
+        .crossJoin(qv)
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                A.dot("v", "qv") / (A.l2_norm("v") * A.l2_norm("qv")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 25)
+        .select("vec_id", "label", "cos_sim")
+    )

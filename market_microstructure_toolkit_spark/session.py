@@ -1,0 +1,54 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for correctness tests on ``local[*]`` while keeping every setting one
+a 1000-executor cluster would also want: AQE on (runtime shuffle-partition
+coalescing + skew-join splitting), Arrow for any pandas interchange, and a
+shuffle-partition count that AQE can shrink.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[32] test environment; on a real cluster the
+# same keys are what you would tune (shuffle partitions ~2-3x total cores,
+# AQE handles the rest at runtime).
+_DEFAULT_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # Wide book schemas (8 + 4K cols at K=100 -> 408 cols) stress codegen;
+    # keep whole-stage codegen on but allow fallback instead of failure.
+    "spark.sql.codegen.fallback": "true",
+    "spark.sql.parquet.compression.codec": "snappy",
+    # The driver's parquet stores TIMESTAMP(NANOS) which vanilla Spark
+    # rejects; read as epoch-nanos longs (sources normalize to millis).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Broadcast joins for dimension tables / slice targets.
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    "spark.driver.memory": "8g",
+}
+
+
+def get_spark(app_name: str = "mmt-spark", **extra_conf: str) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default ``*``).
+    Extra conf kwargs override the defaults (dots replaced by passing the
+    full key as the kwarg name is impossible; pass via ``extra_conf`` dict
+    expansion with valid identifiers is not needed — use ``configure``).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    for k, v in _DEFAULT_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in extra_conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

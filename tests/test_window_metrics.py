@@ -1,0 +1,190 @@
+"""Window/series operator tests: exact reference values (OFI -0.8 case,
+tests/test_metrics.py:133-150) and pandas-oracle recomputation for RV,
+including the reset-on-gap variant (metrics.py:196-232)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+
+from market_microstructure_toolkit_spark import schema as S
+from market_microstructure_toolkit_spark.operators import window_metrics as W
+
+KEYS = ("exchange_id", "symbol")
+
+
+def _series_df(spark, rows, depth=1):
+    schema = S.book_schema(depth)
+    full = []
+    for i, r in enumerate(rows):
+        base = dict(
+            ts_ms=1_700_000_000_000 + i * 1000,
+            iso=None,
+            exchange_id="fake",
+            symbol="BTC/USDT",
+            book_level="L2",
+            raw_nonce=i,
+            best_bid=r.get("bid1_price"),
+            best_ask=r.get("ask1_price"),
+        )
+        for c in S.level_cols(depth):
+            base[c] = r.get(c)
+        full.append(tuple(base.get(f.name) for f in schema.fields))
+    return spark.createDataFrame(full, schema)
+
+
+def test_ofi_strict_reference_case(spark):
+    # reference tests/test_metrics.py:133-150: bid 100.0->100.1 size
+    # 1.0->1.2 (up: +0.2), ask 100.1->100.2 size 1.0->0.9 (up: -1.0)
+    rows = [
+        dict(bid1_price=100.0, bid1_size=1.0, ask1_price=100.1, ask1_size=1.0),
+        dict(bid1_price=100.1, bid1_size=1.2, ask1_price=100.2, ask1_size=0.9),
+    ]
+    out = W.add_ofi_l1(_series_df(spark, rows), mode="strict").orderBy("ts_ms").collect()
+    assert out[0]["ofi_l1"] is None  # first row: no previous state
+    assert abs(out[1]["ofi_l1"] - (-0.8)) < 1e-12
+
+
+def test_ofi_strict_equal_prices_zero(spark):
+    rows = [
+        dict(bid1_price=100.0, bid1_size=1.0, ask1_price=100.1, ask1_size=1.0),
+        dict(bid1_price=100.0, bid1_size=5.0, ask1_price=100.1, ask1_size=9.0),
+    ]
+    out = W.add_ofi_l1(_series_df(spark, rows), mode="strict").orderBy("ts_ms").collect()
+    assert out[1]["ofi_l1"] == 0.0
+
+
+def test_ofi_strict_any_missing_is_null(spark):
+    rows = [
+        dict(bid1_price=100.0, bid1_size=1.0, ask1_price=100.1, ask1_size=None),
+        dict(bid1_price=100.1, bid1_size=1.2, ask1_price=100.2, ask1_size=0.9),
+    ]
+    out = W.add_ofi_l1(_series_df(spark, rows), mode="strict").orderBy("ts_ms").collect()
+    assert out[1]["ofi_l1"] is None
+
+
+def test_ofi_kyle_matches_pandas_oracle(spark):
+    # Recompute with the reference's vectorized pandas formula
+    # (event_metrics.py:84-105) and compare — the F2 fixture price path.
+    import numpy as np
+    import pandas as pd
+
+    bb = [100.0, 100.5, 100.5, 100.4, 100.6]
+    ba = [100.2, 100.6, 100.6, 100.5, 100.7]
+    qb = [10.0, 12.0, 8.0, 9.0, 11.0]
+    qa = [9.0, 7.0, 7.5, 8.0, 7.0]
+    rows = [
+        dict(bid1_price=b, bid1_size=s, ask1_price=a, ask1_size=t)
+        for b, s, a, t in zip(bb, qb, ba, qa)
+    ]
+    out = W.add_ofi_l1(_series_df(spark, rows), mode="kyle").orderBy("ts_ms").collect()
+
+    s_bb, s_ba = pd.Series(bb), pd.Series(ba)
+    s_qb, s_qa = pd.Series(qb).fillna(0.0), pd.Series(qa).fillna(0.0)
+    bb_prev, ba_prev = s_bb.shift(1), s_ba.shift(1)
+    qb_prev, qa_prev = s_qb.shift(1).fillna(0.0), s_qa.shift(1).fillna(0.0)
+    dB = ((s_bb >= bb_prev) | bb_prev.isna()).astype(float) * s_qb - (
+        (s_bb <= bb_prev) | bb_prev.isna()
+    ).astype(float) * qb_prev
+    dA = ((s_ba <= ba_prev) | ba_prev.isna()).astype(float) * s_qa - (
+        (s_ba >= ba_prev) | ba_prev.isna()
+    ).astype(float) * qa_prev
+    ofi = (dB - dA).tolist()
+    ofi[0] = 0.0
+    for got, exp in zip(out, ofi):
+        assert abs(got["ofi_l1"] - exp) < 1e-12
+
+
+def test_rv_pandas_semantics(spark):
+    import pandas as pd
+    import numpy as np
+
+    prices = [100.0, 100.05, 100.10, 100.12, 100.11, 100.2, 100.3]
+    rows = [dict(bid1_price=p, bid1_size=1.0, ask1_price=p, ask1_size=1.0) for p in prices]
+    df = _series_df(spark, rows)
+    df = df.withColumn("mid", (df.best_bid + df.best_ask) / 2)
+    df = W.add_log_return(df, "mid", out_col="ret")
+    out = W.add_rolling_rv(df, "ret", window=3, out_col="rv").orderBy("ts_ms").collect()
+
+    r = np.log(pd.Series(prices, dtype="float64")).diff()
+    exp = r.pow(2).rolling(window=3, min_periods=3).sum()
+    for got, e in zip(out, exp):
+        if math.isnan(e):
+            assert got["rv"] is None
+        else:
+            assert abs(got["rv"] - e) < 1e-15
+
+
+def _reference_reset_rv(prices, window):
+    """Pure-Python reimplementation of metrics.py:196-232 for oracle."""
+    n = len(prices)
+    if window <= 1:
+        return [None] * n
+    rets = [None]
+    for t in range(1, n):
+        p0, p1 = prices[t - 1], prices[t]
+        if p0 is None or p1 is None or p0 <= 0 or p1 <= 0:
+            rets.append(None)
+        else:
+            rets.append(math.log(p1 / p0))
+    out, acc, q = [], 0.0, []
+    for t in range(n):
+        r = rets[t]
+        if r is None:
+            out.append(None)
+            q.clear()
+            acc = 0.0
+            continue
+        r2 = r * r
+        q.append(r2)
+        acc += r2
+        if len(q) > window:
+            acc -= q.pop(0)
+        out.append(acc if len(q) == window else None)
+    return out
+
+
+def test_rv_reset_on_gap(spark):
+    prices = [100.0, 100.1, 100.2, None, 100.3, 100.4, 100.5, 100.6, 100.2, 100.1]
+    rows = [
+        dict(
+            bid1_price=p,
+            bid1_size=1.0 if p else None,
+            ask1_price=p,
+            ask1_size=1.0 if p else None,
+        )
+        for p in prices
+    ]
+    df = _series_df(spark, rows)
+    df = df.withColumn("mid", (df.best_bid + df.best_ask) / 2)
+    out = (
+        W.add_rolling_rv_reset(df, "mid", window=3, out_col="rv")
+        .orderBy("ts_ms")
+        .collect()
+    )
+    exp = _reference_reset_rv(prices, 3)
+    for got, e in zip(out, exp):
+        if e is None:
+            assert got["rv"] is None
+        else:
+            assert abs(got["rv"] - e) < 1e-12
+
+
+def test_cumulative_and_tail(spark):
+    rows = [
+        dict(bid1_price=100.0 + i, bid1_size=float(i), ask1_price=101.0 + i, ask1_size=1.0)
+        for i in range(10)
+    ]
+    df = _series_df(spark, rows)
+    out = W.add_cumulative(df, "bid1_size", out_col="c").orderBy("ts_ms").collect()
+    assert [r["c"] for r in out] == [sum(range(i + 1)) for i in range(10)]
+    assert W.tail_n(df, 4).count() == 4
+
+
+def test_slice_indices_matches_linspace():
+    import numpy as np
+
+    for n, k in [(60, 20), (100, 7), (5, 10), (1, 3)]:
+        exp = sorted({int(round(v)) for v in np.linspace(0, n - 1, k)})
+        assert W.slice_indices(n, k) == exp
