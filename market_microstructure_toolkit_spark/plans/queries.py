@@ -552,3 +552,360 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 25)
         .select("vec_id", "label", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Depth analytics (A3/A4/W11), reset-RV (W6), rolling corr (W10),
+# tail/slice sampling (W13/W14), as-of join (J1), event metrics
+# ---------------------------------------------------------------------------
+
+_LEVEL_STATS_SQL = f"""{_BOOK_CTE},
+long AS (
+  {" UNION ALL ".join(
+    f"SELECT exchange_id, symbol, '{side}' AS side, {i} AS level, "
+    f"{side}{i}_price AS price, {side}{i}_size AS size FROM book"
+    for side in ("bid", "ask") for i in range(1, BOOK_DEPTH + 1)
+  )}
+),
+stats AS (
+  SELECT exchange_id, symbol, side, level,
+         CAST(SUM(CAST(size AS DECIMAL(18,6))) AS DOUBLE) / COUNT(size) AS avg_size,
+         CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) / COUNT(price) AS avg_price,
+         COUNT(size) AS n_obs
+  FROM long
+  GROUP BY exchange_id, symbol, side, level
+)
+SELECT exchange_id, symbol, side, level, avg_size, avg_price, n_obs,
+       avg_size - LAG(avg_size) OVER (
+         PARTITION BY exchange_id, symbol, side ORDER BY level) AS size_slope
+FROM stats
+"""
+
+
+@register("book_level_stats", _LEVEL_STATS_SQL)
+def q_book_level_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 avg size/price per level + W11 slope along the level axis
+    (advanced_plots.py:193-269). One melt projection, one partial-agg
+    shuffle. DECIMAL accumulation keeps averages order-free-exact."""
+    from market_microstructure_toolkit_spark.operators import depth as D
+
+    book = synthetic_book(spark, sf_dir)
+    long = D.melt_levels(book, BOOK_DEPTH)
+    stats = long.groupBy("exchange_id", "symbol", "side", "level").agg(
+        (
+            F.sum(F.col("size").cast("decimal(18,6)")).cast("double")
+            / F.count("size")
+        ).alias("avg_size"),
+        (
+            F.sum(F.col("price").cast("decimal(18,6)")).cast("double")
+            / F.count("price")
+        ).alias("avg_price"),
+        F.count("size").alias("n_obs"),
+    )
+    w = Window.partitionBy("exchange_id", "symbol", "side").orderBy("level")
+    return stats.withColumn(
+        "size_slope", F.col("avg_size") - F.lag("avg_size").over(w)
+    )
+
+
+_SPREAD_HIST_SQL = f"""{_BOOK_CTE},
+vals AS (
+  SELECT CASE WHEN best_bid > 0 AND best_ask > best_bid
+              AND (best_bid + best_ask) / 2.0 > 0
+         THEN 1e4 * (best_ask - best_bid) / ((best_bid + best_ask) / 2.0)
+         END AS spread_bps
+  FROM book
+)
+SELECT
+  LEAST(GREATEST(CAST(floor((spread_bps - 0.0) / 10.0 * 60) AS BIGINT), 0), 59) AS bucket,
+  COUNT(*) AS n
+FROM vals
+WHERE spread_bps IS NOT NULL
+GROUP BY 1
+"""
+
+
+@register("book_spread_histogram", _SPREAD_HIST_SQL)
+def q_book_spread_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: 60-bin fixed-range histogram of relative spread bps
+    (advanced_plots.py:122-130) — bucketing + count, fully partial-agg."""
+    from market_microstructure_toolkit_spark.operators import depth as D
+
+    book = synthetic_book(spark, sf_dir)
+    vals = book.select(
+        M.relative_spread_bps("best_bid", "best_ask").alias("spread_bps")
+    )
+    return D.histogram(vals, "spread_bps", 0.0, 10.0, 60)
+
+
+_RV_RESET_SQL = f"""{_BOOK_CTE},
+mids AS (
+  SELECT exchange_id, symbol, ts_ms, raw_nonce,
+         CASE WHEN raw_nonce % 37 <> 0
+              THEN (best_bid + best_ask) / 2.0 END AS mid
+  FROM book
+),
+rets AS (
+  SELECT *,
+    floor((mid / LAG(mid) OVER ({_W}) - 1.0) * 1e4 * 1024.0 + 0.5) / 1024.0 AS ret_q
+  FROM mids
+),
+grp AS (
+  SELECT *,
+    SUM(CASE WHEN ret_q IS NULL THEN 1 ELSE 0 END)
+      OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gap_grp
+  FROM rets
+)
+SELECT exchange_id, symbol, ts_ms, raw_nonce, mid,
+  CASE WHEN COUNT(ret_q) OVER (PARTITION BY exchange_id, symbol, gap_grp
+                               ORDER BY ts_ms, raw_nonce
+                               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) = 20
+       THEN SUM(ret_q * ret_q) OVER (PARTITION BY exchange_id, symbol, gap_grp
+                                     ORDER BY ts_ms, raw_nonce
+                                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+  END AS rv_reset_20
+FROM grp
+"""
+
+
+@register("book_rv_reset", _RV_RESET_SQL)
+def q_book_rv_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 reset-on-gap RV (metrics.py:196-232) via the two-stacked-windows
+    plan: running null-count assigns a gap-group id, then the rolling
+    sum/count runs inside (keys, gap_grp) so frames never span a gap.
+    Gaps injected every 37th event; returns quantized (exact sums)."""
+    book = synthetic_book(spark, sf_dir)
+    mid = F.when(
+        F.col("raw_nonce") % 37 != 0,
+        (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0),
+    )
+    mids = book.select(*IDS, mid.alias("mid"))
+    w = W.book_window(KEYS, ORDER_COLS)
+    rq = (
+        F.floor(
+            (F.col("mid") / F.lag("mid").over(w) - F.lit(1.0))
+            * F.lit(1e4)
+            * F.lit(1024.0)
+            + F.lit(0.5)
+        )
+        / F.lit(1024.0)
+    )
+    rets = mids.withColumn("ret_q", rq)
+    grp = rets.withColumn(
+        "gap_grp",
+        F.sum(F.when(F.col("ret_q").isNull(), 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    wg = Window.partitionBy(*KEYS, "gap_grp").orderBy(*ORDER_COLS).rowsBetween(-19, 0)
+    r = F.col("ret_q")
+    return grp.withColumn(
+        "rv_reset_20",
+        F.when(F.count(r).over(wg) == 20, F.sum(r * r).over(wg)),
+    ).select(*IDS, "mid", "rv_reset_20")
+
+
+_ROLL_CORR_SQL = f"""{_BOOK_CTE},
+lagged AS (
+  SELECT exchange_id, symbol, ts_ms, raw_nonce, best_bid, best_ask,
+         bid1_size, ask1_size,
+         LAG(best_bid) OVER ({_W}) AS pbb,
+         LAG(best_ask) OVER ({_W}) AS pba,
+         LAG(bid1_size) OVER ({_W}) AS pbq,
+         LAG(ask1_size) OVER ({_W}) AS paq,
+         ((best_bid + best_ask) / LAG(best_bid + best_ask) OVER ({_W}) - 1.0) * 1e4 AS ret_bps
+  FROM book
+),
+feat AS (
+  SELECT exchange_id, symbol, ts_ms, raw_nonce, ret_bps,
+    COALESCE(
+      (CASE WHEN COALESCE(best_bid > pbb, FALSE) THEN 1.0 ELSE 0.0 END) * bid1_size
+      - (CASE WHEN COALESCE(best_bid < pbb, FALSE) THEN 1.0 ELSE 0.0 END) * pbq
+      - (CASE WHEN COALESCE(best_ask > pba, FALSE) THEN 1.0 ELSE 0.0 END) * paq
+      + (CASE WHEN COALESCE(best_ask < pba, FALSE) THEN 1.0 ELSE 0.0 END) * ask1_size,
+      0.0) AS ofi
+  FROM lagged
+)
+SELECT exchange_id, symbol, ts_ms, raw_nonce,
+  ROUND(CORR(ofi, ret_bps) OVER ({_W} ROWS BETWEEN 49 PRECEDING AND CURRENT ROW), 6) AS ofi_ret_corr_50
+FROM feat
+"""
+
+
+@register("book_rolling_corr", _ROLL_CORR_SQL)
+def q_book_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10: rolling Pearson correlation of LOBSTER OFI vs mid returns over
+    50 rows (advanced_plots.py:169). Rounded 6dp (O(1) values, ~1e-14
+    cross-engine moment-accumulation noise)."""
+    book = synthetic_book(spark, sf_dir)
+    w = W.book_window(KEYS, ORDER_COLS)
+    mid2 = F.col("best_bid") + F.col("best_ask")
+    feat = W.add_ofi_l1(book, mode="lobster", out_col="ofi", keys=KEYS, order_col=ORDER_COLS)
+    feat = feat.withColumn(
+        "ret_bps", (mid2 / F.lag(mid2).over(w) - F.lit(1.0)) * F.lit(1e4)
+    )
+    wf = w.rowsBetween(-49, 0)
+    return feat.select(
+        *IDS,
+        F.round(F.corr("ofi", "ret_bps").over(wf), 6).alias("ofi_ret_corr_50"),
+    )
+
+
+_TAIL_SQL = f"""{_BOOK_CTE}
+SELECT exchange_id, symbol, ts_ms, raw_nonce, best_bid, best_ask
+FROM (
+  SELECT exchange_id, symbol, ts_ms, raw_nonce, best_bid, best_ask,
+         ROW_NUMBER() OVER (PARTITION BY exchange_id, symbol
+                            ORDER BY ts_ms DESC, raw_nonce DESC) AS rn
+  FROM book
+)
+WHERE rn <= 100
+"""
+
+
+@register("book_tail", _TAIL_SQL)
+def q_book_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W13 tail-N: most recent 100 rows per instrument without a global
+    sort (advanced_plots.py:310-312)."""
+    book = synthetic_book(spark, sf_dir)
+    w = Window.partitionBy(*KEYS).orderBy(
+        F.col("ts_ms").desc(), F.col("raw_nonce").desc()
+    )
+    return (
+        book.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .select(*IDS, "best_bid", "best_ask")
+    )
+
+
+_SLICE_SAMPLE_SQL = f"""{_BOOK_CTE},
+numbered AS (
+  SELECT exchange_id, symbol, ts_ms, raw_nonce, best_bid, best_ask,
+         ROW_NUMBER() OVER ({_W}) - 1 AS idx,
+         COUNT(*) OVER (PARTITION BY exchange_id, symbol) AS n
+  FROM book
+)
+SELECT exchange_id, symbol, ts_ms, raw_nonce, idx, best_bid, best_ask
+FROM numbered
+WHERE EXISTS (
+  SELECT 1 FROM generate_series(0, 19) t(i)
+  WHERE CAST(floor(i * (n - 1) / 19.0 + 0.5) AS BIGINT) = idx
+)
+"""
+
+
+@register("book_slice_sample", _SLICE_SAMPLE_SQL)
+def q_book_slice_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W14 evenly-spaced positional sampling (impact.py:196-224): pick 20
+    linspace rows per instrument series. floor(x+0.5) rounding keeps both
+    engines identical (no banker's-rounding divergence)."""
+    book = synthetic_book(spark, sf_dir)
+    w = W.book_window(KEYS, ORDER_COLS)
+    wp = Window.partitionBy(*KEYS)
+    numbered = book.select(
+        *IDS,
+        "best_bid",
+        "best_ask",
+        (F.row_number().over(w) - 1).alias("idx"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    picks = F.transform(
+        F.sequence(F.lit(0), F.lit(19)),
+        lambda i: F.floor(
+            i.cast("double") * (F.col("n") - 1) / F.lit(19.0) + F.lit(0.5)
+        ),
+    )
+    return numbered.filter(F.array_contains(picks, F.col("idx"))).select(
+        *IDS, "idx", "best_bid", "best_ask"
+    )
+
+
+_ASOF_SQL = f"""{_BOOK_CTE},
+targets AS (
+  SELECT exchange_id, symbol, raw_nonce AS target_id, ts_ms + 1500 AS target_ts
+  FROM (
+    SELECT exchange_id, symbol, ts_ms, raw_nonce,
+           ROW_NUMBER() OVER ({_W}) AS rn
+    FROM book
+  )
+  WHERE rn % 50 = 1
+),
+cand AS (
+  SELECT t.target_id, t.target_ts, b.exchange_id, b.symbol, b.ts_ms,
+         b.raw_nonce, b.best_bid, b.best_ask,
+         abs(b.ts_ms - t.target_ts) AS abs_delta
+  FROM targets t
+  JOIN book b
+    ON b.exchange_id = t.exchange_id AND b.symbol = t.symbol
+   AND abs(b.ts_ms - t.target_ts) <= 3600000
+)
+SELECT exchange_id, symbol, target_id, target_ts, ts_ms, raw_nonce,
+       abs_delta, best_bid, best_ask
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY exchange_id, symbol, target_id
+                               ORDER BY abs_delta, ts_ms, raw_nonce) AS rk
+  FROM cand
+)
+WHERE rk = 1
+"""
+
+
+@register("book_asof_join", _ASOF_SQL)
+def q_book_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 nearest-timestamp as-of join (impact_twap.py:174-188): every
+    50th row (+1.5s) is a slice target matched to its nearest snapshot
+    within 1h; broadcast targets + banded range join + rank-1."""
+    from market_microstructure_toolkit_spark.operators.asof import asof_nearest
+
+    book = synthetic_book(spark, sf_dir).select(
+        *IDS, "best_bid", "best_ask"
+    )
+    w = W.book_window(KEYS, ORDER_COLS)
+    targets = (
+        book.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") % 50 == 1)
+        .select(
+            "exchange_id",
+            "symbol",
+            F.col("raw_nonce").alias("target_id"),
+            (F.col("ts_ms") + 1500).alias("target_ts"),
+        )
+    )
+    out = asof_nearest(book, targets, tolerance_ms=3_600_000, keys=KEYS)
+    return out.select(
+        "exchange_id", "symbol", "target_id", "target_ts",
+        "ts_ms", "raw_nonce", "abs_delta", "best_bid", "best_ask",
+    )
+
+
+_EVENT_METRICS_SQL = f"""{_BOOK_CTE}
+SELECT exchange_id, symbol, ts_ms, raw_nonce,
+  (best_bid + best_ask) / 2.0 AS mid,
+  CASE WHEN best_bid > 0 AND best_ask > 0
+       THEN (best_ask - best_bid) / ((best_bid + best_ask) / 2.0) * 1e4
+  END AS spread_bps,
+  CASE WHEN COALESCE(bid1_size, 0.0) + COALESCE(ask1_size, 0.0) > 0
+       THEN (best_ask * COALESCE(bid1_size, 0.0) + best_bid * COALESCE(ask1_size, 0.0))
+            / (COALESCE(bid1_size, 0.0) + COALESCE(ask1_size, 0.0))
+       ELSE (best_bid + best_ask) / 2.0
+  END AS microprice
+FROM book
+"""
+
+
+@register("book_event_metrics", _EVENT_METRICS_SQL)
+def q_book_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mmt-event-metrics L1 bundle (event_metrics.py:66-82): event-
+    variant spread_bps (crossed books keep their negative value) and the
+    microprice-falls-back-to-mid semantic. OFI-kyle / ret / rv components
+    of that surface are covered by book_ofi_kyle and book_returns_rv."""
+    book = synthetic_book(spark, sf_dir)
+    bb, ba = F.col("best_bid"), F.col("best_ask")
+    m = M.mid(bb, ba)
+    return book.select(
+        *IDS,
+        m.alias("mid"),
+        F.when((bb > 0) & (ba > 0), (ba - bb) / m * F.lit(1e4)).alias("spread_bps"),
+        M.microprice(bb, ba, F.col("bid1_size"), F.col("ask1_size"),
+                     fallback_to_mid=True).alias("microprice"),
+    )
