@@ -1,0 +1,549 @@
+"""Execution-impact simulators (SURVEY §2.7 X1-X6): TWAP / VWAP book-walk
+simulation over recorded L2 snapshots.
+
+Spark-first architecture:
+
+- The book walk (X2) is a closed-form ``F.aggregate`` over the ladder array
+  — fully distributed, codegen'd, O(K) per row (functions/arrays.walk_book).
+- Slice/timestamp schedules are config-sized (10-100 entries) and, when
+  stochastic, must reproduce the reference's seeded ``random.Random``
+  sequences — so they are computed on the DRIVER, never inside tasks
+  (determinism rule, SURVEY §4.3).
+- The VWAP carry recurrence (X6) is sequential over <= ``slices`` rows;
+  the picked slice rows (already reduced to ladders) are collected and the
+  loop runs driver-side — bounded by config, not data size (SURVEY §2.7 X6
+  option (a)).
+
+Semantics cite the reference (``impact.py``, ``impact_twap.py``,
+``impact_vwap.py``) per function; validated against the shipped regression
+oracles (BASELINE.md): naive TWAP buy 50/20/25 -> vwap 4301.466768, VWAP
+buy 50/24/25/fee5 -> vwap 4306.753331.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Row, Window
+from pyspark.sql import functions as F
+
+from market_microstructure_toolkit_spark.functions.arrays import (
+    ladder_from_wide,
+    truncate_at_first_blank,
+    valid_levels,
+    walk_book,
+)
+
+Side = str  # "buy" | "sell"
+
+
+@dataclass
+class TwapConfig:
+    """Mirror of the reference ``TWAPConfig`` (impact_twap.py:27-50)."""
+
+    side: Side
+    target_qty: float
+    slices: int
+    fee_bps: float = 0.0
+    depth_cap: int | None = None
+    allow_residual: bool = False
+    jitter_ms: int = 0
+    schedule: str = "equal"  # "equal" | "stochastic"
+    seed: int | None = None
+
+
+@dataclass
+class VwapConfig:
+    """Mirror of the reference ``ExecConfig`` (impact_vwap.py:61-92)."""
+
+    side: Side
+    target_qty: float
+    slices: int = 20
+    depth_k: int = 10
+    fee_bps: float = 0.0
+    proxy: str = "topk_sum"  # "topk_sum" | "l1_sum"
+    min_slice_qty: float | None = None
+
+
+# ---------------------------------------------------------------------------
+# shared pieces
+# ---------------------------------------------------------------------------
+
+def _exec_side(side: Side) -> str:
+    """Buy lifts asks, sell hits bids (impact.py:47-71)."""
+    return "ask" if side == "buy" else "bid"
+
+
+def _mid_col() -> F.Column:
+    """Prefer a precomputed ``mid`` column, else derive (impact.py:166-180)."""
+    return (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
+
+
+def _slip_bps(vwap: float | None, ref_mid: float | None, side: Side) -> float | None:
+    """impact_twap.py:324-337; also matches impact.py's ``_bps`` usage."""
+    if vwap is None or ref_mid is None or ref_mid <= 0 or not math.isfinite(vwap):
+        return None
+    if side == "buy":
+        return 1e4 * (vwap / ref_mid - 1.0)
+    return 1e4 * (1.0 - vwap / ref_mid)
+
+
+
+def _iso_expr(df: DataFrame):
+    """``iso`` column when present, else NULL (recordings carry it, derived
+    book frames may not)."""
+    return F.col("iso") if "iso" in df.columns else F.lit(None).cast("string")
+
+def _numbered(df: DataFrame, order_col: str = "ts_ms") -> DataFrame:
+    """Attach 0-based positional index over the time-ordered series.
+
+    A recording is a single bounded series (the reference's unit of work),
+    so one-partition ``row_number`` is acceptable; multi-instrument inputs
+    should be simulated per instrument (driver loops symbols, or see
+    SURVEY §4.1 segmented-scan note for the general case).
+    """
+    w = Window.orderBy(order_col)
+    return df.withColumn("__pos", F.row_number().over(w) - 1)
+
+
+def _linspace_picks(n: int, slices: int) -> list[int]:
+    """np.linspace(0, n-1, slices).round -> sorted unique (impact.py:196-224).
+
+    numpy rounds half-to-even; ``round`` on Python floats does the same, so
+    plain ``round`` reproduces numpy here.
+    """
+    if n == 0:
+        return []
+    if slices <= 1:
+        return [n - 1]
+    step = (n - 1) / (slices - 1)
+    return sorted({int(round(i * step)) for i in range(slices)})
+
+
+def _slice_table(
+    picked: DataFrame,
+    side: Side,
+    qty_expr,
+    depth: int,
+    blank_mode: str = "skip",
+    fee_bps: float = 0.0,
+) -> DataFrame:
+    """Walk the book at each picked row: per-slice fill columns (X1+X2).
+
+    ``blank_mode``: 'skip' drops invalid levels and continues
+    (impact.py:74-108); 'stop' truncates at the first invalid level
+    (impact_twap.py:65-98).
+    """
+    ladder = ladder_from_wide(_exec_side(side), depth)
+    ladder = (
+        truncate_at_first_blank(ladder) if blank_mode == "stop" else valid_levels(ladder)
+    )
+    fill = walk_book(ladder, qty_expr)
+    eff = F.lit(1.0 + fee_bps / 1e4) if side == "buy" else F.lit(1.0 - fee_bps / 1e4)
+    eff_cost = F.greatest(F.col("__fill.cost") * eff, F.lit(0.0))
+    return picked.withColumn("__fill", fill).select(
+        "*",
+        F.col("__fill.filled").alias("filled_qty"),
+        F.col("__fill.cost").alias("fill_cost"),
+        eff_cost.alias("fill_cost_eff"),
+        F.col("__fill.levels_touched").alias("levels_touched"),
+        _mid_col().alias("__mid"),
+    ).drop("__fill")
+
+
+# ---------------------------------------------------------------------------
+# X3 — naive TWAP (impact.py:230-321)
+# ---------------------------------------------------------------------------
+
+def simulate_twap_naive(
+    df: DataFrame, side: Side, total_qty: float, slices: int, depth: int
+) -> tuple[DataFrame, DataFrame]:
+    """Equal slices at linspace rows; walk each; no book feedback across
+    slices (impact.py:205-207). Returns (summary_df, per_slice_df).
+
+    The per-slice walk is fully distributed (each picked row walks its own
+    ladder inside one codegen stage); only the O(slices) summary reduces.
+    """
+    assert side in ("buy", "sell")
+    n = df.count()
+    picks = _linspace_picks(n, slices)
+    if not picks:
+        empty = df.sparkSession.createDataFrame([], "slice int")
+        return empty, empty
+    slice_qty = total_qty / len(picks)
+
+    numbered = _numbered(df)
+    picked = numbered.filter(F.col("__pos").isin(picks))
+    walked = _slice_table(picked, side, F.lit(slice_qty), depth, blank_mode="skip")
+
+    rank = Window.orderBy("__pos")
+    per_slice = walked.select(
+        F.row_number().over(rank).alias("slice"),
+        F.col("ts_ms"),
+        _iso_expr(walked).alias("iso"),
+        F.col("filled_qty"),
+        F.lit(slice_qty).alias("slice_target_qty"),
+        F.when(
+            F.col("filled_qty") > 0, F.col("fill_cost") / F.col("filled_qty")
+        ).alias("slice_vwap"),
+        F.col("levels_touched"),
+        F.col("__pos"),
+        F.col("__mid"),
+    )
+
+    first_pos, last_pos = picks[0], picks[-1]
+    agg = per_slice.agg(
+        F.sum("filled_qty").alias("filled"),
+        F.sum(F.col("slice_vwap") * F.col("filled_qty")).alias("notional"),
+        F.max(F.when(F.col("__pos") == first_pos, F.col("__mid"))).alias("mid_open"),
+        F.max(F.when(F.col("__pos") == last_pos, F.col("__mid"))).alias("mid_close"),
+    ).collect()[0]
+
+    filled = agg["filled"] or 0.0
+    notional = agg["notional"] or 0.0
+    vwap = notional / filled if filled > 0 else None
+    summary = Row(
+        side=side,
+        target_qty=float(total_qty),
+        filled_qty=float(filled),
+        vwap=vwap,
+        notional=float(notional),
+        slippage_bps_vs_mid_open=_slip_bps(vwap, agg["mid_open"], side),
+        slippage_bps_vs_mid_close=_slip_bps(vwap, agg["mid_close"], side),
+        slices=len(picks),
+    )
+    return (
+        df.sparkSession.createDataFrame([summary]),
+        per_slice.drop("__pos", "__mid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — VWAP-now baseline (impact.py:324-396)
+# ---------------------------------------------------------------------------
+
+def simulate_vwap_onbook(
+    df: DataFrame, side: Side, total_qty: float, depth: int
+) -> DataFrame:
+    """One-shot walk of the FIRST snapshot; mids from first/last rows."""
+    assert side in ("buy", "sell")
+    numbered = _numbered(df)
+    n = df.count()
+    if n == 0:
+        return df.sparkSession.createDataFrame([], "side string")
+    first = numbered.filter(F.col("__pos") == 0)
+    walked = _slice_table(first, side, F.lit(float(total_qty)), depth, "skip")
+    row = walked.select(
+        "ts_ms", _iso_expr(walked).alias("iso"), "filled_qty", "fill_cost",
+        "levels_touched", "__mid"
+    ).collect()[0]
+    mid_close = (
+        numbered.filter(F.col("__pos") == n - 1).select(_mid_col().alias("m")).collect()[0]["m"]
+    )
+    filled, cost = row["filled_qty"], row["fill_cost"]
+    vwap = cost / filled if filled and filled > 0 else None
+    return df.sparkSession.createDataFrame(
+        [
+            Row(
+                side=side,
+                target_qty=float(total_qty),
+                filled_qty=float(filled or 0.0),
+                vwap=vwap,
+                notional=float(cost or 0.0),
+                slippage_bps_vs_mid_open=_slip_bps(vwap, row["__mid"], side),
+                slippage_bps_vs_mid_close=_slip_bps(vwap, mid_close, side),
+                slices=1,
+                levels_touched=int(row["levels_touched"] or 0),
+            )
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# X5 — realistic TWAP (impact_twap.py:191-311)
+# ---------------------------------------------------------------------------
+
+def _slice_sizes(cfg: TwapConfig) -> list[float]:
+    """Equal (FP-drift-corrected last slice) or Dirichlet-stochastic sizes —
+    seeded ``random.Random`` reproduces the reference draws exactly
+    (impact_twap.py:112-137)."""
+    if cfg.slices <= 0:
+        return []
+    if cfg.schedule == "equal":
+        per = cfg.target_qty / cfg.slices
+        sizes = [per] * cfg.slices
+        sizes[-1] = cfg.target_qty - sum(sizes[:-1])
+        return sizes
+    rng = random.Random(cfg.seed)
+    draws = [rng.gammavariate(3.0, 1.0) for _ in range(cfg.slices)]
+    total = sum(draws)
+    return [cfg.target_qty * (d / total) for d in draws]
+
+
+def simulate_twap_real(df: DataFrame, cfg: TwapConfig) -> tuple[DataFrame, DataFrame]:
+    """Jittered schedule + nearest-row as-of + stop-at-first-blank walk +
+    fees (impact_twap.py:191-311). Returns (summary_df, per_slice_df).
+
+    Schedule timestamps need the ts at ``slices`` evenly-spaced positions:
+    those rows are fetched distributively (row_number filter), jitter is
+    applied driver-side with the seeded RNG, and each jittered target maps
+    back to its nearest row — the reference's monotone two-pointer breaks
+    ties toward the LATER row, so the rank orders (abs_delta, ts desc).
+    """
+    assert cfg.side in ("buy", "sell")
+    sizes = _slice_sizes(cfg)
+    if not sizes:
+        raise ValueError("No slices generated")
+    n = df.count()
+    if n == 0:
+        raise ValueError("empty input")
+
+    numbered = _numbered(df)
+
+    idxs = [round(i * (n - 1) / max(1, cfg.slices - 1)) for i in range(cfg.slices)]
+    pos_ts = {
+        r["__pos"]: r["ts_ms"]
+        for r in numbered.filter(F.col("__pos").isin(sorted(set(idxs))))
+        .select("__pos", "ts_ms")
+        .collect()
+    }
+    chosen = [int(pos_ts[i]) for i in idxs]
+    if cfg.jitter_ms > 0:
+        rng = random.Random(cfg.seed)
+        half = cfg.jitter_ms / 2.0
+        chosen = [int(t + rng.uniform(-half, half)) for t in chosen]
+
+    # Nearest row per target (J1). Targets are config-sized -> broadcast.
+    targets = df.sparkSession.createDataFrame(
+        [(k, t) for k, t in enumerate(chosen, start=1)], "slice int, target_ts long"
+    )
+    d = F.abs(F.col("ts_ms") - F.col("target_ts"))
+    cand = numbered.alias("s").join(F.broadcast(targets.alias("t")), how="cross")
+    wnear = Window.partitionBy("slice").orderBy(
+        F.abs(F.col("ts_ms") - F.col("target_ts")), F.col("ts_ms").desc()
+    )
+    matched = (
+        cand.withColumn("__rn", F.row_number().over(wnear))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    depth = cfg.depth_cap if cfg.depth_cap is not None else 10_000
+    # depth inference bound: ladder_from_wide needs real columns
+    from market_microstructure_toolkit_spark.schema import infer_depth
+
+    depth = min(depth, infer_depth(df))
+
+    sizes_df = df.sparkSession.createDataFrame(
+        [(k, s) for k, s in enumerate(sizes, start=1)], "slice int, slice_target_qty double"
+    )
+    matched = matched.join(F.broadcast(sizes_df), "slice")
+    walked = _slice_table(
+        matched, cfg.side, F.col("slice_target_qty"), depth,
+        blank_mode="stop", fee_bps=cfg.fee_bps,
+    )
+    per_slice = walked.select(
+        "slice",
+        F.col("ts_ms").cast("long").alias("ts_ms"),
+        F.coalesce(_iso_expr(walked), F.lit("")).alias("iso"),
+        "filled_qty",
+        "slice_target_qty",
+        F.when(F.col("filled_qty") > 0, F.col("fill_cost_eff") / F.col("filled_qty"))
+        .otherwise(F.lit(float("nan")))
+        .alias("slice_vwap"),
+        "levels_touched",
+        "fill_cost",
+        "__mid",
+    )
+
+    agg = per_slice.agg(
+        F.sum("filled_qty").alias("filled"),
+        F.sum("fill_cost").alias("notional_prefee"),
+        F.sum("levels_touched").alias("levels_agg"),
+        F.max(F.when(F.col("slice") == 1, F.col("__mid"))).alias("mid_open"),
+        F.max(F.when(F.col("slice") == cfg.slices, F.col("__mid"))).alias("mid_close"),
+    ).collect()[0]
+    filled = agg["filled"] or 0.0
+    pre = agg["notional_prefee"] or 0.0
+    fee = pre * (cfg.fee_bps / 1e4)
+    eff = pre + fee if cfg.side == "buy" else max(0.0, pre - fee)
+    vwap = eff / filled if filled > 0 else float("nan")
+    summary = Row(
+        side=cfg.side,
+        target_qty=float(cfg.target_qty),
+        filled_qty=float(filled),
+        vwap=vwap,
+        notional=float(eff),
+        fee_bps=float(cfg.fee_bps),
+        depth_cap=cfg.depth_cap if cfg.depth_cap is not None else -1,
+        allow_residual=cfg.allow_residual,
+        slices=cfg.slices,
+        schedule=cfg.schedule,
+        slippage_bps_vs_mid_open=_slip_bps(vwap, agg["mid_open"], cfg.side),
+        slippage_bps_vs_mid_close=_slip_bps(vwap, agg["mid_close"], cfg.side),
+        levels_touched_avg=float(agg["levels_agg"] or 0) / max(1, cfg.slices),
+    )
+    return df.sparkSession.createDataFrame([summary]), per_slice.drop("fill_cost", "__mid")
+
+
+# ---------------------------------------------------------------------------
+# X6 — realistic VWAP with carry (impact_vwap.py:247-377)
+# ---------------------------------------------------------------------------
+
+def _np_round_half_even(x: float) -> int:
+    """pandas/numpy .round() semantics used for bucket picking."""
+    f = math.floor(x)
+    diff = x - f
+    if diff > 0.5:
+        return f + 1
+    if diff < 0.5:
+        return f
+    return f if f % 2 == 0 else f + 1
+
+
+def _vwap_bucket_indices(n: int, slices: int) -> list[int]:
+    """The reference's pick (impact_vwap.py:271-279): round(i*slices/n)
+    clipped, TRUNCATED to the first ``slices`` entries, tail-padded."""
+    idx = [min(max(_np_round_half_even(i * slices / n), 0), n - 1) for i in range(n)]
+    while len(idx) < slices:
+        idx.append(n - 1)
+    return idx[:slices]
+
+
+def simulate_vwap_real(df: DataFrame, cfg: VwapConfig) -> tuple[DataFrame, DataFrame]:
+    """Proxy-weighted child sizes + sequential carry recurrence
+    (impact_vwap.py:247-377). Returns (summary_df, per_slice_df).
+
+    The carry makes slice k depend nonlinearly on slice k-1, so after the
+    DISTRIBUTED part (ladder extraction + proxy computation per picked
+    row), the <= ``slices`` reduced rows are collected and the recurrence
+    runs driver-side — bounded by config, correct at any data scale.
+    """
+    assert cfg.side in ("buy", "sell")
+    n = df.count()
+    if n == 0:
+        raise ValueError("Empty dataframe")
+    idx = _vwap_bucket_indices(n, cfg.slices)
+
+    numbered = _numbered(df)
+    ladder = valid_levels(ladder_from_wide(_exec_side(cfg.side), cfg.depth_k))
+    reduced = (
+        numbered.filter(F.col("__pos").isin(sorted(set(idx))))
+        .select(
+            "__pos",
+            F.col("ts_ms"),
+            F.coalesce(_iso_expr(df), F.lit("")).alias("iso"),
+            _mid_col().alias("mid"),
+            ladder.alias("ladder"),
+        )
+        .collect()
+    )
+    by_pos = {r["__pos"]: r for r in reduced}
+
+    def proxy(r) -> float:
+        lv = r["ladder"]
+        if not lv:
+            return 0.0
+        if cfg.proxy == "l1_sum":
+            return lv[0]["size"]
+        return float(sum(e["size"] for e in lv))
+
+    proxies = [max(0.0, proxy(by_pos[i])) for i in idx]
+    total_proxy = sum(proxies)
+    if total_proxy <= 0:
+        sizes = [cfg.target_qty / cfg.slices] * cfg.slices
+    else:
+        sizes = [cfg.target_qty * (w / total_proxy) for w in proxies]
+    if cfg.min_slice_qty is not None:
+        sizes = [max(s, float(cfg.min_slice_qty)) for s in sizes]
+        scale = cfg.target_qty / sum(sizes)
+        sizes = [s * scale for s in sizes]
+    err = cfg.target_qty - sum(sizes)
+    if abs(err) > 1e-9:
+        j = max(range(len(sizes)), key=lambda k: sizes[k])
+        sizes[j] += err
+
+    mid_open = by_pos[idx[0]]["mid"]
+    mid_close = by_pos[idx[-1]]["mid"]
+
+    carry = 0.0
+    filled_total = notional_total = fee_total = 0.0
+    per_rows: list[dict] = []
+    for s, (pos, target) in enumerate(zip(idx, sizes), start=1):
+        r = by_pos[pos]
+        desired = float(target) + carry
+        remain, cost, touched = desired, 0.0, 0
+        if desired > 0:
+            for e in r["ladder"]:
+                if remain <= 0:
+                    break
+                take = min(remain, e["size"])
+                cost += take * e["price"]
+                remain -= take
+                touched += 1 if take > 0 else 0
+        filled = desired - remain if desired > 0 else 0.0
+        vwap = cost / filled if filled > 0 else float("nan")
+        notional = filled * vwap if math.isfinite(vwap) else 0.0
+        fee = abs(notional) * (cfg.fee_bps / 1e4)
+        notional_with_fee = notional + fee if cfg.side == "buy" else notional - fee
+        filled_total += filled
+        notional_total += notional_with_fee
+        fee_total += fee
+        mid = r["mid"]
+        slip = None
+        if mid and filled > 0:
+            signed = (vwap - mid) / mid * 1e4
+            slip = float(signed if cfg.side == "buy" else -signed)
+        carry = max(0.0, desired - filled)
+        per_rows.append(
+            dict(
+                slice=s,
+                ts_ms=int(r["ts_ms"] or 0),
+                iso=str(r["iso"]),
+                slice_target_qty=float(target),
+                desired_qty_incl_carry=desired,
+                filled_qty=filled,
+                slice_vwap=vwap,
+                levels_touched=touched,
+                mid=mid,
+                slippage_bps_vs_mid=slip,
+                carry_to_next=carry,
+            )
+        )
+
+    vwap_all = notional_total / filled_total if filled_total > 0 else float("nan")
+
+    def slip_vs(ref):
+        if ref is None or not math.isfinite(vwap_all):
+            return None
+        signed = (vwap_all - ref) / ref * 1e4
+        return float(signed if cfg.side == "buy" else -signed)
+
+    spark = df.sparkSession
+    summary = spark.createDataFrame(
+        [
+            Row(
+                side=cfg.side,
+                target_qty=float(cfg.target_qty),
+                filled_qty=float(filled_total),
+                vwap=float(vwap_all) if math.isfinite(vwap_all) else None,
+                notional=float(notional_total),
+                fees_paid=float(fee_total),
+                slippage_bps_vs_mid_open=slip_vs(mid_open),
+                slippage_bps_vs_mid_close=slip_vs(mid_close),
+                slices=cfg.slices,
+                depth_k=cfg.depth_k,
+                proxy=cfg.proxy,
+            )
+        ]
+    )
+    per_slice = spark.createDataFrame(
+        [Row(**r) for r in per_rows],
+        "slice int, ts_ms long, iso string, slice_target_qty double, "
+        "desired_qty_incl_carry double, filled_qty double, slice_vwap double, "
+        "levels_touched int, mid double, slippage_bps_vs_mid double, "
+        "carry_to_next double",
+    )
+    return summary, per_slice

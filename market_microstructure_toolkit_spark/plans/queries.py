@@ -909,3 +909,103 @@ def q_book_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.microprice(bb, ba, F.col("bid1_size"), F.col("ask1_size"),
                      fallback_to_mid=True).alias("microprice"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Execution simulation (X1-X6): distributed book walk + simulator surfaces
+# ---------------------------------------------------------------------------
+
+def _walk_sql(qty: float, depth: int) -> str:
+    """Unrolled greedy fill over `depth` ask levels (X2 as closed-form SQL).
+
+    take_i = least(greatest(qty - cum_{i-1}, 0), avail_i) with cum the
+    running sum of valid-level sizes — the same closed form the Spark
+    ``walk_book`` aggregate computes. Sizes are exact quarters so fills
+    are exact; cost adds 0.0 for invalid levels (exact identity).
+    """
+    valid = [
+        f"(ask{i}_price IS NOT NULL AND ask{i}_size IS NOT NULL AND ask{i}_size > 0)"
+        for i in range(1, depth + 1)
+    ]
+    avail = [
+        f"CASE WHEN {valid[i - 1]} THEN ask{i}_size ELSE 0.0 END"
+        for i in range(1, depth + 1)
+    ]
+    cum = ["0.0"]
+    for i in range(1, depth):
+        cum.append(f"({cum[-1]} + {avail[i - 1]})")
+    take = [
+        f"LEAST(GREATEST({qty!r} - {cum[i - 1]}, 0.0), {avail[i - 1]})"
+        for i in range(1, depth + 1)
+    ]
+    filled = " + ".join(take)
+    cost = " + ".join(
+        f"CASE WHEN {valid[i - 1]} THEN ({take[i - 1]}) * ask{i}_price ELSE 0.0 END"
+        for i in range(1, depth + 1)
+    )
+    touched = " + ".join(
+        f"CASE WHEN ({take[i - 1]}) > 0 THEN 1 ELSE 0 END"
+        for i in range(1, depth + 1)
+    )
+    return (
+        f"SELECT exchange_id, symbol, ts_ms, raw_nonce,\n"
+        f"  {filled} AS filled_qty,\n"
+        f"  CASE WHEN ({filled}) > 0 THEN ({cost}) / ({filled}) END AS fill_vwap,\n"
+        f"  {touched} AS levels_touched\n"
+        f"FROM book"
+    )
+
+
+_WALK_SQL = f"{_BOOK_CTE}\n{_walk_sql(3.0, BOOK_DEPTH)}"
+
+
+@register("book_walk_fill", _WALK_SQL)
+def q_book_walk_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1+X2 distributed: walk EVERY snapshot's ask ladder for qty 3.0 —
+    one ``F.aggregate`` per row, shuffle-free, codegen'd (impact.py:111-145
+    semantics, skip-blank ladder). This is the scale path: millions of
+    book walks run as a map."""
+    from market_microstructure_toolkit_spark.functions.arrays import (
+        ladder_from_wide,
+        valid_levels,
+        walk_book,
+    )
+
+    book = synthetic_book(spark, sf_dir)
+    fill = walk_book(valid_levels(ladder_from_wide("ask", BOOK_DEPTH)), 3.0)
+    return book.withColumn("__f", fill).select(
+        *IDS,
+        F.col("__f.filled").alias("filled_qty"),
+        F.when(F.col("__f.filled") > 0, F.col("__f.cost") / F.col("__f.filled")).alias(
+            "fill_vwap"
+        ),
+        F.col("__f.levels_touched").alias("levels_touched"),
+    )
+
+
+@register("twap_naive_sim", None)
+def q_twap_naive_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 naive TWAP per-slice table on one instrument's series (rows-only
+    check; cross-validated against the reference's shipped golden oracle in
+    tests/test_impact.py)."""
+    from market_microstructure_toolkit_spark.operators.impact import simulate_twap_naive
+
+    book = synthetic_book(spark, sf_dir).filter(F.col("symbol") == "S0")
+    _, per_slice = simulate_twap_naive(book, "buy", total_qty=40.0, slices=20, depth=BOOK_DEPTH)
+    return per_slice
+
+
+@register("vwap_carry_sim", None)
+def q_vwap_carry_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 carry VWAP per-slice table (rows-only; golden-validated in
+    tests). Carry recurrence runs driver-side over <= slices rows."""
+    from market_microstructure_toolkit_spark.operators.impact import (
+        VwapConfig,
+        simulate_vwap_real,
+    )
+
+    book = synthetic_book(spark, sf_dir).filter(F.col("symbol") == "S0")
+    cfg = VwapConfig(side="buy", target_qty=100.0, slices=24, depth_k=BOOK_DEPTH,
+                     fee_bps=5.0, proxy="topk_sum")
+    _, per_slice = simulate_vwap_real(book, cfg)
+    return per_slice
