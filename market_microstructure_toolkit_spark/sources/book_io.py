@@ -1,0 +1,83 @@
+"""Book snapshot readers/writers with the reference's file conventions.
+
+Missing-value convention (SURVEY §1.2, reference ``record.py:70-84``):
+- CSV stores blanks (``""``) for missing levels and formats floats
+  ``%.10f``; every value is a string.
+- Parquet stores real nulls and native doubles; ``ts_ms`` is int64.
+
+The engine computes on doubles ALWAYS; 10-dp formatting happens only at
+the CSV boundary (P16) — otherwise golden/hash comparisons break on
+representation (SURVEY §4.5).
+
+Scale notes: readers take directories or globs (Spark's splittable file
+scan), writers partition by ``exchange_id/symbol`` (and date when a
+``ts_ms``-derived date column is requested) so downstream reads prune
+partitions (SURVEY §4 "partition recorded data by exchange/symbol/date").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from market_microstructure_toolkit_spark import schema as S
+from market_microstructure_toolkit_spark.functions.microstructure import (
+    format_float_10dp,
+)
+
+
+def read_book_csv(
+    spark: SparkSession, path: str, depth: int
+) -> DataFrame:
+    """CSV source (S7, metrics_cli.py:44-50): header row, all-string cells,
+    ``""`` -> NULL, then typed casts per the book schema.
+
+    ``try_cast``-style safety: malformed numerics become NULL rather than
+    failing the scan (the reference's ``_as_float_or_none``, P17).
+    """
+    raw = spark.read.option("header", True).csv(path)
+    out = []
+    for f in S.book_schema(depth).fields:
+        c = F.nullif(F.col(f.name), F.lit(""))
+        out.append(c.try_cast(f.dataType).alias(f.name))
+    return raw.select(*out)
+
+
+def read_book_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet source (S8): schema travels with the file; depth recovered
+    from column names (schema.infer_depth) — no data probing."""
+    return spark.read.parquet(path)
+
+
+def write_book_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """Parquet sink (S6): native nulls/doubles; optional hive partitioning
+    for partition-pruned reads at scale."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_book_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink (S5, record.py:92-98): header, ``%.10f`` float formatting,
+    NULL -> blank. Formatting is applied ONLY here."""
+    out = []
+    for f in df.schema.fields:
+        if f.dataType.simpleString() == "double":
+            out.append(format_float_10dp(F.col(f.name)).alias(f.name))
+        else:
+            out.append(F.col(f.name))
+    df.select(*out).write.mode(mode).option("header", True).option(
+        "emptyValue", ""
+    ).option("nullValue", "").csv(path)
+
+
+def write_summary_append(df: DataFrame, path: str) -> None:
+    """Summary-append sink (S10, impact_twap_cli.py:51-56): one-row
+    summaries accumulate across runs."""
+    df.write.mode("append").option("header", True).csv(path)

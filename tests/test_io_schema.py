@@ -1,0 +1,77 @@
+"""IO kernel + schema tests: header shape (8+4K, mirroring the reference's
+tests/test_record.py:76-99), CSV blank/format round-trip, wide<->nested
+round-trip, depth inference."""
+
+from __future__ import annotations
+
+import math
+
+from market_microstructure_toolkit_spark import schema as S
+from market_microstructure_toolkit_spark.sources.book_io import (
+    read_book_csv,
+    write_book_csv,
+)
+from tests.test_row_metrics import _book_df, _fake_row
+
+
+def test_header_shape_8_plus_4k():
+    for k in (1, 3, 25, 100):
+        hdr = S.book_header(k)
+        assert len(hdr) == 8 + 4 * k
+        assert hdr[:8] == list(S.META_COLS)
+        # bids first (best->worse), then asks — record.py:46-52 order
+        assert hdr[8] == "bid1_price" and hdr[9] == "bid1_size"
+        assert hdr[8 + 2 * k] == "ask1_price"
+
+
+def test_infer_depth(spark):
+    df = _book_df(spark, [_fake_row()], 3)
+    assert S.infer_depth(df) == 3
+
+
+def test_wide_nested_roundtrip(spark):
+    df = _book_df(spark, [_fake_row()], 3)
+    nested = S.to_nested(df, 3)
+    assert "bids" in nested.columns and "asks" in nested.columns
+    row = nested.collect()[0]
+    assert [e["price"] for e in row["bids"]] == [100.0, 99.9, None]
+    back = S.to_wide(nested, 3)
+    assert sorted(back.columns) == sorted(df.columns)
+    orig, rt = df.collect()[0], back.collect()[0]
+    for c in df.columns:
+        assert orig[c] == rt[c], c
+
+
+def test_csv_roundtrip_blank_and_format(spark, tmp_path):
+    df = _book_df(spark, [_fake_row()], 3)
+    out = str(tmp_path / "book_csv")
+    write_book_csv(df, out)
+    back = read_book_csv(spark, out, 3)
+    assert back.schema == S.book_schema(3)
+    orig, rt = df.collect()[0], back.collect()[0]
+    for c in df.columns:
+        o, r = orig[c], rt[c]
+        if isinstance(o, float):
+            assert r is not None and math.isclose(o, r, rel_tol=0, abs_tol=5e-11), c
+        else:
+            assert o == r, c
+    # blank levels stay NULL through the round trip
+    assert rt["ask2_price"] is None and rt["bid3_size"] is None
+
+
+def test_csv_malformed_cells_become_null(spark, tmp_path):
+    p = tmp_path / "bad"
+    p.mkdir()
+    cols = S.book_header(1)
+    row = {c: "" for c in cols}
+    row.update(
+        ts_ms="1700000000000", exchange_id="x", symbol="A", book_level="L2",
+        best_bid="not-a-number", best_ask="100.5", bid1_price="1e9999",
+    )
+    (p / "part.csv").write_text(
+        ",".join(cols) + "\n" + ",".join(row[c] for c in cols) + "\n"
+    )
+    got = read_book_csv(spark, str(p), 1).collect()[0]
+    assert got["best_bid"] is None
+    assert got["best_ask"] == 100.5
+    assert got["ts_ms"] == 1700000000000
