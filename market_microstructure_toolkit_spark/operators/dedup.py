@@ -1,0 +1,232 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): the operators a
+100 TB training-data pipeline needs, built DataFrame-native so Catalyst
+distributes them:
+
+- exact dedup: content-hash groupBy (one shuffle, uniform keys);
+- MinHash + LSH near-dup: shingle -> k signatures -> banded bucket keys ->
+  bucket-join candidates -> exact-Jaccard verify. The LSH band join is the
+  scale path: candidate generation is |bucket|^2 per bucket instead of
+  n^2 global;
+- n-gram Jaccard: exact set similarity on candidate pairs via an inverted
+  shingle index (explode + self-join on shingle);
+- SimHash: per-bit majority vote over token hashes -> Hamming-bucketable
+  fingerprint.
+
+Portability note: every hash is ``md5`` (available in Spark, DuckDB, and
+virtually everywhere) and "min over hashes" is the LEXICOGRAPHIC min of
+hex strings — a valid uniform min-hash that needs no 64-bit integer
+conversions, keeping the SQL oracles engine-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens (single-space convention of the corpus)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.split(t, " ", -1)
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams joined by single spaces.
+
+    Built with ``transform`` over token positions — O(tokens) expressions,
+    no UDF. Documents shorter than n words yield an empty set.
+    """
+    toks = tokens(text)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(-1)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(F.when(cnt >= n, grams).otherwise(F.array()))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via md5 content hash; keeps min id as canonical."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("canonical_doc_id"),
+        )
+    )
+
+
+def minhash_signature(text_col: str = "text", k: int = 8, shingle_n: int = 3) -> list[Column]:
+    """k independent min-hashes of the document's shingle set.
+
+    Hash family i = md5(shingle || '#i'); the signature element is the
+    lexicographic MIN hex digest — equivalent to a uniform min-hash.
+
+    Implementation constraint: ALL k running minima accumulate in ONE
+    ``aggregate`` with a struct accumulator. Building k separate
+    transform+array_min expressions in one projection trips a Spark
+    named-lambda-variable collision (multiple higher-order-function
+    lambdas in the same select evaluate against each other's variables,
+    silently corrupting results); a single lambda sidesteps it.
+    """
+    sh = word_shingles(F.col(text_col), shingle_n)
+
+    def step(acc: Column, g: Column) -> Column:
+        fields = []
+        for i in range(k):
+            h = F.md5(F.concat(g, F.lit(f"#{i}")))
+            # F.least skips NULLs, so the None init takes the first hash.
+            fields.append(F.least(acc[f"mh{i}"], h).alias(f"mh{i}"))
+        return F.struct(*fields)
+
+    init = F.struct(
+        *[F.lit(None).cast("string").alias(f"mh{i}") for i in range(k)]
+    )
+    sig = F.aggregate(sh, init, step)
+    return [sig[f"mh{i}"].alias(f"mh{i}") for i in range(k)]
+
+
+def lsh_band_keys(k: int = 8, rows_per_band: int = 2) -> list[Column]:
+    """Banded LSH keys over a k-signature: docs agreeing on ANY band are
+    candidates. bands = k / rows_per_band."""
+    keys = []
+    for b in range(0, k, rows_per_band):
+        cols = [F.col(f"mh{i}") for i in range(b, b + rows_per_band)]
+        keys.append(F.concat_ws("|", *cols).alias(f"band{b // rows_per_band}"))
+    return keys
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing at least one LSH band.
+
+    Scale shape: explode to (band_key, doc) then self-join per band —
+    shuffle keyed on band values, quadratic only within buckets.
+    """
+    bands = k // rows_per_band
+    sigs = df.select(F.col(id_col), *minhash_signature(text_col, k, shingle_n))
+    keyed = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)],
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
+
+    Inverted-index join: explode distinct shingles, self-join on shingle,
+    count shared shingles per pair, then |A∩B| / (|A|+|B|-|A∩B|).
+    Integer counts + one division -> engine-exact.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("g")
+    )
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def simhash16(text_col: str = "text") -> Column:
+    """16-bit SimHash over whitespace tokens.
+
+    Bit b comes from hex digit b of each token's md5: the bit is the
+    parity-class of the digit (>= '8' in hex order => 1). Per-bit majority
+    vote over tokens -> fingerprint integer in [0, 65535]. Near-dups have
+    small Hamming distance; bucket by fingerprint for candidate pairs.
+    """
+    toks = tokens(text_col)
+
+    # All 16 bit counters accumulate in ONE aggregate lambda (see
+    # minhash_signature's note on Spark's lambda-variable collision when
+    # many higher-order functions share a projection).
+    def step(acc: Column, t: Column) -> Column:
+        h = F.md5(t)
+        return F.struct(
+            *[
+                (
+                    acc[f"v{b}"]
+                    + F.when(F.substring(h, b + 1, 1) >= F.lit("8"), F.lit(1)).otherwise(
+                        F.lit(-1)
+                    )
+                ).alias(f"v{b}")
+                for b in range(16)
+            ]
+        )
+
+    init = F.struct(*[F.lit(0).alias(f"v{b}") for b in range(16)])
+    votes = F.aggregate(toks, init, step)
+    out = F.lit(0)
+    for b in range(16):
+        out = out + F.when(votes[f"v{b}"] > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return out

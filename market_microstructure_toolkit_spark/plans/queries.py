@@ -1009,3 +1009,300 @@ def q_vwap_carry_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
                      fee_bps=5.0, proxy="topk_sum")
     _, per_slice = simulate_vwap_real(book, cfg)
     return per_slice
+
+
+# ---------------------------------------------------------------------------
+# Data-pipeline tier: dedup family, text analysis, LSH similarity,
+# multimodal plumbing (BASELINE.json north star operators)
+# ---------------------------------------------------------------------------
+
+_MINHASH_SQL = """
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gs
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 3
+),
+sigs AS (
+  SELECT doc_id,
+         list_aggregate(list_transform(gs, g -> md5(g || '#0')), 'min') AS mh0,
+         list_aggregate(list_transform(gs, g -> md5(g || '#1')), 'min') AS mh1,
+         list_aggregate(list_transform(gs, g -> md5(g || '#2')), 'min') AS mh2,
+         list_aggregate(list_transform(gs, g -> md5(g || '#3')), 'min') AS mh3,
+         list_aggregate(list_transform(gs, g -> md5(g || '#4')), 'min') AS mh4,
+         list_aggregate(list_transform(gs, g -> md5(g || '#5')), 'min') AS mh5,
+         list_aggregate(list_transform(gs, g -> md5(g || '#6')), 'min') AS mh6,
+         list_aggregate(list_transform(gs, g -> md5(g || '#7')), 'min') AS mh7
+  FROM grams
+),
+keyed AS (
+  SELECT doc_id, band, key FROM (
+    SELECT doc_id, 0 AS band, concat_ws('|', mh0, mh1) AS key FROM sigs WHERE mh0 IS NOT NULL
+    UNION ALL
+    SELECT doc_id, 1, concat_ws('|', mh2, mh3) FROM sigs WHERE mh0 IS NOT NULL
+    UNION ALL
+    SELECT doc_id, 2, concat_ws('|', mh4, mh5) FROM sigs WHERE mh0 IS NOT NULL
+    UNION ALL
+    SELECT doc_id, 3, concat_ws('|', mh6, mh7) FROM sigs WHERE mh0 IS NOT NULL
+  )
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM keyed a JOIN keyed b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_SQL)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 3-word shingles -> 8 md5 min-hashes
+    -> 4 banded keys -> bucket self-join. The lexicographic-min-of-hex trick
+    keeps the hash family engine-portable. Shuffle is keyed on band values;
+    pairwise work is per-bucket, not global n^2."""
+    from market_microstructure_toolkit_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_candidates(docs, k=8, rows_per_band=2, shingle_n=3)
+
+
+_NGRAM_JACCARD_SQL = """
+WITH grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.05
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_JACCARD_SQL)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over an inverted shingle index (explode +
+    shingle self-join + integer set algebra — engine-exact values)."""
+    from market_microstructure_toolkit_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.05)
+
+
+_SIMHASH_SQL = (
+    "WITH votes AS (\n"
+    "  SELECT doc_id,\n"
+    + ",\n".join(
+        f"    SUM(CASE WHEN substr(md5(t), {b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(16)
+    )
+    + "\n  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)\n"
+    "  GROUP BY doc_id\n"
+    ")\n"
+    "SELECT doc_id,\n  "
+    + " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    + " AS simhash16\nFROM votes"
+)
+
+
+@register("dedup_simhash", _SIMHASH_SQL)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (per-bit majority over token md5 bits);
+    bucketing on the fingerprint gives Hamming-near candidates."""
+    from market_microstructure_toolkit_spark.operators.dedup import simhash16
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", simhash16("text").alias("simhash16"))
+
+
+def _lang_hits_sql(lang: str, markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return (
+        f"len(list_filter(string_split(text, ' '), "
+        f"t -> list_contains([{lst}], t))) AS h_{lang}"
+    )
+
+
+def _lang_id_sql() -> str:
+    from market_microstructure_toolkit_spark.operators.text_analysis import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    hits = ",\n  ".join(_lang_hits_sql(g, LANG_MARKERS[g]) for g in langs)
+    m = "GREATEST(" + ", ".join(f"h_{g}" for g in langs) + ")"
+    pred = "CASE WHEN " + m + " < 1 THEN 'und' " + " ".join(
+        f"WHEN h_{g} = {m} THEN '{g}'" for g in langs
+    ) + " END"
+    return (
+        f"WITH hits AS (\n  SELECT doc_id, lang,\n  {hits}\n  FROM documents\n)\n"
+        f"SELECT doc_id, lang AS labeled_lang, {pred} AS predicted_lang FROM hits"
+    )
+
+
+@register("doc_lang_id", _lang_id_sql())
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (marker-lexicon argmax, alphabetical
+    tie-break) next to the corpus's labeled lang."""
+    from market_microstructure_toolkit_spark.operators.text_analysis import lang_id_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id_expr("text").alias("predicted_lang"),
+    )
+
+
+_QUALITY_SQL = """
+WITH feat AS (
+  SELECT doc_id,
+    len(string_split(text, ' ')) AS n_tok,
+    length(text) AS n_chars,
+    length(regexp_replace(text, ' ', '', 'g')) AS nonspace,
+    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n_tok AS BIGINT) AS n_tokens,
+  CASE WHEN n_tok > 0 THEN CAST(nonspace AS DOUBLE) / n_tok END AS avg_token_len,
+  CASE WHEN n_chars > 0 THEN CAST(alpha AS DOUBLE) / n_chars END AS alpha_ratio,
+  CASE WHEN n_chars > 0 THEN CAST(digits AS DOUBLE) / n_chars END AS digit_ratio,
+  CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars END AS punct_ratio,
+  LEAST(CAST(n_tok AS DOUBLE) / 20.0, 1.0) * 0.4
+    + COALESCE(CASE WHEN n_chars > 0 THEN CAST(alpha AS DOUBLE) / n_chars END, 0.0) * 0.4
+    + (1.0 - LEAST(COALESCE(CASE WHEN n_chars > 0 THEN CAST(digits AS DOUBLE) / n_chars END, 0.0) * 5, 1.0)) * 0.1
+    + (1.0 - LEAST(COALESCE(CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars END, 0.0) * 10, 1.0)) * 0.1
+    AS quality_score
+FROM feat
+"""
+
+
+@register("doc_quality", _QUALITY_SQL)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal bundle + composite score (pure per-row string/ratio
+    expressions; engine-exact)."""
+    from market_microstructure_toolkit_spark.operators.text_analysis import (
+        quality_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_features(docs).select(
+        "doc_id", "n_tokens", "avg_token_len", "alpha_ratio",
+        "digit_ratio", "punct_ratio", "quality_score",
+    )
+
+
+_FINGERPRINT_SQL = """
+SELECT fp AS fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc_id
+FROM (
+  SELECT doc_id,
+         md5(substring(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 64)) AS fp
+  FROM documents
+)
+GROUP BY fp
+"""
+
+
+@register("doc_fingerprint", _FINGERPRINT_SQL)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-prefix fingerprint groups (near-exact-dup keying that
+    survives trailing edits)."""
+    from market_microstructure_toolkit_spark.operators.text_analysis import (
+        fingerprint_expr,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select("doc_id", fingerprint_expr("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+_LSH_PAIRS_SQL = """
+WITH keyed AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+    + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+    + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+    + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+    + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+    + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+    + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             6) AS cos_sim
+FROM keyed a JOIN keyed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+"""
+
+
+@register("similarity_lsh_pairs", _LSH_PAIRS_SQL)
+def q_similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN: bucket on the sign pattern of 8 coordinates,
+    exact-cosine only WITHIN buckets — the |bucket|^2-instead-of-n^2 scale
+    path (an IVF coarse quantizer slots into the same plan shape)."""
+    from market_microstructure_toolkit_spark.operators.similarity import (
+        lsh_bucketed_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = lsh_bucketed_pairs(emb, n_bits=8, min_cosine=-2.0)
+    return out.select(
+        "id_a", "id_b", "bucket", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+_FRAME_SAMPLE_SQL = """
+SELECT doc_id AS asset_id,
+       unnest(range(0, doc_id % 10000 + 1000, 1000)) AS sample_ts_ms
+FROM documents
+WHERE doc_id % 3 = 2
+"""
+
+
+@register("multimodal_frame_sample", _FRAME_SAMPLE_SQL)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: sequence+explode fan-out of sample
+    timestamps per video asset (decode itself is the stubbed Pandas-UDF
+    stage, exercised rows-only in multimodal_features)."""
+    from market_microstructure_toolkit_spark.operators.multimodal import (
+        frame_sample_plan,
+        synthetic_assets,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assets = synthetic_assets(spark, docs)
+    return frame_sample_plan(assets, every_ms=1000)
+
+
+@register("multimodal_features", None)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (decode stubbed deterministically — no media libs in the container;
+    rows-only check, plumbing unit-tested)."""
+    from market_microstructure_toolkit_spark.operators.multimodal import (
+        extract_features,
+        synthetic_assets,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return extract_features(synthetic_assets(spark, docs))
