@@ -62,34 +62,36 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def minhash_signature(text_col: str = "text", k: int = 8, shingle_n: int = 3) -> list[Column]:
-    """k independent min-hashes of the document's shingle set.
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document k-minhash signature table (id, mh0..mh{k-1}).
 
     Hash family i = md5(shingle || '#i'); the signature element is the
-    lexicographic MIN hex digest — equivalent to a uniform min-hash.
+    lexicographic MIN hex digest — equivalent to a uniform min-hash
+    (duplicate shingles can't change a min, so no distinct needed).
 
-    Implementation constraint: ALL k running minima accumulate in ONE
-    ``aggregate`` with a struct accumulator. Building k separate
-    transform+array_min expressions in one projection trips a Spark
-    named-lambda-variable collision (multiple higher-order-function
-    lambdas in the same select evaluate against each other's variables,
-    silently corrupting results); a single lambda sidesteps it.
+    Shape chosen for scale: explode shingles to rows, then ONE hash
+    aggregate with k ``min`` columns. That stays in whole-stage codegen
+    with map-side partial aggregation — unlike a higher-order ``aggregate``
+    over the shingle array, which is interpreted per element and, worse,
+    re-evaluates the entire struct accumulator once per extracted field.
+    Documents with fewer than ``shingle_n`` words have no shingles and
+    drop out (they cannot be near-dup candidates).
     """
-    sh = word_shingles(F.col(text_col), shingle_n)
-
-    def step(acc: Column, g: Column) -> Column:
-        fields = []
-        for i in range(k):
-            h = F.md5(F.concat(g, F.lit(f"#{i}")))
-            # F.least skips NULLs, so the None init takes the first hash.
-            fields.append(F.least(acc[f"mh{i}"], h).alias(f"mh{i}"))
-        return F.struct(*fields)
-
-    init = F.struct(
-        *[F.lit(None).cast("string").alias(f"mh{i}") for i in range(k)]
+    grams = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("g")
     )
-    sig = F.aggregate(sh, init, step)
-    return [sig[f"mh{i}"].alias(f"mh{i}") for i in range(k)]
+    return grams.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.col("g"), F.lit(f"#{i}")))).alias(f"mh{i}")
+            for i in range(k)
+        ]
+    )
 
 
 def lsh_band_keys(k: int = 8, rows_per_band: int = 2) -> list[Column]:
@@ -116,7 +118,7 @@ def minhash_lsh_candidates(
     shuffle keyed on band values, quadratic only within buckets.
     """
     bands = k // rows_per_band
-    sigs = df.select(F.col(id_col), *minhash_signature(text_col, k, shingle_n))
+    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n)
     keyed = sigs.select(
         F.col(id_col),
         F.explode(

@@ -20,7 +20,7 @@ trained centroids — the LSH family demonstrates the identical plan shape.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from market_microstructure_toolkit_spark.functions.arrays import cosine, dot, l2_norm
@@ -38,17 +38,18 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k by cosine vs a 1-row query frame (column ``qv``)."""
+    """Exact top-k by cosine vs a 1-row query frame (column ``qv``).
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — per-partition
+    partial top-k merged at the driver, no single-partition sort — which is
+    the only global-rank shape that survives a 100 TB scan. (A global
+    ``row_number`` window would funnel every scored row through one task.)
+    """
     emb = df.select(F.col(id_col), as_double(vec_col).alias("v"))
     scored = emb.crossJoin(F.broadcast(query_vec)).select(
         id_col, cosine("v", "qv").alias("cos_sim")
     )
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .drop("rk")
-    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
 def sign_bucket(vec: Column | str, n_bits: int = 8) -> Column:

@@ -59,6 +59,21 @@ def register(name: str, sql: str | None):
     return deco
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan, spread over cores (hash/shingle stages are
+    expression-heavy; a single-file local input would otherwise pin them
+    to one task — no-op on an already-split cluster input)."""
+    from market_microstructure_toolkit_spark.partitioning import spread
+
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_microstructure_toolkit_spark.partitioning import spread
+
+    return spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Flagship: the mmt-metrics scalar bundle (P2-P9) over the synthetic book
 # ---------------------------------------------------------------------------
@@ -452,7 +467,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: content-hash groupBy keeping the lowest doc_id as
     canonical. At 100 TB this is the standard single-shuffle dedup; the
     hash-group keys distribute uniformly so no skew handling needed."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return (
         docs.select(F.col("doc_id"), F.md5(F.col("text")).alias("content_hash"))
         .groupBy("content_hash")
@@ -483,7 +498,7 @@ FROM documents
 def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality stats: length, whitespace token count, avg token
     length — pure JVM string expressions, no UDF."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     text = F.col("text")
     n_tokens = F.size(F.split(text, " ", -1))
     nonspace = F.length(F.regexp_replace(text, " ", ""))
@@ -529,7 +544,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-ANN baseline. The query vector broadcasts; scoring is a
     shuffle-free map (zip_with + aggregate); top-k is a single reduce.
     Cosine rounded at 6dp (64-term dot products reorder at ~1e-15)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     emb_d = emb.select("vec_id", "label", vec_d.alias("v"))
     qv = F.broadcast(
@@ -546,10 +561,10 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    # TakeOrderedAndProject: distributed partial top-k, no global window.
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 25)
+        scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(25)
         .select("vec_id", "label", "cos_sim")
     )
 
@@ -1063,7 +1078,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_candidates,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return minhash_lsh_candidates(docs, k=8, rows_per_band=2, shingle_n=3)
 
 
@@ -1095,7 +1110,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle self-join + integer set algebra — engine-exact values)."""
     from market_microstructure_toolkit_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.05)
 
 
@@ -1121,7 +1136,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing on the fingerprint gives Hamming-near candidates."""
     from market_microstructure_toolkit_spark.operators.dedup import simhash16
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", simhash16("text").alias("simhash16"))
 
 
@@ -1154,7 +1169,7 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break) next to the corpus's labeled lang."""
     from market_microstructure_toolkit_spark.operators.text_analysis import lang_id_expr
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -1196,7 +1211,7 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_features,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return quality_features(docs).select(
         "doc_id", "n_tokens", "avg_token_len", "alpha_ratio",
         "digit_ratio", "punct_ratio", "quality_score",
@@ -1222,7 +1237,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_expr,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return (
         docs.select("doc_id", fingerprint_expr("text").alias("fingerprint"))
         .groupBy("fingerprint")
@@ -1264,7 +1279,7 @@ def q_similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_bucketed_pairs,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     out = lsh_bucketed_pairs(emb, n_bits=8, min_cosine=-2.0)
     return out.select(
         "id_a", "id_b", "bucket", F.round("cos_sim", 6).alias("cos_sim")
@@ -1289,7 +1304,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthetic_assets,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     assets = synthetic_assets(spark, docs)
     return frame_sample_plan(assets, every_ms=1000)
 
@@ -1304,5 +1319,5 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthetic_assets,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return extract_features(synthetic_assets(spark, docs))
