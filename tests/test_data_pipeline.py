@@ -1,0 +1,252 @@
+"""Unit tests for the data-pipeline tier (dedup, similarity, text
+analysis, multimodal plumbing) on tiny hand-checkable inputs, mirroring
+the reference's exact-value test style (SURVEY §5)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_microstructure_toolkit_spark.operators import dedup as D
+from market_microstructure_toolkit_spark.operators import multimodal as MM
+from market_microstructure_toolkit_spark.operators import similarity as SIM
+from market_microstructure_toolkit_spark.operators import text_analysis as TA
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def test_word_shingles(spark):
+    df = docs_df(spark, [(1, "a b c d"), (2, "a b"), (3, "x x x x")])
+    out = {
+        r["doc_id"]: sorted(r["sh"])
+        for r in df.select(
+            "doc_id", D.word_shingles(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == []  # shorter than n
+    assert out[3] == ["x x x"]  # distinct
+
+
+def test_exact_dedup(spark):
+    df = docs_df(spark, [(1, "same text"), (2, "same text"), (3, "other")])
+    out = {r["canonical_doc_id"]: r["n_copies"] for r in D.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_signature_set_semantics(spark):
+    # identical shingle SETS (duplication and order of extra repeats can't
+    # change a min-hash) -> identical signatures
+    df = docs_df(spark, [(1, "a b c d"), (2, "a b c d"), (3, "q w e r")])
+    sigs = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(8))
+            for r in D.minhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+    # cross-check one element against a pure-python recompute
+    grams = ["a b c", "b c d"]
+    want = min(hashlib.md5(f"{g}#0".encode()).hexdigest() for g in grams)
+    assert sigs[1][0] == want
+
+
+def test_minhash_short_docs_drop_out(spark):
+    df = docs_df(spark, [(1, "only two"), (2, "a b c")])
+    ids = [r["doc_id"] for r in D.minhash_signatures(df).collect()]
+    assert ids == [2]
+
+
+def test_minhash_lsh_candidates(spark):
+    df = docs_df(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words entirely here now today ok"),
+        ],
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in D.minhash_lsh_candidates(df).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc1 shingles {a b c, b c d}; doc2 shingles {a b c, b c e}
+    # intersection 1, union 3 -> 1/3
+    df = docs_df(spark, [(1, "a b c d"), (2, "a b c e")])
+    rows = D.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    assert len(rows) == 1
+    assert rows[0]["id_a"] == 1 and rows[0]["id_b"] == 2
+    assert rows[0]["jaccard"] == pytest.approx(1 / 3, abs=1e-12)
+
+
+def test_simhash16_matches_python_recompute(spark):
+    text = "the quick brown fox"
+    df = docs_df(spark, [(1, text), (2, text), (3, "zzz yyy xxx")])
+    out = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", D.simhash16("text").alias("sh")).collect()}
+    assert out[1] == out[2]
+    assert 0 <= out[1] <= 0xFFFF
+
+    votes = [0] * 16
+    for tok in text.split(" "):
+        h = hashlib.md5(tok.encode()).hexdigest()
+        for b in range(16):
+            votes[b] += 1 if h[b] >= "8" else -1
+    want = sum(1 << b for b in range(16) if votes[b] > 0)
+    assert out[1] == want
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+def emb_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_ordering(spark):
+    df = emb_df(
+        spark,
+        [
+            (0, [1.0, 0.0]),          # query
+            (1, [2.0, 0.0]),          # cos 1.0
+            (2, [1.0, 1.0]),          # cos ~0.7071
+            (3, [0.0, 1.0]),          # cos 0.0
+            (4, [-1.0, 0.0]),         # cos -1.0
+        ],
+    )
+    q = df.filter(F.col("vec_id") == 0).select(
+        SIM.as_double("embedding").alias("qv")
+    )
+    out = SIM.cosine_topk(df.filter(F.col("vec_id") != 0), q, k=2).collect()
+    assert [r["vec_id"] for r in out] == [1, 2]
+    assert out[0]["cos_sim"] == pytest.approx(1.0)
+    assert out[1]["cos_sim"] == pytest.approx(math.sqrt(0.5))
+
+
+def test_lsh_bucketed_pairs_same_orthant(spark):
+    df = emb_df(
+        spark,
+        [
+            (1, [1.0] * 8),
+            (2, [0.5] * 8),     # same sign pattern as 1 -> same bucket
+            (3, [-1.0] * 8),    # different bucket
+        ],
+    )
+    pairs = {(r["id_a"], r["id_b"]): r for r in
+             (row for row in SIM.lsh_bucketed_pairs(df, min_cosine=-2.0).collect())}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)]["cos_sim"] == pytest.approx(1.0)
+    assert pairs[(1, 2)]["bucket"] == 255
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def test_lang_id(spark):
+    df = docs_df(
+        spark,
+        [
+            (1, "the cat and the dog of a house"),
+            (2, "der hund und die katze ist gut"),
+            (3, "qqq www eee"),
+        ],
+    )
+    out = {r["doc_id"]: r["lang"] for r in df.select(
+        "doc_id", TA.lang_id_expr("text").alias("lang")).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_lang_id_tie_breaks_alphabetically(spark):
+    # 'le' is fr-marker, 'el' is es-marker: one hit each -> 'es' < 'fr'
+    df = docs_df(spark, [(1, "le el")])
+    assert df.select(TA.lang_id_expr("text")).first()[0] == "es"
+
+
+def test_quality_features_exact(spark):
+    text = "Hello world 42."
+    df = docs_df(spark, [(1, text)])
+    r = TA.quality_features(df).first()
+    assert r["n_tokens"] == 3
+    # nonspace = 13 chars over 3 tokens
+    assert r["avg_token_len"] == pytest.approx(13 / 3)
+    assert r["alpha_ratio"] == pytest.approx(10 / 15)
+    assert r["digit_ratio"] == pytest.approx(2 / 15)
+    assert r["punct_ratio"] == pytest.approx(1 / 15)
+    want = (
+        min(3 / 20, 1.0) * 0.4
+        + (10 / 15) * 0.4
+        + (1.0 - min((2 / 15) * 5, 1.0)) * 0.1
+        + (1.0 - min((1 / 15) * 10, 1.0)) * 0.1
+    )
+    assert r["quality_score"] == pytest.approx(want, abs=1e-12)
+
+
+def test_fingerprint_prefix_semantics(spark):
+    base = "word " * 30  # normalized prefix (64 chars) identical
+    df = docs_df(
+        spark,
+        [
+            (1, base + "tail one"),
+            (2, base.upper() + "tail   two"),  # case/whitespace-insensitive
+            (3, "different start " + base),
+        ],
+    )
+    out = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", TA.fingerprint_expr("text").alias("fp")).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_token_count_bpe_ish(spark):
+    # "don't stop, it's 2024" -> don ' t stop , it ' s 2024 = 9 pieces
+    df = docs_df(spark, [(1, "don't stop, it's 2024")])
+    assert df.select(TA.token_count_bpe_ish("text")).first()[0] == 9
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_extract_features_matches_recompute(spark):
+    docs = docs_df(spark, [(1, "abc"), (2, "hello world"), (5, "xyz")])
+    assets = MM.synthetic_assets(spark, docs)
+    out = {r["asset_id"]: r for r in MM.extract_features(assets).collect()}
+    assert set(out) == {1, 2, 5}
+    for doc_id, text in [(1, "abc"), (2, "hello world"), (5, "xyz")]:
+        payload = text.encode()
+        assert out[doc_id]["n_bytes"] == len(payload)
+        buckets = [0] * 8
+        for byte in payload:
+            buckets[byte % 8] += 1
+        want = [b / len(payload) for b in buckets]
+        assert out[doc_id]["features"] == pytest.approx(want)
+
+
+def test_frame_sample_plan_counts(spark):
+    docs = docs_df(spark, [(2, "v"), (3500, "v"), (3, "not video")])
+    assets = MM.synthetic_assets(spark, docs)  # doc_id % 3 == 2 -> video
+    out = MM.frame_sample_plan(assets, every_ms=1000).collect()
+    by_asset = {}
+    for r in out:
+        by_asset.setdefault(r["asset_id"], []).append(r["sample_ts_ms"])
+    # duration = doc_id % 10000 + 1000; samples = sequence(0, dur-1, 1000)
+    assert sorted(by_asset[2]) == [0, 1000]                     # dur 1002
+    assert sorted(by_asset[3500]) == list(range(0, 4500, 1000))  # dur 4500
+    assert 3 not in by_asset
+
+
+def test_metadata_plan_prunes_payload(spark):
+    docs = docs_df(spark, [(1, "abc")])
+    assets = MM.synthetic_assets(spark, docs)
+    plan = MM.frame_sample_plan(assets)._jdf.queryExecution().optimizedPlan().toString()
+    assert "payload" not in plan
