@@ -1321,3 +1321,56 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return extract_features(synthetic_assets(spark, docs))
+
+
+# ---------------------------------------------------------------------------
+# Streaming tier surfaced in the correctness gate: the stateful OFI
+# operator replayed over a file stream must equal the batch window query,
+# so it shares the batch oracle SQL verbatim.
+# ---------------------------------------------------------------------------
+
+@register("streaming_ofi_replay", _OFI_STRICT_SQL)
+def q_streaming_ofi_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 strict OFI computed by the STREAMING tier: the synthetic book is
+    replayed as a two-micro-batch file stream through the keyed
+    applyInPandasWithState operator (state = previous L1 quote per
+    instrument, carried across the batch boundary), availableNow trigger,
+    memory sink. Hash-matching the batch oracle proves batch/stream
+    parity (SURVEY §2.9)."""
+    import tempfile
+    import time
+    import uuid
+
+    from market_microstructure_toolkit_spark.plans.book import BOOK_DEPTH
+    from market_microstructure_toolkit_spark.streaming.book_stream import (
+        read_book_stream,
+        stateful_ofi,
+    )
+
+    base = tempfile.mkdtemp(prefix="mmt_stream_replay_")
+    book = synthetic_book(spark, sf_dir)
+    split_ts = book.approxQuantile("ts_ms", [0.5], 0.0)[0]
+    # chunk a = earlier half of event time for EVERY instrument, so the
+    # second micro-batch genuinely depends on state from the first
+    book.filter(F.col("ts_ms") <= split_ts).coalesce(1).write.parquet(
+        f"{base}/data/a"
+    )
+    time.sleep(0.05)  # file source orders batches by modification time
+    book.filter(F.col("ts_ms") > split_ts).coalesce(1).write.parquet(
+        f"{base}/data/b"
+    )
+
+    stream = read_book_stream(
+        spark, f"{base}/data/*/", BOOK_DEPTH, max_files_per_trigger=1
+    )
+    name = f"ofi_replay_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_ofi(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

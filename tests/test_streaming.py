@@ -1,0 +1,134 @@
+"""Structured Streaming tier tests: file-source replay of the synthetic
+book, stateful OFI parity with the batch operator (state must carry
+correctly across micro-batch boundaries), windowed aggregates, and the
+checkpointed recorder sink."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_microstructure_toolkit_spark import schema as S
+from market_microstructure_toolkit_spark.operators import window_metrics as W
+from market_microstructure_toolkit_spark.plans.book import BOOK_DEPTH, synthetic_book
+from market_microstructure_toolkit_spark.streaming.book_stream import (
+    read_book_stream,
+    record_stream,
+    stateful_ofi,
+    windowed_book_metrics,
+)
+
+
+@pytest.fixture(scope="module")
+def book_chunks_dir(spark, sf_dir, tmp_path_factory):
+    """The sf0.001 synthetic book written as two time-ordered parquet
+    files so the stream replays it across >=2 micro-batches."""
+    out = tmp_path_factory.mktemp("book_stream_in")
+    book = synthetic_book(spark, sf_dir).orderBy("ts_ms", "raw_nonce")
+    rows = book.collect()
+    half_ts = rows[len(rows) // 2]["ts_ms"]
+    early = book.filter(F.col("ts_ms") <= half_ts)
+    late = book.filter(F.col("ts_ms") > half_ts)
+    assert early.count() > 0 and late.count() > 0
+    early.coalesce(1).write.parquet(str(out / "chunk_a"))
+    time.sleep(0.05)  # file-source orders by modification time
+    late.coalesce(1).write.parquet(str(out / "chunk_b"))
+    return str(out)
+
+
+def _run_available_now(writer, query_name: str):
+    q = writer.queryName(query_name).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert not q.isActive
+    return q
+
+
+def test_stateful_ofi_matches_batch(spark, sf_dir, book_chunks_dir, tmp_path):
+    stream = read_book_stream(
+        spark, book_chunks_dir + "/*/", BOOK_DEPTH, max_files_per_trigger=1
+    )
+    out = stateful_ofi(stream)
+    _run_available_now(
+        out.writeStream.format("memory")
+        .option("checkpointLocation", str(tmp_path / "ckpt")),
+        "ofi_stream",
+    )
+    got = {
+        (r["symbol"], r["ts_ms"], r["raw_nonce"]): r["ofi_l1"]
+        for r in spark.table("ofi_stream").collect()
+    }
+
+    book = synthetic_book(spark, sf_dir)
+    w = W.book_window(order_col=["ts_ms", "raw_nonce"])
+    want_rows = book.select(
+        "symbol", "ts_ms", "raw_nonce",
+        W.ofi_l1_expr(w, mode="strict").alias("ofi_l1"),
+    ).collect()
+    assert len(got) == len(want_rows)
+    for r in want_rows:
+        key = (r["symbol"], r["ts_ms"], r["raw_nonce"])
+        if r["ofi_l1"] is None:
+            assert got[key] is None, key
+        else:
+            assert got[key] == pytest.approx(r["ofi_l1"], abs=1e-12), key
+
+
+def test_windowed_metrics_match_batch(spark, sf_dir, book_chunks_dir, tmp_path):
+    stream = read_book_stream(spark, book_chunks_dir + "/*/", BOOK_DEPTH)
+    agg = windowed_book_metrics(stream, window="1 second")
+    _run_available_now(
+        agg.writeStream.format("memory")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt")),
+        "win_stream",
+    )
+    got = {
+        (r["symbol"], r["window_start"]): r
+        for r in spark.table("win_stream").collect()
+    }
+
+    book = synthetic_book(spark, sf_dir)
+    spread = F.col("best_ask") - F.col("best_bid")
+    mid = (F.col("best_bid") + F.col("best_ask")) / 2.0
+    want = (
+        book.withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        .groupBy(*S.PARTITION_KEYS, F.window("ts", "1 second").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_snapshots"),
+            F.avg(mid).alias("avg_mid"),
+            F.avg(spread).alias("avg_spread"),
+        )
+        .collect()
+    )
+    # watermark finalization: every batch window must appear in the stream
+    # output except possibly the last open one(s) near max event time
+    missing = [r for r in want if (r["symbol"], r["w"]["start"]) not in got]
+    assert len(missing) <= len({r["symbol"] for r in want})
+    for r in want:
+        key = (r["symbol"], r["w"]["start"])
+        if key not in got:
+            continue
+        assert got[key]["n_snapshots"] == r["n_snapshots"]
+        assert got[key]["avg_mid"] == pytest.approx(r["avg_mid"], abs=1e-9)
+        assert got[key]["avg_spread"] == pytest.approx(r["avg_spread"], abs=1e-9)
+
+
+def test_record_stream_roundtrip(spark, book_chunks_dir, tmp_path):
+    stream = read_book_stream(spark, book_chunks_dir + "/*/", BOOK_DEPTH)
+    writer = record_stream(
+        stream, str(tmp_path / "out"), str(tmp_path / "ckpt"), fmt="parquet"
+    )
+    _run_available_now(writer, "rec_stream")
+    back = spark.read.parquet(str(tmp_path / "out"))
+    src = spark.read.parquet(book_chunks_dir + "/*/")
+    assert back.count() == src.count()
+    assert set(back.columns) == set(S.book_header(BOOK_DEPTH))
+    # exactly-once: re-running the same availableNow query adds nothing
+    writer2 = record_stream(
+        read_book_stream(spark, book_chunks_dir + "/*/", BOOK_DEPTH),
+        str(tmp_path / "out"), str(tmp_path / "ckpt"), fmt="parquet",
+    )
+    _run_available_now(writer2, "rec_stream2")
+    assert spark.read.parquet(str(tmp_path / "out")).count() == src.count()
