@@ -148,16 +148,69 @@ def notional_depth(side: str, depth: int) -> Column:
     return F.when(cnt > 0, total)
 
 
+def book_slope_state(side: str, depth: int) -> Column:
+    """One-pass OLS accumulator struct for ``book_slope``:
+    ``(n, p1, cumy, sx, sy, sxx, sxy)`` folded over the valid levels in a
+    SINGLE ``aggregate``. Callers should materialize it once (e.g. behind
+    an ``explode(array(...))`` Generate barrier) and derive the slope with
+    ``book_slope_from_state`` — extracting many fields straight off the
+    aggregate would re-evaluate the whole fold per field (higher-order
+    functions are interpreted and invisible to common-subexpression
+    elimination)."""
+    from market_microstructure_toolkit_spark.functions.arrays import (
+        ladder_from_wide,
+        valid_levels,
+    )
+
+    lv = valid_levels(ladder_from_wide(side, depth))
+
+    def step(acc: Column, e: Column) -> Column:
+        p1 = F.coalesce(acc["p1"], e["price"])
+        x = F.abs(e["price"] - p1)
+        cumy = acc["cumy"] + e["size"]
+        return F.struct(
+            (acc["n"] + 1).alias("n"),
+            p1.alias("p1"),
+            cumy.alias("cumy"),
+            (acc["sx"] + x).alias("sx"),
+            (acc["sy"] + cumy).alias("sy"),
+            (acc["sxx"] + x * x).alias("sxx"),
+            (acc["sxy"] + x * cumy).alias("sxy"),
+        )
+
+    init = F.struct(
+        F.lit(0).alias("n"),
+        F.lit(None).cast("double").alias("p1"),
+        F.lit(0.0).alias("cumy"),
+        F.lit(0.0).alias("sx"),
+        F.lit(0.0).alias("sy"),
+        F.lit(0.0).alias("sxx"),
+        F.lit(0.0).alias("sxy"),
+    )
+    return F.aggregate(lv, init, step)
+
+
+def book_slope_from_state(s: Column) -> Column:
+    """OLS slope from a ``book_slope_state`` struct: NULL if < 2 valid
+    levels or zero x-variance, else (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)."""
+    n = s["n"].cast("double")
+    denom = n * s["sxx"] - s["sx"] * s["sx"]
+    return F.when(
+        (s["n"] >= 2) & (denom != 0),
+        (n * s["sxy"] - s["sx"] * s["sy"]) / denom,
+    )
+
+
 def book_slope(side: str, depth: int) -> Column:
     """Per-row OLS slope of cumulative size vs price distance from L1
     (metrics.py:256-290): x_i = |p_i - p_1|, y_i = cumsum(q_i) over valid
     levels; slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2); NULL if < 2 valid
     levels or zero x-variance.
 
-    Pure expression over an array of valid levels — no UDF. The cumulative
-    y is produced per-element with ``transform`` + ``aggregate`` over the
-    prefix (K is small and bounded, so the O(K^2) prefix sums stay cheap
-    and fully codegen'd).
+    Pure expression over an array of valid levels — no UDF. Prefer
+    ``book_slope_state`` + ``book_slope_from_state`` behind a Generate
+    barrier in hot paths: this convenience form builds each sum as its own
+    interpreted higher-order aggregate re-walking xs/ys subtrees.
     """
     from market_microstructure_toolkit_spark.functions.arrays import (
         ladder_from_wide,

@@ -114,6 +114,15 @@ FROM book
 """
 
 
+def _spread_book(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """synthetic_book spread over cores for MAP-ONLY queries (window
+    queries parallelize at their shuffle; shuffle-free projections would
+    otherwise run on the single local input split)."""
+    from market_microstructure_toolkit_spark.partitioning import spread
+
+    return spread(synthetic_book(spark, sf_dir))
+
+
 @register("book_row_metrics", _ROW_METRICS_SQL)
 def q_book_row_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2/P3/P4/P5/P7/P8/P9 as one shuffle-free projection (SURVEY §2.2)."""
@@ -1374,3 +1383,297 @@ def q_streaming_ofi_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# P10 — per-row OLS book slope (metrics.py:256-290)
+# ---------------------------------------------------------------------------
+
+def _slope_sql_side(side: str) -> str:
+    levels = ", ".join(
+        f"{{'p': {side}{i}_price, 's': {side}{i}_size}}"
+        for i in range(1, BOOK_DEPTH + 1)
+    )
+    return f"""
+    list_filter([{levels}], e -> e.p IS NOT NULL AND e.s IS NOT NULL) AS lv_{side}"""
+
+
+def _slope_sql_expr(side: str) -> str:
+    lv = f"lv_{side}"
+    return f"""
+  CASE WHEN len({lv}) >= 2 AND
+            len({lv}) * sxx_{side} - sx_{side} * sx_{side} != 0
+       THEN ROUND((len({lv}) * sxy_{side} - sx_{side} * sy_{side})
+                  / (len({lv}) * sxx_{side} - sx_{side} * sx_{side}), 6)
+  END AS slope_{side}"""
+
+
+def _slope_sums(side: str) -> str:
+    lv = f"lv_{side}"
+    return f"""
+    list_sum(list_transform({lv}, e -> abs(e.p - {lv}[1].p))) AS sx_{side},
+    list_sum(list_transform(range(1, len({lv}) + 1),
+             i -> list_sum(list_transform({lv}[1:i], e -> e.s)))) AS sy_{side},
+    list_sum(list_transform({lv}, e -> abs(e.p - {lv}[1].p) * abs(e.p - {lv}[1].p))) AS sxx_{side},
+    list_sum(list_transform(range(1, len({lv}) + 1),
+             i -> abs({lv}[i].p - {lv}[1].p)
+                  * list_sum(list_transform({lv}[1:i], e -> e.s)))) AS sxy_{side}"""
+
+
+_BOOK_SLOPE_SQL = f"""{_BOOK_CTE},
+ladders AS (
+  SELECT exchange_id, symbol, ts_ms, raw_nonce,{_slope_sql_side("bid")},{_slope_sql_side("ask")}
+  FROM book
+),
+sums AS (
+  SELECT exchange_id, symbol, ts_ms, raw_nonce, lv_bid, lv_ask,{_slope_sums("bid")},{_slope_sums("ask")}
+  FROM ladders
+)
+SELECT exchange_id, symbol, ts_ms, raw_nonce,{_slope_sql_expr("bid")},{_slope_sql_expr("ask")}
+FROM sums
+"""
+
+
+@register("book_slope", _BOOK_SLOPE_SQL)
+def q_book_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 per-row OLS book slope both sides: x = |p_i - p_1|,
+    y = cumulative size over VALID levels, slope = OLS through the mean —
+    one single-pass fold per side, materialized ONCE per row behind an
+    explode(array(...)) Generate barrier (higher-order aggregates are
+    interpreted; naive multi-extraction re-runs the fold per field).
+    Rounded 6dp (sums of <=K doubles reorder at ~1e-13)."""
+    book = _spread_book(spark, sf_dir)
+    state = F.explode(
+        F.array(
+            F.struct(
+                M.book_slope_state("bid", BOOK_DEPTH).alias("b"),
+                M.book_slope_state("ask", BOOK_DEPTH).alias("a"),
+            )
+        )
+    )
+    return book.select(*IDS, state.alias("_st")).select(
+        *IDS,
+        F.round(M.book_slope_from_state(F.col("_st.b")), 6).alias("slope_bid"),
+        F.round(M.book_slope_from_state(F.col("_st.a")), 6).alias("slope_ask"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish), embedding NN dedup, IVF ANN,
+# rollup aggregates
+# ---------------------------------------------------------------------------
+
+_TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+  len(string_split(text, ' ')) AS n_tokens_ws,
+  len(list_filter(
+        regexp_split_to_array(
+          regexp_replace(text, '([0-9]+|[^a-zA-Z0-9 ])', ' \1 ', 'g'),
+          '\s+'),
+        p -> p != '')) AS n_tokens_bpe_ish
+FROM documents
+"""
+
+
+@register("doc_token_counts", _TOKEN_COUNTS_SQL)
+def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and the BPE-ish regex
+    segmentation (digits runs and punctuation isolated as pieces) — pure
+    JVM string expressions, shuffle-free."""
+    from market_microstructure_toolkit_spark.operators.dedup import tokens
+    from market_microstructure_toolkit_spark.operators.text_analysis import (
+        token_count_bpe_ish,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tokens_ws"),
+        token_count_bpe_ish("text").cast("long").alias("n_tokens_bpe_ish"),
+    )
+
+
+_EMB_NN_SQL = """
+WITH keyed AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+    + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+    + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+    + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+    + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+    + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+    + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+         ROUND(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+               6) AS cos_sim
+  FROM keyed a JOIN keyed b
+    ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+)
+SELECT vec_id, nn_id, cos_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cos_sim DESC, nn_id) AS rn
+  FROM pairs
+) WHERE rn = 1
+"""
+
+
+@register("dedup_embedding_nn", _EMB_NN_SQL)
+def q_dedup_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup primitive: each vector's single nearest
+    in-LSH-bucket neighbor (candidate canonical pairing). Per-key window
+    rank — state is one row per vector, shuffle keyed on vec_id."""
+    from market_microstructure_toolkit_spark.operators.similarity import (
+        lsh_bucketed_pairs,
+    )
+
+    emb = _emb(spark, sf_dir)
+    pairs = lsh_bucketed_pairs(emb, n_bits=8, min_cosine=-2.0)
+    both = pairs.select(
+        F.col("id_a").alias("vec_id"), F.col("id_b").alias("nn_id"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("vec_id"), F.col("id_a").alias("nn_id"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nn_id")
+    )
+    return (
+        both.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "nn_id", "cos_sim")
+    )
+
+
+_IVF_SQL = """
+WITH emb AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id BETWEEN 1 AND 8),
+dists AS (
+  SELECT e.vec_id, e.label, e.v, c.cid,
+         list_sum(list_transform(range(1, 65),
+                  i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS dist
+  FROM emb e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, label, v, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+q AS (SELECT v AS qv, cid AS qcid FROM assigned WHERE vec_id = 0)
+SELECT a.vec_id, a.label,
+       ROUND(list_dot_product(a.v, q.qv)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+             6) AS cos_sim
+FROM assigned a, q
+WHERE a.cid = q.qcid AND a.vec_id != 0
+ORDER BY cos_sim DESC, a.vec_id
+LIMIT 10
+"""
+
+
+@register("similarity_ivf", _IVF_SQL)
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: 8 fixed coarse-quantizer centroids (vectors 1..8 —
+    a trained k-means would slot in identically), every vector assigned to
+    its nearest centroid (broadcast centroids, argmin by L2), then the
+    query probes ONLY its own cell and reranks by exact cosine. At scale
+    the scan per query drops from n to n/cells; assignment is one
+    broadcast-join map stage."""
+    from market_microstructure_toolkit_spark.functions import arrays as AR
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = emb.filter(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    dist = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "v", "cid", dist.alias("dist")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    assigned = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "v", "cid")
+    )
+    q = F.broadcast(
+        assigned.filter(F.col("vec_id") == 0).select(
+            F.col("v").alias("qv"), F.col("cid").alias("qcid")
+        )
+    )
+    return (
+        assigned.join(q, F.col("cid") == F.col("qcid"))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id", "label",
+            F.round(AR.cosine("v", "qv"), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+_ROLLUP_SQL = """
+SELECT r_name AS region, n_name AS nation,
+  SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+      * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) / 10000.0 AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@register("revenue_rollup", _ROLLUP_SQL)
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP revenue at (region, nation) / (region) / () grain in one
+    pass — Spark's native grouping-sets path (partial aggregation per
+    grain, no extra scans). Money math runs in exact integer cents
+    (2dp x 2dp values), summed order-free in BIGINT, divided once at the
+    end — engine-identical at every grain, unlike per-row double->decimal
+    casts whose rounding differs between engines."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    li, orders = rd("lineitem"), rd("orders")
+    cust, nation, region = rd("customer"), rd("nation"), rd("region")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(cents * (F.lit(100) - disc_pct)).alias("_rev_i"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        # two-phase rollup: the Expand x3 multiplier runs over the 25-row
+        # partial aggregate, not the full fact table (integer sums
+        # re-aggregate exactly across grains)
+        .rollup("region", "nation")
+        .agg(
+            (F.sum("_rev_i") / F.lit(10000.0)).alias("revenue"),
+            F.sum("_n").alias("n_items"),
+        )
+    )
