@@ -38,8 +38,12 @@ def read_book_csv(
     raw = spark.read.option("header", True).csv(path)
     out = []
     for f in S.book_schema(depth).fields:
-        c = F.nullif(F.col(f.name), F.lit(""))
-        out.append(c.try_cast(f.dataType).alias(f.name))
+        if f.name in raw.columns:
+            c = F.nullif(F.col(f.name), F.lit("")).try_cast(f.dataType)
+        else:
+            # derived frames may omit optional meta cols (e.g. ``iso``)
+            c = F.lit(None).cast(f.dataType)
+        out.append(c.alias(f.name))
     return raw.select(*out)
 
 

@@ -1,0 +1,107 @@
+"""End-to-end CLI tests: every subcommand run via main(argv) on a small
+recorded book (CSV and parquet), mirroring the reference's CLI e2e style
+(tests/test_event_metrics_cli.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from market_microstructure_toolkit_spark import schema as S
+from market_microstructure_toolkit_spark.cli import main
+from market_microstructure_toolkit_spark.plans.book import BOOK_DEPTH, synthetic_book
+from market_microstructure_toolkit_spark.sources.book_io import (
+    read_book_csv,
+    write_book_csv,
+)
+
+
+@pytest.fixture(scope="module")
+def book_files(spark, sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_book")
+    book = synthetic_book(spark, sf_dir)
+    book.coalesce(1).write.parquet(str(d / "book.parquet"))
+    write_book_csv(book.coalesce(1), str(d / "book.csv"))
+    return d
+
+
+def test_metrics_cmd_parquet(spark, book_files, tmp_path):
+    out = str(tmp_path / "m.parquet")
+    assert main(["metrics", str(book_files / "book.parquet"), "--out", out]) == 0
+    got = spark.read.parquet(out)
+    for c in ("spread", "mid", "microprice", "imbalance_l1", "rv", "ofi_l1"):
+        assert c in got.columns
+    assert got.count() == 1000
+
+
+def test_metrics_cmd_csv_roundtrip(spark, book_files, tmp_path):
+    out = str(tmp_path / "m.csv")
+    assert main(["metrics", str(book_files / "book.csv"), "--out", out]) == 0
+    # CSV output follows the blank/%.10f conventions and re-reads cleanly
+    got = read_book_csv(spark, out, BOOK_DEPTH)
+    assert got.count() == 1000
+
+
+def test_event_metrics_cmd(spark, book_files, tmp_path):
+    out = str(tmp_path / "em.parquet")
+    assert (
+        main(["event-metrics", str(book_files / "book.parquet"), "--out", out])
+        == 0
+    )
+    got = spark.read.parquet(out)
+    assert "rv_event_50" in got.columns and got.count() == 1000
+
+
+def test_impact_cmd(book_files, capsys):
+    assert (
+        main(
+            ["impact", str(book_files / "book.parquet"),
+             "--qty", "5", "--slices", "4"]
+        )
+        == 0
+    )
+    printed = capsys.readouterr().out
+    assert "naive TWAP" in printed and "VWAP-now" in printed
+    assert '"vwap"' in printed
+
+
+def test_impact_twap_cmd(spark, book_files, tmp_path, capsys):
+    slices_out = str(tmp_path / "slices.parquet")
+    summary_out = str(tmp_path / "summary.csv")
+    argv = [
+        "impact-twap", str(book_files / "book.parquet"),
+        "--qty", "5", "--slices", "4", "--jitter-ms", "100",
+        "--schedule", "stochastic", "--seed", "11",
+        "--per-slice-out", slices_out, "--summary-out", summary_out,
+    ]
+    assert main(argv) == 0
+    assert spark.read.parquet(slices_out).count() == 4
+    # summary-append sink accumulates across runs
+    assert main(argv) == 0
+    n = spark.read.option("header", True).csv(summary_out).count()
+    assert n == 2
+
+
+def test_impact_vwap_cmd(spark, book_files, tmp_path, capsys):
+    slices_out = str(tmp_path / "vslices.parquet")
+    assert (
+        main(
+            ["impact-vwap", str(book_files / "book.parquet"),
+             "--qty", "5", "--slices", "6", "--fee-bps", "10",
+             "--per-slice-out", slices_out]
+        )
+        == 0
+    )
+    assert spark.read.parquet(slices_out).count() == 6
+    assert '"fees_paid"' in capsys.readouterr().out
+
+
+def test_record_replay_cmd(spark, book_files, tmp_path):
+    out = str(tmp_path / "rec")
+    assert (
+        main(
+            ["record-replay", str(book_files / "book.parquet"), out,
+             "--depth", str(BOOK_DEPTH), "--checkpoint", str(tmp_path / "ck")]
+        )
+        == 0
+    )
+    assert spark.read.parquet(out).count() == 1000
