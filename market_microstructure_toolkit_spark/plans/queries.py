@@ -1677,3 +1677,176 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_n").alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-analytics tier over the events table: sessionization, time-bucketed
+# stats, JSON prop extraction — plus OHLC resampling of the book series
+# ---------------------------------------------------------------------------
+
+_SESSIONIZE_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ms
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+                 THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                   ORDER BY ts_ms, event_id) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no,
+       MIN(ts_ms) AS session_start_ms,
+       MAX(ts_ms) AS session_end_ms,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_no
+"""
+
+
+@register("events_sessionize", _SESSIONIZE_SQL)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic log sessionization: per-user 30-minute-gap cut via
+    lag + running sum of boundaries, then per-session aggregates. One
+    shuffle keyed on user_id serves both the window and the groupBy."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_ms = F.expr("ts DIV 1000000")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id", "event_id", ts_ms.alias("ts_ms"),
+        F.lag(ts_ms).over(w).alias("prev_ms"),
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ms").isNull()
+            | (F.col("ts_ms") - F.col("prev_ms") > 1800000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    ws = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    return (
+        flagged.withColumn("session_no", F.sum("new_session").over(ws))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts_ms").alias("session_start_ms"),
+            F.max("ts_ms").alias("session_end_ms"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+_HOURLY_SQL = """
+SELECT event_type,
+       epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+FROM events
+GROUP BY event_type, epoch_ms(date_trunc('hour', ts))
+"""
+
+
+@register("events_hourly_stats", _HOURLY_SQL)
+def q_events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed log rollup: counts, exact distinct users, and
+    integer-cents-exact value sums per (event_type, hour). Partial
+    aggregation map-side; distinct expands to a two-phase aggregate."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hour_ms = (F.expr("ts DIV 1000000") / F.lit(3600000)).cast("long") * F.lit(
+        3600000
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return ev.groupBy(
+        "event_type", hour_ms.alias("hour_ms")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        (F.sum(cents) / F.lit(100.0)).alias("sum_value"),
+    )
+
+
+_JSON_PROPS_SQL = """
+SELECT event_id, event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k
+FROM events
+"""
+
+
+@register("events_json_props", _JSON_PROPS_SQL)
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the props column (the reference's
+    only JSON surface is --params CLI parsing; at scale this is
+    get_json_object, a codegen'd expression — no Python)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id", "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+_OHLC_SQL = f"""{_BOOK_CTE},
+mids AS (
+  SELECT exchange_id, symbol, ts_ms, raw_nonce,
+         (best_bid + best_ask) / 2.0 AS mid,
+         COALESCE(bid1_size, 0.0) + COALESCE(ask1_size, 0.0) AS l1_vol,
+         ts_ms // 1000 * 1000 AS bucket_ms
+  FROM book
+),
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY exchange_id, symbol, bucket_ms
+                       ORDER BY ts_ms, raw_nonce) AS rn_a,
+    ROW_NUMBER() OVER (PARTITION BY exchange_id, symbol, bucket_ms
+                       ORDER BY ts_ms DESC, raw_nonce DESC) AS rn_d
+  FROM mids
+)
+SELECT exchange_id, symbol, bucket_ms,
+       MAX(CASE WHEN rn_a = 1 THEN mid END) AS open_mid,
+       MAX(mid) AS high_mid,
+       MIN(mid) AS low_mid,
+       MAX(CASE WHEN rn_d = 1 THEN mid END) AS close_mid,
+       COUNT(*) AS n_snapshots,
+       SUM(l1_vol) AS l1_volume
+FROM ranked
+GROUP BY exchange_id, symbol, bucket_ms
+"""
+
+
+@register("book_resample_ohlc", _OHLC_SQL)
+def q_book_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style downsample: 1-second OHLC of mid + L1 volume per
+    instrument (the continuous-aggregate shape). First/last via ranked
+    rows in the SAME instrument-keyed shuffle as the bucket groupBy; L1
+    sizes are 0.25-multiples so volume sums are exact in any order."""
+    book = synthetic_book(spark, sf_dir)
+    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
+    l1_vol = F.coalesce(F.col("bid1_size"), F.lit(0.0)) + F.coalesce(
+        F.col("ask1_size"), F.lit(0.0)
+    )
+    mids = book.select(
+        *KEYS, "ts_ms", "raw_nonce", mid.alias("mid"), l1_vol.alias("l1_vol"),
+        ((F.col("ts_ms") / 1000).cast("long") * 1000).alias("bucket_ms"),
+    )
+    wa = Window.partitionBy(*KEYS, "bucket_ms").orderBy("ts_ms", "raw_nonce")
+    wd = Window.partitionBy(*KEYS, "bucket_ms").orderBy(
+        F.col("ts_ms").desc(), F.col("raw_nonce").desc()
+    )
+    return (
+        mids.withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_d", F.row_number().over(wd))
+        .groupBy(*KEYS, "bucket_ms")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("mid"))).alias("open_mid"),
+            F.max("mid").alias("high_mid"),
+            F.min("mid").alias("low_mid"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("mid"))).alias("close_mid"),
+            F.count(F.lit(1)).alias("n_snapshots"),
+            F.sum("l1_vol").alias("l1_volume"),
+        )
+    )

@@ -184,9 +184,12 @@ def stateful_ofi(stream: DataFrame) -> DataFrame:
     def fn(
         key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
     ) -> Iterator["pd.DataFrame"]:
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        if batch.empty:
+        frames = [f for f in pdfs if not f.empty]
+        if not frames:
             return
+        batch = (
+            pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        )
         batch = batch.sort_values(["ts_ms", "raw_nonce"], kind="mergesort")
         prev = state.get if state.exists else (None, None, None, None)
         out = []

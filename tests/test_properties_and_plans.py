@@ -1,0 +1,130 @@
+"""Property-based parity for the reset-on-gap RV (SURVEY §7.3.3 risk
+item) against a faithful pure-Python port of the reference algorithm, and
+plan-shape regression tests asserting the optimizations the engine
+depends on at scale (pushdown, pruning, broadcast, distributed top-k)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from market_microstructure_toolkit_spark.operators import window_metrics as W
+
+
+def reference_rolling_rv(prices, window):
+    """Direct port of reference metrics.py:196-232 (deque-and-accumulator
+    reset semantics)."""
+    n = len(prices)
+    if window <= 1:
+        return [None] * n
+    rets = [None]
+    for t in range(1, n):
+        p0, p1 = prices[t - 1], prices[t]
+        if p0 is None or p1 is None or p0 <= 0 or p1 <= 0:
+            rets.append(None)
+        else:
+            rets.append(math.log(p1 / p0))
+    out, acc, q = [], 0.0, []
+    for r in rets:
+        if r is None:
+            out.append(None)
+            q.clear()
+            acc = 0.0
+            continue
+        r2 = r * r
+        q.append(r2)
+        acc += r2
+        if len(q) > window:
+            acc -= q.pop(0)
+        out.append(acc if len(q) == window else None)
+    return out
+
+
+price_strategy = st.lists(
+    st.one_of(
+        st.none(),
+        st.floats(min_value=0.01, max_value=1000.0, allow_nan=False),
+        st.just(0.0),      # nonpositive -> treated as gap
+        st.just(-1.0),
+    ),
+    min_size=2,
+    max_size=50,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(prices=price_strategy, window=st.integers(min_value=2, max_value=5))
+def test_rv_reset_property(spark, prices, window):
+    rows = [
+        ("sim", "S0", i, i, p) for i, p in enumerate(prices)
+    ]
+    df = spark.createDataFrame(
+        rows, "exchange_id string, symbol string, ts_ms long, raw_nonce long, mid double"
+    )
+    got = [
+        r["rv"]
+        for r in W.add_rolling_rv_reset(df, window=window)
+        .orderBy("ts_ms")
+        .collect()
+    ]
+    want = reference_rolling_rv(prices, window)
+    assert len(got) == len(want)
+    for g, w_ in zip(got, want):
+        if w_ is None:
+            assert g is None
+        else:
+            # reference uses an incremental accumulator; engine recomputes
+            # the frame sum — equal up to float reassociation
+            assert g == pytest.approx(w_, rel=1e-9, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# plan-shape regressions
+# ---------------------------------------------------------------------------
+
+def _plan(spark, sf_dir, name) -> str:
+    from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+    df = REGISTRY[name].spark(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "lineitem_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # projection must reach the scan: no unrelated columns read
+    assert "l_comment" not in plan and "l_shipmode" not in plan
+
+
+def test_revenue_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "similarity_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_broadcasts_targets(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "book_asof_join")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_row_metrics_is_shuffle_free(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "book_row_metrics")
+    assert "Exchange" not in plan  # pure projection: no shuffle at all
+
+
+def test_window_metrics_single_exchange(spark, sf_dir):
+    # all series metrics share one instrument-keyed shuffle
+    plan = _plan(spark, sf_dir, "book_ofi_strict")
+    assert plan.count("Exchange hashpartitioning") == 1
