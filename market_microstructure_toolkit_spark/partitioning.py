@@ -28,3 +28,31 @@ def spread(df: DataFrame, *by: str, target: int | None = None) -> DataFrame:
     if by:
         return df.repartition(want, *by)
     return df.repartition(want)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: explicit salting for the case AQE's
+    skew-join split can't fix (a single hot key exceeding one task even
+    after splitting, e.g. a dominant symbol or a null-heavy key).
+
+    The big/skewed side gets a deterministic per-row salt (hash of the
+    whole row, so re-runs are stable); the small side is replicated
+    ``n_salts`` times; the join key becomes ``(on..., salt)``, spreading
+    one hot key across ``n_salts`` tasks. Output equals the plain join.
+    """
+    from pyspark.sql import functions as F
+
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    lhs = left.withColumn("__salt", salt)
+    rhs = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = lhs.join(rhs, keys + ["__salt"], how)
+    return out.drop("__salt")
