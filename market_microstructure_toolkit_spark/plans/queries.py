@@ -1358,7 +1358,12 @@ def q_streaming_ofi_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = tempfile.mkdtemp(prefix="mmt_stream_replay_")
     book = synthetic_book(spark, sf_dir)
-    split_ts = book.approxQuantile("ts_ms", [0.5], 0.0)[0]
+    # midpoint of the time range splits every instrument's series (event
+    # times are dense) — one cheap agg instead of an exact quantile
+    rng = book.agg(
+        F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")
+    ).collect()[0]
+    split_ts = (rng["lo"] + rng["hi"]) // 2
     # chunk a = earlier half of event time for EVERY instrument, so the
     # second micro-batch genuinely depends on state from the first
     book.filter(F.col("ts_ms") <= split_ts).coalesce(1).write.parquet(
@@ -1373,15 +1378,23 @@ def q_streaming_ofi_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{base}/data/*/", BOOK_DEPTH, max_files_per_trigger=1
     )
     name = f"ofi_replay_{uuid.uuid4().hex[:8]}"
-    q = (
-        stateful_ofi(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", f"{base}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # state-store partitions = shuffle partitions; there are only a few
+    # instrument keys, so 32 state partitions just spawn idle Python
+    # workers per micro-batch. Streaming ignores AQE — set it explicitly.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stateful_ofi(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 
@@ -1849,4 +1862,101 @@ def q_book_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_snapshots"),
             F.sum("l1_vol").alias("l1_volume"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Star-join breadth over supplier/part (the remaining driver tables):
+# Q9-style brand profit by supplier nation and Q3-style shipping priority
+# ---------------------------------------------------------------------------
+
+_BRAND_REVENUE_SQL = """
+SELECT n_name AS supp_nation, p_brand,
+  SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+      * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) / 10000.0 AS revenue,
+  SUM(CAST(l_quantity AS BIGINT)) AS total_qty,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_size <= 10
+GROUP BY n_name, p_brand
+"""
+
+
+@register("brand_revenue_by_supp_nation", _BRAND_REVENUE_SQL)
+def q_brand_revenue_by_supp_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-shaped star join through part AND supplier dimensions with a
+    selective part filter: the p_size predicate prunes the broadcast
+    build side BEFORE the join, so the fact scan only keeps matching
+    rows; money stays in exact integer cents."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    li = rd("lineitem")
+    part = rd("part").filter(F.col("p_size") <= 10)
+    supp, nation = rd("supplier"), rd("nation")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("supp_nation"), "p_brand")
+        .agg(
+            (F.sum(cents * (F.lit(100) - disc_pct)) / F.lit(10000.0)).alias(
+                "revenue"
+            ),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_SHIP_PRIORITY_SQL = """
+SELECT l_orderkey,
+  SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+      * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) / 10000.0 AS revenue,
+  epoch_ms(o_orderdate) AS o_orderdate_ms,
+  o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_orderkey, epoch_ms(o_orderdate), o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("shipping_priority_top10", _SHIP_PRIORITY_SQL)
+def q_shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shaped: date predicates pushed to both scans, join, aggregate,
+    distributed top-10 (TakeOrderedAndProject — no global sort). Exact
+    cents revenue makes the cross-engine ordering deterministic."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    cutoff = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    cust = rd("customer")
+    orders = rd("orders").filter(F.col("o_orderdate") < cutoff)
+    li = rd("lineitem").filter(F.col("l_shipdate") > cutoff)
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("long")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "l_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_ms"
+            ),
+            "o_orderpriority",
+        )
+        .agg(
+            (F.sum(cents * (F.lit(100) - disc_pct)) / F.lit(10000.0)).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate_ms", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
     )

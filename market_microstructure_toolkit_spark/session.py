@@ -32,6 +32,8 @@ _DEFAULT_CONFS: dict[str, str] = {
     # Broadcast joins for dimension tables / slice targets.
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
     "spark.driver.memory": "8g",
+    # keep stdout/stderr clean for harnesses that parse bench output
+    "spark.ui.showConsoleProgress": "false",
 }
 
 

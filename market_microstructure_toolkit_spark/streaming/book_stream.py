@@ -145,31 +145,6 @@ OFI_STATE_SCHEMA = StructType(
 )
 
 
-def _ofi_strict_pair(prev: tuple, cur: tuple) -> float | None:
-    """W1 strict OFI for one adjacent snapshot pair — same semantics as
-    the batch ``ofi_l1_expr(mode='strict')`` (reference metrics.py:293-333):
-    NULL if any of the 8 inputs is missing, else bid part (+delta size if
-    price up, -prev size if down) plus mirrored ask part."""
-    pbb, pba, pbq, paq = prev
-    bb, ba, bq, aq = cur
-    vals = (pbb, pba, pbq, paq, bb, ba, bq, aq)
-    if any(v is None or v != v for v in vals):  # None or NaN
-        return None
-    if bb > pbb:
-        bid_part = bq - pbq
-    elif bb < pbb:
-        bid_part = -pbq
-    else:
-        bid_part = 0.0
-    if ba < pba:
-        ask_part = aq - paq
-    elif ba > pba:
-        ask_part = -paq
-    else:
-        ask_part = 0.0
-    return bid_part + ask_part
-
-
 def stateful_ofi(stream: DataFrame) -> DataFrame:
     """Strict-mode L1 OFI as a keyed stateful streaming operator.
 
@@ -178,8 +153,16 @@ def stateful_ofi(stream: DataFrame) -> DataFrame:
     (ts_ms, raw_nonce) — the file/Kafka source guarantees batch boundaries
     but not intra-batch order. The first update of a key emits NULL
     (reference first-row ``""``), then every update diffs against state.
+
+    The per-batch math is vectorized numpy (shift + where), identical to
+    the batch ``ofi_l1_expr(mode='strict')`` semantics (reference
+    metrics.py:293-333): any of the 8 inputs NaN -> NaN (which Arrow
+    serializes back as NULL); strict price comparisons; ties contribute 0.
     """
+    import numpy as np
     import pandas as pd
+
+    l1_cols = ["bid1_price", "ask1_price", "bid1_size", "ask1_size"]
 
     def fn(
         key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
@@ -191,23 +174,29 @@ def stateful_ofi(stream: DataFrame) -> DataFrame:
             pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
         )
         batch = batch.sort_values(["ts_ms", "raw_nonce"], kind="mergesort")
-        prev = state.get if state.exists else (None, None, None, None)
-        out = []
-        for row in batch.itertuples(index=False):
-            cur = (row.bid1_price, row.ask1_price, row.bid1_size, row.ask1_size)
-            out.append(
-                None if prev == (None, None, None, None)
-                else _ofi_strict_pair(prev, cur)
-            )
-            prev = cur
-        state.update(tuple(float(v) if v is not None and v == v else None for v in prev))
+        cur = batch[l1_cols].to_numpy(dtype="float64")
+        prev = np.empty_like(cur)
+        prev[1:] = cur[:-1]
+        if state.exists:
+            prev[0] = [np.nan if v is None else v for v in state.get]
+        else:
+            prev[0] = np.nan  # first-ever row of this key -> NULL
+        bb, ba, bq, aq = cur.T
+        pbb, pba, pbq, paq = prev.T
+        bid_part = np.where(bb > pbb, bq - pbq, np.where(bb < pbb, -pbq, 0.0))
+        ask_part = np.where(ba < pba, aq - paq, np.where(ba > pba, -paq, 0.0))
+        ofi = bid_part + ask_part
+        ofi[np.isnan(cur).any(axis=1) | np.isnan(prev).any(axis=1)] = np.nan
+        state.update(
+            tuple(None if np.isnan(v) else float(v) for v in cur[-1])
+        )
         yield pd.DataFrame(
             {
                 "exchange_id": key[0],
                 "symbol": key[1],
                 "ts_ms": batch["ts_ms"].values,
                 "raw_nonce": batch["raw_nonce"].values,
-                "ofi_l1": pd.array(out, dtype="float64"),
+                "ofi_l1": ofi,
             }
         )
 
