@@ -1960,3 +1960,40 @@ def q_shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# X4/X5 surfaced in the gate (rows-only: stochastic schedule + one-shot
+# walk summaries are awkward as portable SQL; semantics are pinned by the
+# reference-golden unit tests in tests/test_impact.py)
+# ---------------------------------------------------------------------------
+
+@register("vwap_now_sim", None)
+def q_vwap_now_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: one-shot walk of the first snapshot (impact.py:324-396) —
+    orderBy(ts).limit(1) -> array-fold walk -> one-row summary."""
+    from market_microstructure_toolkit_spark.operators.impact import (
+        simulate_vwap_onbook,
+    )
+
+    book = synthetic_book(spark, sf_dir)
+    return simulate_vwap_onbook(book, "buy", 25.0, BOOK_DEPTH)
+
+
+@register("twap_real_sim", None)
+def q_twap_real_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: realistic TWAP per-slice table — seeded Dirichlet slice sizes,
+    jittered schedule (driver-side RNG for reproducibility,
+    impact_twap.py:112-171), broadcast as-of row match, fees."""
+    from market_microstructure_toolkit_spark.operators.impact import (
+        TwapConfig,
+        simulate_twap_real,
+    )
+
+    book = synthetic_book(spark, sf_dir)
+    cfg = TwapConfig(
+        side="buy", target_qty=40.0, slices=16, fee_bps=2.0,
+        jitter_ms=500, schedule="stochastic", seed=13, depth_cap=BOOK_DEPTH,
+    )
+    _, per_slice = simulate_twap_real(book, cfg)
+    return per_slice

@@ -106,6 +106,17 @@ def infer_depth(df: DataFrame) -> int:
     return depth
 
 
+def require_columns(df: DataFrame, cols: list[str] | tuple[str, ...]) -> None:
+    """Fail fast with every missing column listed (P18, reference
+    ``event_metrics.py:18-22`` ``_require_cols``) — schema validation
+    before building a plan beats an UNRESOLVED_COLUMN error mid-query."""
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"missing required columns: {missing}; have {sorted(df.columns)}"
+        )
+
+
 def side_array(side: str, depth: int) -> Column:
     """Build ``array<struct<price,size>>`` from wide level columns."""
     return F.array(

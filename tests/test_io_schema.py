@@ -75,3 +75,24 @@ def test_csv_malformed_cells_become_null(spark, tmp_path):
     assert got["best_bid"] is None
     assert got["best_ask"] == 100.5
     assert got["ts_ms"] == 1700000000000
+
+
+def test_require_columns(spark):
+    import pytest as _pytest
+
+    from market_microstructure_toolkit_spark import schema as S
+
+    df = spark.createDataFrame([(1,)], "ts_ms long")
+    S.require_columns(df, ["ts_ms"])  # present -> no raise
+    with _pytest.raises(ValueError, match="best_bid"):
+        S.require_columns(df, ["ts_ms", "best_bid", "best_ask"])
+
+
+def test_iso_utc_format(spark):
+    from pyspark.sql import functions as F
+
+    from market_microstructure_toolkit_spark.functions.microstructure import iso_utc
+
+    df = spark.createDataFrame([(1704067200123,)], "ts_ms long")
+    out = df.select(iso_utc(F.col("ts_ms")).alias("iso")).first()["iso"]
+    assert out.startswith("2024-01-01T00:00:00.123")
