@@ -1997,3 +1997,83 @@ def q_twap_real_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _, per_slice = simulate_twap_real(book, cfg)
     return per_slice
+
+
+_STREAM_WINDOW_SQL = f"""{_BOOK_CTE}
+SELECT exchange_id, symbol,
+       ts_ms // 1000 * 1000 AS window_start_ms,
+       COUNT(*) AS n_snapshots,
+       ROUND(AVG((best_bid + best_ask) / 2.0), 6) AS avg_mid,
+       MIN(best_ask - best_bid) AS min_spread,
+       MAX(best_ask - best_bid) AS max_spread
+FROM book
+GROUP BY exchange_id, symbol, ts_ms // 1000 * 1000
+"""
+
+
+@register("streaming_windowed_metrics", _STREAM_WINDOW_SQL)
+def q_streaming_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window L1 metrics computed by the STREAMING
+    tier in complete output mode (every window re-emitted at the final
+    trigger == the batch answer), replayed over a 2-micro-batch file
+    stream. Hash-matching plain GROUP BY SQL proves the streaming window
+    assignment. avg rounded 6dp (double mean reassociates ~1e-13)."""
+    import tempfile
+    import time
+    import uuid
+
+    from market_microstructure_toolkit_spark.plans.book import BOOK_DEPTH
+    from market_microstructure_toolkit_spark.streaming.book_stream import (
+        read_book_stream,
+        with_event_time,
+    )
+
+    base = tempfile.mkdtemp(prefix="mmt_stream_win_")
+    book = synthetic_book(spark, sf_dir)
+    rng = book.agg(
+        F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")
+    ).collect()[0]
+    split_ts = (rng["lo"] + rng["hi"]) // 2
+    book.filter(F.col("ts_ms") <= split_ts).coalesce(1).write.parquet(
+        f"{base}/data/a"
+    )
+    time.sleep(0.05)
+    book.filter(F.col("ts_ms") > split_ts).coalesce(1).write.parquet(
+        f"{base}/data/b"
+    )
+
+    stream = with_event_time(
+        read_book_stream(spark, f"{base}/data/*/", BOOK_DEPTH, max_files_per_trigger=1)
+    )
+    spread = F.col("best_ask") - F.col("best_bid")
+    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
+    agg = (
+        stream.groupBy(*KEYS, F.window("ts", "1 second").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_snapshots"),
+            F.round(F.avg(mid), 6).alias("avg_mid"),
+            F.min(spread).alias("min_spread"),
+            F.max(spread).alias("max_spread"),
+        )
+        .select(
+            *KEYS,
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "n_snapshots", "avg_mid", "min_spread", "max_spread",
+        )
+    )
+    name = f"win_replay_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)

@@ -83,3 +83,28 @@ def test_salted_join_equals_plain_join(spark):
     }
     assert salted == plain
     assert sum(1 for t in salted if t[0] == "HOT") == 1800
+
+
+def test_partitioned_layout_prunes_scan(spark, sf_dir, tmp_path):
+    """The recommended at-scale layout (SURVEY §4: partition recorded data
+    by exchange/symbol) must produce partition-pruned scans: a one-symbol
+    query reads one hive partition, verified in the physical plan."""
+    from market_microstructure_toolkit_spark.sources.book_io import (
+        write_book_parquet,
+    )
+
+    book = synthetic_book(spark, sf_dir)
+    out = str(tmp_path / "by_symbol")
+    write_book_parquet(book, out, partition_by=("exchange_id", "symbol"))
+
+    back = spark.read.parquet(out).filter(F.col("symbol") == "S1")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "symbol" in plan
+    n_all = spark.read.parquet(out).count()
+    n_s1 = back.count()
+    assert 0 < n_s1 < n_all
+    # layout actually fanned out into per-symbol hive directories
+    import glob
+
+    dirs = glob.glob(f"{out}/exchange_id=*/symbol=*")
+    assert len(dirs) == 4  # fixture has 4 symbols under one exchange
