@@ -46,9 +46,27 @@ def lang_id_expr(text_col: str = "text") -> Column:
     return best
 
 
+#: Small English stopword list for the stopword-ratio quality signal.
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be",
+)
+
+
+def stopword_ratio(text_col: str = "text") -> Column:
+    """Fraction of whitespace tokens that are (lowercased) stopwords;
+    NULL for empty documents. Natural prose sits well above 0."""
+    toks = tokens(text_col)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n)
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Quality-signal bundle: lengths, token stats, character-class ratios,
-    and a composite [0,1] score (heuristic linear blend)."""
+    """Quality-signal bundle: lengths, token stats, character-class +
+    stopword ratios, and a composite [0,1] score (heuristic linear
+    blend)."""
     t = F.col(text_col)
     toks = tokens(text_col)
     n_tok = F.size(toks)
@@ -77,6 +95,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "alpha_ratio": alpha_ratio,
             "digit_ratio": digit_ratio,
             "punct_ratio": punct_ratio,
+            "stopword_ratio": stopword_ratio(text_col),
             "quality_score": score,
         }
     )

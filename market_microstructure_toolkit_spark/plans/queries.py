@@ -1194,7 +1194,11 @@ WITH feat AS (
     length(regexp_replace(text, ' ', '', 'g')) AS nonspace,
     length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
     length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
-    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+    len(list_filter(string_split(text, ' '),
+        t -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+                            'that','for','on','with','as','was','at','by','be'],
+                           lower(t)))) AS sw_hits
   FROM documents
 )
 SELECT doc_id,
@@ -1203,6 +1207,7 @@ SELECT doc_id,
   CASE WHEN n_chars > 0 THEN CAST(alpha AS DOUBLE) / n_chars END AS alpha_ratio,
   CASE WHEN n_chars > 0 THEN CAST(digits AS DOUBLE) / n_chars END AS digit_ratio,
   CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars END AS punct_ratio,
+  CASE WHEN n_tok > 0 THEN CAST(sw_hits AS DOUBLE) / n_tok END AS stopword_ratio,
   LEAST(CAST(n_tok AS DOUBLE) / 20.0, 1.0) * 0.4
     + COALESCE(CASE WHEN n_chars > 0 THEN CAST(alpha AS DOUBLE) / n_chars END, 0.0) * 0.4
     + (1.0 - LEAST(COALESCE(CASE WHEN n_chars > 0 THEN CAST(digits AS DOUBLE) / n_chars END, 0.0) * 5, 1.0)) * 0.1
@@ -1223,7 +1228,7 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return quality_features(docs).select(
         "doc_id", "n_tokens", "avg_token_len", "alpha_ratio",
-        "digit_ratio", "punct_ratio", "quality_score",
+        "digit_ratio", "punct_ratio", "stopword_ratio", "quality_score",
     )
 
 
@@ -2077,3 +2082,33 @@ def q_streaming_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
+
+
+_DEDUP_APPLY_SQL = """
+WITH hashed AS (
+  SELECT doc_id, lang, md5(text) AS h FROM documents
+),
+canon AS (
+  SELECT h, MIN(doc_id) AS keep_id FROM hashed GROUP BY h
+)
+SELECT d.doc_id, d.lang
+FROM hashed d JOIN canon c ON d.h = c.h AND d.doc_id = c.keep_id
+"""
+
+
+@register("documents_dedup_apply", _DEDUP_APPLY_SQL)
+def q_documents_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exact dedup APPLICATION: keep only each content group's
+    canonical (min doc_id) row — hash, min-by-group, semi-join back. At
+    scale this is one shuffle on the content hash; the join back is on
+    the same key so it reuses the exchange."""
+    docs = _docs(spark, sf_dir)
+    hashed = docs.select("doc_id", "lang", F.md5("text").alias("h"))
+    canon = hashed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        hashed.join(
+            canon,
+            (hashed.h == canon.h) & (hashed.doc_id == canon.keep_id),
+        )
+        .select("doc_id", "lang")
+    )

@@ -182,6 +182,7 @@ def test_quality_features_exact(spark):
     assert r["alpha_ratio"] == pytest.approx(10 / 15)
     assert r["digit_ratio"] == pytest.approx(2 / 15)
     assert r["punct_ratio"] == pytest.approx(1 / 15)
+    assert r["stopword_ratio"] == pytest.approx(0.0)
     want = (
         min(3 / 20, 1.0) * 0.4
         + (10 / 15) * 0.4
@@ -189,6 +190,14 @@ def test_quality_features_exact(spark):
         + (1.0 - min((1 / 15) * 10, 1.0)) * 0.1
     )
     assert r["quality_score"] == pytest.approx(want, abs=1e-12)
+
+
+def test_stopword_ratio(spark):
+    df = docs_df(spark, [(1, "The cat and the dog"), (2, "zzz qqq")])
+    out = {r["doc_id"]: r["sw"] for r in df.select(
+        "doc_id", TA.stopword_ratio("text").alias("sw")).collect()}
+    assert out[1] == pytest.approx(3 / 5)  # the, and, the
+    assert out[2] == pytest.approx(0.0)
 
 
 def test_fingerprint_prefix_semantics(spark):
