@@ -169,6 +169,21 @@ def cmd_impact_vwap(args) -> None:
         print(f"appended summary -> {args.summary_out}")
 
 
+def cmd_depth_stats(args) -> None:
+    """mmt-plot-adv tabular backend (advanced_plots.py:193-269): per-level
+    average size/price and the across-level depth slope."""
+    from market_microstructure_toolkit_spark.operators.depth import (
+        avg_size_per_level,
+        depth_slope_across_levels,
+    )
+
+    spark = get_spark("mmt-depth-stats")
+    df, depth = _read_any(spark, args.input, args.depth)
+    stats = avg_size_per_level(df, depth)
+    out = depth_slope_across_levels(stats)
+    _write(out, args.out or _default_out(args.input, "_depth_stats"))
+
+
 def cmd_record_replay(args) -> None:
     """mmt-record / mmt-ws-record batch analog: replay a directory of
     snapshot files through the checkpointed streaming recorder
@@ -249,6 +264,12 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--per-slice-out")
     v.add_argument("--summary-out")
     v.set_defaults(fn=cmd_impact_vwap)
+
+    d = sub.add_parser("depth-stats", help="per-level averages + depth slope")
+    d.add_argument("input")
+    d.add_argument("--depth", type=int)
+    d.add_argument("--out")
+    d.set_defaults(fn=cmd_depth_stats)
 
     r = sub.add_parser("record-replay", help="streaming recorder replay")
     r.add_argument("input")

@@ -105,3 +105,15 @@ def test_record_replay_cmd(spark, book_files, tmp_path):
         == 0
     )
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_depth_stats_cmd(spark, book_files, tmp_path):
+    out = str(tmp_path / "ds.parquet")
+    assert (
+        main(["depth-stats", str(book_files / "book.parquet"), "--out", out])
+        == 0
+    )
+    got = spark.read.parquet(out)
+    assert {"side", "level", "avg_size", "size_slope"} <= set(got.columns)
+    # 2 sides x 5 levels x 4 symbols
+    assert got.count() == 40
