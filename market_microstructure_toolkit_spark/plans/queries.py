@@ -2006,13 +2006,13 @@ def q_twap_real_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_WINDOW_SQL = f"""{_BOOK_CTE}
 SELECT exchange_id, symbol,
-       ts_ms // 1000 * 1000 AS window_start_ms,
+       ts_ms // 86400000 * 86400000 AS window_start_ms,
        COUNT(*) AS n_snapshots,
        ROUND(AVG((best_bid + best_ask) / 2.0), 6) AS avg_mid,
        MIN(best_ask - best_bid) AS min_spread,
        MAX(best_ask - best_bid) AS max_spread
 FROM book
-GROUP BY exchange_id, symbol, ts_ms // 1000 * 1000
+GROUP BY exchange_id, symbol, ts_ms // 86400000 * 86400000
 """
 
 
@@ -2053,7 +2053,7 @@ def q_streaming_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread = F.col("best_ask") - F.col("best_bid")
     mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
     agg = (
-        stream.groupBy(*KEYS, F.window("ts", "1 second").alias("w"))
+        stream.groupBy(*KEYS, F.window("ts", "1 day").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_snapshots"),
             F.round(F.avg(mid), 6).alias("avg_mid"),
@@ -2111,4 +2111,39 @@ def q_documents_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             (hashed.h == canon.h) & (hashed.doc_id == canon.keep_id),
         )
         .select("doc_id", "lang")
+    )
+
+
+_VOCAB_SQL = """
+SELECT t AS token, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
+FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+)
+WHERE t != ''
+GROUP BY t
+ORDER BY freq DESC, token
+LIMIT 100
+"""
+
+
+@register("corpus_vocab_top100", _VOCAB_SQL)
+def q_corpus_vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by frequency with document
+    frequency (the vocab/stopword-discovery pass of a training-data
+    pipeline). explode -> two-phase count aggregate (map-side combine) ->
+    distributed top-k; integer counts make cross-engine order exact."""
+    from market_microstructure_toolkit_spark.operators.dedup import tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.count_distinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(100)
     )
