@@ -95,6 +95,64 @@ def extract_features(assets: DataFrame, n_features: int = 8) -> DataFrame:
     return assets.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def resize_images(
+    assets: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Image resize stage over binary payloads via Arrow-batched
+    ``mapInPandas`` — metadata is recomputed Spark-side-visible (width/
+    height become the target), the pixel transform itself is STUBBED
+    (payload truncated proportionally to the area ratio, deterministic)
+    because the container ships no image codec; swapping in PIL's
+    ``Image.resize`` changes only ``_fake_resize``.
+
+    Plan shape notes: only image-modality rows enter the stage (filter
+    pushed below the Python boundary), and the Arrow batch size bounds
+    executor memory, not partition size.
+    """
+    import pandas as pd
+
+    def _fake_resize(payload: bytes, w0, h0) -> bytes:
+        if payload is None:
+            return b""
+        area0 = max(1, int(w0 or 1) * int(h0 or 1))
+        keep = min(len(payload), max(1, len(payload) * target_w * target_h // area0))
+        return payload[:keep]
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "mime": pdf["mime"],
+                    "payload": [
+                        _fake_resize(p, w, h)
+                        for p, w, h in zip(
+                            pdf["payload"], pdf["width"], pdf["height"]
+                        )
+                    ],
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return (
+        assets.filter(F.col("modality") == "image")
+        .select("asset_id", "mime", "payload", "width", "height")
+        .mapInPandas(run, RESIZED_SCHEMA)
+    )
+
+
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling PLAN: one output row per sampled timestamp.
 

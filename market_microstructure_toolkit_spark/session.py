@@ -34,6 +34,8 @@ _DEFAULT_CONFS: dict[str, str] = {
     "spark.driver.memory": "8g",
     # keep stdout/stderr clean for harnesses that parse bench output
     "spark.ui.showConsoleProgress": "false",
+    # managed (bucketed) tables land outside the repo checkout
+    "spark.sql.warehouse.dir": "/tmp/mmt_spark_warehouse",
 }
 
 

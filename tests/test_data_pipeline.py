@@ -259,3 +259,16 @@ def test_metadata_plan_prunes_payload(spark):
     assets = MM.synthetic_assets(spark, docs)
     plan = MM.frame_sample_plan(assets)._jdf.queryExecution().optimizedPlan().toString()
     assert "payload" not in plan
+
+
+def test_resize_images_stub(spark):
+    docs = docs_df(spark, [(3, "image doc payload bytes here"), (1, "audio")])
+    assets = MM.synthetic_assets(spark, docs)  # doc_id % 3 == 0 -> image
+    out = MM.resize_images(assets, target_w=2, target_h=2).collect()
+    assert [r["asset_id"] for r in out] == [3]
+    r = out[0]
+    assert (r["width"], r["height"]) == (2, 2)
+    # stub keeps a deterministic area-proportional prefix
+    src = "image doc payload bytes here".encode()
+    keep = max(1, len(src) * 4 // ((3 % 640 + 1) * (3 % 480 + 1)))
+    assert bytes(r["payload"]) == src[:keep]

@@ -108,3 +108,39 @@ def test_partitioned_layout_prunes_scan(spark, sf_dir, tmp_path):
 
     dirs = glob.glob(f"{out}/exchange_id=*/symbol=*")
     assert len(dirs) == 4  # fixture has 4 symbols under one exchange
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both join sides on the key (SURVEY §2.3/§7: co-located
+    joins at scale) must remove the per-query shuffle: the sort-merge
+    join reads bucketed tables with no Exchange above either scan."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .mode("overwrite").saveAsTable("li_b"))
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .mode("overwrite").saveAsTable("orders_b"))
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # at real scale neither side broadcasts; force the sort-merge path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("li_b")
+            .join(
+                spark.table("orders_b"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        join_part = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
+        # no shuffle below the join: bucketed scans are pre-partitioned
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
