@@ -232,3 +232,78 @@ def simhash16(text_col: str = "text") -> Column:
     for b in range(16):
         out = out + F.when(votes[f"v{b}"] > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return out
+
+
+def winnow_fingerprints(
+    text: Column | str, k: int = 8, w: int = 6
+) -> Column:
+    """Winnowing fingerprint set (Schleimer et al., MOSS): hash every
+    character k-gram, then keep the minimum hash of each length-w window
+    of consecutive k-gram hashes; the distinct minima are the document's
+    fingerprints. Guarantees any shared substring of length >= k + w - 1
+    yields a shared fingerprint — the principled rolling-hash dedup key.
+
+    Pure array expressions (substring transform -> md5 -> windowed
+    array_min); O(len * w) per row, fine for document-scale strings and
+    embarrassingly parallel across rows.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    n_grams = F.length(t) - (k - 1)
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(0))),
+        lambda i: F.md5(t.substr(i, F.lit(k))),
+    )
+    n_win = F.size(hashes) - (w - 1)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_win, F.lit(0))),
+        lambda i: F.array_min(F.slice(hashes, i, w)),
+    )
+    return F.when(n_win >= 1, F.array_distinct(mins)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def winnow_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 6,
+    min_shared: int = 2,
+    max_doc_freq: int | None = 10,
+) -> DataFrame:
+    """Near-dup candidate pairs sharing >= ``min_shared`` winnowed
+    fingerprints (inverted-index self-join on fingerprint, count per
+    pair) — same scale shape as the MinHash band join.
+
+    ``max_doc_freq`` drops fingerprints appearing in more than that many
+    documents BEFORE the self-join: boilerplate fingerprints carry no
+    dedup signal but dominate the join (a fingerprint in d docs fans out
+    d^2/2 pairs — on this corpus the filter cuts the sf0.1 join from
+    ~60M rows to ~33k). This is the standard hot-key guard for
+    inverted-index similarity joins at scale.
+    """
+    fps = df.select(
+        F.col(id_col), F.explode(winnow_fingerprints(F.col(text_col), k, w)).alias("fp")
+    )
+    if max_doc_freq is not None:
+        rare = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("fp")
+        )
+        fps = fps.join(rare, "fp")
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

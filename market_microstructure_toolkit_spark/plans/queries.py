@@ -2147,3 +2147,59 @@ def q_corpus_vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "token")
         .limit(100)
     )
+
+
+@register("multimodal_resize", None)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize stage over binary payloads (rows-only: stubbed pixel
+    transform — no codec in the env; Spark-side filter/schema/Arrow-batch
+    plumbing is real and unit-tested)."""
+    from market_microstructure_toolkit_spark.operators.multimodal import (
+        resize_images,
+        synthetic_assets,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return resize_images(synthetic_assets(spark, docs), 224, 224)
+
+
+_WINNOW_SQL = """
+WITH hashes AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(text) - 7, 0) + 1),
+                        i -> md5(substring(text, i, 8))) AS hs
+  FROM documents
+),
+fps AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(range(1, greatest(len(hs) - 5, 0) + 1),
+                          i -> list_aggregate(hs[i:i+5], 'min')))) AS fp
+  FROM hashes
+  WHERE len(hs) >= 6
+),
+rare AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 10
+),
+kept AS (
+  SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fps
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("dedup_winnow", _WINNOW_SQL)
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprint dedup: char-8-gram md5 ->
+    window-of-6 minima -> distinct fingerprints -> inverted-index
+    self-join, pairs sharing >= 2 rare fingerprints (doc-freq <= 10; boilerplate fingerprints are dropped pre-join — the hot-key guard). Any shared substring of
+    >= 13 chars guarantees a shared fingerprint (MOSS bound k + w - 1)."""
+    from market_microstructure_toolkit_spark.operators.dedup import (
+        winnow_candidates,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return winnow_candidates(docs, k=8, w=6, min_shared=2, max_doc_freq=10)

@@ -272,3 +272,29 @@ def test_resize_images_stub(spark):
     src = "image doc payload bytes here".encode()
     keep = max(1, len(src) * 4 // ((3 % 640 + 1) * (3 % 480 + 1)))
     assert bytes(r["payload"]) == src[:keep]
+
+
+def test_winnow_guarantee_and_selectivity(spark):
+    # docs 1/2 share a 40-char substring >> k + w - 1 = 13 -> must share
+    # fingerprints; doc 3 shares nothing that long
+    common = "abcdefghijklmnopqrstuvwxyz0123456789ABCD"
+    df = docs_df(
+        spark,
+        [
+            (1, "prefix one " + common),
+            (2, common + " suffix two"),
+            (3, "totally unrelated content with no overlap at all here"),
+        ],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in D.winnow_candidates(df, k=8, w=6, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnow_short_doc_empty(spark):
+    df = docs_df(spark, [(1, "short")])  # < k chars -> no fingerprints
+    out = df.select(D.winnow_fingerprints("text", 8, 6).alias("fp")).first()
+    assert out["fp"] == []
