@@ -234,6 +234,32 @@ def simhash16(text_col: str = "text") -> Column:
     return out
 
 
+def _kgram_hashes(t: Column, k: int) -> Column:
+    """Array of 12-hex-char md5 prefixes of every character k-gram.
+
+    48-bit prefixes keep the min-comparisons and the exploded index small;
+    a rare prefix collision only creates one spurious shared fingerprint,
+    absorbed by ``min_shared``. Empty array for texts shorter than k.
+    """
+    n_grams = F.length(t) - (k - 1)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(0))),
+        lambda i: F.md5(t.substr(i, F.lit(k))).substr(1, 12),
+    )
+
+
+def _window_minima(hs: Column, w: int) -> Column:
+    """Distinct minima of every length-w window over the hash array."""
+    n_win = F.size(hs) - (w - 1)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_win, F.lit(0))),
+        lambda i: F.array_min(F.slice(hs, i, w)),
+    )
+    return F.when(n_win >= 1, F.array_distinct(mins)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def winnow_fingerprints(
     text: Column | str, k: int = 8, w: int = 6
 ) -> Column:
@@ -244,23 +270,15 @@ def winnow_fingerprints(
     yields a shared fingerprint — the principled rolling-hash dedup key.
 
     Pure array expressions (substring transform -> md5 -> windowed
-    array_min); O(len * w) per row, fine for document-scale strings and
-    embarrassingly parallel across rows.
+    array_min); O(len * w) per row, embarrassingly parallel across rows.
+    NOTE: higher-order functions are interpreted with no common-
+    subexpression elimination, so this single-Column form re-evaluates the
+    k-gram hash array once per reference; ``winnow_candidates`` inserts a
+    Generate barrier between the two transforms instead — use that entry
+    point for anything beyond one row's fingerprints.
     """
     t = F.col(text) if isinstance(text, str) else text
-    n_grams = F.length(t) - (k - 1)
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(0))),
-        lambda i: F.md5(t.substr(i, F.lit(k))),
-    )
-    n_win = F.size(hashes) - (w - 1)
-    mins = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_win, F.lit(0))),
-        lambda i: F.array_min(F.slice(hashes, i, w)),
-    )
-    return F.when(n_win >= 1, F.array_distinct(mins)).otherwise(
-        F.array().cast("array<string>")
-    )
+    return _window_minima(_kgram_hashes(t, k), w)
 
 
 def winnow_candidates(
@@ -283,8 +301,15 @@ def winnow_candidates(
     ~60M rows to ~33k). This is the standard hot-key guard for
     inverted-index similarity joins at scale.
     """
-    fps = df.select(
-        F.col(id_col), F.explode(winnow_fingerprints(F.col(text_col), k, w)).alias("fp")
+    # Two Generate barriers: without them Catalyst collapses the
+    # projections and the interpreted HOF chain re-evaluates the md5
+    # k-gram array for every reference (~50x slower at sf0.1).
+    hashed = df.select(
+        F.col(id_col),
+        F.explode(F.array(_kgram_hashes(F.col(text_col), k))).alias("hs"),
+    )
+    fps = hashed.select(
+        F.col(id_col), F.explode(_window_minima(F.col("hs"), w)).alias("fp")
     )
     if max_doc_freq is not None:
         rare = (

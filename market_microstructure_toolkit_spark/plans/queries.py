@@ -2167,7 +2167,7 @@ _WINNOW_SQL = """
 WITH hashes AS (
   SELECT doc_id,
          list_transform(range(1, greatest(length(text) - 7, 0) + 1),
-                        i -> md5(substring(text, i, 8))) AS hs
+                        i -> substring(md5(substring(text, i, 8)), 1, 12)) AS hs
   FROM documents
 ),
 fps AS (
