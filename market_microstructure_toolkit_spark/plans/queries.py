@@ -2203,3 +2203,101 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return winnow_candidates(docs, k=8, w=6, min_shared=2, max_doc_freq=10)
+
+
+_FUNNEL_SQL = """
+WITH m AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+),
+v AS (
+  SELECT user_id, MIN(ms) AS t1 FROM m WHERE event_type = 'view'
+  GROUP BY user_id
+),
+c AS (
+  SELECT m.user_id, MIN(ms) AS t2
+  FROM m JOIN v ON m.user_id = v.user_id
+  WHERE m.event_type = 'click' AND m.ms > v.t1
+  GROUP BY m.user_id
+),
+p AS (
+  SELECT m.user_id, MIN(ms) AS t3
+  FROM m JOIN c ON m.user_id = c.user_id
+  WHERE m.event_type = 'purchase' AND m.ms > c.t2
+  GROUP BY m.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_click_after_view,
+       (SELECT COUNT(*) FROM p) AS n_purchase_after_click
+"""
+
+
+@register("events_funnel", _FUNNEL_SQL)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-ordering conversion funnel view -> click -> purchase: a
+    user advances a stage only with an event strictly AFTER their
+    previous stage's first event. Each stage is one groupBy(user_id)
+    min + a join back to the events — all three stages co-partition on
+    user_id, so at scale the shuffles align and the stage frontiers
+    (one row per converted user) stay small relative to the log."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = ev.select("user_id", "event_type", F.expr("ts DIV 1000000").alias("ms"))
+    v = (
+        m.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t1"))
+    )
+    c = (
+        m.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ms") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t2"))
+    )
+    p = (
+        m.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ms") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+_LEN_QUANTILES_SQL = """
+WITH l AS (SELECT length(text) AS len FROM documents),
+o AS (SELECT len, ROW_NUMBER() OVER (ORDER BY len) AS rn FROM l),
+n AS (SELECT COUNT(*) AS c FROM l)
+SELECT MAX(CASE WHEN rn = CAST(ceil(0.50 * c) AS BIGINT) THEN len END) AS p50,
+       MAX(CASE WHEN rn = CAST(ceil(0.90 * c) AS BIGINT) THEN len END) AS p90,
+       MAX(CASE WHEN rn = CAST(ceil(0.99 * c) AS BIGINT) THEN len END) AS p99,
+       MAX(CASE WHEN rn = c THEN len END) AS p100
+FROM o, n
+"""
+
+
+@register("doc_length_quantiles", _LEN_QUANTILES_SQL)
+def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles (order statistics, rank = ceil(q*n)) of
+    document length — integer answers, engine-exact, unlike interpolated
+    percentile_cont whose float formula differs across engines. The
+    global row_number runs over a single pruned BIGINT column; at
+    100 TB swap the sort for approx_percentile or a two-pass
+    count-then-select-by-rank over a range-partitioned sort."""
+    docs = _docs(spark, sf_dir)
+    l = docs.select(F.length("text").alias("len"))
+    o = l.select(
+        "len", F.row_number().over(Window.orderBy("len")).alias("rn")
+    ).crossJoin(l.agg(F.count(F.lit(1)).alias("c")))
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("c")).cast("long"), F.col("len"))
+    )
+    return o.agg(
+        pick(0.50).alias("p50"),
+        pick(0.90).alias("p90"),
+        pick(0.99).alias("p99"),
+        F.max(F.when(F.col("rn") == F.col("c"), F.col("len"))).alias("p100"),
+    )

@@ -298,3 +298,28 @@ def test_winnow_short_doc_empty(spark):
     df = docs_df(spark, [(1, "short")])  # < k chars -> no fingerprints
     out = df.select(D.winnow_fingerprints("text", 8, 6).alias("fp")).first()
     assert out["fp"] == []
+
+
+def test_events_funnel_strict_ordering(spark, tmp_path):
+    # user 1 converts fully in order; user 2 clicked BEFORE their first
+    # view (click must not count); user 3 never views
+    import pyspark.sql.functions as F
+
+    ms = 1_000_000  # nanos per milli
+    rows = [
+        (1, 1, 10 * ms, "view"), (2, 1, 20 * ms, "click"),
+        (3, 1, 30 * ms, "purchase"),
+        (4, 2, 50 * ms, "click"), (5, 2, 60 * ms, "view"),
+        (6, 3, 70 * ms, "click"), (7, 3, 80 * ms, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    ).withColumn("value", F.lit(1.0)).withColumn("props", F.lit("{}"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+    r = REGISTRY["events_funnel"].spark(spark, str(tmp_path)).first()
+    assert (r["n_view"], r["n_click_after_view"], r["n_purchase_after_click"]) == (
+        2, 1, 1
+    )
