@@ -229,18 +229,22 @@ def simulate_vwap_onbook(
 ) -> DataFrame:
     """One-shot walk of the FIRST snapshot; mids from first/last rows."""
     assert side in ("buy", "sell")
-    numbered = _numbered(df)
     n = df.count()
     if n == 0:
         return df.sparkSession.createDataFrame([], "side string")
-    first = numbered.filter(F.col("__pos") == 0)
+    # min-ts row via TakeOrderedAndProject (distributed top-1), not a
+    # single-partition row_number window
+    first = df.orderBy("ts_ms").limit(1)
     walked = _slice_table(first, side, F.lit(float(total_qty)), depth, "skip")
     row = walked.select(
         "ts_ms", _iso_expr(walked).alias("iso"), "filled_qty", "fill_cost",
         "levels_touched", "__mid"
     ).collect()[0]
     mid_close = (
-        numbered.filter(F.col("__pos") == n - 1).select(_mid_col().alias("m")).collect()[0]["m"]
+        df.orderBy(F.col("ts_ms").desc())
+        .limit(1)
+        .select(_mid_col().alias("m"))
+        .collect()[0]["m"]
     )
     filled, cost = row["filled_qty"], row["fill_cost"]
     vwap = cost / filled if filled and filled > 0 else None
@@ -296,17 +300,21 @@ def simulate_twap_real(df: DataFrame, cfg: TwapConfig) -> tuple[DataFrame, DataF
     sizes = _slice_sizes(cfg)
     if not sizes:
         raise ValueError("No slices generated")
-    n = df.count()
+    # Positions come from a ts_ms-only projection: the global row_number
+    # sort then moves 8 bytes/row through one partition instead of the
+    # full wide book row.
+    ts_only = df.select("ts_ms")
+    n = ts_only.count()
     if n == 0:
         raise ValueError("empty input")
-
-    numbered = _numbered(df)
 
     idxs = [round(i * (n - 1) / max(1, cfg.slices - 1)) for i in range(cfg.slices)]
     pos_ts = {
         r["__pos"]: r["ts_ms"]
-        for r in numbered.filter(F.col("__pos").isin(sorted(set(idxs))))
-        .select("__pos", "ts_ms")
+        for r in ts_only.withColumn(
+            "__pos", F.row_number().over(Window.orderBy("ts_ms")) - 1
+        )
+        .filter(F.col("__pos").isin(sorted(set(idxs))))
         .collect()
     }
     chosen = [int(pos_ts[i]) for i in idxs]
@@ -319,15 +327,39 @@ def simulate_twap_real(df: DataFrame, cfg: TwapConfig) -> tuple[DataFrame, DataF
     targets = df.sparkSession.createDataFrame(
         [(k, t) for k, t in enumerate(chosen, start=1)], "slice int, target_ts long"
     )
-    d = F.abs(F.col("ts_ms") - F.col("target_ts"))
-    cand = numbered.alias("s").join(F.broadcast(targets.alias("t")), how="cross")
-    wnear = Window.partitionBy("slice").orderBy(
-        F.abs(F.col("ts_ms") - F.col("target_ts")), F.col("ts_ms").desc()
+    # Nearest-row match in two narrow phases instead of ranking the full
+    # wide book x slices: (1) resolve each slice's nearest TIMESTAMP with
+    # a hash aggregate over a ts-only projection (map-side combine leaves
+    # <= slices rows per partition; ordering (abs_delta, -ts) ties toward
+    # the LATER row like the reference's two-pointer); (2) fetch those
+    # <= slices wide rows back with an isin filter that pushes down to
+    # the scan. Wide rows never enter a shuffle or sort.
+    near = (
+        df.select("ts_ms")
+        .crossJoin(F.broadcast(targets))
+        .groupBy("slice")
+        .agg(
+            F.min_by(
+                "ts_ms",
+                F.struct(
+                    F.abs(F.col("ts_ms") - F.col("target_ts")).alias("d"),
+                    (-F.col("ts_ms")).alias("later_first"),
+                ),
+            ).alias("match_ts")
+        )
+        .collect()
     )
+    match_df = df.sparkSession.createDataFrame(
+        [(int(r["slice"]), int(r["match_ts"])) for r in near],
+        "slice int, match_ts long",
+    )
+    wdup = Window.partitionBy("slice").orderBy("ts_ms")
     matched = (
-        cand.withColumn("__rn", F.row_number().over(wnear))
+        df.filter(F.col("ts_ms").isin(list({int(r["match_ts"]) for r in near})))
+        .join(F.broadcast(match_df), F.col("ts_ms") == F.col("match_ts"))
+        .withColumn("__rn", F.row_number().over(wdup))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "match_ts")
     )
 
     depth = cfg.depth_cap if cfg.depth_cap is not None else 10_000
@@ -427,17 +459,19 @@ def simulate_vwap_real(df: DataFrame, cfg: VwapConfig) -> tuple[DataFrame, DataF
         raise ValueError("Empty dataframe")
     idx = _vwap_bucket_indices(n, cfg.slices)
 
-    numbered = _numbered(df)
+    # Project to the 4 needed columns BEFORE the global row_number so the
+    # single-partition sort moves (ts, iso, mid, ladder) per row, not the
+    # full 8+4K-column book row.
     ladder = valid_levels(ladder_from_wide(_exec_side(cfg.side), cfg.depth_k))
+    narrow = df.select(
+        F.col("ts_ms"),
+        F.coalesce(_iso_expr(df), F.lit("")).alias("iso"),
+        _mid_col().alias("mid"),
+        ladder.alias("ladder"),
+    )
     reduced = (
-        numbered.filter(F.col("__pos").isin(sorted(set(idx))))
-        .select(
-            "__pos",
-            F.col("ts_ms"),
-            F.coalesce(_iso_expr(df), F.lit("")).alias("iso"),
-            _mid_col().alias("mid"),
-            ladder.alias("ladder"),
-        )
+        _numbered(narrow)
+        .filter(F.col("__pos").isin(sorted(set(idx))))
         .collect()
     )
     by_pos = {r["__pos"]: r for r in reduced}
