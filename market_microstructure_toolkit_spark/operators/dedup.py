@@ -332,3 +332,53 @@ def winnow_candidates(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Resolve near-dup candidate pairs into connected components: every
+    document gets ``cluster_id`` = the minimum doc id reachable through
+    the pair graph (singletons cluster with themselves). This is the step
+    that turns pairwise dedup output into keep/drop decisions.
+
+    Min-label propagation: each round every node takes the min of its
+    label and its neighbors' labels; the fixpoint (min id per component)
+    is unique, so the result is deterministic regardless of execution
+    order. Rounds needed = graph diameter — near-dup clusters are
+    shallow (dozens of rounds would mean a pathological chain; bounded
+    by ``max_iters``). Each round is one join + partial-aggregated
+    groupBy keyed on node id; ``localCheckpoint`` truncates the lineage
+    so plans don't grow with iteration count — the standard Spark
+    iterative-algorithm guard.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("lab"))
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new = (
+            labels.join(nbr, labels.id == nbr.dst, "left")
+            .select(
+                "id",
+                F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
+                (F.col("nlab") < F.col("lab")).alias("__chg"),
+            )
+        ).localCheckpoint()
+        changed = new.filter(F.col("__chg")).limit(1).count()
+        labels = new.drop("__chg")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias(id_col), F.col("lab").alias("cluster_id")
+    )

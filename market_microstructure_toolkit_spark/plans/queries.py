@@ -2301,3 +2301,39 @@ def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.99).alias("p99"),
         F.max(F.when(F.col("rn") == F.col("c"), F.col("len"))).alias("p100"),
     )
+
+
+_CLUSTERS_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM (""" + _MINHASH_SQL + """) mh
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+@register("dedup_clusters", _CLUSTERS_SQL)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH candidate-pair graph:
+    cluster_id = min doc id reachable through near-dup pairs (singletons
+    keep their own id) — the keep/drop resolution step downstream of any
+    pairwise dedup. Spark side is bounded min-label propagation with
+    lineage checkpoints; the unique fixpoint makes it hash-comparable to
+    the oracle's recursive CTE."""
+    from market_microstructure_toolkit_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_candidates,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_candidates(docs, k=8, rows_per_band=2, shingle_n=3)
+    return dedup_clusters(docs, pairs)

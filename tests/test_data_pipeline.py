@@ -323,3 +323,17 @@ def test_events_funnel_strict_ordering(spark, tmp_path):
     assert (r["n_view"], r["n_click_after_view"], r["n_purchase_after_click"]) == (
         2, 1, 1
     )
+
+
+def test_dedup_clusters_transitive_and_singleton(spark):
+    # chain 1-2-3 must collapse to one cluster (needs >1 propagation
+    # round); 4 is a singleton; 5-6 a separate pair
+    docs = docs_df(spark, [(i, f"doc {i}") for i in range(1, 7)])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.dedup_clusters(docs, pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
