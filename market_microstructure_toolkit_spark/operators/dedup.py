@@ -355,9 +355,23 @@ def dedup_clusters(
     so plans don't grow with iteration count — the standard Spark
     iterative-algorithm guard.
     """
+    # both directions from ONE evaluation of the (possibly expensive)
+    # pair plan — a union of two selects over `pairs` would run the
+    # candidate-generation join twice before the checkpoint
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.*")
         .localCheckpoint()
     )
     labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("lab"))
@@ -367,6 +381,9 @@ def dedup_clusters(
             .groupBy("dst")
             .agg(F.min("lab").alias("nlab"))
         )
+        # lazy checkpoint: the convergence count below materializes (and
+        # caches) this round's labels in the SAME job, so each round costs
+        # one job instead of an eager-checkpoint job plus a count job
         new = (
             labels.join(nbr, labels.id == nbr.dst, "left")
             .select(
@@ -374,7 +391,7 @@ def dedup_clusters(
                 F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
                 (F.col("nlab") < F.col("lab")).alias("__chg"),
             )
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         changed = new.filter(F.col("__chg")).limit(1).count()
         labels = new.drop("__chg")
         if changed == 0:
