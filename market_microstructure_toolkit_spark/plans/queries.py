@@ -2337,3 +2337,73 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = minhash_lsh_candidates(docs, k=8, rows_per_band=2, shingle_n=3)
     return dedup_clusters(docs, pairs)
+
+
+_CURATION_SQL = """
+WITH RECURSIVE q AS (""" + _QUALITY_SQL + """),
+kept_docs AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN q ON d.doc_id = q.doc_id
+  WHERE q.quality_score >= 0.5
+),
+pairs AS (
+  SELECT id_a, id_b FROM (""" + _MINHASH_SQL.replace(
+    "FROM documents", "FROM kept_docs"
+) + """) mh
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, lab) AS (
+  SELECT doc_id, doc_id FROM kept_docs
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+canon AS (
+  SELECT id AS doc_id FROM (
+    SELECT id, MIN(lab) AS lab FROM reach GROUP BY id
+  ) WHERE id = lab
+)
+SELECT (SELECT COUNT(*) FROM kept_docs) AS n_quality_kept,
+       (SELECT COUNT(*) FROM canon) AS n_canonical,
+       (SELECT SUM(CAST(len(string_split(k.text, ' ')) AS BIGINT))
+        FROM kept_docs k JOIN canon c ON k.doc_id = c.doc_id) AS total_tokens
+"""
+
+
+@register("corpus_curation", _CURATION_SQL)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation, the pipeline a training-data run
+    actually executes: quality-score filter (>= 0.5) -> MinHash-LSH
+    near-dup graph over the survivors -> connected-component resolution
+    keeping each cluster's min-id canonical -> corpus stats (docs kept,
+    canonical docs, total whitespace tokens). All-integer outputs keep
+    the three-stage composition hash-exact against the oracle."""
+    from market_microstructure_toolkit_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_candidates,
+    )
+    from market_microstructure_toolkit_spark.operators.text_analysis import (
+        quality_features,
+    )
+
+    docs = _docs(spark, sf_dir)
+    keep = quality_features(docs).filter(F.col("quality_score") >= 0.5).select("doc_id")
+    kept = docs.join(keep, "doc_id").select("doc_id", "text")
+    pairs = minhash_lsh_candidates(kept, k=8, rows_per_band=2, shingle_n=3)
+    canon = (
+        dedup_clusters(kept, pairs)
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id")
+    )
+    tok = F.size(F.split(F.col("text"), " ", -1)).cast("long")
+    return (
+        kept.agg(F.count(F.lit(1)).alias("n_quality_kept"))
+        .crossJoin(canon.agg(F.count(F.lit(1)).alias("n_canonical")))
+        .crossJoin(
+            kept.join(canon, "doc_id")
+            .agg(F.sum(tok).alias("total_tokens"))
+        )
+    )
