@@ -2407,3 +2407,40 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(tok).alias("total_tokens"))
         )
     )
+
+
+_ANN_RECALL_SQL = """
+WITH exact10 AS (
+  SELECT vec_id FROM (""" + _SIMILARITY_SQL + """) e
+  ORDER BY cos_sim DESC, vec_id LIMIT 10
+),
+ivf10 AS (
+  SELECT vec_id FROM (""" + _IVF_SQL + """) i
+)
+SELECT COUNT(*) AS n_overlap,
+       CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall_at_10
+FROM exact10 JOIN ivf10 USING (vec_id)
+"""
+
+
+@register("similarity_ann_recall", _ANN_RECALL_SQL)
+def q_similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF cell-probe ANN against the exact brute-force
+    top-10 — the quality metric that justifies (or vetoes) the n/cells
+    scan reduction. Both operand sets are individually hash-exact, so
+    their intersection count is too. On this corpus the number is LOW
+    (~0.1 at sf0.1): the embeddings are near-uniform random, where
+    single-probe cell pruning genuinely loses the neighborhood — exactly
+    the veto signal this metric exists to raise (remedies: multi-probe,
+    more/trained centroids, or brute force below a size threshold)."""
+    exact10 = (
+        q_similarity_topk(spark, sf_dir)
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    ivf10 = q_similarity_ivf(spark, sf_dir).select("vec_id")
+    return exact10.join(ivf10, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        (F.count(F.lit(1)) / F.lit(10.0)).alias("recall_at_10"),
+    )
