@@ -52,8 +52,24 @@ REGISTRY: dict[str, QueryDef] = {}
 
 
 def register(name: str, sql: str | None):
+    """Register a gate query; the stored callable is wrapped so required
+    runtime confs (nanos-parquet reads, UTC tz) are applied to WHATEVER
+    SparkSession the harness passes in — gate queries must never depend on
+    the repo's own session factory having built the session."""
+
     def deco(fn):
-        REGISTRY[name] = QueryDef(spark=fn, sql=sql)
+        import functools
+
+        from market_microstructure_toolkit_spark.session import (
+            ensure_session_confs,
+        )
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_session_confs(spark)
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QueryDef(spark=wrapped, sql=sql)
         return fn
 
     return deco
@@ -1323,18 +1339,54 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(assets, every_ms=1000)
 
 
-@register("multimodal_features", None)
+_MM_FEATURES_SQL = """
+WITH assets AS (
+  SELECT doc_id AS asset_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         octet_length(encode(text)) AS n_bytes,
+         text
+  FROM documents
+),
+bytes AS (
+  -- corpus is ASCII (verified), so per-character codepoints == utf-8 bytes
+  SELECT asset_id,
+         unnest(list_transform(range(1, length(text) + 1),
+                               i -> ord(substr(text, i, 1)) % 8)) AS b
+  FROM assets
+),
+hist AS (
+  SELECT asset_id, b AS feature_idx, COUNT(*) AS cnt
+  FROM bytes GROUP BY asset_id, b
+)
+SELECT a.asset_id, a.modality, a.n_bytes,
+       idx.feature_idx,
+       COALESCE(h.cnt, 0) / CAST(GREATEST(a.n_bytes, 1) AS DOUBLE) AS value
+FROM assets a
+CROSS JOIN (SELECT unnest(range(0, 8)) AS feature_idx) idx
+LEFT JOIN hist h ON h.asset_id = a.asset_id AND h.feature_idx = idx.feature_idx
+"""
+
+
+@register("multimodal_features", _MM_FEATURES_SQL)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary payloads
-    (decode stubbed deterministically — no media libs in the container;
-    rows-only check, plumbing unit-tested)."""
+    (decode stubbed as a deterministic byte histogram — no media libs in
+    the container). Output is EXPLODED to (asset_id, feature_idx, value)
+    scalars: array cells are not canonicalizable by the gate's
+    pandas-based comparator, and the long shape gives the oracle an exact
+    SQL formulation (byte histogram of the utf-8 payload)."""
     from market_microstructure_toolkit_spark.operators.multimodal import (
         extract_features,
         synthetic_assets,
     )
 
     docs = _docs(spark, sf_dir)
-    return extract_features(synthetic_assets(spark, docs))
+    feats = extract_features(synthetic_assets(spark, docs))
+    return feats.select(
+        "asset_id", "modality", "n_bytes",
+        F.posexplode("features").alias("feature_idx", "value"),
+    ).withColumn("feature_idx", F.col("feature_idx").cast("long"))
 
 
 # ---------------------------------------------------------------------------
@@ -1715,8 +1767,9 @@ flagged AS (
   FROM ordered
 ),
 sessions AS (
-  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
-                                   ORDER BY ts_ms, event_id) AS session_no
+  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                        ORDER BY ts_ms, event_id) AS BIGINT)
+              AS session_no
   FROM flagged
 )
 SELECT user_id, session_no,
@@ -1879,7 +1932,7 @@ _BRAND_REVENUE_SQL = """
 SELECT n_name AS supp_nation, p_brand,
   SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
       * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) / 10000.0 AS revenue,
-  SUM(CAST(l_quantity AS BIGINT)) AS total_qty,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
   COUNT(*) AS n_items
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
@@ -2149,18 +2202,39 @@ def q_corpus_vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_resize", None)
+_MM_RESIZE_SQL = """
+SELECT doc_id AS asset_id,
+       'application/octet-stream' AS mime,
+       LEAST(octet_length(encode(text)),
+             GREATEST(1, octet_length(encode(text)) * 50176
+                         // GREATEST(1, (doc_id % 640 + 1) * (doc_id % 480 + 1))))
+         AS n_bytes,
+       CAST(224 AS BIGINT) AS width,
+       CAST(224 AS BIGINT) AS height
+FROM documents
+WHERE doc_id % 3 = 0
+"""
+
+
+@register("multimodal_resize", _MM_RESIZE_SQL)
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize stage over binary payloads (rows-only: stubbed pixel
-    transform — no codec in the env; Spark-side filter/schema/Arrow-batch
-    plumbing is real and unit-tested)."""
+    """Image-resize stage over binary payloads (stubbed pixel transform —
+    no codec in the env; Spark-side filter/schema/Arrow-batch plumbing is
+    real and unit-tested). The gate output carries length(payload) instead
+    of the raw binary so the deterministic stub (area-ratio truncation,
+    50176 = 224*224) is exactly SQL-oracle-able."""
     from market_microstructure_toolkit_spark.operators.multimodal import (
         resize_images,
         synthetic_assets,
     )
 
     docs = _docs(spark, sf_dir)
-    return resize_images(synthetic_assets(spark, docs), 224, 224)
+    resized = resize_images(synthetic_assets(spark, docs), 224, 224)
+    return resized.select(
+        "asset_id", "mime",
+        F.length("payload").cast("long").alias("n_bytes"),
+        "width", "height",
+    )
 
 
 _WINNOW_SQL = """
@@ -2368,7 +2442,8 @@ canon AS (
 )
 SELECT (SELECT COUNT(*) FROM kept_docs) AS n_quality_kept,
        (SELECT COUNT(*) FROM canon) AS n_canonical,
-       (SELECT SUM(CAST(len(string_split(k.text, ' ')) AS BIGINT))
+       (SELECT CAST(SUM(CAST(len(string_split(k.text, ' ')) AS BIGINT))
+                    AS BIGINT)
         FROM kept_docs k JOIN canon c ON k.doc_id = c.doc_id) AS total_tokens
 """
 

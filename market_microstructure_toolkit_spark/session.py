@@ -39,6 +39,35 @@ _DEFAULT_CONFS: dict[str, str] = {
 }
 
 
+# Confs that query plans REQUIRE for correct results regardless of which
+# SparkSession they are handed (a harness may inject its own session that
+# never saw _DEFAULT_CONFS). All are runtime-settable in Spark 4.
+_RUNTIME_REQUIRED_CONFS: dict[str, str] = {
+    # events.parquet stores TIMESTAMP(NANOS); without this a vanilla
+    # session raises PARQUET_TYPE_ILLEGAL on read.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # date/ntz -> timestamp casts and epoch extraction must agree with
+    # the (timezone-free) DuckDB oracles.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Idempotently apply the confs query plans depend on to ANY session.
+
+    Safe to call per-query: ``spark.conf.set`` on an already-set value is a
+    no-op, and failures (e.g. a conf marked static on some deployment) are
+    swallowed so a session that already works keeps working.
+    """
+    for k, v in _RUNTIME_REQUIRED_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - static-conf deployments
+            pass
+    return spark
+
+
 def get_spark(app_name: str = "mmt-spark", **extra_conf: str) -> SparkSession:
     """Build (or fetch) a SparkSession.
 

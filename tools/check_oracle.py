@@ -1,11 +1,18 @@
-"""Local stand-in for the driver's t2 correctness gate.
+"""Local stand-in for the driver's correctness gate.
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
 over the same sf dir, then compares row count, sorted column names, and an
-order-insensitive value hash (floats via repr of float64, which is exact
-for bit-identical values).
+order-insensitive value hash. Both sides are materialized through PANDAS
+(``toPandas()`` / ``fetchdf()``) and canonicalized the way the driver does
+— sort columns by name, lexsort rows, hash cell reprs — so dtype drift
+(DuckDB HUGEINT -> float64) and unhashable cells (array columns) fail HERE
+before they fail in the real gate.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--vanilla] [sf_dir] [query ...]
+
+``--vanilla`` runs the Spark side on a bare SparkSession with NONE of the
+repo's session confs (and a non-UTC JVM/session timezone), emulating the
+driver's injected session.
 """
 
 from __future__ import annotations
@@ -16,40 +23,67 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
-def value_key(v) -> str:
-    import math
+def canon_hash(pdf) -> tuple[str, list[str], int]:
+    """Driver-style canonicalization: columns sorted by name, rows
+    lexsorted, cells hashed via repr (floats through float64 repr)."""
+    import numpy as np
 
-    if v is None:
-        return "∅"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return repr(v)
-    return repr(v)
-
-
-def table_hash(cols: list[str], rows: list[tuple]) -> str:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted(
-        "|".join(value_key(r[i]) for i in order) for r in rows
-    )
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    lines = []
+    for row in pdf.itertuples(index=False, name=None):
+        parts = []
+        for v in row:
+            if v is None or (isinstance(v, float) and v != v):
+                parts.append("∅" if v is None else "nan")
+            elif isinstance(v, (np.floating, float)):
+                fv = float(v)
+                parts.append("nan" if fv != fv else repr(fv))
+            elif isinstance(v, np.integer):
+                parts.append(repr(int(v)))
+            else:
+                parts.append(repr(v))
+        lines.append("|".join(parts))
+    lines.sort()
     h = hashlib.sha256()
     for ln in lines:
         h.update(ln.encode())
         h.update(b"\n")
-    return h.hexdigest()[:16]
+    return h.hexdigest()[:16], cols, len(lines)
+
+
+def dtype_map(pdf) -> dict[str, str]:
+    return {c: str(t) for c, t in pdf.dtypes.items()}
 
 
 def main() -> int:
     import duckdb
 
-    from market_microstructure_toolkit_spark.session import get_spark
     import __spark_entry__ as entrymod
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:]]
+    vanilla = "--vanilla" in argv
+    if vanilla:
+        argv.remove("--vanilla")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
-    spark = get_spark("check-oracle")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[16]")
+            .appName("check-oracle-vanilla")
+            .config("spark.ui.showConsoleProgress", "false")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        from market_microstructure_toolkit_spark.session import get_spark
+
+        spark = get_spark("check-oracle")
+
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
@@ -64,35 +98,44 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        sdf = fn(spark, sf_dir)
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
-        if name not in oracles:
-            print(f"{name:28s} rows-only: {len(srows)} rows")
+        try:
+            spdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name:28s} SPARK-ERR {type(exc).__name__}: {exc}")
+            failures += 1
             continue
-        res = con.execute(oracles[name])
-        dcols = [d[0] for d in res.description]
-        drows = res.fetchall()
-        ok_cols = sorted(scols) == sorted(dcols)
-        ok_count = len(srows) == len(drows)
-        sh = table_hash(scols, srows)
-        dh = table_hash(dcols, drows)
+        if name not in oracles:
+            print(f"{name:28s} rows-only: {len(spdf)} rows")
+            continue
+        dpdf = con.execute(oracles[name]).fetchdf()
+        try:
+            sh, scols, srows = canon_hash(spdf)
+            dh, dcols, drows = canon_hash(dpdf)
+        except Exception as exc:  # noqa: BLE001 - e.g. unhashable cells
+            print(f"{name:28s} CANON-ERR {type(exc).__name__}: {exc}")
+            failures += 1
+            continue
+        ok_cols = scols == dcols
+        ok_count = srows == drows
         ok_hash = sh == dh
         status = "OK " if (ok_cols and ok_count and ok_hash) else "FAIL"
         if status == "FAIL":
             failures += 1
         print(
-            f"{name:28s} {status} rows {len(srows)}/{len(drows)} "
+            f"{name:28s} {status} rows {srows}/{drows} "
             f"cols={'=' if ok_cols else sorted(set(scols) ^ set(dcols))} "
             f"hash {sh}/{dh}"
         )
         if not ok_hash and ok_cols and ok_count:
-            # show first differing row for debugging
-            order_s = sorted(range(len(scols)), key=lambda i: scols[i])
-            order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
-            sset = sorted("|".join(value_key(r[i]) for i in order_s) for r in srows)
-            dset = sorted("|".join(value_key(r[i]) for i in order_d) for r in drows)
-            for a, b in zip(sset, dset):
+            sd, dd = dtype_map(spdf), dtype_map(dpdf)
+            diff = {c: (sd[c], dd[c]) for c in sd if sd.get(c) != dd.get(c)}
+            if diff:
+                print(f"  dtypes differ: {diff}")
+            spdf2 = spdf[scols].copy()
+            dpdf2 = dpdf[dcols].copy()
+            srepr = sorted(map(str, spdf2.itertuples(index=False, name=None)))
+            drepr = sorted(map(str, dpdf2.itertuples(index=False, name=None)))
+            for a, b in zip(srepr, drepr):
                 if a != b:
                     print(f"  spark:  {a[:240]}")
                     print(f"  duckdb: {b[:240]}")
