@@ -158,16 +158,35 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = 10,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
 
     Inverted-index join: explode distinct shingles, self-join on shingle,
     count shared shingles per pair, then |A∩B| / (|A|+|B|-|A∩B|).
     Integer counts + one division -> engine-exact.
+
+    ``max_doc_freq`` is the hot-key guard (same design as
+    ``winnow_candidates``): shingles appearing in more than that many
+    documents are dropped BEFORE sizes and intersection — a boilerplate
+    shingle in d docs would otherwise fan out d^2/2 join rows while
+    carrying no dedup signal. Both |A|, |B| and |A∩B| are computed over
+    the surviving (discriminative) shingle sets, so the ratio remains a
+    true Jaccard — of the filtered sets. ``None`` disables the guard for
+    small corpora needing the unfiltered value.
     """
     grams = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("g")
     )
+    if max_doc_freq is not None:
+        # shingles are per-doc distinct, so count(*) per shingle = doc freq
+        rare = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("g")
+        )
+        grams = grams.join(rare, "g")
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a, b = grams.alias("a"), grams.alias("b")
     inter = (
@@ -338,7 +357,7 @@ def dedup_clusters(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
-    max_iters: int = 25,
+    max_iters: int = 1000,
 ) -> DataFrame:
     """Resolve near-dup candidate pairs into connected components: every
     document gets ``cluster_id`` = the minimum doc id reachable through
@@ -349,11 +368,13 @@ def dedup_clusters(
     label and its neighbors' labels; the fixpoint (min id per component)
     is unique, so the result is deterministic regardless of execution
     order. Rounds needed = graph diameter — near-dup clusters are
-    shallow (dozens of rounds would mean a pathological chain; bounded
-    by ``max_iters``). Each round is one join + partial-aggregated
-    groupBy keyed on node id; ``localCheckpoint`` truncates the lineage
-    so plans don't grow with iteration count — the standard Spark
-    iterative-algorithm guard.
+    shallow, but the loop runs to the EXACT fixpoint (changed == 0):
+    returning early would silently hand back unconverged labels that
+    diverge from the oracle's recursive-CTE fixpoint. ``max_iters`` is
+    only a runaway guard and RAISES if hit. Each round is one join +
+    partial-aggregated groupBy keyed on node id; ``localCheckpoint``
+    truncates the lineage so plans don't grow with iteration count — the
+    standard Spark iterative-algorithm guard.
     """
     # both directions from ONE evaluation of the (possibly expensive)
     # pair plan — a union of two selects over `pairs` would run the
@@ -375,6 +396,7 @@ def dedup_clusters(
         .localCheckpoint()
     )
     labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("lab"))
+    converged = False
     for _ in range(max_iters):
         nbr = (
             edges.join(labels, edges.src == labels.id)
@@ -395,7 +417,13 @@ def dedup_clusters(
         changed = new.filter(F.col("__chg")).limit(1).count()
         labels = new.drop("__chg")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters: no fixpoint after {max_iters} rounds "
+            "(component diameter exceeds max_iters; raise the cap)"
+        )
     return labels.select(
         F.col("id").alias(id_col), F.col("lab").alias("cluster_id")
     )

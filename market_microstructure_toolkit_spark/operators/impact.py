@@ -82,7 +82,8 @@ def _mid_col() -> F.Column:
 
 
 def _slip_bps(vwap: float | None, ref_mid: float | None, side: Side) -> float | None:
-    """impact_twap.py:324-337; also matches impact.py's ``_bps`` usage."""
+    """X5 convention (impact_twap.py:324-337):
+    buy ``1e4*(vwap/mid - 1)``, sell ``1e4*(1 - vwap/mid)``."""
     if vwap is None or ref_mid is None or ref_mid <= 0 or not math.isfinite(vwap):
         return None
     if side == "buy":
@@ -90,21 +91,58 @@ def _slip_bps(vwap: float | None, ref_mid: float | None, side: Side) -> float | 
     return 1e4 * (1.0 - vwap / ref_mid)
 
 
+def _slip_bps_naive(
+    vwap: float | None, ref_mid: float | None, side: Side
+) -> float | None:
+    """X3/X4 convention (impact.py:183-193 via its call sites at
+    impact.py:304-309): buy ``_bps(vwap, mid)``, sell ``_bps(mid, vwap)``
+    — i.e. sell slippage is ``1e4*(mid/vwap - 1)``, NOT the X5 flip. The
+    two differ in the second order (mid=100, vwap=99 -> 101.01 vs 100.0
+    bps), so each simulator keeps its own file's formula.
+    """
+    if vwap is None or ref_mid is None or not math.isfinite(vwap):
+        return None
+    if side == "buy":
+        return None if ref_mid == 0 else 1e4 * (vwap / ref_mid - 1.0)
+    return None if vwap == 0 else 1e4 * (ref_mid / vwap - 1.0)
+
 
 def _iso_expr(df: DataFrame):
     """``iso`` column when present, else NULL (recordings carry it, derived
     book frames may not)."""
     return F.col("iso") if "iso" in df.columns else F.lit(None).cast("string")
 
-def _numbered(df: DataFrame, order_col: str = "ts_ms") -> DataFrame:
+
+def _series_keys(df: DataFrame) -> list[str]:
+    """Instrument key columns present on the frame (partition the sims'
+    windows so no stage funnels through one task at scale)."""
+    return [k for k in ("exchange_id", "symbol") if k in df.columns]
+
+
+def _series_order(df: DataFrame) -> list[str]:
+    """Total order for a recording: (ts_ms, raw_nonce) when the nonce
+    column exists (ts_ms alone can tie after millisecond truncation)."""
+    return ["ts_ms", "raw_nonce"] if "raw_nonce" in df.columns else ["ts_ms"]
+
+
+def _numbered(df: DataFrame) -> DataFrame:
     """Attach 0-based positional index over the time-ordered series.
 
-    A recording is a single bounded series (the reference's unit of work),
-    so one-partition ``row_number`` is acceptable; multi-instrument inputs
-    should be simulated per instrument (driver loops symbols, or see
-    SURVEY §4.1 segmented-scan note for the general case).
+    The simulators take ONE recording (single instrument) — the
+    reference's unit of work. The window still partitions by the
+    instrument keys when present: a no-op on the required single-series
+    input, but it keeps the sort out of a single task (and the plan free
+    of ``WindowExec: No Partition Defined``) if a caller feeds a
+    multi-instrument frame, where positions then number each series
+    independently.
     """
-    w = Window.orderBy(order_col)
+    keys = _series_keys(df)
+    order = _series_order(df)
+    w = (
+        Window.partitionBy(*keys).orderBy(*order)
+        if keys
+        else Window.orderBy(*order)
+    )
     return df.withColumn("__pos", F.row_number().over(w) - 1)
 
 
@@ -178,7 +216,12 @@ def simulate_twap_naive(
     picked = numbered.filter(F.col("__pos").isin(picks))
     walked = _slice_table(picked, side, F.lit(slice_qty), depth, blank_mode="skip")
 
-    rank = Window.orderBy("__pos")
+    keys = _series_keys(df)
+    rank = (
+        Window.partitionBy(*keys).orderBy("__pos")
+        if keys
+        else Window.orderBy("__pos")
+    )
     per_slice = walked.select(
         F.row_number().over(rank).alias("slice"),
         F.col("ts_ms"),
@@ -210,8 +253,8 @@ def simulate_twap_naive(
         filled_qty=float(filled),
         vwap=vwap,
         notional=float(notional),
-        slippage_bps_vs_mid_open=_slip_bps(vwap, agg["mid_open"], side),
-        slippage_bps_vs_mid_close=_slip_bps(vwap, agg["mid_close"], side),
+        slippage_bps_vs_mid_open=_slip_bps_naive(vwap, agg["mid_open"], side),
+        slippage_bps_vs_mid_close=_slip_bps_naive(vwap, agg["mid_close"], side),
         slices=len(picks),
     )
     return (
@@ -256,8 +299,8 @@ def simulate_vwap_onbook(
                 filled_qty=float(filled or 0.0),
                 vwap=vwap,
                 notional=float(cost or 0.0),
-                slippage_bps_vs_mid_open=_slip_bps(vwap, row["__mid"], side),
-                slippage_bps_vs_mid_close=_slip_bps(vwap, mid_close, side),
+                slippage_bps_vs_mid_open=_slip_bps_naive(vwap, row["__mid"], side),
+                slippage_bps_vs_mid_close=_slip_bps_naive(vwap, mid_close, side),
                 slices=1,
                 levels_touched=int(row["levels_touched"] or 0),
             )
@@ -300,10 +343,10 @@ def simulate_twap_real(df: DataFrame, cfg: TwapConfig) -> tuple[DataFrame, DataF
     sizes = _slice_sizes(cfg)
     if not sizes:
         raise ValueError("No slices generated")
-    # Positions come from a ts_ms-only projection: the global row_number
-    # sort then moves 8 bytes/row through one partition instead of the
-    # full wide book row.
-    ts_only = df.select("ts_ms")
+    # Positions come from a narrow projection (keys + order cols): the
+    # row_number sort then moves a few bytes/row, not the full wide book
+    # row, and partitions by instrument instead of one global task.
+    ts_only = df.select(*_series_keys(df), *_series_order(df))
     n = ts_only.count()
     if n == 0:
         raise ValueError("empty input")
@@ -311,9 +354,7 @@ def simulate_twap_real(df: DataFrame, cfg: TwapConfig) -> tuple[DataFrame, DataF
     idxs = [round(i * (n - 1) / max(1, cfg.slices - 1)) for i in range(cfg.slices)]
     pos_ts = {
         r["__pos"]: r["ts_ms"]
-        for r in ts_only.withColumn(
-            "__pos", F.row_number().over(Window.orderBy("ts_ms")) - 1
-        )
+        for r in _numbered(ts_only)
         .filter(F.col("__pos").isin(sorted(set(idxs))))
         .collect()
     }
@@ -353,7 +394,16 @@ def simulate_twap_real(df: DataFrame, cfg: TwapConfig) -> tuple[DataFrame, DataF
         [(int(r["slice"]), int(r["match_ts"])) for r in near],
         "slice int, match_ts long",
     )
-    wdup = Window.partitionBy("slice").orderBy("ts_ms")
+    # Duplicate timestamps: ts_ms is constant within a slice partition, so
+    # the dedup must order by a TOTAL order — descending nonce picks the
+    # LAST-written duplicate, mirroring where the reference's monotone
+    # two-pointer lands (impact_twap.py nearest-ts scan).
+    dup_order = (
+        [F.col("raw_nonce").desc()]
+        if "raw_nonce" in df.columns
+        else [F.col("ts_ms")]
+    )
+    wdup = Window.partitionBy("slice").orderBy(*dup_order)
     matched = (
         df.filter(F.col("ts_ms").isin(list({int(r["match_ts"]) for r in near})))
         .join(F.broadcast(match_df), F.col("ts_ms") == F.col("match_ts"))
@@ -464,6 +514,8 @@ def simulate_vwap_real(df: DataFrame, cfg: VwapConfig) -> tuple[DataFrame, DataF
     # full 8+4K-column book row.
     ladder = valid_levels(ladder_from_wide(_exec_side(cfg.side), cfg.depth_k))
     narrow = df.select(
+        *_series_keys(df),
+        *(["raw_nonce"] if "raw_nonce" in df.columns else []),
         F.col("ts_ms"),
         F.coalesce(_iso_expr(df), F.lit("")).alias("iso"),
         _mid_col().alias("mid"),

@@ -314,10 +314,12 @@ def slice_indices(n_rows: int, slices: int) -> list[int]:
     """Evenly-spaced positional sampling (W14, impact.py:196-224): the
     reference's ``np.linspace(0, n-1, slices)`` rounded, dedup'd, sorted.
     Driver-side arithmetic on tiny inputs (slices ~ 10-100)."""
-    if n_rows <= 0 or slices <= 0:
+    if n_rows <= 0:
         return []
-    if slices == 1:
-        return [0]
+    if slices <= 1:
+        # the reference returns the LAST index for slices <= 1
+        # (impact.py:219-220: `return [df.index[-1]]`)
+        return [n_rows - 1]
     step = (n_rows - 1) / (slices - 1)
     idx = sorted({int(round(i * step)) for i in range(slices)})
     return [i for i in idx if 0 <= i < n_rows]

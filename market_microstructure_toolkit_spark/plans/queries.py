@@ -1108,12 +1108,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NGRAM_JACCARD_SQL = """
-WITH grams AS (
+WITH grams0 AS (
   SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
   WHERE len(w) >= 3
 ),
+rare AS (SELECT g FROM grams0 GROUP BY g HAVING COUNT(*) <= 10),
+grams AS (SELECT g0.doc_id, g0.g FROM grams0 g0 JOIN rare USING (g)),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
@@ -1132,11 +1134,14 @@ WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.05
 @register("dedup_ngram_jaccard", _NGRAM_JACCARD_SQL)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard over an inverted shingle index (explode +
-    shingle self-join + integer set algebra — engine-exact values)."""
+    shingle self-join + integer set algebra — engine-exact values). The
+    max_doc_freq=10 hot-shingle guard bounds the self-join fan-out
+    (boilerplate shingle in d docs -> d^2/2 rows) and is mirrored in the
+    oracle's `rare` CTE."""
     from market_microstructure_toolkit_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _docs(spark, sf_dir)
-    return ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.05)
+    return ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.05, max_doc_freq=10)
 
 
 _SIMHASH_SQL = (
@@ -2029,12 +2034,13 @@ def q_shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("vwap_now_sim", None)
 def q_vwap_now_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: one-shot walk of the first snapshot (impact.py:324-396) —
-    orderBy(ts).limit(1) -> array-fold walk -> one-row summary."""
+    orderBy(ts).limit(1) -> array-fold walk -> one-row summary. One
+    instrument: a recording is the simulator's unit of work."""
     from market_microstructure_toolkit_spark.operators.impact import (
         simulate_vwap_onbook,
     )
 
-    book = synthetic_book(spark, sf_dir)
+    book = synthetic_book(spark, sf_dir).filter(F.col("symbol") == "S0")
     return simulate_vwap_onbook(book, "buy", 25.0, BOOK_DEPTH)
 
 
@@ -2042,13 +2048,16 @@ def q_vwap_now_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_twap_real_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5: realistic TWAP per-slice table — seeded Dirichlet slice sizes,
     jittered schedule (driver-side RNG for reproducibility,
-    impact_twap.py:112-171), broadcast as-of row match, fees."""
+    impact_twap.py:112-171), broadcast as-of row match, fees. One
+    instrument: a recording is the simulator's unit of work (ts_ms ties
+    across merged symbols would otherwise make the nearest-row match
+    depend on which symbol's book wins the tie)."""
     from market_microstructure_toolkit_spark.operators.impact import (
         TwapConfig,
         simulate_twap_real,
     )
 
-    book = synthetic_book(spark, sf_dir)
+    book = synthetic_book(spark, sf_dir).filter(F.col("symbol") == "S0")
     cfg = TwapConfig(
         side="buy", target_qty=40.0, slices=16, fee_bps=2.0,
         jitter_ms=500, schedule="stochastic", seed=13, depth_cap=BOOK_DEPTH,

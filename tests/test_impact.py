@@ -160,3 +160,32 @@ def test_vwap_carry_rolls_forward(spark):
     assert rows[2]["desired_qty_incl_carry"] == pytest.approx(
         rows[2]["slice_target_qty"] + rows[1]["carry_to_next"]
     )
+
+
+def test_sell_slippage_conventions_differ_per_reference_file():
+    # impact.py (X3/X4) computes sells as _bps(mid, vwap) = 1e4*(mid/vwap-1);
+    # impact_twap.py (X5) flips the sign instead: 1e4*(1 - vwap/mid).
+    # mid=100, vwap=99 -> 101.0101... vs 100.0 exactly.
+    from market_microstructure_toolkit_spark.operators.impact import (
+        _slip_bps,
+        _slip_bps_naive,
+    )
+
+    assert _slip_bps_naive(99.0, 100.0, "sell") == pytest.approx(
+        1e4 * (100.0 / 99.0 - 1.0)
+    )
+    assert _slip_bps(99.0, 100.0, "sell") == pytest.approx(100.0)
+    # buy side agrees between the two files
+    assert _slip_bps_naive(101.0, 100.0, "buy") == _slip_bps(101.0, 100.0, "buy")
+    # reference _bps guards: sell with vwap==0 has no defined slippage
+    assert _slip_bps_naive(0.0, 100.0, "sell") is None
+
+
+def test_sell_sim_uses_naive_convention(spark):
+    from tests.test_row_metrics import _book_df, _fake_row
+
+    df = _book_df(spark, [_fake_row()], 3)
+    s = simulate_vwap_onbook(df, side="sell", total_qty=0.5, depth=3).collect()[0]
+    mid = (100.0 + 100.1) / 2  # _fake_row defaults: best_bid=100.0, best_ask=100.1
+    vwap = s["vwap"]
+    assert s["slippage_bps_vs_mid_open"] == pytest.approx(1e4 * (mid / vwap - 1.0))

@@ -188,3 +188,10 @@ def test_slice_indices_matches_linspace():
     for n, k in [(60, 20), (100, 7), (5, 10), (1, 3)]:
         exp = sorted({int(round(v)) for v in np.linspace(0, n - 1, k)})
         assert W.slice_indices(n, k) == exp
+
+
+def test_slice_indices_single_slice_returns_last():
+    # reference impact.py:219-220: slices <= 1 -> [df.index[-1]]
+    assert W.slice_indices(10, 1) == [9]
+    assert W.slice_indices(10, 0) == [9]
+    assert W.slice_indices(0, 1) == []
