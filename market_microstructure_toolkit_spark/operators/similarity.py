@@ -52,12 +52,14 @@ def cosine_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
-def sign_bucket(vec: Column | str, n_bits: int = 8) -> Column:
-    """Sign-pattern bucket id over the first ``n_bits`` coordinates:
-    sum of 2^i over coordinates with value > 0."""
+def sign_bucket(vec: Column | str, n_bits: int = 8, offset: int = 0) -> Column:
+    """Sign-pattern bucket id over ``n_bits`` coordinates starting at
+    ``offset``: sum of 2^i over coordinates with value > 0."""
     v = F.col(vec) if isinstance(vec, str) else vec
     terms = [
-        F.when(F.element_at(v, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        F.when(F.element_at(v, offset + i + 1) > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
         for i in range(n_bits)
     ]
     out = terms[0]
@@ -93,5 +95,86 @@ def lsh_bucketed_pairs(
             F.col("a.bucket").alias("bucket"),
             cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
         )
+        .filter(F.col("cos_sim") >= min_cosine)
+    )
+
+
+def lsh_banded_pairs(
+    df: DataFrame,
+    bits_per_band: int = 8,
+    n_bands: int = 4,
+    min_cosine: float = 0.0,
+    max_bucket: int | None = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded multi-probe sign-LSH: the 100 TB candidate generator.
+
+    Band j buckets on the sign pattern of coordinates
+    ``[j*bits_per_band, (j+1)*bits_per_band)``; a pair is a candidate if
+    it collides in ANY band (union, dedup'd). Versus the single-band
+    variant this fixes both scale gaps:
+
+    - Parallelism / pair volume: the shuffle keys on (band, bucket) —
+      ``n_bands * 2^bits_per_band`` keys (4x8 -> 1024) instead of 2^8 =
+      256 global buckets, and each +1 bit halves expected bucket size.
+      At larger corpora raise ``bits_per_band``: pair work scales with
+      sum over buckets of |bucket|^2, so bucket occupancy — not corpus
+      size — sets the join cost.
+    - Hot buckets: ``max_bucket`` drops (band, bucket) groups larger
+      than the cap BEFORE the self-join (a degenerate bucket of d
+      near-identical vectors fans d^2/2 rows; such clusters belong to
+      exact/MinHash dedup, not ANN candidate generation). Same hot-key
+      guard as winnow/ngram dedup.
+
+    Recall control: collide-in-any-band makes false negatives fall
+    exponentially with ``n_bands`` (same geometry as the MinHash band
+    construction, reference parity: dedup.py banding).
+
+    Returns (id_a < id_b, cos_sim >= min_cosine), scored by exact cosine
+    once per surviving pair.
+    """
+    v = as_double(vec_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                sign_bucket(v, bits_per_band, j * bits_per_band).alias(
+                    "bucket"
+                ),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    keyed = df.select(
+        F.col(id_col), v.alias("v"), F.explode(bands).alias("bb")
+    ).select(id_col, "v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket is not None:
+        ok = (
+            keyed.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("band", "bucket")
+        )
+        keyed = keyed.join(ok, ["band", "bucket"])
+    a, b = keyed.alias("a"), keyed.alias("b")
+    scored = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+    )
+    # a pair colliding in k bands appears k times with an identical score;
+    # min() dedups deterministically without a second join
+    return (
+        scored.groupBy("id_a", "id_b")
+        .agg(F.min("cos_sim").alias("cos_sim"))
         .filter(F.col("cos_sim") >= min_cosine)
     )

@@ -1283,42 +1283,62 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LSH_PAIRS_SQL = """
-WITH keyed AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-    + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-    + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
-    + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
-    + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
-    + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
-    + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
-    + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
-  FROM embeddings
+def _lsh_band_sql(band: int, bits: int = 8) -> str:
+    off = band * bits
+    bucket = "\n    + ".join(
+        f"(CASE WHEN embedding[{off + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return (
+        f"  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {band} AS band,\n"
+        f"    {bucket} AS bucket\n  FROM embeddings"
+    )
+
+
+_LSH_PAIRS_SQL = (
+    "WITH keyed AS (\n"
+    + "\n  UNION ALL\n".join(_lsh_band_sql(j) for j in range(4))
+    + """
+),
+ok AS (SELECT band, bucket FROM keyed GROUP BY band, bucket
+       HAVING COUNT(*) <= 1000),
+k2 AS (SELECT keyed.vec_id, keyed.v, keyed.band, keyed.bucket
+       FROM keyed JOIN ok USING (band, bucket)),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM k2 a JOIN k2 b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
-       ROUND(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-             6) AS cos_sim
-FROM keyed a JOIN keyed b
-  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+SELECT p.id_a, p.id_b,
+       ROUND(list_dot_product(ea.v, eb.v)
+             / (sqrt(list_dot_product(ea.v, ea.v))
+                * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos_sim
+FROM pairs p
+JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) ea
+  ON ea.vec_id = p.id_a
+JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) eb
+  ON eb.vec_id = p.id_b
 """
+)
 
 
 @register("similarity_lsh_pairs", _LSH_PAIRS_SQL)
 def q_similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN: bucket on the sign pattern of 8 coordinates,
-    exact-cosine only WITHIN buckets — the |bucket|^2-instead-of-n^2 scale
-    path (an IVF coarse quantizer slots into the same plan shape)."""
+    """Banded sign-LSH ANN candidates: 4 bands x 8 sign bits over distinct
+    coordinate blocks, exact-cosine only WITHIN (band, bucket) groups,
+    pairs dedup'd across bands — |bucket|^2-instead-of-n^2 with 1024
+    shuffle keys instead of 256 global buckets, plus the max_bucket
+    hot-bucket guard (an IVF coarse quantizer slots into the same plan
+    shape)."""
     from market_microstructure_toolkit_spark.operators.similarity import (
-        lsh_bucketed_pairs,
+        lsh_banded_pairs,
     )
 
     emb = _emb(spark, sf_dir)
-    out = lsh_bucketed_pairs(emb, n_bits=8, min_cosine=-2.0)
-    return out.select(
-        "id_a", "id_b", "bucket", F.round("cos_sim", 6).alias("cos_sim")
+    out = lsh_banded_pairs(
+        emb, bits_per_band=8, n_bands=4, min_cosine=-2.0, max_bucket=1000
     )
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
 _FRAME_SAMPLE_SQL = """
@@ -2366,23 +2386,38 @@ FROM o, n
 def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete quantiles (order statistics, rank = ceil(q*n)) of
     document length — integer answers, engine-exact, unlike interpolated
-    percentile_cont whose float formula differs across engines. The
-    global row_number runs over a single pruned BIGINT column; at
-    100 TB swap the sort for approx_percentile or a two-pass
-    count-then-select-by-rank over a range-partitioned sort."""
+    percentile_cont whose float formula differs across engines.
+
+    Scale shape: NO global row sort. Pass 1 compresses the corpus to a
+    value histogram (groupBy(len) — a distributed shuffle keyed on the
+    value); pass 2 runs the cumulative count over the DISTINCT lengths
+    only, a domain bounded by max document length (thousands of rows at
+    any corpus size), so the one unpartitioned window touches a
+    provably tiny table. The order statistic at rank r is then the
+    smallest len whose cumulative count reaches r."""
     docs = _docs(spark, sf_dir)
-    l = docs.select(F.length("text").alias("len"))
-    o = l.select(
-        "len", F.row_number().over(Window.orderBy("len")).alias("rn")
-    ).crossJoin(l.agg(F.count(F.lit(1)).alias("c")))
-    pick = lambda q: F.max(  # noqa: E731
-        F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("c")).cast("long"), F.col("len"))
+    hist = (
+        docs.select(F.length("text").alias("len"))
+        .groupBy("len")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    return o.agg(
+    wcum = Window.orderBy("len").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "len", F.sum("cnt").over(wcum).alias("cum")
+    ).crossJoin(hist.agg(F.sum("cnt").alias("c")))
+    pick = lambda q: F.min(  # noqa: E731
+        F.when(
+            F.col("cum") >= F.ceil(F.lit(q) * F.col("c")).cast("long"),
+            F.col("len"),
+        )
+    )
+    return cum.agg(
         pick(0.50).alias("p50"),
         pick(0.90).alias("p90"),
         pick(0.99).alias("p99"),
-        F.max(F.when(F.col("rn") == F.col("c"), F.col("len"))).alias("p100"),
+        F.max("len").alias("p100"),
     )
 
 

@@ -337,3 +337,31 @@ def test_dedup_clusters_transitive_and_singleton(spark):
         for r in D.dedup_clusters(docs, pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
+def test_lsh_banded_pairs_unions_bands_and_dedups(spark):
+    # 16-dim vectors, 2 bands x 8 bits. v1/v2 agree in band 0 only;
+    # v1/v3 agree in both bands (pair must still appear ONCE).
+    base = [1.0] * 16
+    v2 = [0.5] * 8 + [-1.0] * 8
+    v3 = [2.0] * 16
+    df = emb_df(spark, [(1, base), (2, v2), (3, v3)])
+    out = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in SIM.lsh_banded_pairs(
+            df, bits_per_band=8, n_bands=2, min_cosine=-2.0, max_bucket=None
+        ).collect()
+    }
+    assert (1, 2) in out and (1, 3) in out and (2, 3) in out
+    assert len(out) == 3
+    assert out[(1, 3)] == pytest.approx(1.0)
+
+
+def test_lsh_banded_max_bucket_drops_hot_buckets(spark):
+    # 5 identical vectors -> every (band, bucket) group has 5 members;
+    # cap 4 must eliminate all candidate pairs.
+    df = emb_df(spark, [(i, [1.0] * 16) for i in range(5)])
+    out = SIM.lsh_banded_pairs(
+        df, bits_per_band=8, n_bands=2, min_cosine=-2.0, max_bucket=4
+    )
+    assert out.count() == 0

@@ -128,3 +128,12 @@ def test_window_metrics_single_exchange(spark, sf_dir):
     # all series metrics share one instrument-keyed shuffle
     plan = _plan(spark, sf_dir, "book_ofi_strict")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_lsh_banded_join_is_bucket_keyed_not_cartesian(spark, sf_dir):
+    # the candidate join must shuffle on (band, bucket) keys — never a
+    # cartesian/broadcast-nested-loop over all vector pairs
+    plan = _plan(spark, sf_dir, "similarity_lsh_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan and "bucket" in plan
