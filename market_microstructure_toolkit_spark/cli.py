@@ -184,6 +184,62 @@ def cmd_depth_stats(args) -> None:
     _write(out, args.out or _default_out(args.input, "_depth_stats"))
 
 
+def cmd_plot(args) -> None:
+    """mmt-plot (plot_cli.py:188-262): mid/microprice, spread bps, L1 OFI
+    (+cum), rolling RV, depth-K OFI figures. Series computed Spark-side,
+    stride-downsampled, rendered per figure (CSV fallback sans
+    matplotlib)."""
+    from market_microstructure_toolkit_spark.plotting import (
+        compute_plot_tables,
+        render,
+    )
+
+    spark = get_spark("mmt-plot")
+    df, depth = _read_any(spark, args.input, args.depth)
+    if args.tail:
+        from market_microstructure_toolkit_spark.operators.window_metrics import (
+            tail_n,
+        )
+
+        df = tail_n(df, args.tail)
+    tables = compute_plot_tables(
+        df, depth, rv_window=args.rv_window, max_points=args.max_points
+    )
+    outdir = args.outdir or str(Path("plots") / Path(args.input).stem)
+    for p in render(tables, outdir):
+        print(f"wrote {p}")
+
+
+def cmd_plot_adv(args) -> None:
+    """mmt-plot-adv (advanced_plots.py:275-337): spread histogram,
+    microprice premium, OFI-vs-returns rolling corr, event-time RV,
+    depth curve, depth slope."""
+    from market_microstructure_toolkit_spark.plotting import (
+        compute_advanced_tables,
+        render,
+    )
+
+    spark = get_spark("mmt-plot-adv")
+    df, depth = _read_any(spark, args.input, args.depth)
+    if args.tail:
+        from market_microstructure_toolkit_spark.operators.window_metrics import (
+            tail_n,
+        )
+
+        df = tail_n(df, args.tail)
+    tables = compute_advanced_tables(
+        df,
+        depth,
+        depth_k=args.depth_k,
+        rv_window=args.rv_window,
+        corr_window=args.corr_window,
+        max_points=args.max_points,
+    )
+    outdir = args.outdir or str(Path("plots") / Path(args.input).stem)
+    for p in render(tables, outdir):
+        print(f"wrote {p}")
+
+
 def cmd_record_replay(args) -> None:
     """mmt-record / mmt-ws-record batch analog: replay a directory of
     snapshot files through the checkpointed streaming recorder
@@ -270,6 +326,26 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--depth", type=int)
     d.add_argument("--out")
     d.set_defaults(fn=cmd_depth_stats)
+
+    pl = sub.add_parser("plot", help="basic metric figures (mmt-plot)")
+    pl.add_argument("input")
+    pl.add_argument("--depth", type=int)
+    pl.add_argument("--rv-window", type=int, default=20)
+    pl.add_argument("--tail", type=int)
+    pl.add_argument("--max-points", type=int, default=20_000)
+    pl.add_argument("--outdir")
+    pl.set_defaults(fn=cmd_plot)
+
+    pa = sub.add_parser("plot-adv", help="advanced analytics figures (mmt-plot-adv)")
+    pa.add_argument("input")
+    pa.add_argument("--depth", type=int)
+    pa.add_argument("--depth-k", type=int, default=10)
+    pa.add_argument("--rv-window", type=int, default=100)
+    pa.add_argument("--corr-window", type=int, default=100)
+    pa.add_argument("--tail", type=int)
+    pa.add_argument("--max-points", type=int, default=20_000)
+    pa.add_argument("--outdir")
+    pa.set_defaults(fn=cmd_plot_adv)
 
     r = sub.add_parser("record-replay", help="streaming recorder replay")
     r.add_argument("input")

@@ -125,6 +125,21 @@ def _series_order(df: DataFrame) -> list[str]:
     return ["ts_ms", "raw_nonce"] if "raw_nonce" in df.columns else ["ts_ms"]
 
 
+def _require_single_series(df: DataFrame) -> None:
+    """The simulators take ONE recording (single instrument) — the
+    reference's unit of work (each CLI run loads one recorded file). A
+    merged multi-instrument frame would silently interleave books into
+    meaningless schedules, so fail fast instead; callers filter (or loop
+    instruments driver-side) first. Cost: one tiny distinct-limit job.
+    """
+    keys = _series_keys(df)
+    if keys and df.select(*keys).distinct().limit(2).count() > 1:
+        raise ValueError(
+            "impact simulators take a single-instrument recording; "
+            f"filter {keys} before simulating (got multiple series)"
+        )
+
+
 def _numbered(df: DataFrame) -> DataFrame:
     """Attach 0-based positional index over the time-ordered series.
 
@@ -205,6 +220,7 @@ def simulate_twap_naive(
     ladder inside one codegen stage); only the O(slices) summary reduces.
     """
     assert side in ("buy", "sell")
+    _require_single_series(df)
     n = df.count()
     picks = _linspace_picks(n, slices)
     if not picks:
@@ -272,6 +288,7 @@ def simulate_vwap_onbook(
 ) -> DataFrame:
     """One-shot walk of the FIRST snapshot; mids from first/last rows."""
     assert side in ("buy", "sell")
+    _require_single_series(df)
     n = df.count()
     if n == 0:
         return df.sparkSession.createDataFrame([], "side string")
@@ -340,6 +357,7 @@ def simulate_twap_real(df: DataFrame, cfg: TwapConfig) -> tuple[DataFrame, DataF
     ties toward the LATER row, so the rank orders (abs_delta, ts desc).
     """
     assert cfg.side in ("buy", "sell")
+    _require_single_series(df)
     sizes = _slice_sizes(cfg)
     if not sizes:
         raise ValueError("No slices generated")
@@ -504,6 +522,7 @@ def simulate_vwap_real(df: DataFrame, cfg: VwapConfig) -> tuple[DataFrame, DataF
     runs driver-side — bounded by config, correct at any data scale.
     """
     assert cfg.side in ("buy", "sell")
+    _require_single_series(df)
     n = df.count()
     if n == 0:
         raise ValueError("Empty dataframe")

@@ -21,6 +21,13 @@ def book_files(spark, sf_dir, tmp_path_factory):
     book = synthetic_book(spark, sf_dir)
     book.coalesce(1).write.parquet(str(d / "book.parquet"))
     write_book_csv(book.coalesce(1), str(d / "book.csv"))
+    # a single recording (one instrument) — what the reference's impact
+    # CLIs load; the simulators reject merged multi-instrument frames
+    from pyspark.sql import functions as F
+
+    book.filter(F.col("symbol") == "S0").coalesce(1).write.parquet(
+        str(d / "book_s0.parquet")
+    )
     return d
 
 
@@ -54,7 +61,7 @@ def test_event_metrics_cmd(spark, book_files, tmp_path):
 def test_impact_cmd(book_files, capsys):
     assert (
         main(
-            ["impact", str(book_files / "book.parquet"),
+            ["impact", str(book_files / "book_s0.parquet"),
              "--qty", "5", "--slices", "4"]
         )
         == 0
@@ -68,7 +75,7 @@ def test_impact_twap_cmd(spark, book_files, tmp_path, capsys):
     slices_out = str(tmp_path / "slices.parquet")
     summary_out = str(tmp_path / "summary.csv")
     argv = [
-        "impact-twap", str(book_files / "book.parquet"),
+        "impact-twap", str(book_files / "book_s0.parquet"),
         "--qty", "5", "--slices", "4", "--jitter-ms", "100",
         "--schedule", "stochastic", "--seed", "11",
         "--per-slice-out", slices_out, "--summary-out", summary_out,
@@ -85,7 +92,7 @@ def test_impact_vwap_cmd(spark, book_files, tmp_path, capsys):
     slices_out = str(tmp_path / "vslices.parquet")
     assert (
         main(
-            ["impact-vwap", str(book_files / "book.parquet"),
+            ["impact-vwap", str(book_files / "book_s0.parquet"),
              "--qty", "5", "--slices", "6", "--fee-bps", "10",
              "--per-slice-out", slices_out]
         )
@@ -117,3 +124,39 @@ def test_depth_stats_cmd(spark, book_files, tmp_path):
     assert {"side", "level", "avg_size", "size_slope"} <= set(got.columns)
     # 2 sides x 5 levels x 4 symbols
     assert got.count() == 40
+
+
+def test_plot_cmd_writes_figures(spark, book_files, tmp_path):
+    # matplotlib absent in this container -> CSV-fallback per figure; the
+    # Spark compute path (metrics + OFI + RV + depth-K OFI) runs for real
+    outdir = tmp_path / "figs"
+    assert (
+        main(
+            ["plot", str(book_files / "book.parquet"),
+             "--outdir", str(outdir), "--max-points", "500"]
+        )
+        == 0
+    )
+    names = {p.stem for p in outdir.iterdir()}
+    assert {"mid_micro", "spread_bps", "ofi", "ofi_cum", "rv",
+            "ofi_k5_size", "ofi_k5_notional"} <= names
+    import csv
+
+    with open(next(outdir.glob("mid_micro.*"))) as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["t", "mid", "microprice"]
+    assert 1 < len(rows) <= 4 * 500 + 1  # stride cap per instrument
+
+
+def test_plot_adv_cmd_writes_figures(spark, book_files, tmp_path):
+    outdir = tmp_path / "figs_adv"
+    assert (
+        main(
+            ["plot-adv", str(book_files / "book.parquet"),
+             "--outdir", str(outdir), "--max-points", "300"]
+        )
+        == 0
+    )
+    names = {p.stem for p in outdir.iterdir()}
+    assert {"spread_hist", "micro_premium", "ofi_vs_returns", "rv_event",
+            "depth_curve", "depth_slope"} == names

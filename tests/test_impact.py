@@ -189,3 +189,11 @@ def test_sell_sim_uses_naive_convention(spark):
     mid = (100.0 + 100.1) / 2  # _fake_row defaults: best_bid=100.0, best_ask=100.1
     vwap = s["vwap"]
     assert s["slippage_bps_vs_mid_open"] == pytest.approx(1e4 * (mid / vwap - 1.0))
+
+
+def test_simulators_reject_multi_instrument_frames(spark, eth):
+    from pyspark.sql import functions as F
+
+    merged = eth.union(eth.withColumn("symbol", F.lit("OTHER/USDT")))
+    with pytest.raises(ValueError, match="single-instrument"):
+        simulate_twap_naive(merged, "buy", 1.0, 2, 3)

@@ -96,3 +96,33 @@ def test_iso_utc_format(spark):
     df = spark.createDataFrame([(1704067200123,)], "ts_ms long")
     out = df.select(iso_utc(F.col("ts_ms")).alias("iso")).first()["iso"]
     assert out.startswith("2024-01-01T00:00:00.123")
+
+
+def test_setup_logging_creates_file_and_propagates(tmp_path):
+    # reference tests/test_setup_log.py:39 analog: file handler lands in
+    # log_dir, module loggers propagate to it, and re-calling does not
+    # stack handlers
+    import logging
+
+    from market_microstructure_toolkit_spark.logsetup import setup_logging
+
+    root = logging.getLogger()
+    saved = list(root.handlers)
+    try:
+        setup_logging(log_dir=str(tmp_path), name="unit")
+        # re-running must replace, not stack, handlers (and truncates the
+        # file — reference mode="w" semantics)
+        log = setup_logging(log_dir=str(tmp_path), name="unit")
+        assert len(root.handlers) == 2
+        log.info("hello-from-test")
+        logging.getLogger("some.module").info("child-message")
+        for h in root.handlers:
+            h.flush()
+        text = (tmp_path / "unit.log").read_text()
+        assert "hello-from-test" in text and "child-message" in text
+    finally:
+        for h in list(root.handlers):
+            root.removeHandler(h)
+            h.close()
+        for h in saved:
+            root.addHandler(h)
