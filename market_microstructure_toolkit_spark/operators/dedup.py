@@ -403,9 +403,11 @@ def dedup_clusters(
             .groupBy("dst")
             .agg(F.min("lab").alias("nlab"))
         )
-        # lazy checkpoint: the convergence count below materializes (and
-        # caches) this round's labels in the SAME job, so each round costs
-        # one job instead of an eager-checkpoint job plus a count job
+        # eager checkpoint: materializes the round fully in one job; the
+        # short-circuit convergence count then reads checkpointed blocks.
+        # (A lazy checkpoint is a trap here — limit(1) only materializes
+        # the partitions it touches, so later rounds recompute the rest
+        # through the un-truncated lineage; measured slower at sf0.1.)
         new = (
             labels.join(nbr, labels.id == nbr.dst, "left")
             .select(
@@ -413,7 +415,7 @@ def dedup_clusters(
                 F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
                 (F.col("nlab") < F.col("lab")).alias("__chg"),
             )
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint()
         changed = new.filter(F.col("__chg")).limit(1).count()
         labels = new.drop("__chg")
         if changed == 0:
