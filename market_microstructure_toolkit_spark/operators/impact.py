@@ -293,15 +293,17 @@ def simulate_vwap_onbook(
     if n == 0:
         return df.sparkSession.createDataFrame([], "side string")
     # min-ts row via TakeOrderedAndProject (distributed top-1), not a
-    # single-partition row_number window
-    first = df.orderBy("ts_ms").limit(1)
+    # single-partition row_number window; full (ts_ms, raw_nonce) order so
+    # millisecond-tied rows don't make the pick nondeterministic
+    order = _series_order(df)
+    first = df.orderBy(*order).limit(1)
     walked = _slice_table(first, side, F.lit(float(total_qty)), depth, "skip")
     row = walked.select(
         "ts_ms", _iso_expr(walked).alias("iso"), "filled_qty", "fill_cost",
         "levels_touched", "__mid"
     ).collect()[0]
     mid_close = (
-        df.orderBy(F.col("ts_ms").desc())
+        df.orderBy(*[F.col(c).desc() for c in order])
         .limit(1)
         .select(_mid_col().alias("m"))
         .collect()[0]["m"]

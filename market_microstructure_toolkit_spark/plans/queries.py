@@ -955,43 +955,66 @@ def q_book_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Execution simulation (X1-X6): distributed book walk + simulator surfaces
 # ---------------------------------------------------------------------------
 
-def _walk_sql(qty: float, depth: int) -> str:
-    """Unrolled greedy fill over `depth` ask levels (X2 as closed-form SQL).
+def _walk_exprs(
+    qty_sql: str, depth: int, prefix: str = "", blank: str = "skip"
+) -> dict[str, str]:
+    """Closed-form greedy ladder fill as SQL expression strings (X2).
 
     take_i = least(greatest(qty - cum_{i-1}, 0), avail_i) with cum the
     running sum of valid-level sizes — the same closed form the Spark
-    ``walk_book`` aggregate computes. Sizes are exact quarters so fills
-    are exact; cost adds 0.0 for invalid levels (exact identity).
+    ``walk_book`` aggregate computes. ``blank='skip'`` zeroes invalid
+    levels and continues (impact.py:74-108); ``blank='stop'`` truncates
+    at the first invalid level (impact_twap.py:65-98) by requiring the
+    whole prefix to be valid. Sizes are exact quarters so fills are
+    exact; cost adds 0.0 for skipped levels (exact identity). ``qty_sql``
+    may be any scalar SQL expression (literal, column, or subquery) —
+    each take references it verbatim.
     """
-    valid = [
-        f"(ask{i}_price IS NOT NULL AND ask{i}_size IS NOT NULL AND ask{i}_size > 0)"
+    p = prefix
+    lvl_valid = [
+        f"({p}ask{i}_price IS NOT NULL AND {p}ask{i}_size IS NOT NULL"
+        f" AND {p}ask{i}_size > 0)"
         for i in range(1, depth + 1)
     ]
+    if blank == "stop":
+        # prefix-AND: level i only usable when levels 1..i are all valid
+        valid = []
+        for i in range(depth):
+            valid.append(lvl_valid[i] if i == 0 else f"({valid[i-1]} AND {lvl_valid[i]})")
+    else:
+        valid = lvl_valid
     avail = [
-        f"CASE WHEN {valid[i - 1]} THEN ask{i}_size ELSE 0.0 END"
+        f"CASE WHEN {valid[i - 1]} THEN {p}ask{i}_size ELSE 0.0 END"
         for i in range(1, depth + 1)
     ]
     cum = ["0.0"]
     for i in range(1, depth):
         cum.append(f"({cum[-1]} + {avail[i - 1]})")
     take = [
-        f"LEAST(GREATEST({qty!r} - {cum[i - 1]}, 0.0), {avail[i - 1]})"
+        f"LEAST(GREATEST(({qty_sql}) - {cum[i - 1]}, 0.0), {avail[i - 1]})"
         for i in range(1, depth + 1)
     ]
     filled = " + ".join(take)
     cost = " + ".join(
-        f"CASE WHEN {valid[i - 1]} THEN ({take[i - 1]}) * ask{i}_price ELSE 0.0 END"
+        f"CASE WHEN {valid[i - 1]} THEN ({take[i - 1]}) * {p}ask{i}_price ELSE 0.0 END"
         for i in range(1, depth + 1)
     )
     touched = " + ".join(
         f"CASE WHEN ({take[i - 1]}) > 0 THEN 1 ELSE 0 END"
         for i in range(1, depth + 1)
     )
+    return {"filled": filled, "cost": cost, "touched": touched}
+
+
+def _walk_sql(qty: float, depth: int) -> str:
+    """X2 walk of every snapshot's ask ladder (skip-blank) as one scan."""
+    w = _walk_exprs(repr(qty), depth)
     return (
         f"SELECT exchange_id, symbol, ts_ms, raw_nonce,\n"
-        f"  {filled} AS filled_qty,\n"
-        f"  CASE WHEN ({filled}) > 0 THEN ({cost}) / ({filled}) END AS fill_vwap,\n"
-        f"  {touched} AS levels_touched\n"
+        f"  {w['filled']} AS filled_qty,\n"
+        f"  CASE WHEN ({w['filled']}) > 0 THEN ({w['cost']}) / ({w['filled']}) END"
+        f" AS fill_vwap,\n"
+        f"  {w['touched']} AS levels_touched\n"
         f"FROM book"
     )
 
@@ -1023,11 +1046,45 @@ def q_book_walk_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("twap_naive_sim", None)
+def _twap_naive_sql() -> str:
+    """X3 oracle: linspace picks (round-half-even, matching Python's
+    ``round``) -> closed-form skip-blank walk at qty total/len(picks).
+
+    Arithmetic mirrors simulate_twap_naive op-for-op: step is computed
+    FIRST ((n-1)/(slices-1)) then multiplied by i, and slice_qty divides
+    by the DISTINCT pick count — both in IEEE doubles, so values are
+    bit-identical to the Spark side.
+    """
+    w = _walk_exprs("sq", BOOK_DEPTH)
+    return f"""{_BOOK_CTE},
+s0 AS (SELECT * FROM book WHERE symbol = 'S0'),
+nn AS (SELECT COUNT(*) AS n FROM s0),
+picks AS (
+  SELECT DISTINCT CAST(round_even(i * ((n - 1) / CAST(19 AS DOUBLE)), 0) AS BIGINT) AS pos
+  FROM generate_series(0, 19) t(i), nn
+),
+np AS (SELECT COUNT(*) AS k FROM picks),
+numbered AS (
+  SELECT *, row_number() OVER (ORDER BY ts_ms, raw_nonce) - 1 AS pos FROM s0
+),
+picked AS (
+  SELECT r.*, (40.0 / CAST(np.k AS DOUBLE)) AS sq FROM numbered r JOIN picks USING (pos), np
+)
+SELECT CAST(row_number() OVER (ORDER BY pos) AS INTEGER) AS slice,
+  ts_ms,
+  CAST(NULL AS VARCHAR) AS iso,
+  {w['filled']} AS filled_qty,
+  sq AS slice_target_qty,
+  CASE WHEN ({w['filled']}) > 0 THEN ({w['cost']}) / ({w['filled']}) END AS slice_vwap,
+  {w['touched']} AS levels_touched
+FROM picked"""
+
+
+@register("twap_naive_sim", _twap_naive_sql())
 def q_twap_naive_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 naive TWAP per-slice table on one instrument's series (rows-only
-    check; cross-validated against the reference's shipped golden oracle in
-    tests/test_impact.py)."""
+    """X3 naive TWAP per-slice table on one instrument's series; also
+    cross-validated against the reference's shipped golden oracle in
+    tests/test_impact.py."""
     from market_microstructure_toolkit_spark.operators.impact import simulate_twap_naive
 
     book = synthetic_book(spark, sf_dir).filter(F.col("symbol") == "S0")
@@ -1035,10 +1092,99 @@ def q_twap_naive_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_slice
 
 
-@register("vwap_carry_sim", None)
+def _vwap_carry_sql() -> str:
+    """X6 oracle: the full carry recurrence as a recursive CTE.
+
+    Mirrors simulate_vwap_real op-for-op for the gate config (buy,
+    target 100.0, 24 slices, depth 5, topk_sum proxy): bucket picks via
+    round-half-even of s*slices/n, proxy weights as exact quarter sums,
+    per-slice size 100.0*(w/total), a SEQUENTIAL left-to-right size sum
+    for the drift correction (double addition is order-sensitive), the
+    first-argmax drift target, and slice k's desired = size_k +
+    carry_{k-1} with the closed-form skip-blank walk. 24 recursion steps
+    — config-sized, like the driver-side loop it checks.
+    """
+    depth = BOOK_DEPTH
+    valid = [
+        f"(r.ask{i}_price IS NOT NULL AND r.ask{i}_size IS NOT NULL"
+        f" AND r.ask{i}_size > 0)"
+        for i in range(1, depth + 1)
+    ]
+    proxy = " + ".join(
+        f"CASE WHEN {v} THEN r.ask{i}_size ELSE 0.0 END"
+        for i, v in enumerate(valid, start=1)
+    )
+    w = _walk_exprs("r.sz + rec.carry", depth, prefix="r.")
+    ask_cols = ", ".join(
+        f"ask{i}_price, ask{i}_size" for i in range(1, depth + 1)
+    )
+    return f"""{_BOOK_CTE.replace("WITH ", "WITH RECURSIVE ")},
+s0 AS (SELECT * FROM book WHERE symbol = 'S0'),
+nn AS (SELECT COUNT(*) AS n FROM s0),
+numbered AS (
+  SELECT *, row_number() OVER (ORDER BY ts_ms, raw_nonce) - 1 AS pos FROM s0
+),
+sl AS (
+  SELECT s, LEAST(GREATEST(CAST(round_even(s * 24 / CAST(n AS DOUBLE), 0) AS BIGINT), 0), n - 1) AS pos
+  FROM generate_series(0, 23) t(s), nn
+),
+picked AS (SELECT sl.s, r.* FROM sl JOIN numbered r ON r.pos = sl.pos),
+prox AS (
+  SELECT s, GREATEST(0.0, {proxy.replace('r.', '')}) AS w,
+         (best_bid + best_ask) / 2.0 AS mid, ts_ms, {ask_cols}
+  FROM picked
+),
+tot AS (SELECT SUM(w) AS total FROM prox),
+sz0 AS (
+  SELECT s, CASE WHEN total <= 0 THEN 100.0 / 24 ELSE 100.0 * (w / total) END AS sz
+  FROM prox, tot
+),
+ssum(s, acc) AS (
+  SELECT 0, (SELECT sz FROM sz0 WHERE s = 0)
+  UNION ALL
+  SELECT ssum.s + 1, ssum.acc + (SELECT sz FROM sz0 WHERE sz0.s = ssum.s + 1)
+  FROM ssum WHERE ssum.s < 23
+),
+errv AS (SELECT 100.0 - acc AS err FROM ssum WHERE s = 23),
+jmax AS (SELECT s AS j FROM sz0 ORDER BY sz DESC, s LIMIT 1),
+rows_ AS (
+  SELECT p.s + 1 AS sn, p.mid, p.ts_ms, {ask_cols},
+         z.sz + CASE WHEN abs(e.err) > 1e-9 AND p.s = m.j THEN e.err ELSE 0.0 END AS sz
+  FROM prox p JOIN sz0 z ON z.s = p.s, errv e, jmax m
+),
+rec(s, carry, slice_target, desired, filled, cost, touched, mid, ts_ms) AS (
+  SELECT CAST(0 AS INTEGER), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+         CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+         0, CAST(0.0 AS DOUBLE), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT CAST(r.sn AS INTEGER),
+         GREATEST(0.0, (r.sz + rec.carry) - ({w['filled']})),
+         r.sz,
+         r.sz + rec.carry,
+         {w['filled']},
+         {w['cost']},
+         {w['touched']},
+         r.mid, r.ts_ms
+  FROM rec JOIN rows_ r ON r.sn = rec.s + 1
+)
+SELECT s AS slice, ts_ms, '' AS iso,
+  slice_target AS slice_target_qty,
+  desired AS desired_qty_incl_carry,
+  filled AS filled_qty,
+  CASE WHEN filled > 0 THEN cost / filled ELSE CAST('nan' AS DOUBLE) END AS slice_vwap,
+  CAST(touched AS INTEGER) AS levels_touched,
+  mid,
+  CASE WHEN mid <> 0 AND filled > 0
+       THEN (((cost / filled) - mid) / mid) * 1e4 END AS slippage_bps_vs_mid,
+  carry AS carry_to_next
+FROM rec WHERE s >= 1"""
+
+
+@register("vwap_carry_sim", _vwap_carry_sql())
 def q_vwap_carry_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X6 carry VWAP per-slice table (rows-only; golden-validated in
-    tests). Carry recurrence runs driver-side over <= slices rows."""
+    """X6 carry VWAP per-slice table; golden-validated in tests. Carry
+    recurrence runs driver-side over <= slices rows; the oracle replays
+    the same recurrence as a 24-step recursive CTE."""
     from market_microstructure_toolkit_spark.operators.impact import (
         VwapConfig,
         simulate_vwap_real,
@@ -2051,7 +2197,40 @@ def q_shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reference-golden unit tests in tests/test_impact.py)
 # ---------------------------------------------------------------------------
 
-@register("vwap_now_sim", None)
+def _vwap_now_sql() -> str:
+    """X4 oracle: walk the FIRST snapshot (full (ts_ms, raw_nonce) order)
+    for the whole qty; slippage in the naive X3/X4 convention
+    (1e4*(vwap/mid - 1) on the buy side)."""
+    w = _walk_exprs("25.0", BOOK_DEPTH)
+    return f"""{_BOOK_CTE},
+s0 AS (SELECT * FROM book WHERE symbol = 'S0'),
+frst AS (SELECT * FROM s0 ORDER BY ts_ms, raw_nonce LIMIT 1),
+lst AS (
+  SELECT (best_bid + best_ask) / 2.0 AS mid_close
+  FROM s0 ORDER BY ts_ms DESC, raw_nonce DESC LIMIT 1
+),
+w AS (
+  SELECT (best_bid + best_ask) / 2.0 AS mid_open,
+         {w['filled']} AS filled,
+         {w['cost']} AS cost,
+         {w['touched']} AS touched
+  FROM frst
+)
+SELECT 'buy' AS side,
+  25.0 AS target_qty,
+  filled AS filled_qty,
+  CASE WHEN filled > 0 THEN cost / filled END AS vwap,
+  cost AS notional,
+  CASE WHEN filled > 0 AND mid_open <> 0
+       THEN 1e4 * ((cost / filled) / mid_open - 1.0) END AS slippage_bps_vs_mid_open,
+  CASE WHEN filled > 0 AND mid_close <> 0
+       THEN 1e4 * ((cost / filled) / mid_close - 1.0) END AS slippage_bps_vs_mid_close,
+  CAST(1 AS INTEGER) AS slices,
+  CAST(touched AS INTEGER) AS levels_touched
+FROM w, lst"""
+
+
+@register("vwap_now_sim", _vwap_now_sql())
 def q_vwap_now_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: one-shot walk of the first snapshot (impact.py:324-396) —
     orderBy(ts).limit(1) -> array-fold walk -> one-row summary. One
@@ -2062,6 +2241,66 @@ def q_vwap_now_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     book = synthetic_book(spark, sf_dir).filter(F.col("symbol") == "S0")
     return simulate_vwap_onbook(book, "buy", 25.0, BOOK_DEPTH)
+
+
+def _twap_real_equal_sql() -> str:
+    """X5 oracle (equal schedule, no jitter): the deterministic half of the
+    realistic TWAP — round-half-even schedule positions ((i*(n-1))/15,
+    product before division like the Spark side), last-duplicate-wins
+    nearest-row match (max raw_nonce among rows sharing the target ts),
+    stop-at-first-blank walk, and buy-side fee uplift (1.0 + 2.0/1e4
+    written as the expression so the double matches the driver-computed
+    literal). The stochastic-schedule gate (twap_real_sim) exercises the
+    seeded-RNG path and stays rows-only: a Mersenne Twister draw is not
+    SQL-expressible; its goldens live in tests/test_impact.py.
+    """
+    w = _walk_exprs("CAST(2.5 AS DOUBLE)", BOOK_DEPTH, blank="stop")
+    return f"""{_BOOK_CTE},
+s0 AS (SELECT * FROM book WHERE symbol = 'S0'),
+nn AS (SELECT COUNT(*) AS n FROM s0),
+numbered AS (
+  SELECT *, row_number() OVER (ORDER BY ts_ms, raw_nonce) - 1 AS pos FROM s0
+),
+sl AS (
+  SELECT s, CAST(round_even((s - 1) * (n - 1) / CAST(15 AS DOUBLE), 0) AS BIGINT) AS pos
+  FROM generate_series(1, 16) t(s), nn
+),
+tsz AS (SELECT sl.s, r.ts_ms AS target_ts FROM sl JOIN numbered r USING (pos)),
+matched AS (
+  SELECT t.s AS slice, r.*
+  FROM tsz t JOIN numbered r ON r.ts_ms = t.target_ts
+  QUALIFY row_number() OVER (PARTITION BY t.s ORDER BY r.raw_nonce DESC) = 1
+)
+SELECT CAST(slice AS INTEGER) AS slice,
+  CAST(ts_ms AS BIGINT) AS ts_ms,
+  '' AS iso,
+  {w['filled']} AS filled_qty,
+  CAST(2.5 AS DOUBLE) AS slice_target_qty,
+  CASE WHEN ({w['filled']}) > 0
+       THEN GREATEST(({w['cost']}) * (1.0 + 2.0 / 1e4), 0.0) / ({w['filled']})
+       ELSE CAST('nan' AS DOUBLE) END AS slice_vwap,
+  {w['touched']} AS levels_touched
+FROM matched"""
+
+
+@register("twap_real_equal_sim", _twap_real_equal_sql())
+def q_twap_real_equal_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 realistic TWAP, equal schedule + zero jitter: the deterministic
+    path (schedule positions, nearest-row as-of with last-duplicate ties,
+    stop-at-first-blank walk, fees) is fully SQL-oracled; the seeded
+    stochastic path keeps its own rows-only gate below."""
+    from market_microstructure_toolkit_spark.operators.impact import (
+        TwapConfig,
+        simulate_twap_real,
+    )
+
+    book = synthetic_book(spark, sf_dir).filter(F.col("symbol") == "S0")
+    cfg = TwapConfig(
+        side="buy", target_qty=40.0, slices=16, fee_bps=2.0,
+        jitter_ms=0, schedule="equal", depth_cap=BOOK_DEPTH,
+    )
+    _, per_slice = simulate_twap_real(book, cfg)
+    return per_slice
 
 
 @register("twap_real_sim", None)
