@@ -2802,3 +2802,224 @@ def q_similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_overlap"),
         (F.count(F.lit(1)) / F.lit(10.0)).alias("recall_at_10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# I/O tier gates: CSV/Parquet sink+source roundtrips, formatting boundaries,
+# and the fixed-interval recorder sampling analog (SURVEY §2.1/§2.2)
+# ---------------------------------------------------------------------------
+
+def _csv_roundtrip_sql() -> str:
+    """S5+S7+P16+P17 oracle: the CSV boundary quantizes every double
+    through ``%.10f`` (then the source parses it back), so the oracle
+    applies the identical decimal quantization via DuckDB ``printf`` —
+    NULLs ride through as blanks on both sides."""
+    dbls = ["best_bid", "best_ask"] + [
+        f"{s}{i}_{f}"
+        for i in range(1, BOOK_DEPTH + 1)
+        for s in ("bid", "ask")
+        for f in ("price", "size")
+    ]
+    quant = ",\n  ".join(
+        f"CAST(printf('%.10f', {c}) AS DOUBLE) AS {c}" for c in dbls
+    )
+    return f"""{_BOOK_CTE}
+SELECT ts_ms, CAST(NULL AS VARCHAR) AS iso, exchange_id, symbol, book_level,
+  raw_nonce,
+  {quant}
+FROM book"""
+
+
+@register("book_csv_roundtrip", _csv_roundtrip_sql())
+def q_book_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 CSV sink -> S7 CSV source end-to-end: write the synthetic book
+    with %.10f float formatting and blank nulls (record.py:92-98), read
+    it back with ''->NULL + try_cast typing (metrics_cli.py:44-50,
+    _as_float_or_none P17). The returned frame is the round-tripped book
+    — hash-compared against the printf-quantized oracle, proving the
+    sink/source pair loses exactly the sub-1e-10 bits and nothing else."""
+    import tempfile
+
+    from market_microstructure_toolkit_spark.schema import book_header
+    from market_microstructure_toolkit_spark.sources.book_io import (
+        read_book_csv,
+        write_book_csv,
+    )
+
+    book = synthetic_book(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="mmt_csv_rt_")
+    write_book_csv(book, path)
+    back = read_book_csv(spark, path, BOOK_DEPTH)
+    return back.select(*book_header(BOOK_DEPTH))
+
+
+@register("book_parquet_roundtrip", f"{_BOOK_CTE} SELECT book.*, CAST(NULL AS VARCHAR) AS iso FROM book")
+def q_book_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 parquet sink -> S8 parquet source, hive-partitioned by symbol
+    (the recorder layout that lets downstream reads prune partitions at
+    scale). Parquet is lossless for doubles, so the oracle is the book
+    itself — any bit flip in the sink/source pair breaks the hash."""
+    import tempfile
+
+    from market_microstructure_toolkit_spark.sources.book_io import (
+        read_book_parquet,
+        write_book_parquet,
+    )
+
+    book = synthetic_book(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="mmt_pq_rt_")
+    write_book_parquet(book, path, partition_by=("symbol",))
+    back = read_book_parquet(spark, path)
+    return back.select(*book.columns).withColumn(
+        "iso", F.lit(None).cast("string")
+    )
+
+
+@register(
+    "iso_utc_format",
+    f"""{_BOOK_CTE}
+SELECT ts_ms, raw_nonce, symbol,
+  strftime(epoch_ms(ts_ms), '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS iso
+FROM book""",
+)
+def q_iso_utc_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15 ISO-8601 UTC formatting (snapshot.py:38-39) over every
+    snapshot timestamp — string-compared against DuckDB's strftime, so
+    the session-timezone independence the register wrapper enforces is
+    load-bearing here."""
+    from market_microstructure_toolkit_spark.functions.microstructure import iso_utc
+
+    book = synthetic_book(spark, sf_dir)
+    return book.select(
+        "ts_ms", "raw_nonce", "symbol", iso_utc("ts_ms").alias("iso")
+    )
+
+
+def _summary_append_sql() -> str:
+    x4 = _vwap_now_sql()
+    return f"SELECT * FROM ({x4}) UNION ALL SELECT * FROM ({x4})"
+
+
+@register("summary_append_sink", _summary_append_sql())
+def q_summary_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 summary-append sink (impact_twap_cli.py:51-56): two simulator
+    runs append one-row summaries to the same CSV target; reading the
+    accumulated file back yields both rows bit-exact (Spark writes
+    doubles in shortest-roundtrip form). Oracle: the X4 summary UNION'd
+    with itself."""
+    import tempfile
+
+    from market_microstructure_toolkit_spark.operators.impact import (
+        simulate_vwap_onbook,
+    )
+    from market_microstructure_toolkit_spark.sources.book_io import (
+        write_summary_append,
+    )
+
+    book = synthetic_book(spark, sf_dir).filter(F.col("symbol") == "S0")
+    summary = simulate_vwap_onbook(book, "buy", 25.0, BOOK_DEPTH)
+    path = tempfile.mkdtemp(prefix="mmt_sum_append_")
+    write_summary_append(summary, path)
+    write_summary_append(summary, path)
+    raw = spark.read.option("header", True).csv(path)
+    casts = {
+        "side": "string",
+        "target_qty": "double",
+        "filled_qty": "double",
+        "vwap": "double",
+        "notional": "double",
+        "slippage_bps_vs_mid_open": "double",
+        "slippage_bps_vs_mid_close": "double",
+        "slices": "long",
+        "levels_touched": "long",
+    }
+    return raw.select(
+        *[F.col(c).try_cast(t).alias(c) for c, t in casts.items()]
+    )
+
+
+_GRID_SAMPLE_SQL = f"""{_BOOK_CTE},
+rng AS (
+  SELECT symbol, MIN(ts_ms) AS a, MAX(ts_ms) AS b FROM book GROUP BY symbol
+),
+ticks AS (
+  SELECT symbol,
+         unnest(generate_series(a, b, GREATEST(1, (b - a) // 500))) AS tick
+  FROM rng
+),
+snaps AS (
+  SELECT symbol, ts_ms, (best_bid + best_ask) / 2.0 AS mid
+  FROM book
+  QUALIFY row_number() OVER (PARTITION BY symbol, ts_ms ORDER BY raw_nonce DESC) = 1
+)
+SELECT t.symbol, t.tick AS tick_ms, s.ts_ms AS src_ts_ms, s.mid,
+       t.tick - s.ts_ms AS staleness_ms
+FROM ticks t ASOF JOIN snaps s ON t.symbol = s.symbol AND t.tick >= s.ts_ms
+"""
+
+
+@register("recorder_grid_sample", _GRID_SAMPLE_SQL)
+def q_recorder_grid_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 fixed-interval recorder semantics as a batch plan: sample each
+    symbol's book on an evenly spaced time grid (span/500 per symbol),
+    taking the latest snapshot at-or-before each tick — the same
+    state-at-tick the reference's fixed-Hz loop records
+    (record.py recorder loop; SURVEY §2.1 S3).
+
+    Scale shape: ONE window pass over (snapshots UNION ticks) ordered by
+    (ts, tag, nonce) and partitioned BY SYMBOL — the standard distributed
+    backward-as-of, no per-tick lookup join and no unpartitioned sort.
+    The tie rules are explicit: a snapshot sharing the tick's timestamp
+    counts (tag orders snapshots first), duplicate-ts snapshots resolve
+    to the highest nonce (last written wins) — which is exactly DuckDB's
+    ASOF JOIN over the nonce-deduped book."""
+    book = synthetic_book(spark, sf_dir)
+    rng = book.groupBy("symbol").agg(
+        F.min("ts_ms").alias("a"), F.max("ts_ms").alias("b")
+    )
+    ticks = rng.select(
+        "symbol",
+        F.explode(
+            F.sequence(
+                F.col("a"),
+                F.col("b"),
+                F.greatest(F.lit(1).cast("long"), F.expr("(b - a) DIV 500")),
+            )
+        ).alias("t"),
+    ).select(
+        "symbol",
+        "t",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("raw_nonce"),
+        F.lit(None).cast("long").alias("src_ts"),
+        F.lit(None).cast("double").alias("mid"),
+    )
+    snaps = book.select(
+        "symbol",
+        F.col("ts_ms").alias("t"),
+        F.lit(0).alias("tag"),
+        "raw_nonce",
+        F.col("ts_ms").alias("src_ts"),
+        ((F.col("best_bid") + F.col("best_ask")) / 2.0).alias("mid"),
+    )
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("t", "tag", "raw_nonce")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = snaps.unionByName(ticks).select(
+        "symbol",
+        "t",
+        "tag",
+        F.last("src_ts", ignorenulls=True).over(w).alias("src_ts_ms"),
+        F.last("mid", ignorenulls=True).over(w).alias("mid"),
+    )
+    return merged.filter(
+        (F.col("tag") == 1) & F.col("src_ts_ms").isNotNull()
+    ).select(
+        "symbol",
+        F.col("t").alias("tick_ms"),
+        "src_ts_ms",
+        "mid",
+        (F.col("t") - F.col("src_ts_ms")).alias("staleness_ms"),
+    )
