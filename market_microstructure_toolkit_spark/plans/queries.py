@@ -2303,14 +2303,84 @@ def q_twap_real_equal_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_slice
 
 
-@register("twap_real_sim", None)
+def _twap_real_stoch_sql() -> str:
+    """X5 oracle, stochastic schedule + jitter: the seeded draws are
+    CONFIG constants, not data — Mersenne Twister output for seed 13
+    depends on nothing but the seed, so the gamma slice sizes and the
+    uniform jitter offsets are computed here once (the same
+    ``random.Random`` calls the simulator makes) and embedded as SQL
+    literals via ``repr`` (shortest-roundtrip, parses to the identical
+    double). Everything data-dependent stays SQL: round-half-even
+    schedule positions, truncate-toward-zero jittered targets
+    (``int(t + u)`` == ``trunc`` for positive ts), nearest-row match
+    ordered (abs delta, later ts, last-written nonce), stop-at-blank
+    walk, buy-fee uplift."""
+    import random
+
+    slices, seed, target, half = 16, 13, 40.0, 250.0
+    rng = random.Random(seed)
+    draws = [rng.gammavariate(3.0, 1.0) for _ in range(slices)]
+    total = sum(draws)
+    sizes = [target * (d / total) for d in draws]
+    rng = random.Random(seed)
+    jitters = [rng.uniform(-half, half) for _ in range(slices)]
+    # String-quoted literals: DuckDB parses a bare numeric literal as
+    # DECIMAL before widening, dropping the 17th significant digit; the
+    # VARCHAR->DOUBLE cast is an exact shortest-roundtrip parse.
+    vals = ",\n    ".join(
+        f"({k + 1}, CAST('{sizes[k]!r}' AS DOUBLE), CAST('{jitters[k]!r}' AS DOUBLE))"
+        for k in range(slices)
+    )
+    w = _walk_exprs("slice_target_qty", BOOK_DEPTH, blank="stop")
+    return f"""{_BOOK_CTE},
+s0 AS (SELECT * FROM book WHERE symbol = 'S0'),
+nn AS (SELECT COUNT(*) AS n FROM s0),
+numbered AS (
+  SELECT *, row_number() OVER (ORDER BY ts_ms, raw_nonce) - 1 AS pos FROM s0
+),
+sched(s, qty, u) AS (VALUES
+    {vals}
+),
+sl AS (
+  SELECT s, qty, u,
+         CAST(round_even((s - 1) * (n - 1) / CAST({slices - 1} AS DOUBLE), 0) AS BIGINT) AS pos
+  FROM sched, nn
+),
+tsz AS (
+  SELECT sl.s, sl.qty,
+         CAST(trunc(CAST(r.ts_ms AS DOUBLE) + sl.u) AS BIGINT) AS target_ts
+  FROM sl JOIN numbered r USING (pos)
+),
+matched AS (
+  SELECT t.s AS slice, t.qty AS slice_target_qty, r.*
+  FROM tsz t CROSS JOIN s0 r
+  QUALIFY row_number() OVER (
+    PARTITION BY t.s
+    ORDER BY abs(r.ts_ms - t.target_ts), r.ts_ms DESC, r.raw_nonce DESC
+  ) = 1
+)
+SELECT CAST(slice AS INTEGER) AS slice,
+  CAST(ts_ms AS BIGINT) AS ts_ms,
+  '' AS iso,
+  {w['filled']} AS filled_qty,
+  slice_target_qty,
+  CASE WHEN ({w['filled']}) > 0
+       THEN GREATEST(({w['cost']}) * (1.0 + 2.0 / 1e4), 0.0) / ({w['filled']})
+       ELSE CAST('nan' AS DOUBLE) END AS slice_vwap,
+  {w['touched']} AS levels_touched
+FROM matched"""
+
+
+@register("twap_real_sim", _twap_real_stoch_sql())
 def q_twap_real_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5: realistic TWAP per-slice table — seeded Dirichlet slice sizes,
     jittered schedule (driver-side RNG for reproducibility,
     impact_twap.py:112-171), broadcast as-of row match, fees. One
     instrument: a recording is the simulator's unit of work (ts_ms ties
     across merged symbols would otherwise make the nearest-row match
-    depend on which symbol's book wins the tie)."""
+    depend on which symbol's book wins the tie). The oracle embeds the
+    seed-13 draws as literals (see ``_twap_real_stoch_sql``), so this
+    gate is fully hash-checked despite the stochastic schedule."""
     from market_microstructure_toolkit_spark.operators.impact import (
         TwapConfig,
         simulate_twap_real,
@@ -2627,36 +2697,78 @@ def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     document length — integer answers, engine-exact, unlike interpolated
     percentile_cont whose float formula differs across engines.
 
-    Scale shape: NO global row sort. Pass 1 compresses the corpus to a
-    value histogram (groupBy(len) — a distributed shuffle keyed on the
-    value); pass 2 runs the cumulative count over the DISTINCT lengths
-    only, a domain bounded by max document length (thousands of rows at
-    any corpus size), so the one unpartitioned window touches a
-    provably tiny table. The order statistic at rank r is then the
-    smallest len whose cumulative count reaches r."""
+    Scale shape: NO global row sort and no global window. Pass 1
+    compresses the corpus to a value histogram (groupBy(len) — a
+    distributed shuffle keyed on the value, map-side combined); pass 2
+    collapses the DISTINCT lengths — a domain bounded by max document
+    length (thousands of entries at any corpus size) — into ONE sorted
+    array row and walks it with a single JVM-side fold that carries the
+    running count and latches each order statistic as its rank
+    threshold is crossed. The smallest len whose cumulative count
+    reaches ceil(q*n) is the exact rank-ceil(q*n) order statistic."""
     docs = _docs(spark, sf_dir)
     hist = (
         docs.select(F.length("text").alias("len"))
         .groupBy("len")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    wcum = Window.orderBy("len").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    one = hist.agg(
+        F.sort_array(F.collect_list(F.struct("len", "cnt"))).alias("h"),
+        F.sum("cnt").alias("c"),
     )
-    cum = hist.select(
-        "len", F.sum("cnt").over(wcum).alias("cum")
-    ).crossJoin(hist.agg(F.sum("cnt").alias("c")))
-    pick = lambda q: F.min(  # noqa: E731
-        F.when(
-            F.col("cum") >= F.ceil(F.lit(q) * F.col("c")).cast("long"),
-            F.col("len"),
-        )
+    # One pass over the tiny histogram array: accumulator carries the
+    # running count and the latched quantiles. Exploding the 1-element
+    # result array is the Generate barrier that stops the fold from being
+    # re-evaluated once per extracted field.
+    folded = one.select(
+        F.col("c"),
+        F.explode(
+            F.array(
+                F.aggregate(
+                    "h",
+                    F.struct(
+                        F.lit(0).cast("long").alias("cum"),
+                        F.lit(None).cast("long").alias("p50"),
+                        F.lit(None).cast("long").alias("p90"),
+                        F.lit(None).cast("long").alias("p99"),
+                    ),
+                    lambda acc, x: F.struct(
+                        (acc["cum"] + x["cnt"]).alias("cum"),
+                        F.coalesce(
+                            acc["p50"],
+                            F.when(
+                                acc["cum"] + x["cnt"]
+                                >= F.ceil(F.lit(0.50) * F.col("c")).cast("long"),
+                                x["len"].cast("long"),
+                            ),
+                        ).alias("p50"),
+                        F.coalesce(
+                            acc["p90"],
+                            F.when(
+                                acc["cum"] + x["cnt"]
+                                >= F.ceil(F.lit(0.90) * F.col("c")).cast("long"),
+                                x["len"].cast("long"),
+                            ),
+                        ).alias("p90"),
+                        F.coalesce(
+                            acc["p99"],
+                            F.when(
+                                acc["cum"] + x["cnt"]
+                                >= F.ceil(F.lit(0.99) * F.col("c")).cast("long"),
+                                x["len"].cast("long"),
+                            ),
+                        ).alias("p99"),
+                    ),
+                )
+            )
+        ).alias("q"),
+        F.element_at("h", -1)["len"].cast("long").alias("p100"),
     )
-    return cum.agg(
-        pick(0.50).alias("p50"),
-        pick(0.90).alias("p90"),
-        pick(0.99).alias("p99"),
-        F.max("len").alias("p100"),
+    return folded.select(
+        F.col("q")["p50"].alias("p50"),
+        F.col("q")["p90"].alias("p90"),
+        F.col("q")["p99"].alias("p99"),
+        "p100",
     )
 
 
