@@ -22,7 +22,7 @@ conversions, keeping the SQL oracles engine-agnostic.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -111,11 +111,19 @@ def minhash_lsh_candidates(
     k: int = 8,
     rows_per_band: int = 2,
     shingle_n: int = 3,
+    max_bucket_size: int | None = 64,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing at least one LSH band.
 
     Scale shape: explode to (band_key, doc) then self-join per band —
     shuffle keyed on band values, quadratic only within buckets.
+    ``max_bucket_size`` is the hot-bucket guard: a band bucket holding d
+    docs fans d^2/2 pairs, and a templated/boilerplate corpus slice can
+    put millions of docs in one bucket; buckets past the cap are dropped
+    (their members are better handled by exact dedup, which such
+    near-identical docs hit anyway). Singleton buckets are pruned in the
+    same pass — both filters ride the one count-over-bucket window on
+    the shuffle the join needs regardless.
     """
     bands = k // rows_per_band
     sigs = minhash_signatures(df, text_col, id_col, k, shingle_n)
@@ -136,6 +144,19 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    wb = Window.partitionBy("band", "key")
+    keyed = (
+        keyed.withColumn("__bn", F.count(F.lit(1)).over(wb))
+        .filter(
+            (F.col("__bn") >= 2)
+            & (
+                F.col("__bn") <= max_bucket_size
+                if max_bucket_size is not None
+                else F.lit(True)
+            )
+        )
+        .drop("__bn")
+    )
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = (
         a.join(

@@ -1232,6 +1232,9 @@ keyed AS (
     UNION ALL
     SELECT doc_id, 3, concat_ws('|', mh6, mh7) FROM sigs WHERE mh0 IS NOT NULL
   )
+  -- hot-bucket guard (max_bucket_size=64) + singleton pruning, mirroring
+  -- minhash_lsh_candidates
+  QUALIFY COUNT(*) OVER (PARTITION BY band, key) BETWEEN 2 AND 64
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM keyed a JOIN keyed b

@@ -36,6 +36,9 @@ def read_book_csv(
     failing the scan (the reference's ``_as_float_or_none``, P17).
     """
     raw = spark.read.option("header", True).csv(path)
+    # P18: validate the load-bearing columns up front — optional meta
+    # cols (e.g. ``iso``) may be absent, L1 must not be.
+    S.require_columns(raw, ["ts_ms", "best_bid", "best_ask", "bid1_price"])
     out = []
     for f in S.book_schema(depth).fields:
         if f.name in raw.columns:
