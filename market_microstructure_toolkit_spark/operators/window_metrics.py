@@ -329,11 +329,19 @@ def pick_rows_by_index(
     df: DataFrame,
     indices: list[int],
     keys: tuple[str, ...] = S.PARTITION_KEYS,
-    order_col: str = "ts_ms",
+    order_col: str | list | None = None,
 ) -> DataFrame:
     """Select rows at the given 0-based positions within each instrument's
     time-ordered series (W14/W15) — ``row_number`` + ``isin`` on a tiny
-    driver-computed list; no collect of data rows."""
+    driver-computed list; no collect of data rows.
+
+    Default ordering is the TOTAL order (ts_ms, raw_nonce) when the nonce
+    column exists — ts_ms alone can tie after millisecond truncation,
+    which would make positional picks nondeterministic."""
+    if order_col is None:
+        order_col = (
+            ["ts_ms", "raw_nonce"] if "raw_nonce" in df.columns else "ts_ms"
+        )
     w = book_window(keys, order_col)
     return (
         df.withColumn("__rn", F.row_number().over(w) - 1)

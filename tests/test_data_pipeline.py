@@ -365,3 +365,14 @@ def test_lsh_banded_max_bucket_drops_hot_buckets(spark):
         df, bits_per_band=8, n_bands=2, min_cosine=-2.0, max_bucket=4
     )
     assert out.count() == 0
+
+
+def test_minhash_hot_bucket_guard(spark):
+    # 5 identical docs share every band bucket: cap 3 drops the bucket
+    # entirely, cap None (or a cap above 5) keeps all 10 pairs.
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)]
+    df = docs_df(spark, rows)
+    capped = D.minhash_lsh_candidates(df, max_bucket_size=3).count()
+    uncapped = D.minhash_lsh_candidates(df, max_bucket_size=None).count()
+    assert capped == 0
+    assert uncapped == 10

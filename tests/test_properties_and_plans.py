@@ -137,3 +137,44 @@ def test_lsh_banded_join_is_bucket_keyed_not_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "band" in plan and "bucket" in plan
+
+
+def test_doc_length_quantiles_matches_sorted_ranks(spark, sf_dir):
+    """The histogram-fold order statistics equal the direct definition
+    rank = ceil(q*n) over the sorted lengths."""
+    import math
+
+    from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+    row = REGISTRY["doc_length_quantiles"].spark(spark, sf_dir).collect()[0]
+    lens = sorted(
+        r["len"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("length(text) AS len")
+        .collect()
+    )
+    n = len(lens)
+    for q, col in ((0.50, "p50"), (0.90, "p90"), (0.99, "p99")):
+        assert row[col] == lens[math.ceil(q * n) - 1]
+    assert row["p100"] == lens[-1]
+
+
+def test_doc_length_quantiles_plan_has_no_global_window(spark, sf_dir):
+    from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+    plan = REGISTRY["doc_length_quantiles"].spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_recorder_grid_sample_windows_are_partitioned(spark, sf_dir):
+    from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+    plan = REGISTRY["recorder_grid_sample"].spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    # every WindowExec in the plan must declare partition keys
+    for ln in plan.splitlines():
+        if "Window [" in ln:
+            assert "partitionBy" not in ln or "symbol" in ln
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "symbol" in m.group(1)
