@@ -121,3 +121,89 @@ def token_count_bpe_ish(text_col: str = "text") -> Column:
         -1,
     )
     return F.size(F.filter(pieces, lambda p: p != F.lit("")))
+
+
+def word_ngrams_all(text_col: Column | str, n: int) -> Column:
+    """ALL word n-grams in order (duplicates kept — unlike
+    ``dedup.word_shingles`` this feeds frequency statistics, not set
+    hashing). O(tokens) transform, no UDF; < n words -> empty array."""
+    toks = tokens(text_col)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(-1)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(cnt >= n, grams).otherwise(F.array())
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    'Scaling Language Models', Table A1 repetition filters):
+
+    - ``top2_frac``: occurrences of the most frequent word 2-gram over
+      all 2-grams (boilerplate headers/footers push this up);
+    - ``dup5_frac``: fraction of word 5-grams that are duplicates
+      (1 - distinct/total; copy-paste loops push this up).
+
+    Scale shape: explode 2-grams -> count per (doc, gram) -> max/sum per
+    doc. Both shuffles are keyed BY DOCUMENT (plus gram), so hot n-grams
+    across the corpus cannot skew a partition; map-side combine collapses
+    within-doc duplicates before the wire. The 5-gram side needs no
+    per-gram counts — distinct-vs-total collapses to two array
+    expressions in the same map stage. Docs under 5 words drop (no
+    5-grams -> repetition undefined), matching shingle drop-out
+    semantics elsewhere.
+    """
+    two = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams_all(F.col(text_col), 2)).alias("g"),
+    )
+    two_stats = (
+        two.groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.max("c").alias("top2_cnt"),
+            F.sum("c").alias("n2"),
+        )
+    )
+    five = df.select(
+        F.col(id_col),
+        F.size(word_ngrams_all(F.col(text_col), 5)).alias("n5"),
+        F.size(F.array_distinct(word_ngrams_all(F.col(text_col), 5))).alias(
+            "n5_distinct"
+        ),
+    ).filter(F.col("n5") > 0)
+    return five.join(two_stats, id_col).select(
+        F.col(id_col),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("top2_cnt").cast("long").alias("top2_cnt"),
+        (F.col("top2_cnt") / F.col("n2")).alias("top2_frac"),
+        F.col("n5").cast("long").alias("n5"),
+        (
+            (F.col("n5") - F.col("n5_distinct")) / F.col("n5")
+        ).alias("dup5_frac"),
+    )
+
+
+def split_expr(id_col: str = "doc_id") -> Column:
+    """Deterministic train/val/test assignment from a content-free id
+    hash: the LAST two hex digits of md5(id) give 256 uniform buckets,
+    compared lexicographically — no hex->int conversion, so the same
+    expression runs on any engine. 'f8' splits 248/4/4 (~96.9/1.6/1.6%).
+
+    Hash-mod splitting is the standard at 100 TB: membership is a pure
+    map (re-runnable, join-free), stable under corpus growth, and
+    uncorrelated with any real feature of the data.
+    """
+    b = F.substring(F.md5(F.col(id_col).cast("string")), 31, 2)
+    return (
+        F.when(b < F.lit("f8"), F.lit("train"))
+        .when(b < F.lit("fc"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )

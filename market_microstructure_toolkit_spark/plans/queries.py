@@ -2775,6 +2775,123 @@ def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REPETITION_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g2 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                        i -> w[i] || ' ' || w[i+1])) AS g
+  FROM w WHERE len(w) >= 2
+),
+t2 AS (
+  SELECT doc_id, MAX(c) AS top2_cnt, CAST(SUM(c) AS BIGINT) AS n2
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+f5 AS (
+  SELECT doc_id, len(gs) AS n5, len(list_distinct(gs)) AS n5_distinct
+  FROM (SELECT doc_id,
+               list_transform(range(1, len(w) - 3),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) AS gs
+        FROM w WHERE len(w) >= 5)
+)
+SELECT f5.doc_id,
+       n2,
+       CAST(top2_cnt AS BIGINT) AS top2_cnt,
+       top2_cnt / CAST(n2 AS DOUBLE) AS top2_frac,
+       CAST(n5 AS BIGINT) AS n5,
+       (n5 - n5_distinct) / CAST(n5 AS DOUBLE) AS dup5_frac
+FROM f5 JOIN t2 USING (doc_id)
+"""
+
+
+@register("doc_repetition", _REPETITION_SQL)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: most-frequent
+    2-gram share and duplicate-5-gram fraction (the filters large-corpus
+    curation applies before training). Shuffles key on (doc, gram) —
+    corpus-hot n-grams cannot skew a partition."""
+    from market_microstructure_toolkit_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+_SPLIT_SQL = """
+SELECT split, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM (
+  SELECT doc_id, n_chars,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 31, 2) < 'f8' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 31, 2) < 'fc' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+GROUP BY split
+"""
+
+
+@register("corpus_split", _SPLIT_SQL)
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-mod train/val/test assignment (248/4/4 of 256
+    md5 buckets) summarized per split. Membership is a pure map over the
+    id — re-runnable, join-free, stable under corpus growth — which is
+    the property that matters when the corpus is 100 TB and the split
+    must never move a document between runs."""
+    from market_microstructure_toolkit_spark.operators.text_analysis import (
+        split_expr,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("doc_id", "n_chars", split_expr().alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+_SOURCE_MIX_SQL = """
+WITH g AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY source, lang
+), t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM documents)
+SELECT source, lang, n_docs, total_chars,
+       total_chars / CAST(n_docs AS DOUBLE) AS avg_chars,
+       n_docs / total AS corpus_share
+FROM g, t
+"""
+
+
+@register("source_mix_report", _SOURCE_MIX_SQL)
+def q_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report per (source, lang): doc counts, char
+    volume, and share of corpus — the mix dashboard a data-curation run
+    ends with. One hash aggregate plus a 1-row broadcast for the total;
+    every derived ratio is a single integer-to-double division (exact on
+    both engines, no rounding needed)."""
+    docs = _docs(spark, sf_dir)
+    g = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    t = docs.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        (F.col("total_chars") / F.col("n_docs").cast("double")).alias("avg_chars"),
+        (F.col("n_docs") / F.col("total")).alias("corpus_share"),
+    )
+
+
 _CLUSTERS_SQL = """
 WITH RECURSIVE pairs AS (
   SELECT id_a, id_b FROM (""" + _MINHASH_SQL + """) mh

@@ -376,3 +376,46 @@ def test_minhash_hot_bucket_guard(spark):
     uncapped = D.minhash_lsh_candidates(df, max_bucket_size=None).count()
     assert capped == 0
     assert uncapped == 10
+
+
+def test_repetition_stats_exact(spark):
+    from market_microstructure_toolkit_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+
+    # "a b a b a b" -> 2-grams: [a b, b a, a b, b a, a b]: top 'a b' x3 of 5
+    # 5-grams: [a b a b a, b a b a b]: both distinct -> dup5_frac 0
+    df = docs_df(spark, [(1, "a b a b a b"), (2, "x y z w v v v v v v")])
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["n2"] == 5 and out[1]["top2_cnt"] == 3
+    assert out[1]["top2_frac"] == 3 / 5 and out[1]["dup5_frac"] == 0.0
+    # doc 2: 10 tokens -> 6 5-grams, 'v v v v v' appears twice -> 1 dup of 6
+    assert out[2]["n5"] == 6 and abs(out[2]["dup5_frac"] - 1 / 6) < 1e-15
+
+
+def test_repetition_short_docs_drop(spark):
+    from market_microstructure_toolkit_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+
+    df = docs_df(spark, [(1, "just four words here"), (2, "a b c d e")])
+    assert [r["doc_id"] for r in repetition_stats(df).collect()] == [2]
+
+
+def test_split_expr_deterministic_and_uniform(spark):
+    import hashlib
+
+    from market_microstructure_toolkit_spark.operators.text_analysis import (
+        split_expr,
+    )
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    got = {r["doc_id"]: r["s"] for r in df.select("doc_id", split_expr().alias("s")).collect()}
+    for i in (0, 7, 1999):
+        b = hashlib.md5(str(i).encode()).hexdigest()[30:32]
+        want = "train" if b < "f8" else ("val" if b < "fc" else "test")
+        assert got[i] == want
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert c["train"] > 1800 and c["val"] > 0 and c["test"] > 0
