@@ -2775,6 +2775,65 @@ def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_DEDUP_SQL = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+@register("streaming_dedup_replay", _STREAM_DEDUP_SQL)
+def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup computed by the STREAMING tier: documents replayed as a
+    two-micro-batch file stream (earlier ids first) through the keyed
+    first-seen state operator — the live-ingestion twin of batch
+    ``exact_dedup``. Hash-matching the batch oracle proves that
+    suppression state carries across the batch boundary (a duplicate
+    whose copies land in different micro-batches emits exactly once,
+    with the first batch's min id)."""
+    import tempfile
+    import time
+    import uuid
+
+    from market_microstructure_toolkit_spark.streaming.corpus_stream import (
+        stateful_exact_dedup,
+    )
+
+    base = tempfile.mkdtemp(prefix="mmt_stream_dedup_")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    mid = docs.agg(
+        ((F.min("doc_id") + F.max("doc_id")) / 2).cast("long").alias("m")
+    ).collect()[0]["m"]
+    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(
+        f"{base}/data/a"
+    )
+    time.sleep(0.05)  # file source orders batches by modification time
+    docs.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(
+        f"{base}/data/b"
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/data/*/")
+    )
+    name = f"dedup_replay_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stateful_exact_dedup(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
+
+
 _REPETITION_SQL = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 g2 AS (

@@ -1,0 +1,84 @@
+"""Streaming corpus operators: exact dedup as keyed stateful streaming.
+
+The batch dedup tier (``operators/dedup.py``) answers "which documents
+are duplicates" over a finished corpus; a live ingestion pipeline needs
+the same answer incrementally — suppress re-crawled/re-published
+duplicates as they arrive, keeping state per content hash, not per
+document. This is the streaming twin of ``exact_dedup`` the same way
+``stateful_ofi`` twins the batch OFI expression.
+
+Scale shape: state is keyed by md5(content) — O(distinct contents)
+entries of one long each, sharded by the state-store hash partitioning;
+a 1000-executor cluster splits the hash space evenly (content hashes
+are uniform by construction, so no hot state partition exists).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+DEDUP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("content_hash", StringType()),
+        StructField("canonical_doc_id", LongType()),
+    ]
+)
+
+#: one long per distinct content ever seen: the id that won canonicality.
+DEDUP_STATE_SCHEMA = StructType([StructField("canonical_doc_id", LongType())])
+
+
+def stateful_exact_dedup(
+    stream: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """First-seen suppression keyed by content hash.
+
+    The first micro-batch containing a given content emits ONE row
+    ``(content_hash, canonical_doc_id)`` with the minimum id in that
+    batch's group; every later arrival of the same content (same batch or
+    any later batch) is suppressed by state. With batches ordered so
+    earlier ids arrive first, the emitted canonical ids equal the batch
+    ``exact_dedup`` answer (min id per content hash) — the property the
+    ``streaming_dedup_replay`` gate hash-checks against its SQL oracle.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.exists:
+            # already canonicalized in an earlier batch: drain and drop
+            for _ in pdfs:
+                pass
+            return
+        first_id = None
+        for f in pdfs:
+            if len(f):
+                m = int(f[id_col].min())
+                first_id = m if first_id is None else min(first_id, m)
+        if first_id is None:
+            return
+        state.update((first_id,))
+        yield pd.DataFrame(
+            {"content_hash": [key[0]], "canonical_doc_id": [first_id]}
+        )
+
+    hashed = stream.select(
+        F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col)
+    )
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        fn,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -132,3 +132,46 @@ def test_record_stream_roundtrip(spark, book_chunks_dir, tmp_path):
     )
     _run_available_now(writer2, "rec_stream2")
     assert spark.read.parquet(str(tmp_path / "out")).count() == src.count()
+
+
+def test_stateful_dedup_suppresses_cross_batch_duplicates(spark, tmp_path):
+    """A content duplicated within batch 1 AND repeated in batch 2 emits
+    exactly once, with batch 1's min id; batch-2-only content still
+    emits."""
+    from market_microstructure_toolkit_spark.streaming.corpus_stream import (
+        stateful_exact_dedup,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "alpha"), (3, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(4, "alpha"), (5, "gamma"), (6, "beta")], "doc_id long, text string"
+    )
+    a.coalesce(1).write.parquet(str(tmp_path / "in" / "a"))
+    time.sleep(0.05)
+    b.coalesce(1).write.parquet(str(tmp_path / "in" / "b"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            stateful_exact_dedup(stream)
+            .writeStream.format("memory")
+            .queryName("dedup_test_sink")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    rows = spark.table("dedup_test_sink").collect()
+    got = {r["canonical_doc_id"] for r in rows}
+    assert got == {1, 2, 5}
+    assert len(rows) == 3  # one emission per distinct content, ever
