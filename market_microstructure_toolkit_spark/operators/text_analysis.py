@@ -150,36 +150,45 @@ def repetition_stats(
     - ``dup5_frac``: fraction of word 5-grams that are duplicates
       (1 - distinct/total; copy-paste loops push this up).
 
-    Scale shape: explode 2-grams -> count per (doc, gram) -> max/sum per
-    doc. Both shuffles are keyed BY DOCUMENT (plus gram), so hot n-grams
-    across the corpus cannot skew a partition; map-side combine collapses
-    within-doc duplicates before the wire. The 5-gram side needs no
-    per-gram counts — distinct-vs-total collapses to two array
-    expressions in the same map stage. Docs under 5 words drop (no
-    5-grams -> repetition undefined), matching shingle drop-out
+    Scale shape: ONE scan. The per-row 5-gram stats ride along the
+    2-gram explode as extra columns, then travel through both
+    aggregations via ``first`` — no second scan and no doc-keyed join.
+    Both shuffles key BY DOCUMENT (plus gram), so corpus-hot n-grams
+    cannot skew a partition, and map-side combine collapses within-doc
+    duplicates before the wire. The 5-gram array is built once behind a
+    Generate barrier (higher-order expressions get no CSE: referencing
+    the array from ``size`` and ``array_distinct`` in the same
+    projection would otherwise build it twice). Docs under 5 words drop
+    (no 5-grams -> repetition undefined), matching shingle drop-out
     semantics elsewhere.
     """
-    two = df.select(
+    g5 = df.select(
         F.col(id_col),
-        F.explode(word_ngrams_all(F.col(text_col), 2)).alias("g"),
+        F.col(text_col),
+        F.explode(F.array(word_ngrams_all(F.col(text_col), 5))).alias("g5"),
     )
-    two_stats = (
-        two.groupBy(id_col, "g")
-        .agg(F.count(F.lit(1)).alias("c"))
+    rows = g5.select(
+        F.col(id_col),
+        F.size("g5").alias("n5"),
+        F.size(F.array_distinct("g5")).alias("n5_distinct"),
+        F.explode(word_ngrams_all(F.col(text_col), 2)).alias("g"),
+    ).filter(F.col("n5") > 0)
+    stats = (
+        rows.groupBy(id_col, "g")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.first("n5").alias("n5"),
+            F.first("n5_distinct").alias("n5_distinct"),
+        )
         .groupBy(id_col)
         .agg(
             F.max("c").alias("top2_cnt"),
             F.sum("c").alias("n2"),
+            F.first("n5").alias("n5"),
+            F.first("n5_distinct").alias("n5_distinct"),
         )
     )
-    five = df.select(
-        F.col(id_col),
-        F.size(word_ngrams_all(F.col(text_col), 5)).alias("n5"),
-        F.size(F.array_distinct(word_ngrams_all(F.col(text_col), 5))).alias(
-            "n5_distinct"
-        ),
-    ).filter(F.col("n5") > 0)
-    return five.join(two_stats, id_col).select(
+    return stats.select(
         F.col(id_col),
         F.col("n2").cast("long").alias("n2"),
         F.col("top2_cnt").cast("long").alias("top2_cnt"),
