@@ -3040,7 +3040,10 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     keep = quality_features(docs).filter(F.col("quality_score") >= 0.5).select("doc_id")
-    kept = docs.join(keep, "doc_id").select("doc_id", "text")
+    # `kept` feeds four consumers (LSH candidates, cluster vertices, the
+    # kept-count agg, the token-sum join); without a checkpoint each one
+    # re-runs the scan + quality scoring — materialize it once.
+    kept = docs.join(keep, "doc_id").select("doc_id", "text").localCheckpoint()
     pairs = minhash_lsh_candidates(kept, k=8, rows_per_band=2, shingle_n=3)
     canon = (
         dedup_clusters(kept, pairs)
