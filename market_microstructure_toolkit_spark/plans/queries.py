@@ -1796,6 +1796,40 @@ def q_dedup_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-to-centroid squared-L2 distances for the IVF coarse
+    quantizer (centroids = vectors 1..8, broadcast — a trained k-means
+    would slot in identically). Shared input for single- and multi-probe
+    IVF: the argmin over it assigns cells, the vec_id=0 slice ranks
+    probe candidates for the query."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = emb.filter(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    dist = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "v", "cid", dist.alias("dist")
+    )
+
+
+def _ivf_assigned(dists: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: argmin per vector over the 8
+    centroid distances (ties break on cid for determinism)."""
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "v", "cid")
+    )
+
+
 _IVF_SQL = """
 WITH emb AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -1835,27 +1869,7 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-join map stage."""
     from market_microstructure_toolkit_spark.functions import arrays as AR
 
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    cents = emb.filter(F.col("vec_id").between(1, 8)).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    dist = F.aggregate(
-        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    dists = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "label", "v", "cid", dist.alias("dist")
-    )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-    assigned = (
-        dists.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "v", "cid")
-    )
+    assigned = _ivf_assigned(_ivf_dists(spark, sf_dir))
     q = F.broadcast(
         assigned.filter(F.col("vec_id") == 0).select(
             F.col("v").alias("qv"), F.col("cid").alias("qcid")
@@ -1864,6 +1878,71 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         assigned.join(q, F.col("cid") == F.col("qcid"))
         .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id", "label",
+            F.round(AR.cosine("v", "qv"), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+_IVF_MP_SQL = """
+WITH emb AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id BETWEEN 1 AND 8),
+dists AS (
+  SELECT e.vec_id, e.label, e.v, c.cid,
+         list_sum(list_transform(range(1, 65),
+                  i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS dist
+  FROM emb e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, label, v, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+probes AS (SELECT cid FROM dists WHERE vec_id = 0 ORDER BY dist, cid LIMIT 3),
+q AS (SELECT v AS qv FROM emb WHERE vec_id = 0)
+SELECT a.vec_id, a.label,
+       ROUND(list_dot_product(a.v, q.qv)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+             6) AS cos_sim
+FROM assigned a JOIN probes p ON a.cid = p.cid CROSS JOIN q
+WHERE a.vec_id != 0
+ORDER BY cos_sim DESC, a.vec_id
+LIMIT 10
+"""
+
+
+@register("similarity_ivf_multiprobe", _IVF_MP_SQL)
+def q_similarity_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN: the query visits its 3 nearest cells (not
+    just its own) before the exact-cosine rerank — the standard recall
+    remedy the single-probe docstring names. Scan cost rises from
+    n/cells to 3n/cells, still far from the full scan; the probe list is
+    a broadcast of 3 rows, so the plan stays assign -> bucket-join ->
+    rerank with no extra shuffle. Recall vs single probe is measured by
+    ``similarity_ann_recall_multiprobe``."""
+    from market_microstructure_toolkit_spark.functions import arrays as AR
+
+    dists = _ivf_dists(spark, sf_dir)
+    assigned = _ivf_assigned(dists)
+    probes = F.broadcast(
+        dists.filter(F.col("vec_id") == 0)
+        .orderBy("dist", "cid")
+        .limit(3)
+        .select("cid")
+    )
+    q = F.broadcast(
+        assigned.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    )
+    return (
+        assigned.join(probes, "cid")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(q)
         .select(
             "vec_id", "label",
             F.round(AR.cosine("v", "qv"), 6).alias("cos_sim"),
@@ -3093,6 +3172,42 @@ def q_similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ivf10 = q_similarity_ivf(spark, sf_dir).select("vec_id")
     return exact10.join(ivf10, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        (F.count(F.lit(1)) / F.lit(10.0)).alias("recall_at_10"),
+    )
+
+
+_ANN_RECALL_MP_SQL = """
+WITH exact10 AS (
+  SELECT vec_id FROM (""" + _SIMILARITY_SQL + """) e
+  ORDER BY cos_sim DESC, vec_id LIMIT 10
+),
+mp10 AS (
+  SELECT vec_id FROM (""" + _IVF_MP_SQL + """) i
+)
+SELECT COUNT(*) AS n_overlap,
+       CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall_at_10
+FROM exact10 JOIN mp10 USING (vec_id)
+"""
+
+
+@register("similarity_ann_recall_multiprobe", _ANN_RECALL_MP_SQL)
+def q_similarity_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the 3-probe IVF against the exact top-10 — the
+    companion measurement to ``similarity_ann_recall`` that shows what
+    multi-probe buys back: on these near-uniform embeddings single-probe
+    recall is ~0.1 and 3 probes roughly triples the visited candidate
+    set, so the delta between the two queries IS the multi-probe payoff
+    (and the pair demonstrates the recall/scan-cost dial a production
+    deployment tunes)."""
+    exact10 = (
+        q_similarity_topk(spark, sf_dir)
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    mp10 = q_similarity_ivf_multiprobe(spark, sf_dir).select("vec_id")
+    return exact10.join(mp10, "vec_id").agg(
         F.count(F.lit(1)).alias("n_overlap"),
         (F.count(F.lit(1)) / F.lit(10.0)).alias("recall_at_10"),
     )

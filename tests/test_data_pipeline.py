@@ -148,6 +148,33 @@ def test_lsh_bucketed_pairs_same_orthant(spark):
     assert pairs[(1, 2)]["bucket"] == 255
 
 
+def test_ivf_multiprobe_recall_dominates_single_probe(spark):
+    """The 3-probe candidate set is a superset of single-probe's (the
+    query's own cell is by definition its nearest centroid), so recall
+    can only go up — the invariant that makes the probe count a safe
+    dial."""
+    from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    sp = REGISTRY["similarity_ann_recall"].spark(spark, sf).first()
+    mp = REGISTRY["similarity_ann_recall_multiprobe"].spark(spark, sf).first()
+    assert mp["n_overlap"] >= sp["n_overlap"]
+    assert 0.0 <= mp["recall_at_10"] <= 1.0
+
+
+def test_ivf_multiprobe_stays_broadcast(spark):
+    """Probe expansion must not introduce a shuffle join: probes and the
+    query vector are 3-row/1-row broadcasts over the assigned table."""
+    from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+    df = REGISTRY["similarity_ivf_multiprobe"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
