@@ -450,3 +450,47 @@ def dedup_clusters(
     return labels.select(
         F.col("id").alias(id_col), F.col("lab").alias("cluster_id")
     )
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_shared: int = 2,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at least
+    ``min_shared`` distinct ``shingle_n``-gram shingles with a held-out
+    benchmark/eval set — the guard against evaluation leakage every
+    production training-corpus build runs (typically with 10-13-gram
+    shingles on web text; short documents want a smaller n).
+
+    Scale shape: what ships across the cluster is the benchmark shingle
+    VOCABULARY — ``distinct`` shingles of the (small) eval set, not its
+    documents — broadcast to every executor, so flagging a 100 TB corpus
+    is one map-side semi-join over the exploded corpus shingles plus a
+    partial-aggregated ``groupBy(doc_id)`` count. No corpus self-join,
+    no doc-frequency guard needed: fan-out per corpus shingle is at most
+    1 (the broadcast side is distinct). ``broadcast_benchmark=False``
+    falls back to a shuffle hash join for eval sets too large to ship
+    whole (rare; even a million 13-gram shingles is tens of MB).
+
+    Returns flagged docs only: (doc_id, n_shared).
+    """
+    bench_sh = benchmark.select(
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("g")
+    ).distinct()
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    corp_sh = corpus.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("g"),
+    )
+    return (
+        corp_sh.join(bench_sh, "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -1293,6 +1293,46 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.05, max_doc_freq=10)
 
 
+_DECONTAM_SQL = """
+WITH bench AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+  FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 50 = 0)
+  WHERE len(w) >= 3
+),
+corp AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE doc_id % 50 != 0)
+  WHERE len(w) >= 3
+)
+SELECT c.doc_id, COUNT(*) AS n_shared
+FROM corp c JOIN bench USING (g)
+GROUP BY c.doc_id
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("decontaminate", _DECONTAM_SQL)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the corpus: every 50th document
+    plays the held-out eval set; corpus docs sharing >= 2 distinct
+    3-gram shingles with ANY benchmark doc are flagged (doc_id,
+    n_shared). The benchmark's distinct-shingle vocabulary is broadcast,
+    so the pass is map-side semi-join + partial-aggregated count — the
+    shape that decontaminates a 100 TB corpus without a corpus-keyed
+    self-join."""
+    from market_microstructure_toolkit_spark.operators.dedup import (
+        contamination_flags,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination_flags(corpus, bench, shingle_n=3, min_shared=2)
+
+
 _SIMHASH_SQL = (
     "WITH votes AS (\n"
     "  SELECT doc_id,\n"

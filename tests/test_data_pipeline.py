@@ -148,6 +148,35 @@ def test_lsh_bucketed_pairs_same_orthant(spark):
     assert pairs[(1, 2)]["bucket"] == 255
 
 
+def test_contamination_flags_counts_distinct_shared_shingles(spark):
+    corpus = docs_df(
+        spark,
+        [
+            (1, "the quick brown fox jumps high"),  # shares 2 shingles
+            (2, "the quick brown cat"),             # shares 1 -> unflagged
+            (3, "zz yy xx ww"),                     # shares 0
+            (4, "the quick brown fox the quick brown fox"),  # dup shingles
+        ],
+    )
+    bench = docs_df(spark, [(100, "the quick brown fox jumps")])
+    out = {r["doc_id"]: r["n_shared"] for r in D.contamination_flags(
+        corpus, bench, shingle_n=3, min_shared=2).collect()}
+    # doc 1: 'the quick brown','quick brown fox','brown fox jumps' = 3
+    # doc 4 repeats its shingles but distinct-counts only 2
+    assert out == {1: 3, 4: 2}
+
+
+def test_contamination_benchmark_is_broadcast(spark):
+    corpus = docs_df(spark, [(1, "a b c d e")])
+    bench = docs_df(spark, [(9, "a b c")])
+    plan = (
+        D.contamination_flags(corpus, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_ivf_multiprobe_recall_dominates_single_probe(spark):
     """The 3-probe candidate set is a superset of single-probe's (the
     query's own cell is by definition its nearest centroid), so recall
