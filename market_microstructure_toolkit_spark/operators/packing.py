@@ -1,0 +1,87 @@
+"""Sequence packing for training-data pipelines.
+
+Pretraining consumes fixed-length token sequences, not documents: the
+standard scheme concatenates documents (in a deterministic order) into a
+token stream and chunks the stream every ``budget`` tokens, letting
+documents span chunk boundaries. This module computes that packing as
+pure DataFrame algebra — which document lands in which sequence, and the
+per-sequence occupancy stats a pipeline reports (sequences produced,
+docs per sequence, boundary-splits).
+
+Scale design: a single global concat order would be an unpartitioned
+window — one task sorting the whole corpus. Real pipelines pack per
+shard/file anyway (cross-shard order is meaningless to the model), so
+the stream is sharded by ``pmod(doc_id, n_shards)`` and the running
+token offset is a window cumsum PARTITIONED by shard: n_shards
+independent sorts, each a fraction of the data, and the downstream
+stats groupBy is keyed on (shard, seq) — uniform keys, one shuffle.
+At 100 TB you raise ``n_shards`` to the parallelism you want (or swap
+the shard key for the ingest file id, which makes the sort a per-file
+local sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_assignments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 256,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Per-(document, sequence) packing assignment.
+
+    Within each shard, documents concatenate in ``id_col`` order; the
+    stream is chunked every ``budget`` whitespace tokens. A document
+    covering stream interval [start, end) overlaps sequences
+    floor(start/budget) .. floor((end-1)/budget) and contributes
+    ``tok_in_seq`` tokens to each — exact interval arithmetic, no
+    iteration. Output: (shard, seq_id, doc_id, tok, tok_in_seq).
+    """
+    tok = F.size(F.split(F.col(text_col), " ", -1)).cast("long")
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard")
+    toks = df.select(shard, F.col(id_col), tok.alias("tok"))
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum = toks.withColumn("end", F.sum("tok").over(w)).withColumn(
+        "start", F.col("end") - F.col("tok")
+    )
+    b = F.lit(budget)
+    spans = cum.withColumn(
+        "seq_id",
+        F.explode(
+            F.sequence(F.floor(F.col("start") / b), F.floor((F.col("end") - 1) / b))
+        ),
+    )
+    return spans.select(
+        "shard",
+        "seq_id",
+        id_col,
+        "tok",
+        (
+            F.least(F.col("end"), (F.col("seq_id") + 1) * b)
+            - F.greatest(F.col("start"), F.col("seq_id") * b)
+        ).alias("tok_in_seq"),
+    )
+
+
+def pack_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 256,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Per-sequence occupancy: (shard, seq_id, n_docs, seq_tokens).
+
+    Every sequence except each shard's last holds exactly ``budget``
+    tokens — the invariant that proves the interval arithmetic right.
+    """
+    spans = pack_assignments(df, text_col, id_col, budget, n_shards)
+    return spans.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok_in_seq").alias("seq_tokens"),
+    )

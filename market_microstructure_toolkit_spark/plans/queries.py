@@ -1333,6 +1333,45 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(corpus, bench, shingle_n=3, min_shared=2)
 
 
+_PACK_SQL = """
+WITH toks AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, shard, tok,
+         CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS e
+  FROM toks
+),
+spans AS (
+  SELECT shard, doc_id, tok, e - tok AS s, e,
+         unnest(range((e - tok) // 256, (e - 1) // 256 + 1)) AS seq_id
+  FROM cum
+)
+SELECT shard, seq_id, COUNT(*) AS n_docs,
+       CAST(SUM(LEAST(e, (seq_id + 1) * 256) - GREATEST(s, seq_id * 256))
+            AS BIGINT) AS seq_tokens
+FROM spans
+GROUP BY shard, seq_id
+"""
+
+
+@register("pack_sequences", _PACK_SQL)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing over the corpus: 8 shards,
+    256-token sequences, documents spanning chunk boundaries split by
+    exact interval arithmetic. Output is the per-sequence occupancy
+    report (shard, seq_id, n_docs, seq_tokens) a packing job emits —
+    every sequence but each shard's last must hold exactly 256 tokens.
+    The cumsum window is PARTITIONED by shard (n independent sorts, not
+    one global sort), the stats groupBy keys on (shard, seq): both
+    survive a 100 TB corpus by raising n_shards."""
+    from market_microstructure_toolkit_spark.operators.packing import pack_stats
+
+    return pack_stats(_docs(spark, sf_dir), budget=256, n_shards=8)
+
+
 _SIMHASH_SQL = (
     "WITH votes AS (\n"
     "  SELECT doc_id,\n"

@@ -8,6 +8,7 @@ import hashlib
 import math
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from market_microstructure_toolkit_spark.operators import dedup as D
@@ -175,6 +176,31 @@ def test_contamination_benchmark_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pack_assignments_splits_on_boundary(spark):
+    from market_microstructure_toolkit_spark.operators import packing as PK
+
+    # one shard (n_shards=1), budget 5; doc 1 = 3 toks, doc 2 = 4 toks
+    # stream: doc1 [0,3), doc2 [3,7) -> doc2 spans seqs 0 and 1 (2+2)
+    df = docs_df(spark, [(1, "a b c"), (2, "d e f g")])
+    out = sorted(
+        (r["seq_id"], r["doc_id"], r["tok_in_seq"])
+        for r in PK.pack_assignments(df, budget=5, n_shards=1).collect()
+    )
+    assert out == [(0, 1, 3), (0, 2, 2), (1, 2, 2)]
+
+
+def test_pack_stats_full_sequences_hold_exactly_budget(spark, sf_dir):
+    from market_microstructure_toolkit_spark.operators import packing as PK
+    from market_microstructure_toolkit_spark.plans.queries import _docs
+
+    stats = PK.pack_stats(_docs(spark, sf_dir), budget=256, n_shards=8)
+    w = Window.partitionBy("shard")
+    rows = stats.withColumn("last", F.col("seq_id") == F.max("seq_id").over(w))
+    bad = rows.filter(~F.col("last") & (F.col("seq_tokens") != 256)).count()
+    assert bad == 0
+    assert rows.filter(F.col("seq_tokens") > 256).count() == 0
 
 
 def test_ivf_multiprobe_recall_dominates_single_probe(spark):
