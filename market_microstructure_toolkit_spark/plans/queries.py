@@ -1856,15 +1856,25 @@ def q_dedup_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     pairs = lsh_bucketed_pairs(emb, n_bits=8, min_cosine=-2.0)
+    # both directions from ONE evaluation of the bucket self-join — a
+    # union of two selects over `pairs` would run the join twice
+    sim = F.round("cos_sim", 6)
     both = pairs.select(
-        F.col("id_a").alias("vec_id"), F.col("id_b").alias("nn_id"),
-        F.round("cos_sim", 6).alias("cos_sim"),
-    ).unionByName(
-        pairs.select(
-            F.col("id_b").alias("vec_id"), F.col("id_a").alias("nn_id"),
-            F.round("cos_sim", 6).alias("cos_sim"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("vec_id"),
+                    F.col("id_b").alias("nn_id"),
+                    sim.alias("cos_sim"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("vec_id"),
+                    F.col("id_a").alias("nn_id"),
+                    sim.alias("cos_sim"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos_sim").desc(), F.col("nn_id")
     )
