@@ -216,3 +216,50 @@ def split_expr(id_col: str = "doc_id") -> Column:
         .when(b < F.lit("fc"), F.lit("val"))
         .otherwise(F.lit("test"))
     )
+
+
+def rebalance_keep_flag(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mix rebalancing: downsample over-represented groups to the size
+    of the SMALLEST group, the "uniform mix" a training-data run dials
+    toward when one language/source dominates the crawl.
+
+    Each group's keep rate is cap/n_group (cap = min group size); a
+    document survives if the first 8 hex chars of md5(id) fall below the
+    rate's hex threshold — membership is a content-free pure map, so the
+    decision is re-runnable, join-free at apply time, and stable when
+    the corpus grows (same properties as ``split_expr``, and the same
+    engine-portable lexicographic-hex comparison: the threshold string
+    printf('%08x', floor(rate * 16^8)) is computed IN PLAN from the
+    group counts). Groups at the cap keep everything (the rate-1.0
+    threshold would be 9 hex chars and compare wrong — the CASE guards
+    it).
+
+    Scale shape: one groupBy for the counts, a broadcast of the tiny
+    (group, n, cap) table back onto the corpus, then a map-side flag —
+    no corpus shuffle at all. Returns the input plus (n_group, kept).
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_group"))
+    cap = counts.agg(F.min("n_group").alias("cap"))
+    rates = F.broadcast(counts.crossJoin(F.broadcast(cap)))
+    thr = F.lower(
+        F.lpad(
+            F.hex(
+                F.floor(
+                    F.col("cap").cast("double")
+                    / F.col("n_group")
+                    * F.lit(4294967296.0)
+                )
+            ),
+            8,
+            "0",
+        )
+    )
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    keep = F.when(F.col("n_group") <= F.col("cap"), F.lit(True)).otherwise(
+        h < thr
+    )
+    return df.join(rates, group_col).withColumn("kept", keep).drop("cap")

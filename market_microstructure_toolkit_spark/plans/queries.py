@@ -1372,6 +1372,44 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_stats(_docs(spark, sf_dir), budget=256, n_shards=8)
 
 
+_REBALANCE_SQL = """
+WITH counts AS (SELECT lang, COUNT(*) AS n_group FROM documents GROUP BY lang),
+cap AS (SELECT MIN(n_group) AS cap FROM counts),
+flags AS (
+  SELECT d.lang,
+         CASE WHEN c.n_group <= cap.cap THEN TRUE
+              ELSE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                   < printf('%08x',
+                            CAST(floor(CAST(cap.cap AS DOUBLE) / c.n_group
+                                       * 4294967296.0) AS BIGINT))
+         END AS kept
+  FROM documents d JOIN counts c USING (lang) CROSS JOIN cap
+)
+SELECT lang, COUNT(*) AS n_before,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+FROM flags
+GROUP BY lang
+"""
+
+
+@register("corpus_rebalance", _REBALANCE_SQL)
+def q_corpus_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix rebalancing report: every language downsampled
+    toward the smallest one's count (the corpus is en-heavy) via the
+    deterministic md5-threshold keep flag. Counts broadcast back onto
+    the corpus, so the flagging pass itself is map-side — the shape that
+    rebalances a 100 TB crawl without shuffling it."""
+    from market_microstructure_toolkit_spark.operators.text_analysis import (
+        rebalance_keep_flag,
+    )
+
+    flagged = rebalance_keep_flag(_docs(spark, sf_dir), group_col="lang")
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_after"),
+    )
+
+
 _SIMHASH_SQL = (
     "WITH votes AS (\n"
     "  SELECT doc_id,\n"

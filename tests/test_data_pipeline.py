@@ -178,6 +178,29 @@ def test_contamination_benchmark_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_rebalance_keeps_smallest_group_whole(spark):
+    rows = [(i, "t", "en") for i in range(200)] + [
+        (1000 + i, "t", "fr") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = TA.rebalance_keep_flag(df, group_col="lang")
+    per = {
+        r["lang"]: (r["n"], r["k"])
+        for r in out.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("kept").cast("int")).alias("k"))
+        .collect()
+    }
+    assert per["fr"] == (20, 20)          # smallest group keeps all
+    n, k = per["en"]
+    assert n == 200 and 5 <= k <= 45      # ~10% rate, hash-random
+    # deterministic: same flags on re-evaluation
+    again = {r["doc_id"]: r["kept"] for r in
+             TA.rebalance_keep_flag(df, group_col="lang").collect()}
+    first = {r["doc_id"]: r["kept"] for r in out.collect()}
+    assert again == first
+
+
 def test_pack_assignments_splits_on_boundary(spark):
     from market_microstructure_toolkit_spark.operators import packing as PK
 
