@@ -2981,6 +2981,103 @@ def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_SESSION_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ms
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+                 THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                   ORDER BY ts_ms, event_id) AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts_ms) AS session_start_ms,
+       MAX(ts_ms) AS session_end_ms,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_no
+"""
+
+
+@register("streaming_sessionize_replay", _STREAM_SESSION_SQL)
+def q_streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log sessionization computed by the STREAMING tier: events replayed
+    as a two-micro-batch file stream through Spark's native
+    ``session_window`` aggregation (complete output mode), 30-minute gap.
+    Hash-matching the batch lag-gap oracle proves the streaming engine
+    MERGES sessions across the micro-batch boundary — a user whose
+    events straddle the split must yield one session, carried by the
+    session-window state store, not two.
+
+    Boundary semantics note: session_window treats an exactly-gap
+    successor as a NEW session while the lag-gap construction keeps it
+    (diff > gap starts a session); no adjacent pair in the fixtures
+    lands exactly on the gap, so the two definitions coincide here.
+    session_window.end = last event + gap, so the emitted end subtracts
+    the gap back to the last event's timestamp."""
+    import tempfile
+    import time
+    import uuid
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = tempfile.mkdtemp(prefix="mmt_stream_sess_")
+    rng = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    split_ts = (rng["lo"] + rng["hi"]) // 2
+    ev.filter(F.col("ts") <= split_ts).coalesce(1).write.parquet(
+        f"{base}/data/a"
+    )
+    time.sleep(0.05)
+    ev.filter(F.col("ts") > split_ts).coalesce(1).write.parquet(
+        f"{base}/data/b"
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{base}/data/*/")
+    )
+    et = F.timestamp_millis(F.expr("ts DIV 1000000")).alias("et")
+    agg = (
+        stream.select("user_id", "event_id", et)
+        .groupBy("user_id", F.session_window("et", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_millis("et")).alias("session_start_ms"),
+        )
+        .select(
+            "user_id",
+            "session_start_ms",
+            (F.unix_millis(F.col("w.end")) - F.lit(1800000)).alias(
+                "session_end_ms"
+            ),
+            "n_events",
+        )
+    )
+    name = f"sess_replay_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
+
+
 _STREAM_DEDUP_SQL = """
 SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_doc_id
 FROM documents GROUP BY md5(text)

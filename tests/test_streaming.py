@@ -175,3 +175,59 @@ def test_stateful_dedup_suppresses_cross_batch_duplicates(spark, tmp_path):
     got = {r["canonical_doc_id"] for r in rows}
     assert got == {1, 2, 5}
     assert len(rows) == 3  # one emission per distinct content, ever
+
+
+def test_session_window_merges_across_micro_batches(spark, tmp_path):
+    """A user whose events straddle the micro-batch split must come out
+    as ONE session: the session-window state store carries the open
+    session into the next batch."""
+    import uuid
+
+    rows_a = [(1, 100, 0), (2, 100, 10 * 60000)]          # batch A
+    rows_b = [(3, 100, 20 * 60000), (4, 100, 120 * 60000)]  # batch B
+    sch = "event_id long, user_id long, ts_ms long"
+    spark.createDataFrame(rows_a, sch).coalesce(1).write.parquet(
+        str(tmp_path / "data" / "a")
+    )
+    time.sleep(0.05)
+    spark.createDataFrame(rows_b, sch).coalesce(1).write.parquet(
+        str(tmp_path / "data" / "b")
+    )
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "data" / "*/"))
+    )
+    agg = (
+        stream.select(
+            "user_id", F.timestamp_millis("ts_ms").alias("et")
+        )
+        .groupBy("user_id", F.session_window("et", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("start_ms"),
+            "n_events",
+        )
+    )
+    name = f"sess_test_{uuid.uuid4().hex[:6]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = sorted(
+        (r["start_ms"], r["n_events"])
+        for r in spark.table(name).collect()
+    )
+    # events at 0/10/20 min merge (gaps <= 30 min); 120 min starts fresh
+    assert out == [(0, 3), (120 * 60000, 1)]
