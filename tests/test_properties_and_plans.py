@@ -178,3 +178,38 @@ def test_recorder_grid_sample_windows_are_partitioned(spark, sf_dir):
 
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "symbol" in m.group(1)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=30),
+    budget=st.integers(min_value=3, max_value=17),
+)
+def test_pack_sequences_conservation_properties(spark, toks, budget):
+    """Packing invariants for arbitrary doc lengths and budgets:
+    (1) token conservation — each doc's tok_in_seq pieces sum to its
+    token count; (2) every sequence except the shard's last holds
+    exactly `budget` tokens; (3) sequence ids per shard are the dense
+    range 0..last."""
+    from market_microstructure_toolkit_spark.operators.packing import (
+        pack_assignments,
+    )
+
+    rows = [(i, " ".join(["w"] * t)) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_assignments(df, budget=budget, n_shards=1).collect()
+
+    per_doc = {}
+    per_seq = {}
+    for r in out:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["tok_in_seq"]
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["tok_in_seq"]
+    assert per_doc == {i: t for i, t in enumerate(toks)}
+    last = max(per_seq)
+    assert sorted(per_seq) == list(range(last + 1))
+    for s, n in per_seq.items():
+        assert n == budget if s < last else 0 < n <= budget
