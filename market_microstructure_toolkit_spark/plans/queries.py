@@ -2981,6 +2981,51 @@ def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ALERT_WINDOW_SQL = """
+WITH pts AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+alerts AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS s
+  FROM events WHERE value > 140
+)
+SELECT a.event_id AS alert_event_id, COUNT(*) AS n_in_window
+FROM alerts a JOIN pts p
+  ON p.user_id = a.user_id AND p.t >= a.s AND p.t < a.s + 300000
+GROUP BY a.event_id
+"""
+
+
+@register("events_alert_window_join", _ALERT_WINDOW_SQL)
+def q_events_alert_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big interval join: every high-value event (value > 140, ~6%
+    of the stream) opens a 5-minute window; count the user's events
+    falling inside each window. Neither side is broadcastable at scale —
+    the bucketized interval_join turns the band predicate into an
+    equi-join on (user_id, 5-min bin) + residual filter, a plain
+    shuffled hash join with uniform keys (the naive BETWEEN-only join
+    plans as a nested loop). DuckDB oracle is the direct inequality
+    join."""
+    from market_microstructure_toolkit_spark.operators.rangejoin import (
+        interval_join,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_ms = F.expr("ts DIV 1000000")
+    pts = ev.select("user_id", ts_ms.alias("t"))
+    alerts = ev.filter(F.col("value") > 140).select(
+        F.col("event_id").alias("alert_event_id"),
+        "user_id",
+        ts_ms.alias("s"),
+        (ts_ms + F.lit(300000)).alias("e"),
+    )
+    joined = interval_join(
+        pts, alerts, keys=("user_id",), point_ts_col="t",
+        start_col="s", end_col="e", bin_ms=300000,
+    )
+    return joined.groupBy("alert_event_id").agg(
+        F.count(F.lit(1)).alias("n_in_window")
+    )
+
+
 _STREAM_SESSION_SQL = """
 WITH ordered AS (
   SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,

@@ -524,3 +524,48 @@ def test_split_expr_deterministic_and_uniform(spark):
 
     c = Counter(got.values())
     assert c["train"] > 1800 and c["val"] > 0 and c["test"] > 0
+
+
+def test_interval_join_halfopen_and_bin_spanning(spark):
+    from market_microstructure_toolkit_spark.operators.rangejoin import (
+        interval_join,
+    )
+
+    # interval [95, 205) with bin 100 spans bins 0,1,2
+    ivl = spark.createDataFrame(
+        [(1, "u", 95, 205), (2, "u", 300, 300)],  # second is degenerate
+        "ivl_id long, k string, s long, e long",
+    )
+    pts = spark.createDataFrame(
+        [("u", 94), ("u", 95), ("u", 150), ("u", 204), ("u", 205), ("x", 150)],
+        "k string, t long",
+    )
+    out = sorted(
+        (r["ivl_id"], r["t"])
+        for r in interval_join(
+            pts, ivl, keys=("k",), point_ts_col="t",
+            start_col="s", end_col="e", bin_ms=100,
+        ).collect()
+    )
+    # start inclusive, end exclusive, key must match, degenerate drops
+    assert out == [(1, 95), (1, 150), (1, 204)]
+
+
+def test_interval_join_is_shuffled_hash_not_nested_loop(spark):
+    from market_microstructure_toolkit_spark.operators.rangejoin import (
+        interval_join,
+    )
+
+    ivl = spark.createDataFrame(
+        [(1, "u", 0, 100)], "ivl_id long, k string, s long, e long"
+    )
+    pts = spark.createDataFrame([("u", 50)], "k string, t long")
+    plan = (
+        interval_join(
+            pts, ivl, keys=("k",), point_ts_col="t",
+            start_col="s", end_col="e", bin_ms=100,
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
