@@ -3026,6 +3026,89 @@ def q_events_alert_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_ALERT_JOIN_SQL = """
+SELECT a.event_id AS alert_event_id, p.t AS pt_ms
+FROM (SELECT user_id, epoch_ms(ts) AS t FROM events) p
+JOIN (SELECT event_id, user_id, epoch_ms(ts) AS s
+      FROM events WHERE value > 140) a
+  ON p.user_id = a.user_id AND p.t >= a.s AND p.t < a.s + 300000
+"""
+
+
+@register("streaming_alert_join_replay", _STREAM_ALERT_JOIN_SQL)
+def q_streaming_alert_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join: the live twin of the batch
+    events_alert_window_join. Two watermarked streams over the same
+    two-micro-batch event replay — high-value alerts on one side, all
+    events on the other — joined on user plus a time-range condition
+    (event inside the alert's 5-minute window). Spark buffers both
+    sides in join state and emits matches in append mode; hash-matching
+    the batch inequality-join oracle proves cross-micro-batch matching
+    (an alert in batch A joins events arriving in batch B through
+    state). The wide watermark keeps state alive for the whole bounded
+    replay; a live deployment would tighten it to the real lateness
+    bound, trading state size for completeness."""
+    import tempfile
+    import time
+    import uuid
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = tempfile.mkdtemp(prefix="mmt_stream_ssj_")
+    rng = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    split_ts = (rng["lo"] + rng["hi"]) // 2
+    ev.filter(F.col("ts") <= split_ts).coalesce(1).write.parquet(
+        f"{base}/data/a"
+    )
+    time.sleep(0.05)
+    ev.filter(F.col("ts") > split_ts).coalesce(1).write.parquet(
+        f"{base}/data/b"
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{base}/data/*/")
+    )
+    et = F.timestamp_millis(F.expr("ts DIV 1000000"))
+    pts = stream.select("user_id", et.alias("pt_time")).withWatermark(
+        "pt_time", "365 days"
+    )
+    alerts = (
+        stream.filter(F.col("value") > 140)
+        .select(
+            F.col("event_id").alias("alert_event_id"),
+            F.col("user_id").alias("a_user"),
+            et.alias("a_time"),
+        )
+        .withWatermark("a_time", "365 days")
+    )
+    joined = pts.join(
+        alerts,
+        (F.col("user_id") == F.col("a_user"))
+        & (F.col("pt_time") >= F.col("a_time"))
+        & (
+            F.col("pt_time")
+            < F.col("a_time") + F.expr("INTERVAL 5 MINUTES")
+        ),
+        "inner",
+    ).select("alert_event_id", F.unix_millis("pt_time").alias("pt_ms"))
+    name = f"ssj_replay_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
+
+
 _STREAM_SESSION_SQL = """
 WITH ordered AS (
   SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
