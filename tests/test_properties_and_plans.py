@@ -213,3 +213,50 @@ def test_pack_sequences_conservation_properties(spark, toks, budget):
     assert sorted(per_seq) == list(range(last + 1))
     for s, n in per_seq.items():
         assert n == budget if s < last else 0 < n <= budget
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=25),
+    ivls=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),
+            st.integers(min_value=0, max_value=120),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    bin_ms=st.sampled_from([7, 50, 100, 333]),
+)
+def test_interval_join_matches_brute_force(spark, pts, ivls, bin_ms):
+    """Bucketized interval join == brute-force filter for arbitrary
+    points, spans, and bin widths (bins misaligned with spans included)."""
+    from market_microstructure_toolkit_spark.operators.rangejoin import (
+        interval_join,
+    )
+
+    pdf = spark.createDataFrame(
+        [("k", t, i) for i, t in enumerate(pts)], "k string, t long, pid long"
+    )
+    idf = spark.createDataFrame(
+        [("k", s, s + w, j) for j, (s, w) in enumerate(ivls)],
+        "k string, s long, e long, iid long",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            pdf, idf, keys=("k",), point_ts_col="t",
+            start_col="s", end_col="e", bin_ms=bin_ms,
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, t in enumerate(pts)
+        for j, (s, w) in enumerate(ivls)
+        if s <= t < s + w
+    )
+    assert got == want
