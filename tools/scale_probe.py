@@ -27,9 +27,11 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+import os
+
 BASE = "/root/testdata/sf0.1"
-OUT = "/tmp/scale10"
-COPIES = 10
+COPIES = int(os.environ.get("SCALE_PROBE_COPIES", "10"))
+OUT = os.environ.get("SCALE_PROBE_OUT", f"/tmp/scale{COPIES}")
 DEFAULT = [
     "dedup_exact",
     "dedup_minhash_lsh",
