@@ -33,12 +33,11 @@ ORDER_COLS = ["ts_ms", "raw_nonce"]
 
 def synthetic_book(spark: SparkSession, sf_dir: str, depth: int = BOOK_DEPTH) -> DataFrame:
     """events.parquet -> wide depth-K book frame (Spark side)."""
-    from market_microstructure_toolkit_spark.session import ensure_session_confs
+    from market_microstructure_toolkit_spark.sources.events import read_events
 
-    # events.parquet is TIMESTAMP(NANOS); make the read self-sufficient on
-    # any caller-supplied session (driver harnesses inject their own).
-    ensure_session_confs(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # events.parquet ts is TIMESTAMP(NANOS); read_events normalizes it to
+    # epoch-nanos BIGINT whatever type the session's reader surfaces.
+    ev = read_events(spark, sf_dir)
     eid = F.col("event_id")
     mid0 = F.lit(100.0) + F.col("value") * F.lit(0.1)
     spr = F.lit(0.02) + (eid % 5).cast("double") * F.lit(0.01)

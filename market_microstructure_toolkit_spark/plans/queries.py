@@ -33,6 +33,7 @@ from market_microstructure_toolkit_spark.plans.book import (
     book_sql,
     synthetic_book,
 )
+from market_microstructure_toolkit_spark.sources.events import read_events
 
 KEYS = ("exchange_id", "symbol")
 IDS = ["exchange_id", "symbol", "ts_ms", "raw_nonce"]
@@ -2166,7 +2167,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic log sessionization: per-user 30-minute-gap cut via
     lag + running sum of boundaries, then per-session aggregates. One
     shuffle keyed on user_id serves both the window and the groupBy."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_events(spark, sf_dir)
     ts_ms = F.expr("ts DIV 1000000")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = ev.select(
@@ -2208,7 +2209,7 @@ def q_events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed log rollup: counts, exact distinct users, and
     integer-cents-exact value sums per (event_type, hour). Partial
     aggregation map-side; distinct expands to a two-phase aggregate."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_events(spark, sf_dir)
     hour_ms = (F.expr("ts DIV 1000000") / F.lit(3600000)).cast("long") * F.lit(
         3600000
     )
@@ -2234,7 +2235,7 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction from the props column (the reference's
     only JSON surface is --params CLI parsing; at scale this is
     get_json_object, a codegen'd expression — no Python)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_events(spark, sf_dir)
     return ev.select(
         "event_id", "event_type",
         F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
@@ -2860,7 +2861,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     min + a join back to the events — all three stages co-partition on
     user_id, so at scale the shuffles align and the stage frontiers
     (one row per converted user) stay small relative to the log."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_events(spark, sf_dir)
     m = ev.select("user_id", "event_type", F.expr("ts DIV 1000000").alias("ms"))
     v = (
         m.filter(F.col("event_type") == "view")
@@ -3008,7 +3009,7 @@ def q_events_alert_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         interval_join,
     )
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_events(spark, sf_dir)
     ts_ms = F.expr("ts DIV 1000000")
     pts = ev.select("user_id", ts_ms.alias("t"))
     alerts = ev.filter(F.col("value") > 140).select(
@@ -3052,7 +3053,7 @@ def q_streaming_alert_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     import time
     import uuid
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_events(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="mmt_stream_ssj_")
     rng = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
     split_ts = (rng["lo"] + rng["hi"]) // 2
@@ -3155,7 +3156,7 @@ def q_streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     import time
     import uuid
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_events(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="mmt_stream_sess_")
     rng = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
     split_ts = (rng["lo"] + rng["hi"]) // 2

@@ -26,8 +26,10 @@ _DEFAULT_CONFS: dict[str, str] = {
     # keep whole-stage codegen on but allow fallback instead of failure.
     "spark.sql.codegen.fallback": "true",
     "spark.sql.parquet.compression.codec": "snappy",
-    # The driver's parquet stores TIMESTAMP(NANOS) which vanilla Spark
-    # rejects; read as epoch-nanos longs (sources normalize to millis).
+    # The driver's parquet stores TIMESTAMP(NANOS). Older Spark rejects it
+    # without this conf (reads as epoch-nanos longs); Spark >= 4.1 ignores
+    # the conf and surfaces TIMESTAMP_NTZ instead. sources/events.py
+    # normalizes either arrival type — the conf stays for older deployments.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Broadcast joins for dimension tables / slice targets.
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
@@ -43,8 +45,9 @@ _DEFAULT_CONFS: dict[str, str] = {
 # SparkSession they are handed (a harness may inject its own session that
 # never saw _DEFAULT_CONFS). All are runtime-settable in Spark 4.
 _RUNTIME_REQUIRED_CONFS: dict[str, str] = {
-    # events.parquet stores TIMESTAMP(NANOS); without this a vanilla
-    # session raises PARQUET_TYPE_ILLEGAL on read.
+    # events.parquet stores TIMESTAMP(NANOS); older Spark raises
+    # PARQUET_TYPE_ILLEGAL on read without this (newer Spark ignores it
+    # and reads TIMESTAMP_NTZ — sources/events.py adapts to both).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # date/ntz -> timestamp casts and epoch extraction must agree with
     # the (timezone-free) DuckDB oracles.
