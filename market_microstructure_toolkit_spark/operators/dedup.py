@@ -37,17 +37,27 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 
     Built with ``transform`` over token positions — O(tokens) expressions,
     no UDF. Documents shorter than n words yield an empty set.
+
+    The token array is BOUND to a lambda variable via a single-element
+    ``transform`` before any per-position access: referencing the raw
+    ``split(...)`` expression inside the positional lambda would re-split
+    the whole document for every ``element_at`` — O(tokens^2) per doc
+    (measured 6.5 s for a 5000-doc explode; ~1 s bound).
     """
-    toks = tokens(text)
-    cnt = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(-1)))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.array_distinct(F.when(cnt >= n, grams).otherwise(F.array()))
+
+    def shingles_of(toks: Column) -> Column:
+        cnt = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(-1)))
+        grams = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)],
+            ),
+        )
+        return F.array_distinct(F.when(cnt >= n, grams).otherwise(F.array()))
+
+    return F.element_at(F.transform(F.array(tokens(text)), shingles_of), 1)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -195,37 +205,50 @@ def ngram_jaccard_pairs(
     the surviving (discriminative) shingle sets, so the ratio remains a
     true Jaccard — of the filtered sets. ``None`` disables the guard for
     small corpora needing the unfiltered value.
+
+    Plan shape (one LINEAR lineage — no self-join, no branch recompute):
+    explode once; doc-frequency + guard via a count window on the shingle;
+    per-doc filtered sizes via a count window on the doc; then group each
+    surviving shingle's ≤``max_doc_freq`` postings into an array and emit
+    its pairs by a bounded double-explode. A previous version branched the
+    exploded shingles into a doc-freq aggregate, a sizes aggregate, and a
+    self-join — Spark re-evaluated the explode subtree for every branch
+    (measured 10x slower at sf0.1). Four shuffles total, all on the
+    guard-bounded postings; the pair fan-out per shingle is at most
+    C(max_doc_freq, 2), so no key can blow up the join stage. With the
+    guard disabled the postings window is unbounded (linear in the hottest
+    shingle's doc count — acceptable only on small corpora; MinHash-LSH is
+    the 100 TB path).
     """
     grams = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("g")
     )
     if max_doc_freq is not None:
-        # shingles are per-doc distinct, so count(*) per shingle = doc freq
-        rare = (
-            grams.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_doc_freq)
-            .select("g")
+        # shingles are per-doc distinct, so count per shingle = doc freq
+        grams = grams.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("g"))
+        ).filter(F.col("__df") <= max_doc_freq)
+    sized = grams.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    )
+    postings = sized.groupBy("g").agg(
+        F.collect_list(F.struct(F.col(id_col).alias("id"), "n")).alias("ids")
+    )
+    pairs = (
+        postings.select(
+            F.explode("ids").alias("a"), F.col("ids").alias("ids_b")
         )
-        grams = grams.join(rare, "g")
-    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a, b = grams.alias("a"), grams.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        .select("a", F.explode("ids_b").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+    )
+    out = (
+        pairs.groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
         .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
-    out = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",

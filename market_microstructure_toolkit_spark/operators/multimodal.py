@@ -59,14 +59,19 @@ def _fake_decode_features(payload: bytes, n: int = 8) -> list[float]:
     Replace with a real decoder (PIL image -> pixel stats, ffmpeg frame
     sample, librosa spectral features). Marked fake on purpose — the
     container ships no media libraries (environment constraint).
+
+    Vectorized with numpy: a per-byte Python loop was the measured hot
+    spot of the whole bench (O(total corpus bytes) interpreter work inside
+    the Arrow batch); ``bincount`` is the same histogram at C speed.
     """
+    import numpy as np
+
     if payload is None:
         return [0.0] * n
-    buckets = [0] * n
-    for byte in payload:
-        buckets[byte % n] += 1
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    buckets = np.bincount(arr % n, minlength=n)
     total = max(1, len(payload))
-    return [b / total for b in buckets]
+    return [float(b) / total for b in buckets]
 
 
 def extract_features(assets: DataFrame, n_features: int = 8) -> DataFrame:
