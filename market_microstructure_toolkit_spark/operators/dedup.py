@@ -60,6 +60,30 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     return F.element_at(F.transform(F.array(tokens(text)), shingles_of), 1)
 
 
+def grouped_pairs(df: DataFrame, group_cols: list[str], id_struct: Column) -> DataFrame:
+    """Postings-list pair generation for inverted-index similarity joins.
+
+    Groups rows by ``group_cols`` (a shingle / fingerprint / LSH-bucket
+    key), collects each group's members into an array, and emits ordered
+    member pairs (``a.id < b.id``) by a double-explode. Compared to the
+    classic self-join on the group key this (1) evaluates the (often
+    expensive: shingling, md5, minhash) input lineage ONCE instead of once
+    per join side — Spark gives self-join branches no common-subexpression
+    reuse — and (2) generates pairs map-side after one shuffle.
+
+    CALLERS MUST BOUND GROUP SIZE FIRST (doc-frequency or bucket-size
+    guard): ``collect_list`` materializes a group per key, and pair
+    fan-out is C(|group|, 2). With a guard of K, both are O(K) / O(K^2)
+    constants; without one, a hot key OOMs the aggregate at scale.
+    """
+    postings = df.groupBy(*group_cols).agg(F.collect_list(id_struct).alias("ids"))
+    return (
+        postings.select(F.explode("ids").alias("a"), F.col("ids"))
+        .select("a", F.explode("ids").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup via md5 content hash; keeps min id as canonical."""
     return (
@@ -167,17 +191,9 @@ def minhash_lsh_candidates(
         )
         .drop("__bn")
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        grouped_pairs(keyed, ["band", "key"], F.struct(F.col(id_col).alias("id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
     return pairs
@@ -231,15 +247,8 @@ def ngram_jaccard_pairs(
     sized = grams.withColumn(
         "n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
     )
-    postings = sized.groupBy("g").agg(
-        F.collect_list(F.struct(F.col(id_col).alias("id"), "n")).alias("ids")
-    )
-    pairs = (
-        postings.select(
-            F.explode("ids").alias("a"), F.col("ids").alias("ids_b")
-        )
-        .select("a", F.explode("ids_b").alias("b"))
-        .filter(F.col("a.id") < F.col("b.id"))
+    pairs = grouped_pairs(
+        sized, ["g"], F.struct(F.col(id_col).alias("id"), "n")
     )
     out = (
         pairs.groupBy(
@@ -375,22 +384,16 @@ def winnow_candidates(
         F.col(id_col), F.explode(_window_minima(F.col("hs"), w)).alias("fp")
     )
     if max_doc_freq is not None:
-        rare = (
-            fps.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_doc_freq)
-            .select("fp")
-        )
-        fps = fps.join(rare, "fp")
-    a, b = fps.alias("a"), fps.alias("b")
+        # count window + filter: the guard rides the same shuffle the
+        # postings groupBy needs, instead of an aggregate + semi-join
+        # that would re-evaluate the md5 fingerprint lineage per branch.
+        fps = fps.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        ).filter(F.col("__df") <= max_doc_freq).drop("__df")
     return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        grouped_pairs(fps, ["fp"], F.struct(F.col(id_col).alias("id")))
         .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
         )
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)

@@ -126,17 +126,26 @@ def token_count_bpe_ish(text_col: str = "text") -> Column:
 def word_ngrams_all(text_col: Column | str, n: int) -> Column:
     """ALL word n-grams in order (duplicates kept — unlike
     ``dedup.word_shingles`` this feeds frequency statistics, not set
-    hashing). O(tokens) transform, no UDF; < n words -> empty array."""
-    toks = tokens(text_col)
-    cnt = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(-1)))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.when(cnt >= n, grams).otherwise(F.array())
+    hashing). O(tokens) transform, no UDF; < n words -> empty array.
+
+    As in ``dedup.word_shingles``, the token array is bound to a lambda
+    variable via a single-element ``transform`` first — referencing the
+    raw ``split`` inside the positional lambda re-splits the document for
+    every element access (O(tokens^2) per doc)."""
+
+    def grams_of(toks: Column) -> Column:
+        cnt = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(-1)))
+        grams = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)],
+            ),
+        )
+        return F.when(cnt >= n, grams).otherwise(F.array())
+
+    return F.element_at(F.transform(F.array(tokens(text_col)), grams_of), 1)
 
 
 def repetition_stats(
