@@ -7,7 +7,7 @@ inside whole-stage codegen with zero Python round-trips.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from market_microstructure_toolkit_spark.operators.dedup import tokens
@@ -272,3 +272,126 @@ def rebalance_keep_flag(
         h < thr
     )
     return df.join(rates, group_col).withColumn("kept", keep).drop("cap")
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF — the classic keyword-extraction
+    pass a curation pipeline runs to tag/route documents.
+
+    tfidf = tf * ln(N / df), rounded to 6 dp BEFORE ranking so the rank
+    is deterministic across engines (ties broken by term ascending).
+
+    Scale shape: explode -> groupBy(doc, term) with map-side combine ->
+    term-keyed aggregate for document frequencies (vocab-sized, far
+    smaller than the corpus) -> equi-join tf x df on term -> per-doc
+    top-k via a doc-keyed rank window. N arrives by a 1-row broadcast
+    crossJoin (scalar graft). No corpus-sized skew key: term frequencies
+    follow Zipf, but the tf table is already (doc, term)-deduped before
+    the term join, and the rank window keys by document.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            id_col,
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "tfidf",
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model — the cheap stand-in for the KenLM-perplexity quality
+    filter every large-scale text pipeline runs (low mean logprob =
+    unusual token mix = candidate junk).
+
+    Scale shape: one explode feeds BOTH the vocabulary counts (term-keyed
+    aggregate, vocab-sized output) and the per-doc averages; the token
+    stream joins the vocabulary on term (broadcastable when the vocab
+    fits, shuffled equi-join otherwise) and aggregates back by document.
+    The corpus total rides the vocabulary aggregate as a 1-row broadcast.
+    Mean of logs is order-sensitive in the last ulps -> rounded to 6 dp.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    scored = toks.join(vocab, "term").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("cnt").cast("double") / F.col("total"))), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Fraction of a document's distinct word n-grams whose FIRST corpus
+    occurrence (minimum doc id) is this document — a curation-ordering
+    signal: low novelty means the document is mostly restating earlier
+    material (near-dup tail, boilerplate), high novelty means new text.
+
+    Scale shape: one explode of per-doc distinct shingles; the first
+    owner of each shingle comes from a min-window keyed on the shingle
+    (rides the same shuffle a groupBy+join would need, without the join
+    or the second evaluation of the shingling lineage); per-doc fractions
+    aggregate doc-keyed. A corpus-hot shingle lands one window partition
+    — linear in its doc frequency, never quadratic. The novel/total
+    ratio is an exact-integer division: engine-exact, no rounding.
+    """
+    from market_microstructure_toolkit_spark.operators.dedup import word_shingles
+
+    grams = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
+    )
+    first = grams.withColumn(
+        "first_doc", F.min(id_col).over(Window.partitionBy("g"))
+    )
+    return (
+        first.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col(id_col), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+        )
+    )

@@ -3308,6 +3308,103 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf_dir))
 
 
+_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
+FROM ranked WHERE rank <= 3
+"""
+
+
+@register("doc_tfidf_top_terms", _TFIDF_SQL)
+def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords — the tagging/routing pass of a
+    curation pipeline. tf x df equi-join on term after per-key combine;
+    top-k via a doc-keyed rank window (never a global sort)."""
+    from market_microstructure_toolkit_spark.operators.text_analysis import (
+        tfidf_top_terms,
+    )
+
+    return tfidf_top_terms(_docs(spark, sf_dir), top_k=3)
+
+
+_UNIGRAM_LP_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+vocab AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+total AS (SELECT COUNT(*) AS total FROM toks)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(ln(CAST(cnt AS DOUBLE) / total)), 6) AS avg_logprob
+FROM toks JOIN vocab USING (term) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
+@register("doc_unigram_logprob", _UNIGRAM_LP_SQL)
+def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus's own
+    unigram model — the cheap stand-in for the KenLM-perplexity quality
+    filter (low score = unusual token mix = candidate junk). One explode
+    feeds both the vocabulary aggregate and the doc-keyed average."""
+    from market_microstructure_toolkit_spark.operators.text_analysis import (
+        unigram_logprob,
+    )
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
+_NOVELTY_SQL = """
+WITH grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 3
+),
+first AS (
+  SELECT doc_id, g, MIN(doc_id) OVER (PARTITION BY g) AS first_doc
+  FROM grams
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS novelty
+FROM first
+GROUP BY doc_id
+"""
+
+
+@register("doc_ngram_novelty", _NOVELTY_SQL)
+def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each document's distinct 3-gram shingles first seen in
+    THIS document (minimum owning doc id) — a curation-ordering signal
+    separating new text from restated boilerplate. First-owner via a
+    min-window on the shingle; exact-integer ratio, engine-exact."""
+    from market_microstructure_toolkit_spark.operators.text_analysis import (
+        ngram_novelty,
+    )
+
+    return ngram_novelty(_docs(spark, sf_dir), n=3)
+
+
 _SPLIT_SQL = """
 SELECT split, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,

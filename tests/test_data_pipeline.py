@@ -569,3 +569,56 @@ def test_interval_join_is_shuffled_hash_not_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tfidf_top_terms_exact(spark):
+    # 3 docs; 'rare' appears only in doc 1 (tf=2), 'common' in all three.
+    df = docs_df(
+        spark,
+        [
+            (1, "rare rare common x"),
+            (2, "common y y z"),
+            (3, "common z z z"),
+        ],
+    )
+    out = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"], r["tfidf"])
+        for r in TA.tfidf_top_terms(df, top_k=2).collect()
+    }
+    # doc 1 top term: 'rare' tf=2 df=1 -> 2*ln(3)
+    term, tf, dfq, tfidf = out[(1, 1)]
+    assert (term, tf, dfq) == ("rare", 2, 1)
+    assert tfidf == round(2 * math.log(3.0), 6)
+    # 'common' has df=3 -> idf ln(1)=0 everywhere
+    assert all(
+        v[3] == 0.0 for k, v in out.items() if v[0] == "common"
+    )
+    # ranks are dense per doc and capped at top_k
+    assert {k[1] for k in out if k[0] == 2} == {1, 2}
+
+
+def test_unigram_logprob_exact(spark):
+    # corpus: 4 tokens total; p(a)=2/4, p(b)=1/4, p(c)=1/4
+    df = docs_df(spark, [(1, "a a b"), (2, "c")])
+    out = {r["doc_id"]: r for r in TA.unigram_logprob(df).collect()}
+    lp1 = (2 * math.log(0.5) + math.log(0.25)) / 3
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["avg_logprob"] == round(lp1, 6)
+    assert out[2]["n_tokens"] == 1
+    assert out[2]["avg_logprob"] == round(math.log(0.25), 6)
+
+
+def test_ngram_novelty_first_owner(spark):
+    # doc 1 introduces 'a b c','b c d'; doc 2 repeats 'a b c' and adds
+    # 'b c x'; doc 3 is all repeats of doc 1's grams.
+    df = docs_df(
+        spark,
+        [(1, "a b c d"), (2, "a b c x"), (3, "a b c d")],
+    )
+    out = {r["doc_id"]: r for r in TA.ngram_novelty(df, n=3).collect()}
+    assert (out[1]["n_grams"], out[1]["n_novel"]) == (2, 2)
+    assert out[1]["novelty"] == 1.0
+    # doc 2: grams {'a b c' (first=1), 'b c x' (first=2)} -> 1/2
+    assert (out[2]["n_grams"], out[2]["n_novel"]) == (2, 1)
+    assert out[2]["novelty"] == 0.5
+    assert out[3]["n_novel"] == 0
