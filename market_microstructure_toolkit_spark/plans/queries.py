@@ -3590,6 +3590,63 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMANTIC_CLUSTERS_SQL = """
+WITH RECURSIVE keyed AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+    + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+    + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+    + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+    + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+    + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+    + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keyed a JOIN keyed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.25
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, lab) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS vec_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+@register("dedup_semantic_clusters", _SEMANTIC_CLUSTERS_SQL)
+def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup in embedding space: sign-LSH bucket
+    candidate pairs scored by exact cosine, thresholded (>= 0.25 on the
+    6-dp-rounded value so the edge set is engine-exact), then resolved
+    into connected components — cluster_id = min reachable vec_id; keep
+    one representative per cluster to drop semantic near-duplicates.
+    Same min-label propagation as document clustering, keyed on vectors."""
+    from market_microstructure_toolkit_spark.operators.dedup import dedup_clusters
+    from market_microstructure_toolkit_spark.operators.similarity import (
+        lsh_bucketed_pairs,
+    )
+
+    emb = _emb(spark, sf_dir)
+    pairs = (
+        lsh_bucketed_pairs(emb, n_bits=8, min_cosine=-2.0)
+        .filter(F.round("cos_sim", 6) >= 0.25)
+        .select("id_a", "id_b")
+    )
+    return dedup_clusters(emb.select("vec_id"), pairs, id_col="vec_id")
+
+
 _ANN_RECALL_SQL = """
 WITH exact10 AS (
   SELECT vec_id FROM (""" + _SIMILARITY_SQL + """) e

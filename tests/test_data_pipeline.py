@@ -622,3 +622,31 @@ def test_ngram_novelty_first_owner(spark):
     assert (out[2]["n_grams"], out[2]["n_novel"]) == (2, 1)
     assert out[2]["novelty"] == 0.5
     assert out[3]["n_novel"] == 0
+
+
+def test_semantic_clusters_components(spark):
+    # Two clearly-similar vector pairs in one bucket + one loner:
+    # v1~v2 (same direction), v3~v4 (same direction, different bucket
+    # pattern), v5 alone.
+    rows = [
+        (1, [1.0, 1.0, 1.0, 1.0, 0.1, 0.1, 0.1, 0.1]),
+        (2, [0.9, 1.1, 1.0, 1.0, 0.1, 0.1, 0.1, 0.1]),
+        (3, [-1.0, -1.0, 1.0, 1.0, 0.2, 0.1, 0.1, 0.1]),
+        (4, [-1.1, -0.9, 1.0, 1.0, 0.2, 0.1, 0.1, 0.1]),
+        (5, [1.0, -1.0, -1.0, 1.0, -0.5, 0.1, 0.1, 0.1]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = (
+        SIM.lsh_bucketed_pairs(emb, n_bits=8, min_cosine=-2.0)
+        .filter(F.round("cos_sim", 6) >= 0.9)
+        .select("id_a", "id_b")
+    )
+    out = {
+        r["vec_id"]: r["cluster_id"]
+        for r in D.dedup_clusters(
+            emb.select("vec_id"), pairs, id_col="vec_id"
+        ).collect()
+    }
+    assert out[1] == 1 and out[2] == 1
+    assert out[3] == 3 and out[4] == 3
+    assert out[5] == 5

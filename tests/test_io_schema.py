@@ -126,3 +126,52 @@ def test_setup_logging_creates_file_and_propagates(tmp_path):
             h.close()
         for h in saved:
             root.addHandler(h)
+
+
+# ---------------------------------------------------------------------------
+# events reader: ts normalization must be type-adaptive (the parquet
+# TIMESTAMP(NANOS) column arrives as BIGINT, TIMESTAMP, or TIMESTAMP_NTZ
+# depending on Spark version/conf — downstream code requires epoch-nanos
+# BIGINT either way)
+# ---------------------------------------------------------------------------
+
+def test_normalize_ts_nanos_passthrough_long(spark):
+    from market_microstructure_toolkit_spark.sources.events import (
+        normalize_ts_nanos,
+    )
+
+    df = spark.createDataFrame([(1, 1704067200123456000)], "id long, ts long")
+    out = normalize_ts_nanos(df)
+    assert dict(out.dtypes)["ts"] == "bigint"
+    assert out.collect()[0]["ts"] == 1704067200123456000
+
+
+def test_normalize_ts_nanos_from_timestamp_types(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from market_microstructure_toolkit_spark.session import ensure_session_confs
+    from market_microstructure_toolkit_spark.sources.events import (
+        normalize_ts_nanos,
+    )
+
+    ensure_session_confs(spark)  # UTC session zone
+    t = dt.datetime(2024, 1, 1, 0, 0, 0, 123456)  # naive wall clock
+    expect = 1704067200123456000  # epoch nanos of that instant as UTC
+    for cast_to in ("timestamp", "timestamp_ntz"):
+        df = spark.createDataFrame([(1, t)], "id long, ts timestamp").select(
+            "id", F.col("ts").cast(cast_to).alias("ts")
+        )
+        out = normalize_ts_nanos(df)
+        assert dict(out.dtypes)["ts"] == "bigint", cast_to
+        assert out.collect()[0]["ts"] == expect, cast_to
+
+
+def test_read_events_yields_nanos_long(spark):
+    from market_microstructure_toolkit_spark.sources.events import read_events
+
+    ev = read_events(spark, "/root/testdata/sf0.001")
+    assert dict(ev.dtypes)["ts"] == "bigint"
+    lo = ev.agg({"ts": "min"}).collect()[0][0]
+    # driver fixtures are 2024+ instants: epoch-nanos magnitude check
+    assert lo > 1_500_000_000 * 10**9
