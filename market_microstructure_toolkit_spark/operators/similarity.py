@@ -20,7 +20,7 @@ trained centroids — the LSH family demonstrates the identical plan shape.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from market_microstructure_toolkit_spark.functions.arrays import cosine, dot, l2_norm
@@ -150,26 +150,23 @@ def lsh_banded_pairs(
         F.col(id_col), v.alias("v"), F.explode(bands).alias("bb")
     ).select(id_col, "v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     if max_bucket is not None:
-        ok = (
-            keyed.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") <= max_bucket)
-            .select("band", "bucket")
-        )
-        keyed = keyed.join(ok, ["band", "bucket"])
-    a, b = keyed.alias("a"), keyed.alias("b")
-    scored = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
-        )
+        # count window riding the bucket shuffle the pair stage needs
+        # anyway — an aggregate + semi-join would re-evaluate the keyed
+        # lineage per branch (no CSE across self-join/semi-join branches)
+        keyed = keyed.withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+        ).filter(F.col("__n") <= max_bucket).drop("__n")
+    # postings-list pair generation: one evaluation of the keyed lineage,
+    # pairs emitted map-side after the bucket groupBy; group size (and so
+    # the collected vector array) is bounded by max_bucket
+    from market_microstructure_toolkit_spark.operators.dedup import grouped_pairs
+
+    scored = grouped_pairs(
+        keyed, ["band", "bucket"], F.struct(F.col(id_col).alias("id"), "v")
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
     )
     # a pair colliding in k bands appears k times with an identical score;
     # min() dedups deterministically without a second join
