@@ -76,6 +76,21 @@ def register(name: str, sql: str | None):
     return deco
 
 
+def _scratch(prefix: str) -> str:
+    """Scratch dir for replay chunks / checkpoints / roundtrip files.
+
+    Prefers the /dev/shm tmpfs when present: gate replays are ephemeral
+    by construction, so the checkpoint's durability guarantee buys
+    nothing here and the disk round-trip is pure overhead. A production
+    stream points checkpointLocation at durable storage instead.
+    """
+    import os
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents scan, spread over cores (hash/shingle stages are
     expression-heavy; a single-file local input would otherwise pin them
@@ -1695,7 +1710,6 @@ def q_streaming_ofi_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     instrument, carried across the batch boundary), availableNow trigger,
     memory sink. Hash-matching the batch oracle proves batch/stream
     parity (SURVEY §2.9)."""
-    import tempfile
     import time
     import uuid
 
@@ -1705,7 +1719,7 @@ def q_streaming_ofi_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful_ofi,
     )
 
-    base = tempfile.mkdtemp(prefix="mmt_stream_replay_")
+    base = _scratch(prefix="mmt_stream_replay_")
     book = synthetic_book(spark, sf_dir)
     # midpoint of the time range splits every instrument's series (event
     # times are dense) — one cheap agg instead of an exact quantile
@@ -2624,7 +2638,6 @@ def q_streaming_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigger == the batch answer), replayed over a 2-micro-batch file
     stream. Hash-matching plain GROUP BY SQL proves the streaming window
     assignment. avg rounded 6dp (double mean reassociates ~1e-13)."""
-    import tempfile
     import time
     import uuid
 
@@ -2634,7 +2647,7 @@ def q_streaming_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_event_time,
     )
 
-    base = tempfile.mkdtemp(prefix="mmt_stream_win_")
+    base = _scratch(prefix="mmt_stream_win_")
     book = synthetic_book(spark, sf_dir)
     rng = book.agg(
         F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")
@@ -3049,12 +3062,11 @@ def q_streaming_alert_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     state). The wide watermark keeps state alive for the whole bounded
     replay; a live deployment would tighten it to the real lateness
     bound, trading state size for completeness."""
-    import tempfile
     import time
     import uuid
 
     ev = read_events(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="mmt_stream_ssj_")
+    base = _scratch(prefix="mmt_stream_ssj_")
     rng = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
     split_ts = (rng["lo"] + rng["hi"]) // 2
     ev.filter(F.col("ts") <= split_ts).coalesce(1).write.parquet(
@@ -3152,12 +3164,11 @@ def q_streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     lands exactly on the gap, so the two definitions coincide here.
     session_window.end = last event + gap, so the emitted end subtracts
     the gap back to the last event's timestamp."""
-    import tempfile
     import time
     import uuid
 
     ev = read_events(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="mmt_stream_sess_")
+    base = _scratch(prefix="mmt_stream_sess_")
     rng = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
     split_ts = (rng["lo"] + rng["hi"]) // 2
     ev.filter(F.col("ts") <= split_ts).coalesce(1).write.parquet(
@@ -3222,7 +3233,6 @@ def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppression state carries across the batch boundary (a duplicate
     whose copies land in different micro-batches emits exactly once,
     with the first batch's min id)."""
-    import tempfile
     import time
     import uuid
 
@@ -3230,7 +3240,7 @@ def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful_exact_dedup,
     )
 
-    base = tempfile.mkdtemp(prefix="mmt_stream_dedup_")
+    base = _scratch(prefix="mmt_stream_dedup_")
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     mid = docs.agg(
         ((F.min("doc_id") + F.max("doc_id")) / 2).cast("long").alias("m")
@@ -3754,7 +3764,6 @@ def q_book_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     _as_float_or_none P17). The returned frame is the round-tripped book
     — hash-compared against the printf-quantized oracle, proving the
     sink/source pair loses exactly the sub-1e-10 bits and nothing else."""
-    import tempfile
 
     from market_microstructure_toolkit_spark.schema import book_header
     from market_microstructure_toolkit_spark.sources.book_io import (
@@ -3763,7 +3772,7 @@ def q_book_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     book = synthetic_book(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="mmt_csv_rt_")
+    path = _scratch(prefix="mmt_csv_rt_")
     write_book_csv(book, path)
     back = read_book_csv(spark, path, BOOK_DEPTH)
     return back.select(*book_header(BOOK_DEPTH))
@@ -3775,7 +3784,6 @@ def q_book_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the recorder layout that lets downstream reads prune partitions at
     scale). Parquet is lossless for doubles, so the oracle is the book
     itself — any bit flip in the sink/source pair breaks the hash."""
-    import tempfile
 
     from market_microstructure_toolkit_spark.sources.book_io import (
         read_book_parquet,
@@ -3783,7 +3791,7 @@ def q_book_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     book = synthetic_book(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="mmt_pq_rt_")
+    path = _scratch(prefix="mmt_pq_rt_")
     write_book_parquet(book, path, partition_by=("symbol",))
     back = read_book_parquet(spark, path)
     return back.select(*book.columns).withColumn(
@@ -3823,7 +3831,6 @@ def q_summary_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulated file back yields both rows bit-exact (Spark writes
     doubles in shortest-roundtrip form). Oracle: the X4 summary UNION'd
     with itself."""
-    import tempfile
 
     from market_microstructure_toolkit_spark.operators.impact import (
         simulate_vwap_onbook,
@@ -3834,7 +3841,7 @@ def q_summary_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     book = synthetic_book(spark, sf_dir).filter(F.col("symbol") == "S0")
     summary = simulate_vwap_onbook(book, "buy", 25.0, BOOK_DEPTH)
-    path = tempfile.mkdtemp(prefix="mmt_sum_append_")
+    path = _scratch(prefix="mmt_sum_append_")
     write_summary_append(summary, path)
     write_summary_append(summary, path)
     raw = spark.read.option("header", True).csv(path)
