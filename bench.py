@@ -26,25 +26,31 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     t0 = time.perf_counter()
     for name, qd in REGISTRY.items():
         t = time.perf_counter()
-        qd.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t, 3)
+        try:
+            qd.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t, 3)
+        except Exception as e:  # noqa: BLE001 — one bad query must not
+            # zero out the whole benchmark artifact (round-2 lesson: an
+            # environment change crashed query 1 and lost all 56 numbers)
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
     total = round(time.perf_counter() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_bench_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_bench_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
