@@ -85,3 +85,65 @@ def pack_stats(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tok_in_seq").alias("seq_tokens"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    ``chunk_tokens``-token windows advancing ``chunk_tokens - overlap``
+    tokens per step — the retrieval/context-window preprocessing pass
+    (each chunk shares ``overlap`` tokens with its predecessor so no
+    span is ever cut without context).
+
+    Chunk count per doc: 1 if n <= chunk_tokens, else
+    ``floor((n - chunk_tokens + step - 1) / step) + 1`` (the final chunk
+    is the first whose window reaches the end; slicing clamps). Pure
+    per-row array expressions behind one Generate — map-only, no
+    shuffle, embarrassingly parallel at any corpus size. The token
+    array binds to a lambda variable before slicing (the repo-standard
+    guard against O(tokens^2) re-splitting).
+    """
+    assert 0 <= overlap < chunk_tokens
+    step = chunk_tokens - overlap
+    from market_microstructure_toolkit_spark.operators.dedup import tokens
+
+    def chunks_of(toks):
+        n = F.size(toks)
+        extra = F.floor(
+            (n - F.lit(chunk_tokens) + F.lit(step - 1)).cast("double")
+            / F.lit(step)
+        ).cast("long")
+        n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(extra + 1)
+        idx = F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_idx"),
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        toks, (i * step + 1).cast("int"), chunk_tokens
+                    ),
+                ).alias("chunk_text"),
+                F.size(
+                    F.slice(toks, (i * step + 1).cast("int"), chunk_tokens)
+                ).cast("long").alias("n_chunk_tokens"),
+            ),
+        )
+
+    arr = F.element_at(
+        F.transform(F.array(tokens(text_col)), chunks_of), 1
+    )
+    return df.select(
+        F.col(id_col), F.explode(arr).alias("c")
+    ).select(
+        id_col,
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )

@@ -3415,6 +3415,40 @@ def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(_docs(spark, sf_dir), n=3)
 
 
+_CHUNKING_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, w,
+    CASE WHEN n <= 64 THEN 1
+         ELSE CAST(FLOOR((n - 64 + 47) / 48.0) AS BIGINT) + 1 END AS n_chunks
+  FROM t
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS BIGINT)
+         AS n_chunk_tokens,
+       array_to_string(w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')
+         AS chunk_text
+FROM (SELECT doc_id, w, unnest(range(0, n_chunks)) AS chunk_idx FROM c)
+"""
+
+
+@register("doc_chunking", _CHUNKING_SQL)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-token windows, 16-token overlap) — the
+    retrieval/context preprocessing pass. Map-only per-row array
+    expressions behind one Generate; no shuffle at any corpus size."""
+    from market_microstructure_toolkit_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, overlap=16)
+
+
 _SPLIT_SQL = """
 SELECT split, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,

@@ -650,3 +650,25 @@ def test_semantic_clusters_components(spark):
     assert out[1] == 1 and out[2] == 1
     assert out[3] == 3 and out[4] == 3
     assert out[5] == 5
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from market_microstructure_toolkit_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    # 10 tokens, chunk=4, overlap=2 -> step=2; chunks start at 0,2,4,6
+    # (start 6 reaches the end: 6+4 >= 10)
+    df = docs_df(spark, [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, "a b")])
+    out = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_documents(df, chunk_tokens=4, overlap=2).collect()
+    }
+    assert out[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert out[(1, 1)] == ("t2 t3 t4 t5", 4)
+    assert out[(1, 3)] == ("t6 t7 t8 t9", 4)
+    assert (1, 4) not in out
+    # short doc: single (possibly partial) chunk
+    assert out[(2, 0)] == ("a b", 2)
+    # consecutive chunks share exactly `overlap` tokens
+    assert out[(1, 0)][0].split()[-2:] == out[(1, 1)][0].split()[:2]
