@@ -48,6 +48,11 @@ DEFAULT = [
     "similarity_lsh_pairs",
     "similarity_ivf_multiprobe",
     "dedup_embedding_nn",
+    "dedup_semantic_clusters",
+    "doc_tfidf_top_terms",
+    "doc_unigram_logprob",
+    "doc_ngram_novelty",
+    "doc_chunking",
 ]
 
 
