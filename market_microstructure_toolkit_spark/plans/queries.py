@@ -8,8 +8,12 @@ values, so float determinism is engineered per query:
   no rounding needed;
 - sums of exact binary fractions (sizes are multiples of 0.25) are exact in
   any order — no rounding needed;
-- money-style aggregates use DECIMAL accumulation (exact, order-free) cast
-  back to DOUBLE;
+- money-style aggregates use DECIMAL accumulation (exact, order-free),
+  ROUNDED TO 2 dp before the cast back to DOUBLE: a wide decimal whose
+  value x 10^scale exceeds 2^53 does not convert to double correctly
+  rounded in every engine (DuckDB's int128 / 10^scale path lands ulps
+  off around 1e9 at 8 dp — measured at sf0.1), while money x 100 stays
+  far inside 2^53 so the final division rounds identically everywhere;
 - genuinely associativity-sensitive reductions (rolling variance of
   returns, correlations, cosine) are rounded at a granularity several
   orders of magnitude above the worst-case reordering error.
@@ -389,8 +393,8 @@ SELECT
   l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(24,8))) AS DOUBLE) AS sum_charge,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(24,8))), 2) AS DOUBLE) AS sum_charge,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -417,8 +421,8 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price.cast("decimal(24,8)")).cast("double").alias("sum_disc_price"),
-            F.sum(charge.cast("decimal(24,8)")).cast("double").alias("sum_charge"),
+            F.round(F.sum(disc_price.cast("decimal(24,8)")), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge.cast("decimal(24,8)")), 2).cast("double").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -428,7 +432,7 @@ _REVENUE_BY_NATION_SQL = """
 SELECT
   n.n_name AS nation,
   r.r_name AS region,
-  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
+  CAST(ROUND(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,8))), 2) AS DOUBLE) AS revenue,
   COUNT(*) AS n_items
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -456,7 +460,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(
-            F.sum(revenue.cast("decimal(24,8)")).cast("double").alias("revenue"),
+            F.round(F.sum(revenue.cast("decimal(24,8)")), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
