@@ -811,6 +811,93 @@ def q_book_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MID_ANOMALY_SQL = f"""{_BOOK_CTE},
+mids AS (
+  SELECT exchange_id, symbol, ts_ms, raw_nonce,
+         (best_bid + best_ask) / 2.0 AS mid
+  FROM book
+),
+feat AS (
+  SELECT exchange_id, symbol, ts_ms, raw_nonce, mid,
+    AVG(mid) OVER ({_W} ROWS BETWEEN 49 PRECEDING AND 1 PRECEDING) AS mu,
+    STDDEV_SAMP(mid) OVER ({_W} ROWS BETWEEN 49 PRECEDING AND 1 PRECEDING)
+      AS sd,
+    COUNT(*) OVER ({_W} ROWS BETWEEN 49 PRECEDING AND 1 PRECEDING) AS n_prev
+  FROM mids
+)
+SELECT exchange_id, symbol, ts_ms, raw_nonce,
+       ROUND(CASE WHEN n_prev >= 20 AND sd > 1e-12
+                  THEN (mid - mu) / sd END, 6) AS zscore,
+       CASE WHEN n_prev >= 20 AND sd > 1e-12
+             AND ABS((mid - mu) / sd) > 3.0 THEN 1 ELSE 0 END AS is_anomaly
+FROM feat
+"""
+
+
+@register("book_mid_anomaly", _MID_ANOMALY_SQL)
+def q_book_mid_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detector on the mid price: each tick
+    scored against the TRAILING 49-row window (excluding itself — the
+    monitor must not let the spike inflate its own baseline), flagged at
+    |z| > 3 once 20 priors exist. One instrument-keyed window serves
+    mean, std, and count; 6-dp rounding absorbs cross-engine moment
+    accumulation noise."""
+    book = synthetic_book(spark, sf_dir)
+    w = W.book_window(KEYS, ORDER_COLS).rowsBetween(-49, -1)
+    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
+    feat = book.select(
+        *IDS,
+        mid.alias("mid"),
+        F.avg(mid).over(w).alias("mu"),
+        F.stddev_samp(mid).over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+    )
+    ok = (F.col("n_prev") >= 20) & (F.col("sd") > 1e-12)
+    z = (F.col("mid") - F.col("mu")) / F.col("sd")
+    return feat.select(
+        *IDS,
+        F.round(F.when(ok, z), 6).alias("zscore"),
+        F.when(ok & (F.abs(z) > 3.0), F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+_RETENTION_SQL = """
+WITH days AS (
+  SELECT user_id, CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day
+  FROM events GROUP BY user_id, CAST(epoch_ms(ts) // 86400000 AS BIGINT)
+),
+cohorts AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id)
+SELECT c.cohort_day,
+       CAST(d.day - c.cohort_day AS BIGINT) AS day_offset,
+       COUNT(*) AS n_active_users
+FROM days d JOIN cohorts c USING (user_id)
+GROUP BY c.cohort_day, d.day - c.cohort_day
+"""
+
+
+@register("events_retention", _RETENTION_SQL)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day, counted
+    on each later active day offset — the standard activation/retention
+    rollup of log analytics. Day-distinct activity first (one shuffle on
+    (user, day), map-side combined), cohorts as a min-aggregate reusing
+    the user keying, then an equi-join back — all shuffles on user_id, so
+    the stages co-partition at scale. Integer outputs: engine-exact."""
+    ev = read_events(spark, sf_dir)
+    day = (F.expr("ts DIV 1000000") / F.lit(86400000)).cast("long")
+    days = ev.select("user_id", day.alias("day")).distinct()
+    cohorts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
 _TAIL_SQL = f"""{_BOOK_CTE}
 SELECT exchange_id, symbol, ts_ms, raw_nonce, best_bid, best_ask
 FROM (

@@ -195,3 +195,79 @@ def test_slice_indices_single_slice_returns_last():
     assert W.slice_indices(10, 1) == [9]
     assert W.slice_indices(10, 0) == [9]
     assert W.slice_indices(0, 1) == []
+
+
+def test_mid_anomaly_flags_spike(spark):
+    """A flat mid series with one spike: the spike row (and only it)
+    crosses |z| > 3 once 20 priors exist; the trailing window excludes
+    the current row so the spike can't inflate its own baseline."""
+    from market_microstructure_toolkit_spark.plans.queries import REGISTRY  # noqa: F401
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W_
+
+    rows = []
+    for i in range(40):
+        # tiny jitter so sd > 0; spike at i == 30
+        mid = 100.0 + (0.001 * (i % 3)) + (5.0 if i == 30 else 0.0)
+        rows.append(("sim", "S0", 1000 + i, i, mid - 0.01, mid + 0.01))
+    df = spark.createDataFrame(
+        rows,
+        "exchange_id string, symbol string, ts_ms long, raw_nonce long,"
+        " best_bid double, best_ask double",
+    )
+    w = W_.partitionBy("exchange_id", "symbol").orderBy(
+        "ts_ms", "raw_nonce"
+    ).rowsBetween(-49, -1)
+    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
+    feat = df.select(
+        "raw_nonce", mid.alias("mid"),
+        F.avg(mid).over(w).alias("mu"),
+        F.stddev_samp(mid).over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+    )
+    ok = (F.col("n_prev") >= 20) & (F.col("sd") > 1e-12)
+    z = (F.col("mid") - F.col("mu")) / F.col("sd")
+    out = {
+        r["raw_nonce"]: r["flag"]
+        for r in feat.select(
+            "raw_nonce",
+            F.when(ok & (F.abs(z) > 3.0), 1).otherwise(0).alias("flag"),
+        ).collect()
+    }
+    assert out[30] == 1
+    assert sum(out.values()) == 1  # only the spike fires
+    assert out[5] == 0  # pre-warmup rows can't fire
+
+
+def test_events_retention_offsets(spark):
+    """Hand-built log: user 1 active on days 0 and 2, user 2 on day 0
+    only -> cohort day0 has 2 users at offset 0, 1 user at offset 2."""
+    import pyspark.sql.functions as F
+    from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+    import pandas as pd
+
+    day_ns = 86400000 * 1000000
+    rows = [
+        (1, 10 * day_ns), (1, 10 * day_ns + 5), (1, 12 * day_ns),
+        (2, 10 * day_ns),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts long")
+    days = ev.select(
+        "user_id",
+        (F.expr("ts DIV 1000000") / F.lit(86400000)).cast("long").alias("day"),
+    ).distinct()
+    cohorts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    out = {
+        (r["cohort_day"], r["day_offset"]): r["n"]
+        for r in days.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert out[(10, 0)] == 2
+    assert out[(10, 2)] == 1
+    assert len(out) == 2
