@@ -2809,11 +2809,20 @@ def q_documents_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same key so it reuses the exchange."""
     docs = _docs(spark, sf_dir)
     hashed = docs.select("doc_id", "lang", F.md5("text").alias("h"))
-    canon = hashed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    # rename the grouped side's key: `hashed.h == canon.h` resolves both
+    # legs to the SAME attribute in a self-derived join, collapses to
+    # TRUE, and silently re-keys the join on keep_id alone (losing the
+    # h-exchange reuse this plan is built around)
+    canon = (
+        hashed.groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .withColumnRenamed("h", "canon_h")
+    )
     return (
         hashed.join(
             canon,
-            (hashed.h == canon.h) & (hashed.doc_id == canon.keep_id),
+            (F.col("h") == F.col("canon_h"))
+            & (F.col("doc_id") == F.col("keep_id")),
         )
         .select("doc_id", "lang")
     )
