@@ -6,12 +6,16 @@ Two tiers (SURVEY north star / BASELINE.json):
   the query, score as a shuffle-free map (zip_with dot product), single
   top-k reduce. The correctness baseline at any scale where a full scan
   is acceptable.
-- ``lsh_bucketed_pairs``: sign-LSH bucketing — each vector keys on the
-  sign pattern of ``n_bits`` chosen coordinates (a fixed axis-aligned
-  hyperplane family: deterministic, portable, seedless); near neighbors
-  collide with high probability, and pairwise scoring runs only WITHIN
-  buckets. This is the 100 TB path: the crossJoin becomes a bucket-keyed
-  shuffle join, |bucket|^2 work instead of n^2.
+- ``lsh_banded_pairs``: banded sign-LSH bucketing — each vector keys,
+  per band, on the sign pattern of ``bits_per_band`` coordinates (a
+  fixed axis-aligned hyperplane family: deterministic, portable,
+  seedless); near neighbors collide in some band with high probability,
+  and pairwise scoring runs only WITHIN (band, bucket) groups, hot
+  groups dropped by ``max_bucket``. This is the 100 TB path: the
+  crossJoin becomes a bucket-keyed shuffle join, bounded |bucket|^2
+  work instead of n^2. Every embedding-similarity query in the repo
+  routes through this one generator — there is deliberately no
+  capless / single-band variant.
 
 An IVF variant (k-means coarse quantizer) would slot in the same shape:
 assign -> bucket-join -> rerank; omitted because the container has no
@@ -66,37 +70,6 @@ def sign_bucket(vec: Column | str, n_bits: int = 8, offset: int = 0) -> Column:
     for t in terms[1:]:
         out = out + t
     return out
-
-
-def lsh_bucketed_pairs(
-    df: DataFrame,
-    n_bits: int = 8,
-    min_cosine: float = 0.0,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Near-neighbor candidate pairs within sign-LSH buckets, scored by
-    exact cosine. Returns (id_a < id_b, bucket, cos_sim >= min_cosine)."""
-    keyed = df.select(
-        F.col(id_col),
-        as_double(vec_col).alias("v"),
-        sign_bucket(as_double(vec_col), n_bits).alias("bucket"),
-    )
-    a, b = keyed.alias("a"), keyed.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.bucket").alias("bucket"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= min_cosine)
-    )
 
 
 def lsh_banded_pairs(

@@ -1960,46 +1960,78 @@ def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EMB_NN_SQL = """
-WITH keyed AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-    + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-    + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
-    + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
-    + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
-    + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
-    + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
-    + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
-  FROM embeddings
+#: Shared oracle CTE chain mirroring ``lsh_banded_pairs(bits_per_band=8,
+#: n_bands=4, max_bucket=1000)``: per-band sign buckets over coordinate
+#: slices [band*8+1, band*8+8], hot (band, bucket) groups dropped by the
+#: count window, in-group ordered pairs scored by exact cosine once, the
+#: any-band union dedup'd via GROUP BY (id_a, id_b) + MIN — the same
+#: dedup the Spark side's groupBy/min performs.
+_BANDED_PAIR_CTES = """keyed AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, b.band,
+    (CASE WHEN e.embedding[b.band * 8 + 1] > 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN e.embedding[b.band * 8 + 2] > 0 THEN 2 ELSE 0 END)
+    + (CASE WHEN e.embedding[b.band * 8 + 3] > 0 THEN 4 ELSE 0 END)
+    + (CASE WHEN e.embedding[b.band * 8 + 4] > 0 THEN 8 ELSE 0 END)
+    + (CASE WHEN e.embedding[b.band * 8 + 5] > 0 THEN 16 ELSE 0 END)
+    + (CASE WHEN e.embedding[b.band * 8 + 6] > 0 THEN 32 ELSE 0 END)
+    + (CASE WHEN e.embedding[b.band * 8 + 7] > 0 THEN 64 ELSE 0 END)
+    + (CASE WHEN e.embedding[b.band * 8 + 8] > 0 THEN 128 ELSE 0 END) AS bucket
+  FROM embeddings e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+),
+capped AS (
+  SELECT vec_id, v, band, bucket FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bn FROM keyed
+  ) WHERE bn <= 1000
+),
+bandpairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v))
+            * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 ),
 pairs AS (
-  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
-         ROUND(list_dot_product(a.v, b.v)
-               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-               6) AS cos_sim
-  FROM keyed a JOIN keyed b
-    ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+  SELECT id_a, id_b, MIN(cos) AS cos_sim FROM bandpairs GROUP BY id_a, id_b
+)"""
+
+
+_EMB_NN_SQL = (
+    "WITH "
+    + _BANDED_PAIR_CTES
+    + """,
+mirrored AS (
+  SELECT id_a AS vec_id, id_b AS nn_id, ROUND(cos_sim, 6) AS cos_sim
+  FROM pairs
+  UNION ALL
+  SELECT id_b AS vec_id, id_a AS nn_id, ROUND(cos_sim, 6) AS cos_sim
+  FROM pairs
 )
 SELECT vec_id, nn_id, cos_sim FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                ORDER BY cos_sim DESC, nn_id) AS rn
-  FROM pairs
+  FROM mirrored
 ) WHERE rn = 1
 """
+)
 
 
 @register("dedup_embedding_nn", _EMB_NN_SQL)
 def q_dedup_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup primitive: each vector's single nearest
-    in-LSH-bucket neighbor (candidate canonical pairing). Per-key window
-    rank — state is one row per vector, shuffle keyed on vec_id."""
+    LSH-candidate neighbor (candidate canonical pairing). Candidates come
+    from the guarded banded generator (4 bands x 8 bits -> 1024 shuffle
+    keys, hot buckets capped) — the only pair path in the repo; the final
+    per-key window rank keeps state at one row per vector, shuffle keyed
+    on vec_id."""
     from market_microstructure_toolkit_spark.operators.similarity import (
-        lsh_bucketed_pairs,
+        lsh_banded_pairs,
     )
 
     emb = _emb(spark, sf_dir)
-    pairs = lsh_bucketed_pairs(emb, n_bits=8, min_cosine=-2.0)
+    pairs = lsh_banded_pairs(
+        emb, bits_per_band=8, n_bands=4, min_cosine=-2.0, max_bucket=1000
+    )
     # both directions from ONE evaluation of the bucket self-join — a
     # union of two selects over `pairs` would run the join twice
     sim = F.round("cos_sim", 6)
@@ -3734,31 +3766,14 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SEMANTIC_CLUSTERS_SQL = """
-WITH RECURSIVE keyed AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-    + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-    + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
-    + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
-    + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
-    + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
-    + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
-    + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
-  FROM embeddings
-),
-pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM keyed a JOIN keyed b
-    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-  WHERE ROUND(list_dot_product(a.v, b.v)
-              / (sqrt(list_dot_product(a.v, a.v))
-                 * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.25
-),
+_SEMANTIC_CLUSTERS_SQL = (
+    "WITH RECURSIVE "
+    + _BANDED_PAIR_CTES
+    + """,
 edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
+  SELECT id_a AS src, id_b AS dst FROM pairs WHERE ROUND(cos_sim, 6) >= 0.25
   UNION ALL
-  SELECT id_b AS src, id_a AS dst FROM pairs
+  SELECT id_b AS src, id_a AS dst FROM pairs WHERE ROUND(cos_sim, 6) >= 0.25
 ),
 reach(id, lab) AS (
   SELECT vec_id, vec_id FROM embeddings
@@ -3767,24 +3782,28 @@ reach(id, lab) AS (
 )
 SELECT id AS vec_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
 """
+)
 
 
 @register("dedup_semantic_clusters", _SEMANTIC_CLUSTERS_SQL)
 def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup in embedding space: sign-LSH bucket
-    candidate pairs scored by exact cosine, thresholded (>= 0.25 on the
+    """SemDeDup-style semantic dedup in embedding space: banded sign-LSH
+    candidate pairs (guarded generator — 4 bands x 8 bits, hot buckets
+    capped) scored by exact cosine, thresholded (>= 0.25 on the
     6-dp-rounded value so the edge set is engine-exact), then resolved
     into connected components — cluster_id = min reachable vec_id; keep
     one representative per cluster to drop semantic near-duplicates.
     Same min-label propagation as document clustering, keyed on vectors."""
     from market_microstructure_toolkit_spark.operators.dedup import dedup_clusters
     from market_microstructure_toolkit_spark.operators.similarity import (
-        lsh_bucketed_pairs,
+        lsh_banded_pairs,
     )
 
     emb = _emb(spark, sf_dir)
     pairs = (
-        lsh_bucketed_pairs(emb, n_bits=8, min_cosine=-2.0)
+        lsh_banded_pairs(
+            emb, bits_per_band=8, n_bands=4, min_cosine=-2.0, max_bucket=1000
+        )
         .filter(F.round("cos_sim", 6) >= 0.25)
         .select("id_a", "id_b")
     )

@@ -133,7 +133,9 @@ def test_cosine_topk_ordering(spark):
     assert out[1]["cos_sim"] == pytest.approx(math.sqrt(0.5))
 
 
-def test_lsh_bucketed_pairs_same_orthant(spark):
+def test_lsh_single_band_same_orthant(spark):
+    # n_bands=1 degenerates the banded generator to plain sign-LSH:
+    # same-orthant vectors pair, the opposite orthant does not.
     df = emb_df(
         spark,
         [
@@ -143,10 +145,11 @@ def test_lsh_bucketed_pairs_same_orthant(spark):
         ],
     )
     pairs = {(r["id_a"], r["id_b"]): r for r in
-             (row for row in SIM.lsh_bucketed_pairs(df, min_cosine=-2.0).collect())}
+             SIM.lsh_banded_pairs(
+                 df, bits_per_band=8, n_bands=1, min_cosine=-2.0
+             ).collect()}
     assert set(pairs) == {(1, 2)}
     assert pairs[(1, 2)]["cos_sim"] == pytest.approx(1.0)
-    assert pairs[(1, 2)]["bucket"] == 255
 
 
 def test_contamination_flags_counts_distinct_shared_shingles(spark):
@@ -637,7 +640,7 @@ def test_semantic_clusters_components(spark):
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     pairs = (
-        SIM.lsh_bucketed_pairs(emb, n_bits=8, min_cosine=-2.0)
+        SIM.lsh_banded_pairs(emb, bits_per_band=8, n_bands=1, min_cosine=-2.0)
         .filter(F.round("cos_sim", 6) >= 0.9)
         .select("id_a", "id_b")
     )

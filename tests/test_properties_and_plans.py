@@ -139,6 +139,48 @@ def test_lsh_banded_join_is_bucket_keyed_not_cartesian(spark, sf_dir):
     assert "band" in plan and "bucket" in plan
 
 
+def test_embedding_nn_uses_banded_bucket_keyed_join(spark, sf_dir):
+    # dedup_embedding_nn must ride the guarded banded generator: pair
+    # work shuffles on (band, bucket) keys, never a cartesian/broadcast
+    # nested loop over all vector pairs (round-3 verdict item #1)
+    plan = _plan(spark, sf_dir, "dedup_embedding_nn")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan and "bucket" in plan
+
+
+def test_banded_keyspace_exceeds_single_band(spark, sf_dir):
+    # 4 bands x 8 bits give a 1024-key shuffle domain; even the smallest
+    # fixture occupies far more than the 256 keys a single band offers —
+    # the parallelism the single-band path capped
+    from market_microstructure_toolkit_spark.operators.similarity import (
+        as_double,
+        sign_bucket,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = as_double("embedding")
+    occupied = (
+        emb.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band"),
+                            sign_bucket(v, 8, j * 8).alias("bucket"),
+                        )
+                        for j in range(4)
+                    ]
+                )
+            ).alias("bb")
+        )
+        .select("bb.*")
+        .distinct()
+        .count()
+    )
+    assert occupied > 256
+
+
 def test_doc_length_quantiles_matches_sorted_ranks(spark, sf_dir):
     """The histogram-fold order statistics equal the direct definition
     rank = ceil(q*n) over the sorted lengths."""
