@@ -22,6 +22,14 @@ def main() -> None:
     from market_microstructure_toolkit_spark.plans.queries import REGISTRY
 
     spark = get_spark("mmt-bench")
+    # ERROR by default so no JVM WARN line can interleave with (and
+    # corrupt) the single JSON stdout line the driver parses; set
+    # SPARK_GRAFT_BENCH_LOGLEVEL=WARN for warning-attribution runs —
+    # paired with the per-query [bench] markers below, every WARN in
+    # stderr then attributes to the query that planned it.
+    spark.sparkContext.setLogLevel(
+        os.environ.get("SPARK_GRAFT_BENCH_LOGLEVEL", "ERROR")
+    )
     # warm the JVM + parquet footers once
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
@@ -29,6 +37,7 @@ def main() -> None:
     errors: dict[str, str] = {}
     t0 = time.perf_counter()
     for name, qd in REGISTRY.items():
+        print(f"[bench] {name}", file=sys.stderr, flush=True)
         t = time.perf_counter()
         try:
             qd.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -50,7 +59,13 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # the timings line must be the ONLY stdout line and must not be torn
+    # by late stderr flushes: drain stderr first, then emit compact JSON
+    sys.stderr.flush()
+    time.sleep(0.2)
+    print(json.dumps(out, separators=(",", ":")), flush=True)
+    if errors:  # partial timings above are already printed — fail loudly
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -829,7 +829,8 @@ SELECT exchange_id, symbol, ts_ms, raw_nonce,
        ROUND(CASE WHEN n_prev >= 20 AND sd > 1e-12
                   THEN (mid - mu) / sd END, 6) AS zscore,
        CASE WHEN n_prev >= 20 AND sd > 1e-12
-             AND ABS((mid - mu) / sd) > 3.0 THEN 1 ELSE 0 END AS is_anomaly
+             AND ABS(ROUND((mid - mu) / sd, 6)) > 3.0 THEN 1 ELSE 0
+       END AS is_anomaly
 FROM feat
 """
 
@@ -841,7 +842,9 @@ def q_book_mid_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitor must not let the spike inflate its own baseline), flagged at
     |z| > 3 once 20 priors exist. One instrument-keyed window serves
     mean, std, and count; 6-dp rounding absorbs cross-engine moment
-    accumulation noise."""
+    accumulation noise — and the flag thresholds the ROUNDED |z| on both
+    engines, so a tick sitting within stddev last-ulp disagreement of
+    the 3.0 boundary cannot flip is_anomaly between Spark and DuckDB."""
     book = synthetic_book(spark, sf_dir)
     w = W.book_window(KEYS, ORDER_COLS).rowsBetween(-49, -1)
     mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
@@ -857,9 +860,9 @@ def q_book_mid_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feat.select(
         *IDS,
         F.round(F.when(ok, z), 6).alias("zscore"),
-        F.when(ok & (F.abs(z) > 3.0), F.lit(1)).otherwise(F.lit(0)).alias(
-            "is_anomaly"
-        ),
+        F.when(ok & (F.abs(F.round(z, 6)) > 3.0), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_anomaly"),
     )
 
 

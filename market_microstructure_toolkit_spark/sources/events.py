@@ -13,12 +13,21 @@ Every downstream plan in this repo treats ``ts`` as epoch-nanos BIGINT
 floors). Rather than pinning a legacy conf that newer Spark ignores, this
 reader inspects the ARRIVED type and normalizes to epoch-nanos BIGINT:
 
-- BIGINT: pass through;
+- BIGINT: pass through (full nanos preserved);
 - TIMESTAMP / TIMESTAMP_NTZ: ``unix_micros(cast(ts as timestamp)) * 1000``
-  under a UTC-pinned session zone. The micro->nano upscale is exact for
-  this dataset (the generator emits microsecond-granular instants) and
-  micro truncation composes with any later millisecond flooring identically
-  to flooring the original nanos, so DuckDB oracles hash-match either way.
+  under a UTC-pinned session zone. Spark's timestamp types carry micros,
+  so when the stored unit is finer (the round-1..3 fixtures were
+  TIMESTAMP(NANOS) with real sub-microsecond digits; round 4 regenerated
+  as TIMESTAMP(MICROS)) this path truncates — a BIGINT arrival of the
+  same nanos would keep them, so the two arrival types can differ in the
+  last three digits. That is safe for this repo because truncating n to
+  n - (n % 1000) cannot cross a microsecond (or any coarser) boundary,
+  and every consumer floors ``ts`` to milliseconds (``ts DIV 1000000``)
+  — so both arrival paths, and DuckDB reading the raw parquet values,
+  floor identically. Pinned by tests/test_io_schema.py (physical vs
+  read_events µs agreement, unit-adaptive); grep for sub-ms consumers
+  before adding one — a query comparing raw ``ts`` below microsecond
+  granularity WOULD diverge across arrival types.
 
 At 100 TB this normalization is a map-only projection fused into the scan
 by whole-stage codegen — no extra pass, no shuffle.

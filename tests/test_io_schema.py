@@ -167,6 +167,44 @@ def test_normalize_ts_nanos_from_timestamp_types(spark):
         assert out.collect()[0]["ts"] == expect, cast_to
 
 
+def test_read_events_agrees_with_physical_nanos_at_micros(spark):
+    """The TIMESTAMP/TIMESTAMP_NTZ arrival path truncates ts to micros
+    (unix_micros * 1000) while a BIGINT arrival keeps full nanos — and
+    the fixture generator DOES emit sub-microsecond nanos, so the two
+    paths differ in the last three digits. The invariant the repo
+    actually relies on: whatever Spark surfaces, read_events' ts equals
+    the physical parquet instants at microsecond granularity — and
+    therefore at the millisecond flooring every consumer applies. The
+    physical unit itself drifts between driver rounds (TIMESTAMP(NANOS)
+    in rounds 1-3, TIMESTAMP(MICROS) in round 4), so the comparison
+    normalizes whatever pyarrow surfaces to epoch-nanos first. A TZ
+    regression or a lossy arrival type breaks the µs equality here,
+    loudly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from market_microstructure_toolkit_spark.sources.events import read_events
+
+    sf_dir = "/root/testdata/sf0.001"
+    physical = np.sort(
+        pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])["ts"]
+        .cast(pa.timestamp("ns"))
+        .cast("int64")
+        .to_numpy()
+    )
+    got = np.sort(
+        np.array(
+            [r["ts"] for r in read_events(spark, sf_dir).select("ts").collect()],
+            dtype=np.int64,
+        )
+    )
+    assert len(got) == len(physical)
+    assert (got // 1000 == physical // 1000).all()
+    # micro-truncation only ever rounds DOWN within the same microsecond
+    assert (got <= physical).all()
+
+
 def test_read_events_yields_nanos_long(spark):
     from market_microstructure_toolkit_spark.sources.events import read_events
 

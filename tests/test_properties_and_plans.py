@@ -139,6 +139,30 @@ def test_lsh_banded_join_is_bucket_keyed_not_cartesian(spark, sf_dir):
     assert "band" in plan and "bucket" in plan
 
 
+def test_plan_audit_detects_global_window(spark):
+    # the audit tool's GLOBAL_WINDOW detector must fire on a real
+    # unpartitioned row_number plan and stay silent on partitioned
+    # windows (advisor round-3 finding: keep this pinned against the
+    # actual WindowExec simpleString rendering, which omits the empty
+    # partitionSpec on this Spark version)
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from plan_audit import audit
+    from pyspark.sql import Window
+
+    df = spark.range(10).withColumn("g", F.col("id") % 2)
+    glob = df.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    part = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    )
+    part_only = df.withColumn("c", F.count("*").over(Window.partitionBy("g")))
+    assert "GLOBAL_WINDOW" in audit("t", glob)
+    assert "GLOBAL_WINDOW" not in audit("t", part)
+    assert "GLOBAL_WINDOW" not in audit("t", part_only)
+
+
 def test_embedding_nn_uses_banded_bucket_keyed_join(spark, sf_dir):
     # dedup_embedding_nn must ride the guarded banded generator: pair
     # work shuffles on (band, bucket) keys, never a cartesian/broadcast

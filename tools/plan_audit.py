@@ -75,16 +75,23 @@ def audit(name: str, df) -> list[str]:
             if "keys=[]" not in below:
                 flags.append("SINGLE_PARTITION")
                 break
-    # unpartitioned data-sized window: plan text is
-    # "Window [exprs], [partition], [order]" — when only two groups
-    # remain AND the second is an ordering spec (ASC/DESC markers), the
-    # partition spec is empty (single-task sort of the whole input).
-    # Two groups with a plain column list = partitionBy with no ordering
-    # (count-over-partition), which distributes fine.
+    # unpartitioned data-sized window. WindowExec's simpleString on this
+    # Spark omits an empty partitionSpec entirely, so the global form is
+    # TWO lists — "Window [exprs], [order ASC ...]" — while a partitioned
+    # window prints three: "Window [exprs], [keys], [order]". Detect the
+    # two-list form whose second group is an ordering spec (ASC/DESC);
+    # two groups with a plain column list = partitionBy with no ordering
+    # (count-over-partition), which distributes fine. Kept alongside: the
+    # explicit empty-middle three-list form other Spark versions print
+    # ("Window [exprs], [], [order]"). Pinned against real plans in
+    # tests/test_properties_and_plans.py::test_plan_audit_detects_global_window.
     for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\](?!, \[)", plan):
         if re.search(r"ASC|DESC", m.group(1)):
             flags.append("GLOBAL_WINDOW")
             break
+    else:
+        if re.search(r"Window \[[^\]]*\], \[\], \[[^\]]*\]", plan):
+            flags.append("GLOBAL_WINDOW")
     return flags
 
 
