@@ -279,6 +279,121 @@ def simulate_twap_naive(
     )
 
 
+def simulate_twap_naive_grouped(
+    df: DataFrame, side: Side, total_qty: float, slices: int, depth: int
+) -> tuple[DataFrame, DataFrame]:
+    """X3 naive TWAP fanned out over EVERY instrument in the frame in one
+    pass — the scale extension the single-series API deliberately refuses
+    (reference parity anchor: each reference CLI run is one recording,
+    impact_twap.py:191-311; a 100x-instrument user must not loop that
+    driver-side).
+
+    Semantics: each (exchange_id, symbol) series independently runs the
+    single-series simulator's schedule — ``total_qty`` is the per-
+    instrument parent order, linspace picks over that series' own row
+    count, slice qty = total_qty / n_picks. Per-series results are
+    row-for-row identical to ``simulate_twap_naive`` on the filtered
+    series (pinned in tests/test_impact.py).
+
+    Scale shape — exactly two distributed jobs, no per-instrument loop:
+
+    1. one ``groupBy(keys).count()`` (G rows to the driver — instrument
+       count is config-scale metadata, not data);
+    2. schedules for all G instruments built driver-side (G * slices
+       rows), broadcast back, and joined against the positionally
+       numbered frame — the row_number window and every downstream
+       stage partitions by instrument keys, so parallelism GROWS with
+       instrument count instead of funneling.
+
+    Returns (summary_df one row per instrument, per_slice_df keyed by
+    instrument).
+    """
+    assert side in ("buy", "sell")
+    keys = _series_keys(df)
+    if not keys:
+        raise ValueError(
+            "grouped simulator needs instrument key columns "
+            "(exchange_id/symbol); for a bare single recording use "
+            "simulate_twap_naive"
+        )
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n")).collect()
+    sched_rows = []
+    for r in counts:
+        picks = _linspace_picks(r["n"], slices)
+        if not picks:
+            continue
+        sq = total_qty / len(picks)
+        for s, pos in enumerate(picks, start=1):
+            sched_rows.append(
+                tuple(r[k] for k in keys)
+                + (pos, s, sq, pos == picks[0], pos == picks[-1])
+            )
+    sched_schema = (
+        ", ".join(f"{k} string" for k in keys)
+        + ", __pos int, slice int, slice_target_qty double"
+        + ", __is_first boolean, __is_last boolean"
+    )
+    spark = df.sparkSession
+    if not sched_rows:
+        empty = spark.createDataFrame([], "slice int")
+        return empty, empty
+    sched = spark.createDataFrame(sched_rows, sched_schema)
+    picked = _numbered(df).join(F.broadcast(sched), [*keys, "__pos"])
+    walked = _slice_table(picked, side, F.col("slice_target_qty"), depth, "skip")
+    per_slice = walked.select(
+        *keys,
+        "slice",
+        "ts_ms",
+        _iso_expr(walked).alias("iso"),
+        "filled_qty",
+        "slice_target_qty",
+        F.when(
+            F.col("filled_qty") > 0, F.col("fill_cost") / F.col("filled_qty")
+        ).alias("slice_vwap"),
+        "levels_touched",
+        "__mid",
+        "__is_first",
+        "__is_last",
+    )
+    gsum = per_slice.groupBy(*keys).agg(
+        F.sum("filled_qty").alias("filled_qty"),
+        F.sum(F.col("slice_vwap") * F.col("filled_qty")).alias("notional"),
+        F.max(F.when(F.col("__is_first"), F.col("__mid"))).alias("__mid_open"),
+        F.max(F.when(F.col("__is_last"), F.col("__mid"))).alias("__mid_close"),
+        F.count(F.lit(1)).alias("slices"),
+    )
+    vwap = F.when(
+        F.col("filled_qty") > 0, F.col("notional") / F.col("filled_qty")
+    )
+
+    def slip_expr(vwap_col, ref_col):
+        # _slip_bps_naive as a column expression (X3 convention)
+        if side == "buy":
+            return F.when(
+                vwap_col.isNotNull() & (ref_col != 0),
+                (vwap_col / ref_col - F.lit(1.0)) * F.lit(1e4),
+            )
+        return F.when(
+            vwap_col.isNotNull() & (vwap_col != 0),
+            (ref_col / vwap_col - F.lit(1.0)) * F.lit(1e4),
+        )
+
+    summary = gsum.select(
+        *keys,
+        F.lit(side).alias("side"),
+        F.lit(float(total_qty)).alias("target_qty"),
+        F.coalesce(F.col("filled_qty"), F.lit(0.0)).alias("filled_qty"),
+        vwap.alias("vwap"),
+        F.coalesce(F.col("notional"), F.lit(0.0)).alias("notional"),
+        slip_expr(vwap, F.col("__mid_open")).alias("slippage_bps_vs_mid_open"),
+        slip_expr(vwap, F.col("__mid_close")).alias(
+            "slippage_bps_vs_mid_close"
+        ),
+        F.col("slices"),
+    )
+    return summary, per_slice.drop("__mid", "__is_first", "__is_last")
+
+
 # ---------------------------------------------------------------------------
 # X4 — VWAP-now baseline (impact.py:324-396)
 # ---------------------------------------------------------------------------

@@ -1202,6 +1202,73 @@ def q_twap_naive_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_slice
 
 
+def _twap_multi_sql() -> str:
+    """Grouped X3 oracle: the single-series naive-TWAP oracle with every
+    per-group stage keyed by (exchange_id, symbol) — per-series row
+    counts, per-series linspace picks, per-series numbered join. The
+    arithmetic per series is the single-series oracle verbatim, so each
+    symbol's slice rows equal the ``twap_naive_sim`` oracle run on that
+    symbol's filter."""
+    w = _walk_exprs("sq", BOOK_DEPTH)
+    return f"""{_BOOK_CTE},
+nn AS (
+  SELECT exchange_id, symbol, COUNT(*) AS n FROM book
+  GROUP BY exchange_id, symbol
+),
+picks AS (
+  SELECT DISTINCT exchange_id, symbol,
+    CAST(round_even(i * ((n - 1) / CAST(19 AS DOUBLE)), 0) AS BIGINT) AS pos
+  FROM nn, generate_series(0, 19) t(i)
+),
+np AS (
+  SELECT exchange_id, symbol, COUNT(*) AS k FROM picks
+  GROUP BY exchange_id, symbol
+),
+numbered AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY exchange_id, symbol ORDER BY ts_ms, raw_nonce
+  ) - 1 AS pos
+  FROM book
+),
+picked AS (
+  SELECT r.*, (40.0 / CAST(np.k AS DOUBLE)) AS sq
+  FROM numbered r
+  JOIN picks USING (exchange_id, symbol, pos)
+  JOIN np USING (exchange_id, symbol)
+)
+SELECT exchange_id, symbol,
+  CAST(row_number() OVER (
+    PARTITION BY exchange_id, symbol ORDER BY pos
+  ) AS INTEGER) AS slice,
+  ts_ms,
+  CAST(NULL AS VARCHAR) AS iso,
+  {w['filled']} AS filled_qty,
+  sq AS slice_target_qty,
+  CASE WHEN ({w['filled']}) > 0 THEN ({w['cost']}) / ({w['filled']}) END AS slice_vwap,
+  {w['touched']} AS levels_touched
+FROM picked"""
+
+
+@register("twap_multi_instrument", _twap_multi_sql())
+def q_twap_multi_instrument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 naive TWAP fanned out over all four synthetic symbols in one
+    pass (round-3 verdict item #5): per-instrument schedules built from
+    one groupBy-count, broadcast back, and walked distributively — every
+    stage partitions by instrument, so parallelism grows with instrument
+    count instead of looping the single-series simulator driver-side.
+    Each symbol's slice rows are identical to ``twap_naive_sim`` on that
+    symbol (pinned in tests/test_impact.py)."""
+    from market_microstructure_toolkit_spark.operators.impact import (
+        simulate_twap_naive_grouped,
+    )
+
+    book = synthetic_book(spark, sf_dir)
+    _, per_slice = simulate_twap_naive_grouped(
+        book, "buy", total_qty=40.0, slices=20, depth=BOOK_DEPTH
+    )
+    return per_slice
+
+
 def _vwap_carry_sql() -> str:
     """X6 oracle: the full carry recurrence as a recursive CTE.
 

@@ -197,3 +197,46 @@ def test_simulators_reject_multi_instrument_frames(spark, eth):
     merged = eth.union(eth.withColumn("symbol", F.lit("OTHER/USDT")))
     with pytest.raises(ValueError, match="single-instrument"):
         simulate_twap_naive(merged, "buy", 1.0, 2, 3)
+
+
+@needs_ref
+def test_twap_grouped_matches_single_series_per_symbol(spark, eth):
+    """The grouped fan-out must be row-for-row the single-series
+    simulator applied per instrument — same schedule, same walks, same
+    slice numbering — so the multi-instrument path inherits the golden
+    parity the single-series API carries."""
+    from pyspark.sql import functions as F
+
+    from market_microstructure_toolkit_spark.operators.impact import (
+        simulate_twap_naive_grouped,
+    )
+
+    # two instruments with different row counts -> different schedules
+    half = eth.limit(40)
+    merged = eth.union(
+        half.withColumn("symbol", F.lit("OTHER/USDT"))
+    )
+    summary, per_slice = simulate_twap_naive_grouped(
+        merged, "buy", total_qty=50.0, slices=20, depth=25
+    )
+    for sym, part in (("ETH/USDT", eth), ("OTHER/USDT", half)):
+        sym_val = part.select("symbol").first()["symbol"] if sym == "ETH/USDT" else sym
+        single_s, single_ps = simulate_twap_naive(
+            part if sym == "ETH/USDT"
+            else half.withColumn("symbol", F.lit(sym)),
+            "buy", total_qty=50.0, slices=20, depth=25,
+        )
+        got = (
+            per_slice.filter(F.col("symbol") == sym_val)
+            .drop("exchange_id", "symbol")
+            .orderBy("slice")
+            .collect()
+        )
+        want = single_ps.orderBy("slice").collect()
+        assert [r.asDict() for r in got] == [r.asDict() for r in want]
+        gs = summary.filter(F.col("symbol") == sym_val).collect()[0]
+        ws = single_s.collect()[0]
+        for c in ("filled_qty", "vwap", "notional", "slices"):
+            assert gs[c] == pytest.approx(ws[c], rel=1e-12), (sym, c)
+        for c in ("slippage_bps_vs_mid_open", "slippage_bps_vs_mid_close"):
+            assert gs[c] == pytest.approx(ws[c], rel=1e-9), (sym, c)

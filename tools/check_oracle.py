@@ -8,11 +8,18 @@ order-insensitive value hash. Both sides are materialized through PANDAS
 (DuckDB HUGEINT -> float64) and unhashable cells (array columns) fail HERE
 before they fail in the real gate.
 
-Usage: python tools/check_oracle.py [--vanilla] [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--vanilla] [--artifact PATH] [sf_dir]
+       [query ...]
 
 ``--vanilla`` runs the Spark side on a bare SparkSession with NONE of the
 repo's session confs (and a non-UTC JVM/session timezone), emulating the
 driver's injected session.
+
+``--artifact PATH`` additionally records one JSON object per query
+(rows/schema/hash per side, error text if any) under the sf being
+checked, MERGING into an existing file — so three sweeps produce one
+auditable ORACLE_LOCAL_r{N}.json covering every registered query at
+every scale factor (round-3 verdict item #3).
 """
 
 from __future__ import annotations
@@ -65,6 +72,11 @@ def main() -> int:
     vanilla = "--vanilla" in argv
     if vanilla:
         argv.remove("--vanilla")
+    artifact = None
+    if "--artifact" in argv:
+        i = argv.index("--artifact")
+        artifact = argv[i + 1]
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -95,6 +107,7 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -102,10 +115,15 @@ def main() -> int:
             spdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001
             print(f"{name:28s} SPARK-ERR {type(exc).__name__}: {exc}")
+            records[name] = {
+                "status": "spark-err",
+                "err": f"{type(exc).__name__}: {exc}"[:300],
+            }
             failures += 1
             continue
         if name not in oracles:
             print(f"{name:28s} rows-only: {len(spdf)} rows")
+            records[name] = {"status": "rows-only", "rows": len(spdf)}
             continue
         dpdf = con.execute(oracles[name]).fetchdf()
         try:
@@ -113,12 +131,26 @@ def main() -> int:
             dh, dcols, drows = canon_hash(dpdf)
         except Exception as exc:  # noqa: BLE001 - e.g. unhashable cells
             print(f"{name:28s} CANON-ERR {type(exc).__name__}: {exc}")
+            records[name] = {
+                "status": "canon-err",
+                "err": f"{type(exc).__name__}: {exc}"[:300],
+            }
             failures += 1
             continue
         ok_cols = scols == dcols
         ok_count = srows == drows
         ok_hash = sh == dh
         status = "OK " if (ok_cols and ok_count and ok_hash) else "FAIL"
+        records[name] = {
+            "status": status.strip().lower(),
+            "rows_spark": srows,
+            "rows_duckdb": drows,
+            "rows_match": ok_count,
+            "schema_match": ok_cols,
+            "hash_spark": sh,
+            "hash_duckdb": dh,
+            "hash_match": ok_hash,
+        }
         if status == "FAIL":
             failures += 1
         print(
@@ -141,6 +173,34 @@ def main() -> int:
                     print(f"  duckdb: {b[:240]}")
                     break
     print("FAILURES:", failures)
+    if artifact:
+        import datetime as dt
+        import json
+        import os
+
+        sf_key = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        doc = {}
+        if os.path.exists(artifact):
+            with open(artifact) as f:
+                doc = json.load(f)
+        doc.setdefault("sfs", {})[sf_key] = records
+        doc["session"] = "vanilla" if vanilla else "repo"
+        doc["generated_utc"] = dt.datetime.now(dt.timezone.utc).isoformat(
+            timespec="seconds"
+        )
+        doc["n_queries"] = {k: len(v) for k, v in doc["sfs"].items()}
+        doc["n_failures"] = {
+            k: sum(
+                1
+                for r in v.values()
+                if r.get("status") not in ("ok", "rows-only")
+            )
+            for k, v in doc["sfs"].items()
+        }
+        with open(artifact, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"artifact -> {artifact} (sf {sf_key}, {len(records)} queries)")
     return 1 if failures else 0
 
 
