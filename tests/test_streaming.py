@@ -134,6 +134,38 @@ def test_record_stream_roundtrip(spark, book_chunks_dir, tmp_path):
     assert spark.read.parquet(str(tmp_path / "out")).count() == src.count()
 
 
+def test_rate_limited_replay_paces_micro_batches(spark, book_chunks_dir, tmp_path):
+    """The production mapping of the reference recorder's --hz rate cap
+    (docs/LIVE_INGESTION.md): source-side rate limiting via
+    maxFilesPerTrigger. With the cap at 1 file, the two-chunk replay
+    must arrive as (at least) two paced micro-batches whose input rows
+    sum to exactly one copy of the source — rate limiting bounds
+    per-trigger work without dropping or duplicating snapshots."""
+    import json as _json
+
+    stream = read_book_stream(
+        spark, book_chunks_dir + "/*/", BOOK_DEPTH, max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .queryName("rate_limited")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    progs = [
+        p if isinstance(p, dict) else _json.loads(p.json)
+        for p in q.recentProgress
+    ]
+    fed = [p for p in progs if p["numInputRows"] > 0]
+    src_count = spark.read.parquet(book_chunks_dir + "/*/").count()
+    assert len(fed) >= 2  # one file per trigger -> the chunks can't batch up
+    assert sum(p["numInputRows"] for p in fed) == src_count
+    assert spark.table("rate_limited").count() == src_count
+
+
 def test_stateful_dedup_suppresses_cross_batch_duplicates(spark, tmp_path):
     """A content duplicated within batch 1 AND repeated in batch 2 emits
     exactly once, with batch 1's min id; batch-2-only content still
