@@ -1696,6 +1696,60 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SOURCE_CAP_SQL = """
+WITH feat AS (
+  SELECT doc_id, source,
+    len(string_split(text, ' ')) AS n_tok,
+    length(text) AS n_chars,
+    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+    LEAST(CAST(n_tok AS DOUBLE) / 20.0, 1.0) * 0.4
+    + COALESCE(CASE WHEN n_chars > 0 THEN CAST(alpha AS DOUBLE) / n_chars END, 0.0) * 0.4
+    + (1.0 - LEAST(COALESCE(CASE WHEN n_chars > 0 THEN CAST(digits AS DOUBLE) / n_chars END, 0.0) * 5, 1.0)) * 0.1
+    + (1.0 - LEAST(COALESCE(CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars END, 0.0) * 10, 1.0)) * 0.1
+    AS quality_score
+  FROM feat
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY source ORDER BY quality_score DESC, doc_id
+  ) AS rk
+  FROM scored
+)
+SELECT doc_id, source, quality_score, CAST(rk AS INTEGER) AS source_rank
+FROM ranked WHERE rk <= 40
+"""
+
+
+@register("source_cap_sample", _SOURCE_CAP_SQL)
+def q_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (domain) cap: keep each source's top-40 docs by quality
+    score — the standard crawl-mix guard against one domain dominating a
+    training corpus. One window keyed on source (shuffle spreads over
+    domains, which number in the millions at crawl scale); the rank
+    orders on the engine-exact per-row score with doc_id tiebreak, so no
+    rounding is needed for cross-engine determinism."""
+    from market_microstructure_toolkit_spark.operators.text_analysis import (
+        quality_features,
+    )
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), "doc_id"
+    )
+    return (
+        quality_features(docs)
+        .withColumn("source_rank", F.row_number().over(w))
+        .filter(F.col("source_rank") <= 40)
+        .select("doc_id", "source", "quality_score", "source_rank")
+    )
+
+
 _FINGERPRINT_SQL = """
 SELECT fp AS fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc_id
 FROM (
