@@ -411,17 +411,21 @@ def dedup_clusters(
     the pair graph (singletons cluster with themselves). This is the step
     that turns pairwise dedup output into keep/drop decisions.
 
-    Min-label propagation: each round every node takes the min of its
-    label and its neighbors' labels; the fixpoint (min id per component)
-    is unique, so the result is deterministic regardless of execution
-    order. Rounds needed = graph diameter — near-dup clusters are
-    shallow, but the loop runs to the EXACT fixpoint (changed == 0):
-    returning early would silently hand back unconverged labels that
-    diverge from the oracle's recursive-CTE fixpoint. ``max_iters`` is
-    only a runaway guard and RAISES if hit. Each round is one join +
-    partial-aggregated groupBy keyed on node id; ``localCheckpoint``
-    truncates the lineage so plans don't grow with iteration count — the
-    standard Spark iterative-algorithm guard.
+    Min-label propagation with pointer doubling: each round every node
+    takes the min of (its label, its neighbors' labels, its LABEL'S
+    label — the shortcut join that collapses label chains exponentially,
+    Connected Components a la pointer jumping). The fixpoint (min id per
+    component) is unique, so the result is deterministic regardless of
+    execution order. Without the shortcut, rounds = graph diameter (a
+    measured diameter-16 near-dup chain cost 16 rounds x ~0.5 s of fixed
+    per-round overhead at sf0.1); with it, rounds ~ log2(diameter). The
+    loop still runs to the EXACT fixpoint (changed == 0): returning
+    early would silently hand back unconverged labels that diverge from
+    the oracle's recursive-CTE fixpoint. ``max_iters`` is only a runaway
+    guard and RAISES if hit. Each round is two id-keyed joins + one
+    partial-aggregated groupBy; ``localCheckpoint`` truncates the
+    lineage so plans don't grow with iteration count — the standard
+    Spark iterative-algorithm guard.
     """
     # both directions from ONE evaluation of the (possibly expensive)
     # pair plan — a union of two selects over `pairs` would run the
@@ -455,12 +459,27 @@ def dedup_clusters(
         # (A lazy checkpoint is a trap here — limit(1) only materializes
         # the partitions it touches, so later rounds recompute the rest
         # through the un-truncated lineage; measured slower at sf0.1.)
+        # The shortcut joins against the PREVIOUS round's checkpointed
+        # labels (label-of-label), not this round's in-flight result —
+        # one-step-stale pointer jumping still halves chain length per
+        # round and avoids re-evaluating the un-checkpointed step twice.
+        l2 = labels.select(
+            F.col("id").alias("__pid"), F.col("lab").alias("__plab")
+        )
         new = (
             labels.join(nbr, labels.id == nbr.dst, "left")
+            .join(l2, F.col("lab") == F.col("__pid"), "left")
             .select(
                 "id",
-                F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
-                (F.col("nlab") < F.col("lab")).alias("__chg"),
+                F.least(
+                    F.col("lab"),
+                    F.coalesce("nlab", "lab"),
+                    F.coalesce("__plab", "lab"),
+                ).alias("lab"),
+                (
+                    (F.col("nlab") < F.col("lab"))
+                    | (F.col("__plab") < F.col("lab"))
+                ).alias("__chg"),
             )
         ).localCheckpoint()
         changed = new.filter(F.col("__chg")).limit(1).count()
