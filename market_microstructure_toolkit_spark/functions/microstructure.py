@@ -284,3 +284,31 @@ def format_float_10dp(x: Column | str) -> Column:
     Only for CSV export — metrics always compare on doubles (SURVEY §4.5).
     """
     return F.coalesce(F.format_string("%.10f", _c(x)), F.lit(""))
+
+
+# --- range-based volatility estimators (beyond-reference rollup tier) ---
+
+def parkinson_var(high: Column | str, low: Column | str) -> Column:
+    """Parkinson (1980) range variance: ln(H/L)^2 / (4 ln 2)."""
+    hl = F.log(_c(high) / _c(low))
+    return (hl * hl) / (F.lit(4.0) * F.log(F.lit(2.0)))
+
+
+def garman_klass_var(
+    open_: Column | str, high: Column | str, low: Column | str, close: Column | str
+) -> Column:
+    """Garman-Klass (1980): 0.5 ln(H/L)^2 - (2 ln 2 - 1) ln(C/O)^2."""
+    hl = F.log(_c(high) / _c(low))
+    co = F.log(_c(close) / _c(open_))
+    return F.lit(0.5) * hl * hl - (
+        F.lit(2.0) * F.log(F.lit(2.0)) - F.lit(1.0)
+    ) * co * co
+
+
+def rogers_satchell_var(
+    open_: Column | str, high: Column | str, low: Column | str, close: Column | str
+) -> Column:
+    """Rogers-Satchell (1991), drift-robust:
+    ln(H/C) ln(H/O) + ln(L/C) ln(L/O)."""
+    o, h, lo_, c = _c(open_), _c(high), _c(low), _c(close)
+    return F.log(h / c) * F.log(h / o) + F.log(lo_ / c) * F.log(lo_ / o)

@@ -2531,6 +2531,120 @@ GROUP BY exchange_id, symbol, bucket_ms
 """
 
 
+_VOL_EST_SQL = f"""WITH ohlc AS ({_OHLC_SQL})
+SELECT exchange_id, symbol, bucket_ms,
+  ROUND((LN(high_mid / low_mid) * LN(high_mid / low_mid))
+        / (4.0 * LN(2.0)), 6) AS parkinson_var,
+  ROUND(0.5 * LN(high_mid / low_mid) * LN(high_mid / low_mid)
+        - (2.0 * LN(2.0) - 1.0)
+          * LN(close_mid / open_mid) * LN(close_mid / open_mid),
+        6) AS garman_klass_var,
+  ROUND(LN(high_mid / close_mid) * LN(high_mid / open_mid)
+        + LN(low_mid / close_mid) * LN(low_mid / open_mid),
+        6) AS rogers_satchell_var,
+  n_snapshots
+FROM ohlc
+"""
+
+
+@register("book_vol_estimators", _VOL_EST_SQL)
+def q_book_vol_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-based volatility estimators per OHLC bucket — Parkinson
+    (1980), Garman-Klass (1980), Rogers-Satchell (1991) variances from
+    the 1-second mid OHLC rollup. The OHLC inputs come from order-free
+    aggregates (max/min/rank-picked open+close), so only the final
+    per-row log arithmetic can differ cross-engine (libm last-ulp);
+    6-dp rounding absorbs it. Plan shape: reuses the single
+    instrument+bucket shuffle of the OHLC rollup, everything after is a
+    map — the continuous-aggregate pattern a hypertable would
+    materialize incrementally."""
+    ohlc = q_book_resample_ohlc(spark, sf_dir)
+    o, h, l, c = "open_mid", "high_mid", "low_mid", "close_mid"
+    return ohlc.select(
+        *KEYS,
+        "bucket_ms",
+        F.round(M.parkinson_var(h, l), 6).alias("parkinson_var"),
+        F.round(M.garman_klass_var(o, h, l, c), 6).alias("garman_klass_var"),
+        F.round(M.rogers_satchell_var(o, h, l, c), 6).alias(
+            "rogers_satchell_var"
+        ),
+        "n_snapshots",
+    )
+
+
+_ROLL_AMIHUD_SQL = f"""{_BOOK_CTE},
+mids AS (
+  SELECT exchange_id, symbol, ts_ms, raw_nonce,
+         (best_bid + best_ask) / 2.0 AS mid,
+         COALESCE(bid1_size, 0.0) + COALESCE(ask1_size, 0.0) AS l1_vol
+  FROM book
+),
+staged AS (
+  SELECT exchange_id, symbol, ts_ms, raw_nonce, l1_vol,
+    mid - LAG(mid) OVER ({_W}) AS d,
+    LN(mid / LAG(mid) OVER ({_W})) AS logret
+  FROM mids
+),
+diffs AS (
+  SELECT exchange_id, symbol, d,
+    LAG(d) OVER ({_W}) AS d_prev,
+    logret, l1_vol
+  FROM staged
+)
+SELECT exchange_id, symbol,
+  ROUND(2.0 * SQRT(GREATEST(-COVAR_SAMP(d, d_prev), 0.0)), 6)
+    AS roll_spread_est,
+  ROUND(AVG(CASE WHEN l1_vol > 0 THEN ABS(logret) / l1_vol END) * 1e6, 6)
+    AS amihud_illiq_x1e6,
+  COUNT(*) AS n_ticks
+FROM diffs
+GROUP BY exchange_id, symbol
+"""
+
+
+@register("book_roll_amihud", _ROLL_AMIHUD_SQL)
+def q_book_roll_amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic liquidity estimators per instrument: Roll (1984) implied
+    spread — 2·sqrt(max(0, −Cov(Δmid_t, Δmid_{t−1}))) — and Amihud
+    (2002) illiquidity, mean |log return| per unit of L1 volume (×1e6
+    for readable magnitudes). One instrument-keyed window computes the
+    lagged differences, then a partial-aggregating groupBy on the same
+    keys — two shuffle-light stages that co-partition at any scale. The
+    covariance/mean reductions are order-sensitive float sums, so both
+    outputs round at 6 dp (repo determinism idiom)."""
+    book = synthetic_book(spark, sf_dir)
+    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
+    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
+    l1_vol = F.coalesce(F.col("bid1_size"), F.lit(0.0)) + F.coalesce(
+        F.col("ask1_size"), F.lit(0.0)
+    )
+    staged = book.select(
+        *KEYS, *ORDER_COLS, mid.alias("mid"), l1_vol.alias("l1_vol")
+    ).withColumn("d", F.col("mid") - F.lag("mid").over(w))
+    diffs = staged.select(
+        *KEYS,
+        "d",
+        F.lag("d").over(w).alias("d_prev"),
+        F.log(F.col("mid") / F.lag("mid").over(w)).alias("logret"),
+        "l1_vol",
+    )
+    return diffs.groupBy(*KEYS).agg(
+        F.round(
+            F.lit(2.0)
+            * F.sqrt(F.greatest(-F.covar_samp("d", "d_prev"), F.lit(0.0))),
+            6,
+        ).alias("roll_spread_est"),
+        F.round(
+            F.avg(
+                F.when(F.col("l1_vol") > 0, F.abs(F.col("logret")) / F.col("l1_vol"))
+            )
+            * F.lit(1e6),
+            6,
+        ).alias("amihud_illiq_x1e6"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
 @register("book_resample_ohlc", _OHLC_SQL)
 def q_book_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style downsample: 1-second OHLC of mid + L1 volume per

@@ -119,3 +119,44 @@ def test_all_levels_missing_notional_is_null(spark):
         ask3_size=None,
     )
     assert m["notional_ask_k"] is None
+
+
+def test_range_volatility_estimators_match_formulas(spark):
+    import math
+
+    import pytest
+
+    from market_microstructure_toolkit_spark.functions.microstructure import (
+        garman_klass_var,
+        parkinson_var,
+        rogers_satchell_var,
+    )
+
+    o, h, l, c = 100.0, 102.0, 99.0, 101.0
+    df = spark.createDataFrame(
+        [(o, h, l, c)], "o double, h double, l double, c double"
+    )
+    got = df.select(
+        parkinson_var("h", "l").alias("p"),
+        garman_klass_var("o", "h", "l", "c").alias("gk"),
+        rogers_satchell_var("o", "h", "l", "c").alias("rs"),
+    ).collect()[0]
+    hl = math.log(h / l)
+    co = math.log(c / o)
+    assert got["p"] == pytest.approx(hl * hl / (4 * math.log(2)), rel=1e-12)
+    assert got["gk"] == pytest.approx(
+        0.5 * hl * hl - (2 * math.log(2) - 1) * co * co, rel=1e-12
+    )
+    assert got["rs"] == pytest.approx(
+        math.log(h / c) * math.log(h / o) + math.log(l / c) * math.log(l / o),
+        rel=1e-12,
+    )
+    # flat bucket (O=H=L=C): every estimator is exactly zero
+    flat = spark.createDataFrame(
+        [(5.0, 5.0, 5.0, 5.0)], "o double, h double, l double, c double"
+    ).select(
+        parkinson_var("h", "l").alias("p"),
+        garman_klass_var("o", "h", "l", "c").alias("gk"),
+        rogers_satchell_var("o", "h", "l", "c").alias("rs"),
+    ).collect()[0]
+    assert flat["p"] == 0.0 and flat["gk"] == 0.0 and flat["rs"] == 0.0

@@ -271,3 +271,29 @@ def test_events_retention_offsets(spark):
     assert out[(10, 0)] == 2
     assert out[(10, 2)] == 1
     assert len(out) == 2
+
+
+def test_roll_spread_on_bid_ask_bounce(spark):
+    """Roll (1984) sanity: a mid bouncing ±1 around value gives Δmid
+    alternating ±2, first-order autocovariance ≈ −4, estimator
+    2·sqrt(−cov). Expected value computed with numpy's sample covariance
+    on the same lagged pairs the query builds."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import Window, functions as F
+
+    mids = [100.0 + (1.0 if i % 2 == 0 else -1.0) for i in range(40)]
+    rows = [(i, m) for i, m in enumerate(mids)]
+    df = spark.createDataFrame(rows, "ts_ms long, mid double")
+    w = Window.orderBy("ts_ms").partitionBy(F.lit(1))
+    staged = df.withColumn("d", F.col("mid") - F.lag("mid").over(w))
+    diffs = staged.withColumn("d_prev", F.lag("d").over(w))
+    got = diffs.agg(
+        (2.0 * F.sqrt(F.greatest(-F.covar_samp("d", "d_prev"), F.lit(0.0))))
+        .alias("roll")
+    ).collect()[0]["roll"]
+    d = np.diff(mids)
+    pairs = np.array([(d[i], d[i - 1]) for i in range(1, len(d))])
+    cov = np.cov(pairs[:, 0], pairs[:, 1], ddof=1)[0, 1]
+    assert got == pytest.approx(2.0 * math.sqrt(max(0.0, -cov)), rel=1e-9)
+    assert got == pytest.approx(4.0, rel=0.05)  # 2c bounce -> ~2*2c
