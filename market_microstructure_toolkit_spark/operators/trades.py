@@ -1,0 +1,194 @@
+"""Trade-tape microstructure estimators: trade-sign classification
+(Lee-Ready), VPIN, Kyle's lambda, and effective/realized spread.
+
+The reference toolkit records quote snapshots only (its impact sims fill
+against the book: ``/root/reference/src/market_microstructure_toolkit/
+impact_twap.py``), so a trade tape is an extension tier — but it is the
+standard companion surface for a microstructure engine, and each
+estimator here is the canonical published definition:
+
+- Lee & Ready (1991): quote rule (trade above/below the prevailing mid
+  is buyer-/seller-initiated) with the tick rule as the midpoint
+  fallback (inherit the sign of the last price-changing tick).
+- Easley, Lopez de Prado & O'Hara (2012) VPIN: volume-synchronized
+  buckets, per-bucket |buy - sell| / total order-flow imbalance.
+- Kyle (1985) lambda: price-impact slope of mid change on signed
+  volume, estimated per instrument as Cov(dmid, q*side)/Var(q*side).
+- Effective / realized spread (e.g. SEC Rule 605 definitions):
+  2*side*(price - mid) at trade time vs. against the mid H ticks ahead;
+  their difference is the permanent price impact.
+
+Scale notes: every operator is one instrument-keyed window plus (for the
+aggregated estimators) a groupBy on the same keys — the shuffle
+co-partitions across stages and state is O(1) per row. No UDFs, no
+driver loops; everything stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _w(keys: Sequence[str], order_cols: Sequence[str]):
+    return Window.partitionBy(*keys).orderBy(*order_cols)
+
+
+def classify_lee_ready(
+    trades: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    price_col: str = "price",
+    mid_col: str = "mid",
+    out_col: str = "side",
+) -> DataFrame:
+    """Append a {-1, 0, +1} trade-sign column (Lee-Ready).
+
+    Quote rule first: price above (below) the prevailing mid is a buy
+    (sell). At the midpoint, fall back to the tick rule — the sign of
+    the most recent price *change* on the tape, carried forward across
+    zero-ticks via a running last-non-null window. A midpoint trade
+    with no prior price change stays 0 (unclassifiable).
+    """
+    w = _w(keys, order_cols)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    price, mid = F.col(price_col), F.col(mid_col)
+    prev = F.lag(price).over(w)
+    raw_tick = (
+        F.when(price > prev, F.lit(1)).when(price < prev, F.lit(-1))
+    )  # NULL on zero-tick / first trade -> carried over by last()
+    tick_sign = F.last(raw_tick, ignorenulls=True).over(run)
+    side = (
+        F.when(price > mid, F.lit(1))
+        .when(price < mid, F.lit(-1))
+        .otherwise(F.coalesce(tick_sign, F.lit(0)))
+    )
+    return trades.withColumn(out_col, side)
+
+
+def add_volume_buckets(
+    trades: DataFrame,
+    bucket_volume: float,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    qty_col: str = "qty",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Assign each trade to a volume-synchronized bucket: bucket k holds
+    the trades whose *pre-trade* cumulative volume lies in
+    [k*V, (k+1)*V). Whole trades are assigned (no split fills), the
+    standard discrete-tape simplification of the VPIN clock."""
+    w = _w(keys, order_cols).rowsBetween(Window.unboundedPreceding, -1)
+    cum_prev = F.coalesce(F.sum(qty_col).over(w), F.lit(0.0))
+    return trades.withColumn(
+        out_col, F.floor(cum_prev / F.lit(float(bucket_volume))).cast("long")
+    )
+
+
+def vpin(
+    classified: DataFrame,
+    bucket_volume: float,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    qty_col: str = "qty",
+    side_col: str = "side",
+) -> DataFrame:
+    """Per volume-bucket order-flow imbalance |buy - sell| / total.
+
+    The VPIN series is this per-bucket imbalance; the headline VPIN
+    metric is its rolling mean, which callers take with a standard
+    window over the (instrument, bucket) output. Unclassified trades
+    (side 0) count toward bucket volume but neither flow side —
+    matching the bulk-classification convention of discarding
+    indeterminate prints from the imbalance numerator."""
+    qty, side = F.col(qty_col), F.col(side_col)
+    bucketed = add_volume_buckets(
+        classified, bucket_volume, keys, order_cols, qty_col=qty_col
+    )
+    return bucketed.groupBy(*keys, "bucket").agg(
+        F.sum(F.when(side > 0, qty).otherwise(F.lit(0.0))).alias("buy_vol"),
+        F.sum(F.when(side < 0, qty).otherwise(F.lit(0.0))).alias("sell_vol"),
+        F.sum(qty).alias("total_vol"),
+        F.count(F.lit(1)).alias("n_trades"),
+    ).withColumn(
+        "vpin",
+        F.abs(F.col("buy_vol") - F.col("sell_vol")) / F.col("total_vol"),
+    )
+
+
+def kyle_lambda(
+    classified: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    mid_col: str = "mid",
+    qty_col: str = "qty",
+    side_col: str = "side",
+) -> DataFrame:
+    """Kyle (1985) price-impact slope per instrument: the OLS slope of
+    the tick-to-tick mid change on signed volume,
+    Cov(dmid, side*qty) / Var(side*qty). One window pass for the lagged
+    mid, then a partial-aggregating groupBy on the same keys. The moment
+    reductions are order-sensitive float sums -> 6-dp rounding (repo
+    determinism idiom)."""
+    w = _w(keys, order_cols)
+    dmid = F.col(mid_col) - F.lag(mid_col).over(w)
+    svol = F.col(side_col).cast("double") * F.col(qty_col)
+    # Both moments must run over the SAME sample: each instrument's
+    # first tick has no lagged mid, and covar_samp would skip it while
+    # var_samp kept it — a mismatched denominator that biases the slope
+    # (caught by the exact-linear-impact unit test).
+    staged = classified.select(
+        *keys, dmid.alias("dmid"), svol.alias("svol")
+    ).filter(F.col("dmid").isNotNull())
+    return staged.groupBy(*keys).agg(
+        F.round(
+            F.covar_samp("dmid", "svol") / F.var_samp("svol"), 6
+        ).alias("kyle_lambda"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+def effective_realized_spread(
+    classified: DataFrame,
+    horizon: int,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    price_col: str = "price",
+    mid_col: str = "mid",
+    side_col: str = "side",
+) -> DataFrame:
+    """Per-instrument average effective spread 2*side*(p - mid),
+    realized spread 2*side*(p - mid_{t+H}), and permanent price impact
+    (their difference), H trades ahead. Trades within H of the tape end
+    (no future mid) are excluded from the realized/impact averages, as
+    are unclassified (side 0) trades from all three — a side-0 term
+    would contribute 0 and bias the mean toward zero."""
+    w = _w(keys, order_cols)
+    side = F.col(side_col).cast("double")
+    mid_fut = F.lead(mid_col, horizon).over(w)
+    eff = F.lit(2.0) * side * (F.col(price_col) - F.col(mid_col))
+    rlz = F.lit(2.0) * side * (F.col(price_col) - mid_fut)
+    classified_only = F.col(side_col) != 0
+    staged = classified.select(
+        *keys,
+        F.when(classified_only, eff).alias("eff"),
+        F.when(classified_only, rlz).alias("rlz"),
+        F.when(classified_only, eff - rlz).alias("impact"),
+    )
+    return staged.groupBy(*keys).agg(
+        F.round(F.avg("eff"), 6).alias("avg_effective_spread"),
+        F.round(F.avg("rlz"), 6).alias("avg_realized_spread"),
+        F.round(F.avg("impact"), 6).alias("avg_price_impact"),
+        F.count("rlz").alias("n_classified_with_future"),
+    )
+
+
+__all__ = [
+    "classify_lee_ready",
+    "add_volume_buckets",
+    "vpin",
+    "kyle_lambda",
+    "effective_realized_spread",
+]

@@ -110,3 +110,51 @@ FROM (
   FROM events
 )
 """
+
+
+def synthetic_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic trade tape riding the book derivation —
+    one print per snapshot, price offset from the prevailing mid by a
+    signed multiple of the quoted spread so the tape exercises every
+    Lee-Ready branch (above / below / exactly at the mid):
+
+    - ``mid   = (best_bid + best_ask) / 2.0``
+    - ``price = mid + (CAST(raw_nonce % 7 AS DOUBLE) - 3.0)
+      * ((best_ask - best_bid) * 0.25)`` — offsets of -0.75..+0.75
+      spreads in quarter-spread steps; ``raw_nonce % 7 == 3`` lands the
+      print exactly on the mid (tick-rule fallback path).
+    - ``qty   = 0.5 + CAST(raw_nonce % 9 AS DOUBLE) * 0.5`` — exact
+      binary fractions, so cumulative-volume sums are order-free exact.
+
+    All ops are IEEE-754 add/mul/div in an identical association on both
+    engines -> bit-exact vs. the DuckDB :func:`trades_sql` twin.
+    """
+    book = synthetic_book(spark, sf_dir, depth=1)
+    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
+    off = (
+        (F.col("raw_nonce") % 7).cast("double") - F.lit(3.0)
+    ) * ((F.col("best_ask") - F.col("best_bid")) * F.lit(0.25))
+    qty = F.lit(0.5) + (F.col("raw_nonce") % 9).cast("double") * F.lit(0.5)
+    return book.select(
+        "exchange_id",
+        "symbol",
+        "ts_ms",
+        "raw_nonce",
+        mid.alias("mid"),
+        (mid + off).alias("price"),
+        qty.alias("qty"),
+    )
+
+
+def trades_sql() -> str:
+    """The identical trade-tape derivation as DuckDB SQL (for oracle
+    CTEs); compose as ``WITH book AS (...), trades AS (<this>)``."""
+    return """
+SELECT exchange_id, symbol, ts_ms, raw_nonce,
+  (best_bid + best_ask) / 2.0 AS mid,
+  (best_bid + best_ask) / 2.0
+    + (CAST(raw_nonce % 7 AS DOUBLE) - 3.0)
+      * ((best_ask - best_bid) * 0.25) AS price,
+  0.5 + CAST(raw_nonce % 9 AS DOUBLE) * 0.5 AS qty
+FROM book
+"""

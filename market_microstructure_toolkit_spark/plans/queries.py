@@ -30,12 +30,15 @@ from pyspark.sql import functions as F
 from market_microstructure_toolkit_spark.functions import arrays as A
 from market_microstructure_toolkit_spark.functions import microstructure as M
 from market_microstructure_toolkit_spark.operators import row_metrics as RM
+from market_microstructure_toolkit_spark.operators import trades as T
 from market_microstructure_toolkit_spark.operators import window_metrics as W
 from market_microstructure_toolkit_spark.plans.book import (
     BOOK_DEPTH,
     ORDER_COLS,
     book_sql,
     synthetic_book,
+    synthetic_trades,
+    trades_sql,
 )
 from market_microstructure_toolkit_spark.sources.events import read_events
 
@@ -4337,3 +4340,157 @@ def q_recorder_grid_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mid",
         (F.col("t") - F.col("src_ts_ms")).alias("staleness_ms"),
     )
+
+
+# --------------------------------------------------------------------------
+# Trade-tape tier: Lee-Ready signs, VPIN, Kyle lambda, effective spread.
+# The reference records quotes only; this tier is the standard companion
+# trade-tape surface (operators/trades.py documents the published
+# definitions). All four share one deterministic synthetic tape derived
+# from the book fixture (plans/book.py::synthetic_trades).
+# --------------------------------------------------------------------------
+
+_TRADES_CTE = f"{_BOOK_CTE},\ntrades AS ({trades_sql()})"
+
+#: Lee-Ready classification as SQL (shared by all trade oracles): quote
+#: rule, then tick-rule fallback carried across zero-ticks by a running
+#: last-non-null window.
+_CLASSIFIED_CTE = f"""{_TRADES_CTE},
+ticked AS (
+  SELECT *,
+    CASE WHEN price > LAG(price) OVER ({_W}) THEN 1
+         WHEN price < LAG(price) OVER ({_W}) THEN -1 END AS raw_tick
+  FROM trades
+),
+classified AS (
+  SELECT exchange_id, symbol, ts_ms, raw_nonce, mid, price, qty,
+    CASE WHEN price > mid THEN 1
+         WHEN price < mid THEN -1
+         ELSE COALESCE(LAST_VALUE(raw_tick IGNORE NULLS) OVER
+           ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+    END AS side
+  FROM ticked
+)"""
+
+_TRADE_SIGNS_SQL = f"""{_CLASSIFIED_CTE}
+SELECT exchange_id, symbol, ts_ms, raw_nonce,
+       ROUND(price, 6) AS price, qty, side
+FROM classified
+"""
+
+
+@register("trade_signs_lee_ready", _TRADE_SIGNS_SQL)
+def q_trade_signs_lee_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-Ready (1991) trade-sign classification over the synthetic
+    tape: quote rule against the prevailing mid, tick rule at the
+    midpoint (sign of the last price change, carried across zero-ticks
+    by a running last-non-null window — one instrument-keyed window
+    pass, no joins). The tape's deterministic offsets land prints above,
+    below, AND exactly on the mid, so every branch is exercised; price
+    arithmetic is bit-exact cross-engine (integer modulus + IEEE-754)."""
+    tape = synthetic_trades(spark, sf_dir)
+    out = T.classify_lee_ready(tape, KEYS, ORDER_COLS)
+    return out.select(
+        *IDS, F.round("price", 6).alias("price"), "qty", "side"
+    )
+
+
+_VPIN_SQL = f"""{_CLASSIFIED_CTE},
+bucketed AS (
+  SELECT *,
+    CAST(FLOOR(COALESCE(SUM(qty) OVER
+      ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+      / 50.0) AS BIGINT) AS bucket
+  FROM classified
+),
+grouped AS (
+  SELECT exchange_id, symbol, bucket,
+    SUM(CASE WHEN side > 0 THEN qty ELSE 0.0 END) AS buy_vol,
+    SUM(CASE WHEN side < 0 THEN qty ELSE 0.0 END) AS sell_vol,
+    SUM(qty) AS total_vol,
+    COUNT(*) AS n_trades
+  FROM bucketed GROUP BY exchange_id, symbol, bucket
+)
+SELECT exchange_id, symbol, bucket, buy_vol, sell_vol, total_vol, n_trades,
+       ABS(buy_vol - sell_vol) / total_vol AS vpin
+FROM grouped
+"""
+
+
+@register("trade_vpin", _VPIN_SQL)
+def q_trade_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VPIN (Easley, Lopez de Prado & O'Hara 2012): volume-synchronized
+    buckets of 50 units, per-bucket |buy - sell| / total order-flow
+    imbalance from Lee-Ready-signed trades. One instrument-keyed window
+    (cumulative volume -> bucket id) then a partial-aggregating groupBy
+    on the same keys — co-partitioned shuffles, O(1) state per row.
+    Trade sizes are exact binary fractions, so the cumulative and
+    per-bucket sums are order-free exact: no rounding needed."""
+    tape = synthetic_trades(spark, sf_dir)
+    classified = T.classify_lee_ready(tape, KEYS, ORDER_COLS)
+    return T.vpin(classified, 50.0, KEYS, ORDER_COLS)
+
+
+_KYLE_SQL = f"""{_CLASSIFIED_CTE},
+staged AS (
+  SELECT exchange_id, symbol,
+    mid - LAG(mid) OVER ({_W}) AS dmid,
+    CAST(side AS DOUBLE) * qty AS svol
+  FROM classified
+)
+SELECT exchange_id, symbol,
+  ROUND(COVAR_SAMP(dmid, svol) / VAR_SAMP(svol), 6) AS kyle_lambda,
+  COUNT(*) AS n_ticks
+FROM staged WHERE dmid IS NOT NULL GROUP BY exchange_id, symbol
+"""
+
+
+@register("trade_kyle_lambda", _KYLE_SQL)
+def q_trade_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kyle (1985) price-impact lambda per instrument: OLS slope of the
+    tick-to-tick mid change on Lee-Ready signed volume,
+    Cov(dmid, side*qty) / Var(side*qty). Same two-stage shape as
+    book_roll_amihud (one keyed window, then a groupBy partial-agg on
+    the identical keys); the moment reductions are order-sensitive float
+    sums -> 6-dp rounding per the repo determinism idiom."""
+    tape = synthetic_trades(spark, sf_dir)
+    classified = T.classify_lee_ready(tape, KEYS, ORDER_COLS)
+    return T.kyle_lambda(classified, KEYS, ORDER_COLS)
+
+
+_EFF_SPREAD_SQL = f"""{_CLASSIFIED_CTE},
+staged AS (
+  SELECT exchange_id, symbol,
+    CASE WHEN side <> 0
+         THEN 2.0 * CAST(side AS DOUBLE) * (price - mid) END AS eff,
+    CASE WHEN side <> 0
+         THEN 2.0 * CAST(side AS DOUBLE)
+              * (price - LEAD(mid, 20) OVER ({_W})) END AS rlz,
+    CASE WHEN side <> 0
+         THEN (2.0 * CAST(side AS DOUBLE) * (price - mid))
+            - (2.0 * CAST(side AS DOUBLE)
+               * (price - LEAD(mid, 20) OVER ({_W}))) END AS impact
+  FROM classified
+)
+SELECT exchange_id, symbol,
+  ROUND(AVG(eff), 6) AS avg_effective_spread,
+  ROUND(AVG(rlz), 6) AS avg_realized_spread,
+  ROUND(AVG(impact), 6) AS avg_price_impact,
+  COUNT(rlz) AS n_classified_with_future
+FROM staged GROUP BY exchange_id, symbol
+"""
+
+
+@register("trade_effective_spread", _EFF_SPREAD_SQL)
+def q_trade_effective_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average effective spread 2*side*(p - mid), realized spread
+    2*side*(p - mid 20 trades ahead), and permanent price impact (their
+    difference) per instrument — the SEC Rule 605-style decomposition.
+    Unclassified (side 0) prints are excluded from all three averages
+    (a zero term would bias the mean toward zero); tape-end trades with
+    no 20-ahead mid drop from the realized/impact averages only. One
+    keyed window for the future mid, then a groupBy on the same keys;
+    6-dp rounding absorbs float-sum ordering."""
+    tape = synthetic_trades(spark, sf_dir)
+    classified = T.classify_lee_ready(tape, KEYS, ORDER_COLS)
+    return T.effective_realized_spread(classified, 20, KEYS, ORDER_COLS)

@@ -1,0 +1,213 @@
+"""Trade-tape estimators (operators/trades.py): Lee-Ready signs, VPIN
+buckets, Kyle lambda, effective/realized spread — pinned on tiny
+hand-computed tapes, plus plan/scale shape checks on the gate fixture."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_microstructure_toolkit_spark.operators import trades as T
+
+KEYS = ["sym"]
+ORDER = ["t"]
+
+
+def _tape(spark, rows):
+    return spark.createDataFrame(
+        [(sym, t, float(p), float(m), float(q)) for sym, t, p, m, q in rows],
+        "sym string, t long, price double, mid double, qty double",
+    )
+
+
+class TestLeeReady:
+    def test_quote_rule_dominates(self, spark):
+        tape = _tape(
+            spark,
+            [
+                ("A", 1, 10.1, 10.0, 1.0),  # above mid -> buy
+                ("A", 2, 9.9, 10.0, 1.0),  # below mid -> sell
+            ],
+        )
+        out = (
+            T.classify_lee_ready(tape, KEYS, ORDER)
+            .orderBy("t")
+            .select("side")
+            .collect()
+        )
+        assert [r.side for r in out] == [1, -1]
+
+    def test_tick_rule_at_midpoint(self, spark):
+        # 3rd print at the mid: last price CHANGE was down (10.1 -> 10.0),
+        # so the tick rule says sell; 4th at the mid after an uptick -> buy.
+        tape = _tape(
+            spark,
+            [
+                ("A", 1, 10.1, 10.0, 1.0),
+                ("A", 2, 10.0, 10.05, 1.0),  # below its mid -> sell
+                ("A", 3, 10.0, 10.0, 1.0),  # midpoint, downtick -> -1
+                ("A", 4, 10.2, 10.1, 1.0),  # above mid -> buy
+                ("A", 5, 10.2, 10.2, 1.0),  # midpoint, zero-tick: carry +1
+            ],
+        )
+        out = (
+            T.classify_lee_ready(tape, KEYS, ORDER)
+            .orderBy("t")
+            .select("side")
+            .collect()
+        )
+        assert [r.side for r in out] == [1, -1, -1, 1, 1]
+
+    def test_first_midpoint_unclassifiable(self, spark):
+        tape = _tape(spark, [("A", 1, 10.0, 10.0, 1.0)])
+        out = T.classify_lee_ready(tape, KEYS, ORDER).collect()
+        assert out[0].side == 0
+
+    def test_partitioned_per_symbol(self, spark):
+        # B's tape must not see A's ticks: B's first midpoint print is 0.
+        tape = _tape(
+            spark,
+            [
+                ("A", 1, 9.0, 10.0, 1.0),
+                ("A", 2, 11.0, 10.0, 1.0),
+                ("B", 3, 10.0, 10.0, 1.0),
+            ],
+        )
+        out = {
+            (r.sym, r.t): r.side
+            for r in T.classify_lee_ready(tape, KEYS, ORDER).collect()
+        }
+        assert out[("B", 3)] == 0
+
+
+class TestVolumeBucketsAndVpin:
+    def test_bucket_assignment_pre_trade_cumvol(self, spark):
+        # V=2: trades of qty 1 each -> cum_prev 0,1,2,3 -> buckets 0,0,1,1
+        tape = _tape(
+            spark,
+            [("A", i, 10.0 + i, 10.0, 1.0) for i in range(1, 5)],
+        )
+        out = (
+            T.add_volume_buckets(tape, 2.0, KEYS, ORDER)
+            .orderBy("t")
+            .select("bucket")
+            .collect()
+        )
+        assert [r.bucket for r in out] == [0, 0, 1, 1]
+
+    def test_vpin_imbalance(self, spark):
+        # one bucket: buys 3.0, sells 1.0, total 4.0 -> vpin 0.5
+        tape = _tape(
+            spark,
+            [
+                ("A", 1, 10.1, 10.0, 2.0),  # buy 2
+                ("A", 2, 10.1, 10.0, 1.0),  # buy 1
+                ("A", 3, 9.9, 10.0, 1.0),  # sell 1
+            ],
+        )
+        classified = T.classify_lee_ready(tape, KEYS, ORDER)
+        row = T.vpin(classified, 100.0, KEYS, ORDER).collect()[0]
+        assert row.buy_vol == 3.0 and row.sell_vol == 1.0
+        assert row.total_vol == 4.0 and row.n_trades == 3
+        assert row.vpin == pytest.approx(0.5)
+
+    def test_unclassified_counts_volume_not_flow(self, spark):
+        tape = _tape(spark, [("A", 1, 10.0, 10.0, 5.0)])  # side 0
+        row = T.vpin(
+            T.classify_lee_ready(tape, KEYS, ORDER), 100.0, KEYS, ORDER
+        ).collect()[0]
+        assert row.buy_vol == 0.0 and row.sell_vol == 0.0
+        assert row.total_vol == 5.0 and row.vpin == 0.0
+
+
+class TestKyleLambda:
+    def test_exact_linear_impact_recovered(self, spark):
+        # mid moves exactly 0.01 per unit signed volume -> lambda = 0.01
+        rows, mid = [], 100.0
+        svols = [2.0, -1.0, 3.0, -2.0, 1.0]
+        for i, sv in enumerate(svols, start=1):
+            mid += 0.01 * sv
+            side = 1.0 if sv > 0 else -1.0
+            rows.append(("A", i, mid + side * 0.001, mid, abs(sv)))
+        tape = _tape(spark, rows)
+        classified = T.classify_lee_ready(tape, KEYS, ORDER)
+        row = T.kyle_lambda(classified, KEYS, ORDER).collect()[0]
+        # first dmid is NULL (no lag) -> 4 ticks enter the regression
+        assert row.n_ticks == len(svols) - 1
+        assert row.kyle_lambda == pytest.approx(0.01, abs=1e-6)
+
+
+class TestEffectiveRealizedSpread:
+    def test_decomposition(self, spark):
+        # buy at 10.05 vs mid 10.0 -> eff 0.1; mid 1 ahead is 10.02
+        # -> realized 2*(10.05-10.02)=0.06, impact 0.04
+        tape = _tape(
+            spark,
+            [
+                ("A", 1, 10.05, 10.0, 1.0),
+                ("A", 2, 10.0, 10.02, 1.0),
+            ],
+        )
+        classified = T.classify_lee_ready(tape, KEYS, ORDER)
+        row = T.effective_realized_spread(
+            classified, 1, KEYS, ORDER
+        ).collect()[0]
+        assert row.avg_effective_spread == pytest.approx((0.1 + 0.04) / 2)
+        # only trade 1 has a 1-ahead mid
+        assert row.n_classified_with_future == 1
+        assert row.avg_realized_spread == pytest.approx(0.06)
+        assert row.avg_price_impact == pytest.approx(0.04)
+
+    def test_side0_excluded(self, spark):
+        tape = _tape(spark, [("A", 1, 10.0, 10.0, 1.0)])
+        row = T.effective_realized_spread(
+            T.classify_lee_ready(tape, KEYS, ORDER), 1, KEYS, ORDER
+        ).collect()[0]
+        assert row.avg_effective_spread is None
+        assert row.n_classified_with_future == 0
+
+
+class TestGateFixtureShape:
+    def test_synthetic_tape_exercises_all_branches(self, spark, sf_dir):
+        from market_microstructure_toolkit_spark.plans.book import (
+            synthetic_trades,
+        )
+
+        tape = synthetic_trades(spark, sf_dir)
+        sides = (
+            T.classify_lee_ready(
+                tape, ["exchange_id", "symbol"], ["ts_ms", "raw_nonce"]
+            )
+            .groupBy("side")
+            .count()
+            .collect()
+        )
+        got = {r.side for r in sides}
+        assert {1, -1}.issubset(got)
+        # midpoint prints exist (raw_nonce % 7 == 3) and nearly all
+        # resolve via the tick rule, so side 0 is rare but the +/- spread
+        # is exercised
+        n = tape.count()
+        assert sum(r["count"] for r in sides) == n
+
+    def test_no_global_window_in_plans(self, spark, sf_dir):
+        """Every trade-tier window partitions by instrument keys."""
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        for q in (
+            "trade_signs_lee_ready",
+            "trade_vpin",
+            "trade_kyle_lambda",
+            "trade_effective_spread",
+        ):
+            plan = (
+                REGISTRY[q]
+                .spark(spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "Window" in plan
+            import re
+
+            assert not re.search(r"Window \[[^\]]*\], \[\], \[[^\]]*\]", plan), q
