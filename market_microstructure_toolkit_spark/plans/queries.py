@@ -4494,3 +4494,150 @@ def q_trade_effective_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     tape = synthetic_trades(spark, sf_dir)
     classified = T.classify_lee_ready(tape, KEYS, ORDER_COLS)
     return T.effective_realized_spread(classified, 20, KEYS, ORDER_COLS)
+
+
+_BIPOWER_SQL = f"""{_BOOK_CTE},
+rets AS (
+  SELECT exchange_id, symbol, ts_ms, raw_nonce,
+    LN(((best_bid + best_ask) / 2.0)
+       / (LAG((best_bid + best_ask) / 2.0) OVER ({_W}))) AS r
+  FROM book
+),
+paired AS (
+  SELECT exchange_id, symbol, r,
+    LAG(ABS(r)) OVER ({_W}) AS abs_r_prev
+  FROM rets
+)
+SELECT exchange_id, symbol,
+  ROUND(SUM(r * r), 6) AS realized_var,
+  ROUND(1.5707963267948966 * SUM(ABS(r) * abs_r_prev), 6) AS bipower_var,
+  ROUND(GREATEST(0.0,
+    1.0 - (1.5707963267948966 * SUM(ABS(r) * abs_r_prev)) / SUM(r * r)
+  ), 6) AS jump_frac,
+  COUNT(r) AS n_returns
+FROM paired GROUP BY exchange_id, symbol
+"""
+
+
+@register("book_bipower_jump", _BIPOWER_SQL)
+def q_book_bipower_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jump-robust volatility decomposition per instrument: realized
+    variance sum(r^2) vs. Barndorff-Nielsen & Shephard (2004) bipower
+    variation (pi/2) * sum(|r_t| |r_{t-1}|) — BV converges to the
+    continuous (diffusive) variance while RV includes jumps, so
+    max(0, 1 - BV/RV) is the jump fraction of total variance. Two
+    stacked instrument-keyed windows (return, then lagged |return|) and
+    one groupBy on the same keys — the shuffles co-partition. SUM skips
+    NULL terms identically in both engines (first return, first pair),
+    so the estimators run over the same samples; order-sensitive float
+    sums round at 6 dp."""
+    book = synthetic_book(spark, sf_dir)
+    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
+    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
+    rets = book.select(
+        *KEYS,
+        *ORDER_COLS,
+        F.log(mid / F.lag(mid).over(w)).alias("r"),
+    )
+    paired = rets.select(
+        *KEYS,
+        "r",
+        F.lag(F.abs(F.col("r"))).over(w).alias("abs_r_prev"),
+    )
+    half_pi = F.lit(1.5707963267948966)
+    bv = half_pi * F.sum(F.abs(F.col("r")) * F.col("abs_r_prev"))
+    rv = F.sum(F.col("r") * F.col("r"))
+    return paired.groupBy(*KEYS).agg(
+        F.round(rv, 6).alias("realized_var"),
+        F.round(bv, 6).alias("bipower_var"),
+        F.round(F.greatest(F.lit(0.0), F.lit(1.0) - bv / rv), 6).alias(
+            "jump_frac"
+        ),
+        F.count("r").alias("n_returns"),
+    )
+
+
+_HY_SQL = f"""{_BOOK_CTE},
+ivl AS (
+  SELECT exchange_id, symbol,
+    LAG(ts_ms) OVER ({_W}) AS s,
+    ts_ms AS e,
+    LN(((best_bid + best_ask) / 2.0)
+       / (LAG((best_bid + best_ask) / 2.0) OVER ({_W}))) AS r
+  FROM book
+),
+ticks AS (
+  SELECT * FROM ivl WHERE s IS NOT NULL AND e > s
+)
+SELECT a.exchange_id AS exchange_id,
+       a.symbol AS sym_a, b.symbol AS sym_b,
+       ROUND(SUM(a.r * b.r), 6) AS hy_cov,
+       COUNT(*) AS n_overlaps
+FROM ticks a JOIN ticks b
+  ON a.exchange_id = b.exchange_id
+ AND a.symbol < b.symbol
+ AND a.s < b.e AND b.s < a.e
+GROUP BY a.exchange_id, a.symbol, b.symbol
+"""
+
+
+@register("book_hayashi_yoshida", _HY_SQL)
+def q_book_hayashi_yoshida(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hayashi-Yoshida (2005) asynchronous cross-covariance for every
+    instrument pair: sum of return products over OVERLAPPING tick
+    intervals — the estimator that needs no resampling grid and is
+    unbiased under non-synchronous trading (where naive synchronized
+    covariance suffers the Epps effect).
+
+    Scale shape: the interval-overlap theta-join is bucketized
+    (operators/rangejoin.py::interval_overlap_join) — both tapes explode
+    to ~2 fixed-width time bins per interval, the join becomes an
+    EQUI-join on (exchange, bin) with the overlap + dedup predicates
+    applied inside it, then one partial-aggregating groupBy per pair. A
+    naive `a.s < b.e AND b.s < a.e` join would plan as a
+    nested-loop/cartesian — the plan that dies at scale. Zero-width
+    intervals (duplicate ts_ms) match nothing on the half-open overlap
+    and are dropped on both engines; the return-product sum rounds at
+    6 dp (order-sensitive float reduction)."""
+    from market_microstructure_toolkit_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    book = synthetic_book(spark, sf_dir)
+    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
+    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
+    ivl = book.select(
+        *KEYS,
+        F.lag("ts_ms").over(w).alias("s"),
+        F.col("ts_ms").alias("e"),
+        F.log(mid / F.lag(mid).over(w)).alias("r"),
+    ).filter(F.col("s").isNotNull() & (F.col("e") > F.col("s")))
+    a = ivl.select(
+        "exchange_id",
+        F.col("symbol").alias("sym_a"),
+        F.col("s").alias("s_a"),
+        F.col("e").alias("e_a"),
+        F.col("r").alias("r_a"),
+    )
+    b = ivl.select(
+        "exchange_id",
+        F.col("symbol").alias("sym_b"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+        F.col("r").alias("r_b"),
+    )
+    pairs = interval_overlap_join(
+        a,
+        b,
+        ("exchange_id",),
+        "s_a",
+        "e_a",
+        "s_b",
+        "e_b",
+        bin_ms=1_048_576,
+        extra_cond=F.col("sym_a") < F.col("sym_b"),
+    )
+    return pairs.groupBy("exchange_id", "sym_a", "sym_b").agg(
+        F.round(F.sum(F.col("r_a") * F.col("r_b")), 6).alias("hy_cov"),
+        F.count(F.lit(1)).alias("n_overlaps"),
+    )

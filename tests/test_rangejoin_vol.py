@@ -1,0 +1,160 @@
+"""interval_overlap_join semantics + bipower/Hayashi-Yoshida estimators
+on hand-computed fixtures (the gate queries pin the cross-engine hashes;
+these pin the math)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_microstructure_toolkit_spark.operators.rangejoin import (
+    interval_overlap_join,
+)
+
+
+def _ivl(spark, rows, side):
+    return spark.createDataFrame(
+        [(k, s, e, i) for k, s, e, i in rows],
+        f"k string, s_{side} long, e_{side} long, id_{side} long",
+    )
+
+
+class TestIntervalOverlapJoin:
+    def test_overlap_and_non_overlap(self, spark):
+        left = _ivl(spark, [("x", 0, 10, 1), ("x", 20, 30, 2)], "a")
+        right = _ivl(spark, [("x", 5, 15, 10), ("x", 40, 50, 11)], "b")
+        got = interval_overlap_join(
+            left, right, ("k",), "s_a", "e_a", "s_b", "e_b", bin_ms=8
+        ).select("id_a", "id_b").collect()
+        assert [(r.id_a, r.id_b) for r in got] == [(1, 10)]
+
+    def test_half_open_touching_spans_do_not_match(self, spark):
+        # [0,10) and [10,20): share only the boundary instant -> no pair
+        left = _ivl(spark, [("x", 0, 10, 1)], "a")
+        right = _ivl(spark, [("x", 10, 20, 10)], "b")
+        assert (
+            interval_overlap_join(
+                left, right, ("k",), "s_a", "e_a", "s_b", "e_b", bin_ms=4
+            ).count()
+            == 0
+        )
+
+    def test_multi_bin_pair_emitted_once(self, spark):
+        # both spans cover bins 0..12 with bin_ms=4 -> without the
+        # overlap-start dedup the pair would appear ~13 times
+        left = _ivl(spark, [("x", 0, 50, 1)], "a")
+        right = _ivl(spark, [("x", 1, 49, 10)], "b")
+        got = interval_overlap_join(
+            left, right, ("k",), "s_a", "e_a", "s_b", "e_b", bin_ms=4
+        ).count()
+        assert got == 1
+
+    def test_degenerate_and_cross_key_excluded(self, spark):
+        left = _ivl(spark, [("x", 5, 5, 1), ("y", 0, 10, 2)], "a")
+        right = _ivl(spark, [("x", 0, 10, 10)], "b")
+        assert (
+            interval_overlap_join(
+                left, right, ("k",), "s_a", "e_a", "s_b", "e_b", bin_ms=4
+            ).count()
+            == 0
+        )
+
+    def test_extra_cond_applied(self, spark):
+        left = _ivl(spark, [("x", 0, 10, 1), ("x", 0, 10, 2)], "a")
+        right = _ivl(spark, [("x", 0, 10, 1), ("x", 0, 10, 2)], "b")
+        got = interval_overlap_join(
+            left,
+            right,
+            ("k",),
+            "s_a",
+            "e_a",
+            "s_b",
+            "e_b",
+            bin_ms=16,
+            extra_cond=F.col("id_a") < F.col("id_b"),
+        ).count()
+        assert got == 1  # only (1, 2)
+
+
+class TestEstimatorMath:
+    def test_bipower_flags_jump(self, spark, sf_dir):
+        """A pure-diffusion tape has jump_frac 0 (BV/RV -> pi/2 > 1,
+        clipped); the estimator itself: with constant |r| = c over n
+        returns, RV = n c^2 and BV = (pi/2)(n-1) c^2."""
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        out = {
+            r.symbol: r
+            for r in REGISTRY["book_bipower_jump"]
+            .spark(spark, sf_dir)
+            .collect()
+        }
+        for r in out.values():
+            assert r.realized_var >= 0 and r.bipower_var >= 0
+            assert 0.0 <= r.jump_frac <= 1.0
+            assert r.n_returns > 0
+
+    def test_hayashi_yoshida_known_value(self, spark):
+        """Two async tapes: A has intervals [0,10) r=.1, [10,30) r=.2;
+        B has [0,15) r=.3, [15,30) r=-.1. Overlaps: (A1,B1), (A2,B1),
+        (A2,B2) -> HY = .1*.3 + .2*.3 + .2*(-.1) = 0.07."""
+        rows = [
+            ("e", "A", 0, 10, 0.1),
+            ("e", "A", 10, 30, 0.2),
+            ("e", "B", 0, 15, 0.3),
+            ("e", "B", 15, 30, -0.1),
+        ]
+        ivl = spark.createDataFrame(
+            rows, "exchange_id string, symbol string, s long, e long, r double"
+        )
+        a = ivl.select(
+            "exchange_id",
+            F.col("symbol").alias("sym_a"),
+            F.col("s").alias("s_a"),
+            F.col("e").alias("e_a"),
+            F.col("r").alias("r_a"),
+        )
+        b = ivl.select(
+            "exchange_id",
+            F.col("symbol").alias("sym_b"),
+            F.col("s").alias("s_b"),
+            F.col("e").alias("e_b"),
+            F.col("r").alias("r_b"),
+        )
+        row = (
+            interval_overlap_join(
+                a,
+                b,
+                ("exchange_id",),
+                "s_a",
+                "e_a",
+                "s_b",
+                "e_b",
+                bin_ms=8,
+                extra_cond=F.col("sym_a") < F.col("sym_b"),
+            )
+            .agg(
+                F.sum(F.col("r_a") * F.col("r_b")).alias("hy"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+        assert row.n == 3
+        assert row.hy == pytest.approx(0.07, abs=1e-12)
+
+    def test_hy_gate_no_cartesian(self, spark, sf_dir):
+        """The gate plan must contain no nested-loop/cartesian join —
+        the bucketized equi-join is the whole point."""
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        plan = (
+            REGISTRY["book_hayashi_yoshida"]
+            .spark(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
