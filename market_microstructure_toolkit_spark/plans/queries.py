@@ -4641,3 +4641,67 @@ def q_book_hayashi_yoshida(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("r_a") * F.col("r_b")), 6).alias("hy_cov"),
         F.count(F.lit(1)).alias("n_overlaps"),
     )
+
+
+@register(
+    "documents_jsonl_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def q_documents_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink -> source end-to-end for the documents corpus (the
+    training-data interchange format): write the table as JSON-lines,
+    read it back under the PINNED explicit schema (no inference scan —
+    at 100 TB schema inference is a full extra pass), return the
+    round-tripped frame. The schema is strings + 64-bit ints, so JSONL
+    is lossless (embedded newlines/quotes escape per JSON) and the
+    oracle is the table itself — any drop, mangle, or type drift breaks
+    the hash."""
+    from market_microstructure_toolkit_spark.sources.docs_io import (
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = _scratch(prefix="mmt_jsonl_rt_")
+    write_documents_jsonl(docs, path)
+    return read_documents_jsonl(spark, path).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+_PSEUDONYMIZE_SQL = """
+SELECT c_custkey,
+  md5(CAST(c_name AS VARCHAR) || ':gate-salt') AS pseudonym,
+  regexp_replace(c_name, '\\d+', '<NUM>', 'g') AS redacted_name,
+  CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band,
+  c_mktsegment
+FROM customer
+"""
+
+
+@register("customer_pseudonymize", _PSEUDONYMIZE_SQL)
+def q_customer_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII hygiene over the customer dimension (operators/pii.py): the
+    stable natural key becomes a salted md5 surrogate (deterministic, so
+    joins across pseudonymized tables still line up), digit runs in the
+    display name are regex-redacted, and the account balance is
+    generalized to k-anonymity-style 1000-unit bands. Pure map-side
+    expression work — codegen, no shuffle, no UDFs; the fixture's names
+    carry real digit runs, so the redaction provably fires (pinned by a
+    unit test counting distinct redacted forms)."""
+    from market_microstructure_toolkit_spark.operators.pii import (
+        generalize_band,
+        pseudonymize,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = pseudonymize(cust, "c_name", salt="gate-salt")
+    return out.select(
+        "c_custkey",
+        "pseudonym",
+        F.regexp_replace(F.col("c_name"), r"\d+", "<NUM>").alias(
+            "redacted_name"
+        ),
+        generalize_band("c_acctbal", 1000.0).alias("acctbal_band"),
+        "c_mktsegment",
+    )
