@@ -4705,3 +4705,49 @@ def q_customer_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         generalize_band("c_acctbal", 1000.0).alias("acctbal_band"),
         "c_mktsegment",
     )
+
+
+# --------------------------------------------------------------------------
+# Approximate-sketch tier (rows-only gates): at 100 TB, exact DISTINCT and
+# exact percentiles are shuffle-the-world operations; the production path
+# is a mergeable sketch (HyperLogLog++ / Greenwald-Khanna) whose partial
+# states combine map-side. Sketch internals differ across engines, so no
+# DuckDB hash oracle exists — these register sql=None (the driver's
+# weaker rows-only check) and their accuracy contracts are pinned by
+# tolerance tests against the exact answers (tests/test_sketches.py).
+# --------------------------------------------------------------------------
+
+
+@register("events_approx_distinct", None)
+def q_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via HyperLogLog++
+    (approx_count_distinct, rsd 2%) next to the exact count. The sketch
+    aggregates map-side into a fixed ~1.5 KB register set per group and
+    merges at the reducer — the count-distinct you can actually afford
+    over 100 TB (exact distinct shuffles every (type, user) pair). The
+    relative-error contract is pinned by test; the exact column is
+    carried so the gate row-count stays meaningful."""
+    ev = read_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register("events_approx_quantiles", None)
+def q_events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of the event value per type via the Greenwald-Khanna
+    sketch (percentile_approx, accuracy 10000 -> worst-case rank error
+    1e-4) beside the exact percentiles. Same scale story as the HLL
+    gate: the sketch is mergeable and bounded-size per group, where
+    exact percentiles need a per-group sort. Accuracy contract pinned by
+    test (rank-error tolerance, not value tolerance — the correct
+    guarantee for GK)."""
+    ev = read_events(spark, sf_dir)
+    qs = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", qs, 10000).alias("approx_q"),
+        F.percentile("value", qs).alias("exact_q"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

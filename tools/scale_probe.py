@@ -97,6 +97,35 @@ def build(spark) -> None:
     alle.repartition(32).write.parquet(f"{OUT}/embeddings.parquet")
 
 
+def build_events(spark) -> None:
+    """10x events for the book/trade-tier probes: copy c shifts ts by c
+    ms and offsets event_id, so per-symbol tick density grows 10x (the
+    stress that matters for windows, interval overlap, and VPIN
+    buckets). ts is written as BIGINT epoch-nanos — read_events'
+    passthrough arrival type."""
+    from market_microstructure_toolkit_spark.sources.events import (
+        read_events,
+    )
+
+    ev = read_events(spark, BASE)
+    copies = []
+    for c in range(COPIES):
+        copies.append(
+            ev.select(
+                (F.col("event_id") + F.lit(1_000_000 * c)).alias("event_id"),
+                (F.col("ts") + F.lit(c * 1_000_000)).alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    alle = copies[0]
+    for e in copies[1:]:
+        alle = alle.unionByName(e)
+    alle.repartition(32).write.parquet(f"{OUT}/events.parquet")
+
+
 def main() -> int:
     from market_microstructure_toolkit_spark.plans.queries import REGISTRY
     from market_microstructure_toolkit_spark.session import get_spark
@@ -105,6 +134,8 @@ def main() -> int:
     spark = get_spark("scale-probe")
     if not Path(f"{OUT}/documents.parquet").exists():
         build(spark)
+    if not Path(f"{OUT}/events.parquet").exists():
+        build_events(spark)
     report = {}
     for name in names:
         q = REGISTRY[name].spark
