@@ -4751,3 +4751,61 @@ def q_events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", qs).alias("exact_q"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register("streaming_trade_signs_replay", _TRADE_SIGNS_SQL)
+def q_streaming_trade_signs_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-Ready trade signs computed by the STREAMING tier: the
+    synthetic tape replayed as a two-micro-batch file stream (earlier
+    timestamps first) through the keyed stateful classifier
+    (streaming/trade_stream.py). Hash-matching the batch oracle proves
+    the tick-rule lookback — last price + last non-zero tick sign, two
+    scalars of per-instrument state — carries across the micro-batch
+    boundary: a midpoint print whose deciding tick happened in the
+    PREVIOUS batch still classifies correctly."""
+    import time
+    import uuid
+
+    from market_microstructure_toolkit_spark.streaming.trade_stream import (
+        stateful_lee_ready,
+    )
+
+    base = _scratch(prefix="mmt_stream_signs_")
+    tape = synthetic_trades(spark, sf_dir)
+    mid_ts = tape.agg(
+        ((F.min("ts_ms") + F.max("ts_ms")) / 2).cast("long").alias("m")
+    ).collect()[0]["m"]
+    tape.filter(F.col("ts_ms") <= mid_ts).coalesce(1).write.parquet(
+        f"{base}/data/a"
+    )
+    time.sleep(0.05)  # file source orders batches by modification time
+    tape.filter(F.col("ts_ms") > mid_ts).coalesce(1).write.parquet(
+        f"{base}/data/b"
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "exchange_id string, symbol string, ts_ms long, raw_nonce long,"
+            " mid double, price double, qty double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/data/*/")
+    )
+    name = f"trade_signs_replay_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stateful_lee_ready(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name).select(
+        *IDS, F.round("price", 6).alias("price"), "qty", "side"
+    )

@@ -1,0 +1,129 @@
+"""Streaming trade-sign classification: Lee-Ready as keyed stateful
+streaming.
+
+The batch classifier (``operators/trades.py::classify_lee_ready``)
+resolves midpoint prints with the tick rule — the sign of the last price
+CHANGE on the tape. On a live feed that lookback crosses micro-batch
+boundaries, so the streaming twin keeps, per instrument, exactly two
+scalars of state: the last seen price and the last non-zero tick sign.
+Given the same tape in the same order, the emitted signs equal the batch
+answer — the property the ``streaming_trade_signs_replay`` gate
+hash-checks against the batch DuckDB oracle.
+
+Scale shape: state is O(instruments) x 2 scalars, sharded by the state
+store's hash partitioning; per batch the work is one sort per
+(instrument, batch) group plus vectorized numpy over the group's rows.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+TRADE_SIGNS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("exchange_id", StringType()),
+        StructField("symbol", StringType()),
+        StructField("ts_ms", LongType()),
+        StructField("raw_nonce", LongType()),
+        StructField("mid", DoubleType()),
+        StructField("price", DoubleType()),
+        StructField("qty", DoubleType()),
+        StructField("side", IntegerType()),
+    ]
+)
+
+#: (last price on the tape, last non-zero tick sign; 0 = none yet)
+TRADE_STATE_SCHEMA = StructType(
+    [
+        StructField("last_price", DoubleType()),
+        StructField("tick_sign", IntegerType()),
+    ]
+)
+
+
+def stateful_lee_ready(stream: DataFrame) -> DataFrame:
+    """Classify a trade stream with Lee-Ready, carrying the tick-rule
+    lookback (last price + last non-zero tick sign) across micro-batches
+    in two scalars of keyed state.
+
+    Input columns: exchange_id, symbol, ts_ms, raw_nonce, mid, price,
+    qty. Rows are processed in (ts_ms, raw_nonce) order within each
+    (instrument, batch) group; the stream must deliver batches in tape
+    order for cross-batch sign parity (true for replayed history and for
+    an in-order feed).
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        frames = [f for f in pdfs if len(f)]
+        if not frames:
+            return
+        df = pd.concat(frames, ignore_index=True).sort_values(
+            ["ts_ms", "raw_nonce"], kind="mergesort"
+        )
+        last_price, tick_sign = (
+            state.get if state.exists else (np.nan, 0)
+        )
+        price = df["price"].to_numpy(dtype=np.float64)
+        mid = df["mid"].to_numpy(dtype=np.float64)
+        prev = np.concatenate(([last_price], price[:-1]))
+        # tick of each print vs the previous PRICE on the tape (NaN prev
+        # on the very first print ever -> 0, i.e. no information)
+        with np.errstate(invalid="ignore"):
+            raw = np.where(price > prev, 1, np.where(price < prev, -1, 0))
+        raw[np.isnan(prev)] = 0
+        # carry the last non-zero tick forward (vectorized ffill), with
+        # the state's sign seeding prints before this batch's first tick
+        idx = np.arange(len(raw))
+        nz = np.where(raw != 0, idx, -1)
+        carry_idx = np.maximum.accumulate(nz)
+        carried = np.where(carry_idx >= 0, raw[np.maximum(carry_idx, 0)], tick_sign)
+        side = np.where(mid < price, 1, np.where(price < mid, -1, carried))
+        out = df.assign(side=side.astype("int32"))
+        new_tick = int(carried[-1]) if len(carried) else tick_sign
+        state.update((float(price[-1]), new_tick))
+        yield out[
+            [
+                "exchange_id",
+                "symbol",
+                "ts_ms",
+                "raw_nonce",
+                "mid",
+                "price",
+                "qty",
+                "side",
+            ]
+        ]
+
+    return stream.groupBy("exchange_id", "symbol").applyInPandasWithState(
+        fn,
+        outputStructType=TRADE_SIGNS_OUTPUT_SCHEMA,
+        stateStructType=TRADE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+__all__ = [
+    "TRADE_SIGNS_OUTPUT_SCHEMA",
+    "TRADE_STATE_SCHEMA",
+    "stateful_lee_ready",
+]

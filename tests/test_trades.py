@@ -211,3 +211,53 @@ class TestGateFixtureShape:
             import re
 
             assert not re.search(r"Window \[[^\]]*\], \[\], \[[^\]]*\]", plan), q
+
+
+class TestStreamingLeeReady:
+    def test_tick_state_crosses_batch_boundary(self, spark, tmp_path):
+        """The deciding tick lands in batch 1; the midpoint print that
+        needs it lands in batch 2 — only carried state can classify it."""
+        import time
+
+        from market_microstructure_toolkit_spark.streaming.trade_stream import (
+            stateful_lee_ready,
+        )
+
+        rows_a = [  # batch 1: buy above mid, then the downtick
+            ("e", "A", 1, 1, 10.0, 10.1, 1.0),  # price 10.1 > mid -> +1
+            ("e", "A", 2, 2, 10.05, 10.0, 1.0),  # 10.0 < mid; downtick -1
+        ]
+        rows_b = [  # zero-tick midpoint print: needs the batch-1 sign
+            ("e", "A", 3, 3, 10.0, 10.0, 1.0),
+        ]
+        schema = (
+            "exchange_id string, symbol string, ts_ms long, raw_nonce long,"
+            " mid double, price double, qty double"
+        )
+        base = str(tmp_path)
+        spark.createDataFrame(rows_a, schema).coalesce(1).write.parquet(
+            f"{base}/data/a"
+        )
+        time.sleep(0.05)
+        spark.createDataFrame(rows_b, schema).coalesce(1).write.parquet(
+            f"{base}/data/b"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/data/*/")
+        )
+        q = (
+            stateful_lee_ready(stream)
+            .writeStream.format("memory")
+            .queryName("signs_state_test")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.raw_nonce: r.side
+            for r in spark.table("signs_state_test").collect()
+        }
+        assert got == {1: 1, 2: -1, 3: -1}
