@@ -4809,3 +4809,173 @@ def q_streaming_trade_signs_replay(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.table(name).select(
         *IDS, F.round("price", 6).alias("price"), "qty", "side"
     )
+
+
+_MRR_SQL = f"""{_CLASSIFIED_CTE},
+staged AS (
+  SELECT exchange_id, symbol,
+    price - LAG(price) OVER ({_W}) AS dp,
+    CAST(side AS DOUBLE) AS x,
+    CAST(LAG(side) OVER ({_W}) AS DOUBLE) AS xl
+  FROM classified
+),
+sample AS (
+  SELECT * FROM staged WHERE dp IS NOT NULL AND xl IS NOT NULL
+),
+moments AS (
+  SELECT exchange_id, symbol,
+    VAR_SAMP(x) AS sxx, VAR_SAMP(xl) AS sll, COVAR_SAMP(x, xl) AS sxl,
+    COVAR_SAMP(dp, x) AS syx, COVAR_SAMP(dp, xl) AS syl,
+    CORR(x, xl) AS rho,
+    COUNT(*) AS n_obs
+  FROM sample GROUP BY exchange_id, symbol
+)
+SELECT exchange_id, symbol,
+  ROUND((syx * sll - syl * sxl) / (sxx * sll - sxl * sxl), 6) AS coef_x,
+  ROUND((syl * sxx - syx * sxl) / (sxx * sll - sxl * sxl), 6) AS coef_xlag,
+  ROUND(rho, 6) AS sign_autocorr,
+  ROUND((((syx * sll - syl * sxl) / (sxx * sll - sxl * sxl))
+       + ((syl * sxx - syx * sxl) / (sxx * sll - sxl * sxl))) / (1.0 - rho),
+       6) AS theta_adverse_selection,
+  n_obs
+FROM moments
+"""
+
+
+@register("trade_mrr_decomposition", _MRR_SQL)
+def q_trade_mrr_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Madhavan-Richardson-Roomans (1997) structural spread
+    decomposition per instrument, fitted WITHOUT any ML library: the
+    two-regressor OLS  dp_t = a*x_t + b*x_{t-1} + e  (x = Lee-Ready
+    sign) is solved in closed form from its normal equations, every term
+    a plain covariance/variance aggregate — Cramer's rule over
+    {Var(x), Var(x_lag), Cov(x,x_lag), Cov(dp,x), Cov(dp,x_lag)}. With
+    sign autocorrelation rho, MRR's adverse-selection component is
+    theta = (a + b) / (1 - rho). One instrument-keyed window for the
+    lags, one groupBy for the moments — two co-partitioned stages, the
+    same shape at 4 symbols or 4 million. Moment sums are
+    order-sensitive -> 6-dp rounding; both engines restrict to the
+    common non-null sample (first two prints per instrument drop)."""
+    tape = synthetic_trades(spark, sf_dir)
+    classified = T.classify_lee_ready(tape, KEYS, ORDER_COLS)
+    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
+    staged = classified.select(
+        *KEYS,
+        (F.col("price") - F.lag("price").over(w)).alias("dp"),
+        F.col("side").cast("double").alias("x"),
+        F.lag(F.col("side").cast("double")).over(w).alias("xl"),
+    ).filter(F.col("dp").isNotNull() & F.col("xl").isNotNull())
+    m = staged.groupBy(*KEYS).agg(
+        F.var_samp("x").alias("sxx"),
+        F.var_samp("xl").alias("sll"),
+        F.covar_samp("x", "xl").alias("sxl"),
+        F.covar_samp("dp", "x").alias("syx"),
+        F.covar_samp("dp", "xl").alias("syl"),
+        F.corr("x", "xl").alias("rho"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    det = F.col("sxx") * F.col("sll") - F.col("sxl") * F.col("sxl")
+    a = (F.col("syx") * F.col("sll") - F.col("syl") * F.col("sxl")) / det
+    b = (F.col("syl") * F.col("sxx") - F.col("syx") * F.col("sxl")) / det
+    return m.select(
+        *KEYS,
+        F.round(a, 6).alias("coef_x"),
+        F.round(b, 6).alias("coef_xlag"),
+        F.round("rho", 6).alias("sign_autocorr"),
+        F.round((a + b) / (F.lit(1.0) - F.col("rho")), 6).alias(
+            "theta_adverse_selection"
+        ),
+        "n_obs",
+    )
+
+
+_L1_EVENTS_SQL = f"""{_BOOK_CTE},
+lagged AS (
+  SELECT exchange_id, symbol,
+    best_bid, best_ask, bid1_size, ask1_size,
+    LAG(best_bid) OVER ({_W}) AS pb,
+    LAG(best_ask) OVER ({_W}) AS pa,
+    LAG(bid1_size) OVER ({_W}) AS pbs,
+    LAG(ask1_size) OVER ({_W}) AS pas
+  FROM book
+),
+events_cls AS (
+  SELECT exchange_id, symbol,
+    CASE WHEN pb IS NULL THEN 'first'
+         WHEN best_bid > pb THEN 'bid_improve'
+         WHEN best_bid < pb THEN 'bid_worsen'
+         WHEN bid1_size IS NOT NULL AND pbs IS NOT NULL
+              AND bid1_size > pbs THEN 'bid_deepen'
+         WHEN bid1_size IS NOT NULL AND pbs IS NOT NULL
+              AND bid1_size < pbs THEN 'bid_thin'
+         ELSE 'bid_unchanged' END AS bid_event,
+    CASE WHEN pa IS NULL THEN 'first'
+         WHEN best_ask < pa THEN 'ask_improve'
+         WHEN best_ask > pa THEN 'ask_worsen'
+         WHEN ask1_size IS NOT NULL AND pas IS NOT NULL
+              AND ask1_size > pas THEN 'ask_deepen'
+         WHEN ask1_size IS NOT NULL AND pas IS NOT NULL
+              AND ask1_size < pas THEN 'ask_thin'
+         ELSE 'ask_unchanged' END AS ask_event
+  FROM lagged
+)
+SELECT exchange_id, symbol, bid_event, ask_event,
+       COUNT(*) AS n_ticks
+FROM events_cls GROUP BY exchange_id, symbol, bid_event, ask_event
+"""
+
+
+@register("book_l1_event_inference", _L1_EVENTS_SQL)
+def q_book_l1_event_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-book event-type inference from consecutive L1 snapshots —
+    the LOBSTER-style classification a snapshot recorder needs because
+    it never sees the raw add/cancel/trade feed: per side, each tick is
+    an improve (better price), worsen (worse price), deepen/thin (same
+    price, more/less size), or unchanged, summarized as a per-instrument
+    event-mix table. Price moves dominate size moves in the hierarchy
+    (a price change re-anchors the queue, so same-level size comparison
+    is only meaningful at an unchanged price). Pure lag-compare on ONE
+    instrument-keyed window + a groupBy on the same keys; comparisons
+    are exact (bit-identical derivation both engines), so no rounding is
+    needed anywhere."""
+    book = synthetic_book(spark, sf_dir)
+    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
+    lagged = book.select(
+        *KEYS,
+        "best_bid",
+        "best_ask",
+        "bid1_size",
+        "ask1_size",
+        F.lag("best_bid").over(w).alias("pb"),
+        F.lag("best_ask").over(w).alias("pa"),
+        F.lag("bid1_size").over(w).alias("pbs"),
+        F.lag("ask1_size").over(w).alias("pas"),
+    )
+
+    def side_event(price, pprice, size, psize, better, prefix):
+        sz_ok = F.col(size).isNotNull() & F.col(psize).isNotNull()
+        return (
+            F.when(F.col(pprice).isNull(), F.lit("first"))
+            .when(better, F.lit(f"{prefix}_improve"))
+            .when(
+                (F.col(price) != F.col(pprice)), F.lit(f"{prefix}_worsen")
+            )
+            .when(sz_ok & (F.col(size) > F.col(psize)), F.lit(f"{prefix}_deepen"))
+            .when(sz_ok & (F.col(size) < F.col(psize)), F.lit(f"{prefix}_thin"))
+            .otherwise(F.lit(f"{prefix}_unchanged"))
+        )
+
+    cls = lagged.select(
+        *KEYS,
+        side_event(
+            "best_bid", "pb", "bid1_size", "pbs",
+            F.col("best_bid") > F.col("pb"), "bid",
+        ).alias("bid_event"),
+        side_event(
+            "best_ask", "pa", "ask1_size", "pas",
+            F.col("best_ask") < F.col("pa"), "ask",
+        ).alias("ask_event"),
+    )
+    return cls.groupBy(*KEYS, "bid_event", "ask_event").agg(
+        F.count(F.lit(1)).alias("n_ticks")
+    )

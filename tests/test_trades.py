@@ -261,3 +261,74 @@ class TestStreamingLeeReady:
             for r in spark.table("signs_state_test").collect()
         }
         assert got == {1: 1, 2: -1, 3: -1}
+
+
+class TestMrrDecomposition:
+    def test_two_regressor_ols_recovers_exact_coefficients(self, spark):
+        """Tape built so dp_t = 0.02*x_t - 0.005*x_{t-1} EXACTLY: the
+        closed-form normal-equation solve must recover both
+        coefficients to rounding precision."""
+        import itertools
+
+        a_true, b_true = 0.02, -0.005
+        # alternating-ish sign pattern with varied autocorrelation
+        signs = [1, 1, -1, 1, -1, -1, 1, -1, 1, 1, -1, 1]
+        rows, price = [], 100.0
+        prev = 0
+        for t, x in enumerate(signs, start=1):
+            if t > 1:
+                price += a_true * x + b_true * prev
+            # quote rule must reproduce x: put the print on the right
+            # side of a mid chosen around the price
+            mid = price - x * 0.001
+            rows.append(("A", t, price, mid, 1.0))
+            prev = x
+        tape = _tape(spark, rows)
+        from pyspark.sql import Window
+        from market_microstructure_toolkit_spark.operators import trades as T
+
+        classified = T.classify_lee_ready(tape, KEYS, ORDER)
+        w = Window.partitionBy("sym").orderBy("t")
+        staged = classified.select(
+            "sym",
+            (F.col("price") - F.lag("price").over(w)).alias("dp"),
+            F.col("side").cast("double").alias("x"),
+            F.lag(F.col("side").cast("double")).over(w).alias("xl"),
+        ).filter(F.col("dp").isNotNull() & F.col("xl").isNotNull())
+        m = staged.groupBy("sym").agg(
+            F.var_samp("x").alias("sxx"),
+            F.var_samp("xl").alias("sll"),
+            F.covar_samp("x", "xl").alias("sxl"),
+            F.covar_samp("dp", "x").alias("syx"),
+            F.covar_samp("dp", "xl").alias("syl"),
+        )
+        det = F.col("sxx") * F.col("sll") - F.col("sxl") * F.col("sxl")
+        row = m.select(
+            (
+                (F.col("syx") * F.col("sll") - F.col("syl") * F.col("sxl"))
+                / det
+            ).alias("a"),
+            (
+                (F.col("syl") * F.col("sxx") - F.col("syx") * F.col("sxl"))
+                / det
+            ).alias("b"),
+        ).collect()[0]
+        assert row.a == pytest.approx(a_true, abs=1e-9)
+        assert row.b == pytest.approx(b_true, abs=1e-9)
+
+
+class TestL1EventInference:
+    def test_event_hierarchy(self, spark, sf_dir):
+        """Gate output covers the taxonomy and counts add up to the
+        tape length; price moves must dominate size moves."""
+        from market_microstructure_toolkit_spark.plans.book import (
+            synthetic_book,
+        )
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        out = REGISTRY["book_l1_event_inference"].spark(spark, sf_dir)
+        rows = out.collect()
+        n = sum(r.n_ticks for r in rows)
+        assert n == synthetic_book(spark, sf_dir).count()
+        bid_kinds = {r.bid_event for r in rows}
+        assert {"bid_improve", "bid_worsen", "first"}.issubset(bid_kinds)
