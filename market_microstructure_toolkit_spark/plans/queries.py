@@ -4979,3 +4979,42 @@ def q_book_l1_event_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cls.groupBy(*KEYS, "bid_event", "ask_event").agg(
         F.count(F.lit(1)).alias("n_ticks")
     )
+
+
+_SALTED_JOIN_SQL = """
+SELECT e.user_id,
+       c.c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY e.user_id, c.c_mktsegment
+"""
+
+
+@register("events_salted_join", _SALTED_JOIN_SQL)
+def q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correctness gate for the explicit-salting skew join
+    (partitioning.salted_join): events joined to the customer dimension
+    on user_id THROUGH the salted path — big side salted by a
+    deterministic row hash, dim side replicated n_salts times, join key
+    widened to (key, salt) — then aggregated per (user, segment). The
+    oracle is the PLAIN join: hash-equality proves salting is
+    semantics-preserving (no dup, no drop), which is the property that
+    lets an operator swap it in under a hot key without changing
+    results. Salting is for the case AQE's skew split can't fix (one
+    key bigger than a task); on this uniform fixture it costs one extra
+    narrow stage. Value sums use the repo's DECIMAL money idiom
+    (order-free exact, rounded at 2 dp before the double cast)."""
+    from market_microstructure_toolkit_spark.partitioning import salted_join
+
+    ev = read_events(spark, sf_dir).select("user_id", "value")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, on="user_id", n_salts=8)
+    return joined.groupBy("user_id", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
