@@ -442,6 +442,83 @@ def simulate_vwap_onbook(
     )
 
 
+def simulate_vwap_onbook_grouped(
+    df: DataFrame, side: Side, total_qty: float, depth: int
+) -> DataFrame:
+    """X4 one-shot VWAP fanned out over EVERY instrument in one pass —
+    the grouped companion to ``simulate_twap_naive_grouped`` (reference
+    parity anchor: one CLI run = one recording, impact.py:324-396; a
+    100x-instrument user must not loop the single-series API).
+
+    Semantics per (exchange_id, symbol): walk that series' FIRST
+    snapshot (full (ts_ms, raw_nonce) order) for the whole
+    ``total_qty``; slippage against that series' first/last mids in the
+    naive X3/X4 convention. Row-for-row identical to
+    ``simulate_vwap_onbook`` on each filtered series (pinned in tests).
+
+    Scale shape — fully distributed, zero driver-side collects: two
+    instrument-keyed row_number windows pick each series' first/last
+    rows (G rows each), the array-fold walk runs on the G first rows,
+    and a G-vs-G key join grafts the closing mid. Parallelism grows
+    with instrument count; nothing funnels through the driver.
+    """
+    assert side in ("buy", "sell")
+    keys = _series_keys(df)
+    if not keys:
+        raise ValueError(
+            "grouped simulator needs instrument key columns "
+            "(exchange_id/symbol); for a bare single recording use "
+            "simulate_vwap_onbook"
+        )
+    order = _series_order(df)
+    w_first = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).asc() for c in order]
+    )
+    w_last = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in order]
+    )
+    first = (
+        df.withColumn("__rn", F.row_number().over(w_first))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    walked = _slice_table(first, side, F.lit(float(total_qty)), depth, "skip")
+    last_mid = (
+        df.withColumn("__rn", F.row_number().over(w_last))
+        .filter(F.col("__rn") == 1)
+        .select(*keys, _mid_col().alias("__mid_close"))
+    )
+    out = walked.join(last_mid, keys)
+    filled, cost = F.col("filled_qty"), F.col("fill_cost")
+    vwap = F.when(filled > 0, cost / filled)
+    mid_open, mid_close = F.col("__mid"), F.col("__mid_close")
+
+    def slip(ref):
+        # naive X3/X4 convention (see _slip_bps_naive)
+        if side == "buy":
+            return F.when(
+                (filled > 0) & (ref != 0), F.lit(1e4) * (vwap / ref - F.lit(1.0))
+            )
+        return F.when(
+            (filled > 0) & (vwap != 0), F.lit(1e4) * (ref / vwap - F.lit(1.0))
+        )
+
+    return out.select(
+        *keys,
+        F.lit(side).alias("side"),
+        F.lit(float(total_qty)).alias("target_qty"),
+        F.coalesce(filled, F.lit(0.0)).alias("filled_qty"),
+        vwap.alias("vwap"),
+        F.coalesce(cost, F.lit(0.0)).alias("notional"),
+        slip(mid_open).alias("slippage_bps_vs_mid_open"),
+        slip(mid_close).alias("slippage_bps_vs_mid_close"),
+        F.lit(1).alias("slices"),
+        F.coalesce(F.col("levels_touched"), F.lit(0)).cast("int").alias(
+            "levels_touched"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # X5 — realistic TWAP (impact_twap.py:191-311)
 # ---------------------------------------------------------------------------

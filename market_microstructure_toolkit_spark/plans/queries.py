@@ -5018,3 +5018,62 @@ def q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+def _vwap_multi_sql() -> str:
+    """Grouped X4 oracle: per instrument, walk that series' first
+    snapshot for the whole qty; slippage vs that series' own first/last
+    mids (naive X3/X4 convention), one row per instrument."""
+    w = _walk_exprs("25.0", BOOK_DEPTH)
+    return f"""{_BOOK_CTE},
+frst AS (
+  SELECT * FROM book
+  QUALIFY row_number() OVER (PARTITION BY exchange_id, symbol
+                             ORDER BY ts_ms, raw_nonce) = 1
+),
+lst AS (
+  SELECT exchange_id, symbol, (best_bid + best_ask) / 2.0 AS mid_close
+  FROM book
+  QUALIFY row_number() OVER (PARTITION BY exchange_id, symbol
+                             ORDER BY ts_ms DESC, raw_nonce DESC) = 1
+),
+w AS (
+  SELECT exchange_id, symbol,
+         (best_bid + best_ask) / 2.0 AS mid_open,
+         {w['filled']} AS filled,
+         {w['cost']} AS cost,
+         {w['touched']} AS touched
+  FROM frst
+)
+SELECT w.exchange_id, w.symbol,
+  'buy' AS side,
+  25.0 AS target_qty,
+  COALESCE(filled, 0.0) AS filled_qty,
+  CASE WHEN filled > 0 THEN cost / filled END AS vwap,
+  COALESCE(cost, 0.0) AS notional,
+  CASE WHEN filled > 0 AND mid_open <> 0
+       THEN 1e4 * ((cost / filled) / mid_open - 1.0)
+  END AS slippage_bps_vs_mid_open,
+  CASE WHEN filled > 0 AND mid_close <> 0
+       THEN 1e4 * ((cost / filled) / mid_close - 1.0)
+  END AS slippage_bps_vs_mid_close,
+  CAST(1 AS INTEGER) AS slices,
+  CAST(COALESCE(touched, 0) AS INTEGER) AS levels_touched
+FROM w JOIN lst USING (exchange_id, symbol)"""
+
+
+@register("vwap_multi_instrument", _vwap_multi_sql())
+def q_vwap_multi_instrument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped X4 fan-out: the one-shot VWAP walk over EVERY instrument
+    in one pass (operators/impact.py::simulate_vwap_onbook_grouped) —
+    two instrument-keyed row_number windows (first/last rows), the
+    array-fold book walk on the G first rows, a G-vs-G key join for the
+    closing mid. Fully distributed: no driver collect, parallelism grows
+    with instrument count. Per-series rows are identical to the
+    single-series simulator's (pinned in tests/test_impact.py)."""
+    from market_microstructure_toolkit_spark.operators.impact import (
+        simulate_vwap_onbook_grouped,
+    )
+
+    book = synthetic_book(spark, sf_dir)
+    return simulate_vwap_onbook_grouped(book, "buy", 25.0, BOOK_DEPTH)

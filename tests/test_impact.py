@@ -240,3 +240,38 @@ def test_twap_grouped_matches_single_series_per_symbol(spark, eth):
             assert gs[c] == pytest.approx(ws[c], rel=1e-12), (sym, c)
         for c in ("slippage_bps_vs_mid_open", "slippage_bps_vs_mid_close"):
             assert gs[c] == pytest.approx(ws[c], rel=1e-9), (sym, c)
+
+
+@needs_ref
+def test_vwap_grouped_matches_single_series_per_symbol(spark, eth):
+    """The grouped one-shot VWAP must equal the single-series simulator
+    applied per instrument (same first-snapshot walk, same open/close
+    mids), so the fan-out inherits the single-series semantics."""
+    from pyspark.sql import functions as F
+
+    from market_microstructure_toolkit_spark.operators.impact import (
+        simulate_vwap_onbook,
+        simulate_vwap_onbook_grouped,
+    )
+
+    half = eth.limit(40).withColumn("symbol", F.lit("OTHER/USDT"))
+    merged = eth.union(half)
+    grouped = simulate_vwap_onbook_grouped(
+        merged, "buy", total_qty=25.0, depth=25
+    )
+    assert grouped.count() == 2
+    for part in (eth, half):
+        sym = part.select("symbol").first()["symbol"]
+        single = simulate_vwap_onbook(
+            part, "buy", total_qty=25.0, depth=25
+        ).collect()[0]
+        got = grouped.filter(F.col("symbol") == sym).collect()[0]
+        for c in (
+            "filled_qty",
+            "vwap",
+            "notional",
+            "slippage_bps_vs_mid_open",
+            "slippage_bps_vs_mid_close",
+            "levels_touched",
+        ):
+            assert got[c] == pytest.approx(single[c], rel=1e-12), (sym, c)
