@@ -55,3 +55,89 @@ def asof_nearest(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def asof_backward_union(
+    snapshots: DataFrame,
+    targets: DataFrame,
+    keys: tuple[str, ...],
+    ts_col: str,
+    value_cols: tuple[str, ...],
+    target_ts_col: str = "ts_ms",
+    snapshot_order_col: str | None = "raw_nonce",
+    target_payload_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Backward as-of for BIG-BIG inputs: each target row picks the last
+    snapshot at-or-before its timestamp, without broadcasting either
+    side.
+
+    ``asof_nearest`` broadcasts the target side — right for
+    schedule-sized targets, wrong when both sides are data-sized (e.g.
+    aligning one instrument's tape onto another's). This variant is the
+    standard distributed shape instead: tag both streams, UNION, and run
+    ONE keyed ordered window carrying the last non-null snapshot values
+    forward — cost is a single shuffle on ``keys`` shared by every
+    downstream window, state O(1) per row, no join at all.
+
+    Tie rules are explicit and match DuckDB's ``ASOF JOIN`` on the
+    nonce-deduped snapshot stream: a snapshot sharing the target's exact
+    timestamp counts (snapshots sort before targets at equal ts), and
+    duplicate-ts snapshots resolve to the highest ``snapshot_order_col``
+    (last written wins). Targets before the first snapshot emit NULLs —
+    filter on the carried columns for inner semantics.
+
+    Returns the target rows + ``value_cols`` carried from the snapshot
+    side + ``src_ts_ms`` (the matched snapshot's timestamp).
+    """
+    tag_order = [ts_col, "__tag"] + (
+        [snapshot_order_col] if snapshot_order_col else []
+    )
+    snaps = snapshots.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(0).alias("__tag"),
+        *(
+            [F.col(snapshot_order_col)]
+            if snapshot_order_col
+            else []
+        ),
+        F.col(ts_col).alias("__src_ts"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        *[
+            F.lit(None).cast(targets.schema[c].dataType).alias(f"__p_{c}")
+            for c in target_payload_cols
+        ],
+    )
+    tgts = targets.select(
+        *keys,
+        F.col(target_ts_col).alias(ts_col),
+        F.lit(1).alias("__tag"),
+        *(
+            [F.lit(None).cast("long").alias(snapshot_order_col)]
+            if snapshot_order_col
+            else []
+        ),
+        F.lit(None).cast("long").alias("__src_ts"),
+        *[
+            F.lit(None).cast(snapshots.schema[c].dataType).alias(f"__v_{c}")
+            for c in value_cols
+        ],
+        *[F.col(c).alias(f"__p_{c}") for c in target_payload_cols],
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*tag_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = snaps.unionByName(tgts).select(
+        *keys,
+        ts_col,
+        "__tag",
+        *[F.col(f"__p_{c}").alias(c) for c in target_payload_cols],
+        F.last("__src_ts", ignorenulls=True).over(w).alias("src_ts_ms"),
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(c)
+            for c in value_cols
+        ],
+    )
+    return merged.filter(F.col("__tag") == 1).drop("__tag")

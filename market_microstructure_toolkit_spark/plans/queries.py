@@ -5077,3 +5077,91 @@ def q_vwap_multi_instrument(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     book = synthetic_book(spark, sf_dir)
     return simulate_vwap_onbook_grouped(book, "buy", 25.0, BOOK_DEPTH)
+
+
+_CROSS_ASOF_SQL = f"""{_BOOK_CTE},
+s0 AS (
+  SELECT exchange_id, ts_ms, raw_nonce,
+         (best_bid + best_ask) / 2.0 AS ref_mid
+  FROM book WHERE symbol = 'S0'
+),
+s1 AS (
+  SELECT exchange_id, ts_ms, raw_nonce,
+         (best_bid + best_ask) / 2.0 AS own_mid
+  FROM book WHERE symbol = 'S1'
+),
+merged AS (
+  SELECT exchange_id, ts_ms, 0 AS tag, raw_nonce AS ord,
+         ts_ms AS src_ts, ref_mid,
+         CAST(NULL AS BIGINT) AS tgt_nonce, CAST(NULL AS DOUBLE) AS own_mid
+  FROM s0
+  UNION ALL
+  SELECT exchange_id, ts_ms, 1, NULL, NULL, NULL, raw_nonce, own_mid
+  FROM s1
+),
+filled AS (
+  SELECT exchange_id, ts_ms, tag, tgt_nonce, own_mid,
+    LAST_VALUE(src_ts IGNORE NULLS) OVER
+      (PARTITION BY exchange_id ORDER BY ts_ms, tag, ord
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS src_ts_ms,
+    LAST_VALUE(ref_mid IGNORE NULLS) OVER
+      (PARTITION BY exchange_id ORDER BY ts_ms, tag, ord
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ref_mid
+  FROM merged
+)
+SELECT exchange_id, tgt_nonce AS raw_nonce, ts_ms, src_ts_ms,
+       ts_ms - src_ts_ms AS staleness_ms,
+       own_mid, ref_mid,
+       own_mid / ref_mid AS mid_ratio
+FROM filled WHERE tag = 1 AND src_ts_ms IS NOT NULL
+"""
+
+
+@register("book_cross_asset_align", _CROSS_ASOF_SQL)
+def q_book_cross_asset_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-asset backward as-of WITHOUT broadcasting either side: each
+    S1 tick carries the last S0 mid at-or-before it (the alignment a
+    pairs/lead-lag model starts from). `asof_nearest` broadcasts its
+    target side — right for schedule-sized targets, wrong when BOTH
+    sides are full tapes — so this rides
+    operators/asof.py::asof_backward_union: tag both streams, UNION, one
+    exchange-keyed ordered window carrying the last non-null snapshot
+    values forward. One shuffle total, no join operator in the plan at
+    all; tie rules (same-ts snapshot counts; duplicate-ts snapshots
+    resolve to highest nonce) match DuckDB's window twin exactly. Mids
+    ride bit-exact; the ratio is one division — no rounding anywhere."""
+    from market_microstructure_toolkit_spark.operators.asof import (
+        asof_backward_union,
+    )
+
+    book = synthetic_book(spark, sf_dir)
+    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
+    s0 = book.filter(F.col("symbol") == "S0").select(
+        "exchange_id", "ts_ms", "raw_nonce", mid.alias("ref_mid")
+    )
+    s1 = book.filter(F.col("symbol") == "S1").select(
+        "exchange_id",
+        "ts_ms",
+        F.col("raw_nonce").alias("tgt_nonce"),
+        mid.alias("own_mid"),
+    )
+    aligned = asof_backward_union(
+        s0,
+        s1,
+        keys=("exchange_id",),
+        ts_col="ts_ms",
+        value_cols=("ref_mid",),
+        target_ts_col="ts_ms",
+        snapshot_order_col="raw_nonce",
+        target_payload_cols=("tgt_nonce", "own_mid"),
+    )
+    return aligned.filter(F.col("src_ts_ms").isNotNull()).select(
+        "exchange_id",
+        F.col("tgt_nonce").alias("raw_nonce"),
+        "ts_ms",
+        "src_ts_ms",
+        (F.col("ts_ms") - F.col("src_ts_ms")).alias("staleness_ms"),
+        "own_mid",
+        "ref_mid",
+        (F.col("own_mid") / F.col("ref_mid")).alias("mid_ratio"),
+    )

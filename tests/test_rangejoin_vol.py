@@ -158,3 +158,78 @@ class TestEstimatorMath:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestAsofBackwardUnion:
+    def _run(self, spark, snaps, tgts, **kw):
+        from market_microstructure_toolkit_spark.operators.asof import (
+            asof_backward_union,
+        )
+
+        s = spark.createDataFrame(
+            snaps, "k string, ts_ms long, raw_nonce long, v double"
+        )
+        t = spark.createDataFrame(
+            tgts, "k string, ts_ms long, tid long"
+        )
+        return asof_backward_union(
+            s,
+            t,
+            keys=("k",),
+            ts_col="ts_ms",
+            value_cols=("v",),
+            target_payload_cols=("tid",),
+            **kw,
+        ).collect()
+
+    def test_backward_pick_and_pre_first_null(self, spark):
+        out = {
+            r.tid: (r.src_ts_ms, r.v)
+            for r in self._run(
+                spark,
+                [("x", 10, 1, 1.0), ("x", 20, 2, 2.0)],
+                [("x", 5, 100), ("x", 15, 101), ("x", 25, 102)],
+            )
+        }
+        assert out[100] == (None, None)  # before first snapshot
+        assert out[101] == (10, 1.0)
+        assert out[102] == (20, 2.0)
+
+    def test_equal_ts_snapshot_counts_and_dup_resolves_to_max_nonce(
+        self, spark
+    ):
+        out = {
+            r.tid: (r.src_ts_ms, r.v)
+            for r in self._run(
+                spark,
+                # two snapshots at ts=10: nonce 2 (v=9) must win
+                [("x", 10, 1, 1.0), ("x", 10, 2, 9.0)],
+                [("x", 10, 100)],
+            )
+        }
+        assert out[100] == (10, 9.0)
+
+    def test_keys_partition_streams(self, spark):
+        out = {
+            r.tid: r.v
+            for r in self._run(
+                spark,
+                [("x", 10, 1, 1.0)],
+                [("y", 20, 100)],  # other key: no snapshot visible
+            )
+        }
+        assert out[100] is None
+
+    def test_no_join_in_plan(self, spark, sf_dir):
+        """The whole point: a plan with no join operator at all."""
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        plan = (
+            REGISTRY["book_cross_asset_align"]
+            .spark(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Join" not in plan
+        assert "CartesianProduct" not in plan
