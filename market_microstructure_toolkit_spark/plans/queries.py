@@ -4626,6 +4626,22 @@ def q_book_hayashi_yoshida(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("e_b"),
         F.col("r").alias("r_b"),
     )
+    # Auto-tune the bucket width to the tape's density (a fixed bin
+    # degrades as density grows — measured 2.8x wall at 10x density with
+    # a fixed 2^20 ms bin). The tuning statistic must be an UPPER
+    # percentile of the interval widths, not the median: explode factor
+    # per interval is width/bin, so bin >= 2*p95 caps it at ~1-2 for 95%
+    # of intervals and keeps even the widest gap's fan-out logarithmic —
+    # where a median-based bin under a bursty tape (many hairline
+    # intervals, few huge gaps) explodes each wide interval into
+    # millions of bins and OOMs the Generate (measured on the 10x
+    # ts-shifted probe corpus). Occupancy stays bounded too: at most the
+    # ticks that FIT in 2*p95 of time share a bin. One scalar collect of
+    # an approximate percentile — config-sized, not data-sized.
+    p95 = ivl.agg(
+        F.percentile_approx(F.col("e") - F.col("s"), 0.95, 1000).alias("m")
+    ).collect()[0]["m"]
+    bin_ms = max(1, int(p95 or 1) * 2)
     pairs = interval_overlap_join(
         a,
         b,
@@ -4634,7 +4650,7 @@ def q_book_hayashi_yoshida(spark: SparkSession, sf_dir: str) -> DataFrame:
         "e_a",
         "s_b",
         "e_b",
-        bin_ms=1_048_576,
+        bin_ms=bin_ms,
         extra_cond=F.col("sym_a") < F.col("sym_b"),
     )
     return pairs.groupBy("exchange_id", "sym_a", "sym_b").agg(
