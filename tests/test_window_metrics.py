@@ -297,3 +297,58 @@ def test_roll_spread_on_bid_ask_bounce(spark):
     cov = np.cov(pairs[:, 0], pairs[:, 1], ddof=1)[0, 1]
     assert got == pytest.approx(2.0 * math.sqrt(max(0.0, -cov)), rel=1e-9)
     assert got == pytest.approx(4.0, rel=0.05)  # 2c bounce -> ~2*2c
+
+
+class TestNarrowWindowGraft:
+    def test_equals_direct_window_and_broadcasts(self, spark, sf_dir):
+        """with_narrow_window must produce exactly the direct-window
+        values, via a BroadcastHashJoin, with no wide-row shuffle."""
+        from pyspark.sql import functions as F
+
+        from market_microstructure_toolkit_spark.operators.window_metrics import (
+            add_log_return,
+            add_ofi_l1,
+            add_rolling_rv,
+            with_narrow_window,
+        )
+        from market_microstructure_toolkit_spark.plans.book import (
+            synthetic_book,
+        )
+
+        book = synthetic_book(spark, sf_dir).filter(F.col("symbol") == "S0")
+
+        def series(df):
+            s = add_log_return(df, price_col="mid", out_col="__ret")
+            s = add_rolling_rv(s, ret_col="__ret", window=20, out_col="rv")
+            return add_ofi_l1(s, out_col="ofi_l1").drop("__ret")
+
+        mid = ((F.col("best_bid") + F.col("best_ask")) / 2).alias("mid")
+        wide = book.select("*", mid)
+        direct = series(wide).select("ts_ms", "raw_nonce", "rv", "ofi_l1")
+        grafted = with_narrow_window(
+            wide,
+            id_cols=("ts_ms", "raw_nonce"),
+            input_cols=(
+                "exchange_id",
+                "symbol",
+                "mid",
+                "bid1_price",
+                "bid1_size",
+                "ask1_price",
+                "ask1_size",
+            ),
+            builder=series,
+        )
+        plan = grafted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        a = {
+            (r.ts_ms, r.raw_nonce): (r.rv, r.ofi_l1)
+            for r in direct.collect()
+        }
+        b = {
+            (r.ts_ms, r.raw_nonce): (r.rv, r.ofi_l1)
+            for r in grafted.select(
+                "ts_ms", "raw_nonce", "rv", "ofi_l1"
+            ).collect()
+        }
+        assert a == b
