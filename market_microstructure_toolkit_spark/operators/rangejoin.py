@@ -22,7 +22,7 @@ bin, so no post-join dedup is needed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -120,3 +120,97 @@ def interval_overlap_join(
         .filter(cond)
         .drop("__bin")
     )
+
+
+def sorted_interval_overlap_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    keys: tuple[str, ...],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+) -> DataFrame:
+    """Overlap join for SORTED interval streams — work proportional to
+    the TRUE pair count, with no bin-width parameter at all.
+
+    Contract: within each ``keys`` group, BOTH sides' start and end
+    columns are strictly increasing (consecutive-tick intervals
+    [t_{i-1}, t_i) always are). Then the right intervals overlapping a
+    given left interval form one CONTIGUOUS index range
+    [lo, hi]:
+
+    - ``lo`` = 1 + #{right : right_end <= left_start}  (skip the rights
+      that ended at-or-before this left began; half-open semantics),
+    - ``hi`` = #{right : right_start < left_end}  (rights that began
+      strictly before this left ended).
+
+    Both counts come from ONE merged ordered pass each (union the
+    boundary stream with a tag, running count over a keyed window —
+    ties break so that ``<=`` / ``<`` come out exactly right), then the
+    pair list is ``explode(sequence(lo, hi))`` equi-joined back to the
+    index — fan-out exactly the true overlap count, never bin
+    occupancy. This is the shape that survives ANY gap distribution:
+    the bucketized :func:`interval_overlap_join` needs a bin width that
+    is simultaneously ≥ most widths (explode bound) and ≤ the local
+    tick spacing (occupancy bound), which a bimodal burst-and-gap tape
+    makes impossible (measured: a 100x-density burst tape OOMs every
+    fixed or quantile-tuned bin, and runs here).
+
+    Non-key column names must be disjoint across the two sides.
+    """
+    wr = Window.partitionBy(*keys).orderBy(right_start)
+    r_idx = right.withColumn("__ridx", F.row_number().over(wr))
+
+    run = (
+        Window.partitionBy(*keys)
+        .orderBy("__val", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def count_stream(bound_col: str, left_probe: str, right_first: bool):
+        """Running count of right-boundary events at each left probe.
+        ``right_first`` puts equal-valued right rows BEFORE the probe
+        (inclusive <=) or AFTER it (strict <)."""
+        r_tag, l_tag = (0, 1) if right_first else (1, 0)
+        rs = r_idx.select(
+            *keys, F.col(bound_col).alias("__val"), F.lit(r_tag).alias("__tag"),
+            F.lit(None).cast("long").alias("__probe_ord"),
+        )
+        ls = left.select(
+            *keys, F.col(left_probe).alias("__val"), F.lit(l_tag).alias("__tag"),
+            F.col(left_start).alias("__probe_ord"),
+        )
+        merged = rs.unionByName(ls).select(
+            *keys,
+            "__probe_ord",
+            F.sum(F.when(F.col("__tag") == F.lit(r_tag), 1).otherwise(0))
+            .over(run)
+            .alias("__cnt"),
+        )
+        return merged.filter(F.col("__probe_ord").isNotNull()).select(
+            *keys, F.col("__probe_ord"), F.col("__cnt")
+        )
+
+    # lo - 1 = count of right_end <= left_start (right first on ties)
+    lo = count_stream(right_end, left_start, right_first=True)
+    # hi = count of right_start < left_end (left probe first on ties)
+    hi = count_stream(right_start, left_end, right_first=False)
+    bounds = lo.withColumnRenamed("__cnt", "__lo_m1").join(
+        hi.withColumnRenamed("__cnt", "__hi"), [*keys, "__probe_ord"]
+    )
+    # left_start is strictly increasing per key (the contract), so
+    # (keys, left_start) uniquely keys the bounds back onto left rows
+    ranged = left.join(
+        bounds.withColumnRenamed("__probe_ord", left_start),
+        [*keys, left_start],
+    )
+    pairs = (
+        ranged.filter(F.col("__hi") > F.col("__lo_m1"))
+        .withColumn(
+            "__ridx",
+            F.explode(F.sequence(F.col("__lo_m1") + 1, F.col("__hi"))),
+        )
+        .drop("__lo_m1", "__hi")
+    )
+    return pairs.join(r_idx, [*keys, "__ridx"]).drop("__ridx")

@@ -4589,18 +4589,26 @@ def q_book_hayashi_yoshida(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbiased under non-synchronous trading (where naive synchronized
     covariance suffers the Epps effect).
 
-    Scale shape: the interval-overlap theta-join is bucketized
-    (operators/rangejoin.py::interval_overlap_join) — both tapes explode
-    to ~2 fixed-width time bins per interval, the join becomes an
-    EQUI-join on (exchange, bin) with the overlap + dedup predicates
-    applied inside it, then one partial-aggregating groupBy per pair. A
-    naive `a.s < b.e AND b.s < a.e` join would plan as a
-    nested-loop/cartesian — the plan that dies at scale. Zero-width
-    intervals (duplicate ts_ms) match nothing on the half-open overlap
-    and are dropped on both engines; the return-product sum rounds at
-    6 dp (order-sensitive float reduction)."""
+    Scale shape: tick intervals are SORTED streams (strictly increasing
+    starts and ends per instrument), so the overlap join runs as the
+    merge-based
+    operators/rangejoin.py::sorted_interval_overlap_pairs — each A
+    interval's overlapping B intervals form one contiguous index range
+    [lo, hi], both bounds computed by merged ordered counting passes,
+    and the pair fan-out is EXACTLY the true overlap count. No bin-width
+    parameter exists to mistune: the bucketized interval_overlap_join
+    needs a bin simultaneously >= most interval widths and <= the local
+    tick spacing, which a bursty tape (hairline intervals in packs
+    between huge gaps — the 10x/100x ts-shifted probe corpus) makes
+    impossible at ANY width (measured: quantile-tuned bins OOM at 100x
+    density; this shape runs). A naive `a.s < b.e AND b.s < a.e` join
+    would plan as a nested loop — the plan that dies at scale. The
+    symbol-pair roles come from a broadcast pair list (config-sized).
+    Zero-width intervals (duplicate ts_ms) match nothing on the
+    half-open overlap and drop on both engines; the return-product sum
+    rounds at 6 dp (order-sensitive float reduction)."""
     from market_microstructure_toolkit_spark.operators.rangejoin import (
-        interval_overlap_join,
+        sorted_interval_overlap_pairs,
     )
 
     book = synthetic_book(spark, sf_dir)
@@ -4612,46 +4620,39 @@ def q_book_hayashi_yoshida(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_ms").alias("e"),
         F.log(mid / F.lag(mid).over(w)).alias("r"),
     ).filter(F.col("s").isNotNull() & (F.col("e") > F.col("s")))
-    a = ivl.select(
+    syms = sorted(
+        r["symbol"] for r in ivl.select("symbol").distinct().collect()
+    )
+    pair_list = [(x, y) for x in syms for y in syms if x < y]
+    pair_df = spark.createDataFrame(pair_list, "sym_a string, sym_b string")
+    a = ivl.join(
+        F.broadcast(pair_df), ivl.symbol == pair_df.sym_a
+    ).select(
         "exchange_id",
-        F.col("symbol").alias("sym_a"),
+        "sym_a",
+        "sym_b",
         F.col("s").alias("s_a"),
         F.col("e").alias("e_a"),
         F.col("r").alias("r_a"),
     )
-    b = ivl.select(
+    b = ivl.join(
+        F.broadcast(pair_df), ivl.symbol == pair_df.sym_b
+    ).select(
         "exchange_id",
-        F.col("symbol").alias("sym_b"),
+        "sym_a",
+        "sym_b",
         F.col("s").alias("s_b"),
         F.col("e").alias("e_b"),
         F.col("r").alias("r_b"),
     )
-    # Auto-tune the bucket width to the tape's density (a fixed bin
-    # degrades as density grows — measured 2.8x wall at 10x density with
-    # a fixed 2^20 ms bin). The tuning statistic must be an UPPER
-    # percentile of the interval widths, not the median: explode factor
-    # per interval is width/bin, so bin >= 2*p95 caps it at ~1-2 for 95%
-    # of intervals and keeps even the widest gap's fan-out logarithmic —
-    # where a median-based bin under a bursty tape (many hairline
-    # intervals, few huge gaps) explodes each wide interval into
-    # millions of bins and OOMs the Generate (measured on the 10x
-    # ts-shifted probe corpus). Occupancy stays bounded too: at most the
-    # ticks that FIT in 2*p95 of time share a bin. One scalar collect of
-    # an approximate percentile — config-sized, not data-sized.
-    p95 = ivl.agg(
-        F.percentile_approx(F.col("e") - F.col("s"), 0.95, 1000).alias("m")
-    ).collect()[0]["m"]
-    bin_ms = max(1, int(p95 or 1) * 2)
-    pairs = interval_overlap_join(
+    pairs = sorted_interval_overlap_pairs(
         a,
         b,
-        ("exchange_id",),
+        ("exchange_id", "sym_a", "sym_b"),
         "s_a",
         "e_a",
         "s_b",
         "e_b",
-        bin_ms=bin_ms,
-        extra_cond=F.col("sym_a") < F.col("sym_b"),
     )
     return pairs.groupBy("exchange_id", "sym_a", "sym_b").agg(
         F.round(F.sum(F.col("r_a") * F.col("r_b")), 6).alias("hy_cov"),

@@ -233,3 +233,63 @@ class TestAsofBackwardUnion:
         )
         assert "Join" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestSortedIntervalOverlapPairs:
+    def _pairs(self, spark, left, right):
+        from market_microstructure_toolkit_spark.operators.rangejoin import (
+            sorted_interval_overlap_pairs,
+        )
+
+        l = spark.createDataFrame(
+            left, "k string, s_a long, e_a long, r_a double"
+        )
+        r = spark.createDataFrame(
+            right, "k string, s_b long, e_b long, r_b double"
+        )
+        return sorted_interval_overlap_pairs(
+            l, r, ("k",), "s_a", "e_a", "s_b", "e_b"
+        )
+
+    def test_matches_known_overlap_set(self, spark):
+        """Same fixture as the HY known-value test: overlaps are
+        (A1,B1), (A2,B1), (A2,B2); HY = .1*.3 + .2*.3 + .2*(-.1)."""
+        out = self._pairs(
+            spark,
+            [("e", 0, 10, 0.1), ("e", 10, 30, 0.2)],
+            [("e", 0, 15, 0.3), ("e", 15, 30, -0.1)],
+        )
+        got = sorted((r.s_a, r.s_b) for r in out.collect())
+        assert got == [(0, 0), (10, 0), (10, 15)]
+        import pytest as _pytest
+
+        hy = out.agg(F.sum(F.col("r_a") * F.col("r_b"))).collect()[0][0]
+        assert hy == _pytest.approx(0.07, abs=1e-12)
+
+    def test_half_open_touching_excluded_both_directions(self, spark):
+        # B ends exactly where A starts, and B2 starts exactly where A
+        # ends -> neither is an overlap under [s, e)
+        out = self._pairs(
+            spark,
+            [("e", 10, 20, 1.0)],
+            [("e", 0, 10, 1.0), ("e", 20, 30, 1.0)],
+        )
+        assert out.count() == 0
+
+    def test_contiguous_range_under_burst(self, spark):
+        # one wide A interval spanning a burst of 5 hairline B intervals
+        # -> exactly 5 true pairs, no bin parameter involved
+        out = self._pairs(
+            spark,
+            [("e", 0, 1000, 1.0)],
+            [("e", 100 + i, 101 + i, 1.0) for i in range(5)],
+        )
+        assert out.count() == 5
+
+    def test_keys_isolate(self, spark):
+        out = self._pairs(
+            spark,
+            [("x", 0, 10, 1.0)],
+            [("y", 0, 10, 1.0)],
+        )
+        assert out.count() == 0
