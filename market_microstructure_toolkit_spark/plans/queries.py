@@ -5182,3 +5182,74 @@ def q_book_cross_asset_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ref_mid",
         (F.col("own_mid") / F.col("ref_mid")).alias("mid_ratio"),
     )
+
+
+@register("streaming_vpin_replay", _VPIN_SQL)
+def q_streaming_vpin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VPIN computed by the STREAMING tier: the tape replayed as a
+    two-micro-batch file stream through BOTH keyed stateful operators
+    chained — Lee-Ready signs (tick-rule state), then volume-synchronized
+    bucket assignment (cumulative-volume state) — and aggregated to the
+    per-bucket imbalance (one applyInPandasWithState per stream is a
+    Structured Streaming limit, hence the fused operator). Hash-matching
+    the batch oracle proves the
+    volume clock survives the micro-batch boundary: a bucket that opens
+    at the end of batch 1 and fills at the start of batch 2 carries ONE
+    id and one imbalance, because its boundary comes from carried
+    cumulative volume rather than per-batch sums. Chaining two
+    applyInPandasWithState stages re-shuffles on the same instrument
+    keys — two O(instruments) state stores, no extra data movement
+    pattern beyond the second keyed exchange."""
+    import time
+    import uuid
+
+    from market_microstructure_toolkit_spark.streaming.trade_stream import (
+        stateful_signed_buckets,
+    )
+
+    base = _scratch(prefix="mmt_stream_vpin_")
+    tape = synthetic_trades(spark, sf_dir)
+    mid_ts = tape.agg(
+        ((F.min("ts_ms") + F.max("ts_ms")) / 2).cast("long").alias("m")
+    ).collect()[0]["m"]
+    tape.filter(F.col("ts_ms") <= mid_ts).coalesce(1).write.parquet(
+        f"{base}/data/a"
+    )
+    time.sleep(0.05)
+    tape.filter(F.col("ts_ms") > mid_ts).coalesce(1).write.parquet(
+        f"{base}/data/b"
+    )
+    stream = (
+        spark.readStream.schema(
+            "exchange_id string, symbol string, ts_ms long, raw_nonce long,"
+            " mid double, price double, qty double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/data/*/")
+    )
+    name = f"vpin_replay_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stateful_signed_buckets(stream, 50.0)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    rows = spark.table(name)
+    qty, side = F.col("qty"), F.col("side")
+    return rows.groupBy(*KEYS, "bucket").agg(
+        F.sum(F.when(side > 0, qty).otherwise(F.lit(0.0))).alias("buy_vol"),
+        F.sum(F.when(side < 0, qty).otherwise(F.lit(0.0))).alias("sell_vol"),
+        F.sum(qty).alias("total_vol"),
+        F.count(F.lit(1)).alias("n_trades"),
+    ).withColumn(
+        "vpin",
+        F.abs(F.col("buy_vol") - F.col("sell_vol")) / F.col("total_vol"),
+    )

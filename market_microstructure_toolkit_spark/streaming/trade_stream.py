@@ -123,7 +123,171 @@ def stateful_lee_ready(stream: DataFrame) -> DataFrame:
 
 
 __all__ = [
+    "BUCKETED_OUTPUT_SCHEMA",
+    "BUCKET_STATE_SCHEMA",
     "TRADE_SIGNS_OUTPUT_SCHEMA",
     "TRADE_STATE_SCHEMA",
     "stateful_lee_ready",
+    "stateful_volume_buckets",
 ]
+
+
+BUCKETED_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("exchange_id", StringType()),
+        StructField("symbol", StringType()),
+        StructField("ts_ms", LongType()),
+        StructField("raw_nonce", LongType()),
+        StructField("mid", DoubleType()),
+        StructField("price", DoubleType()),
+        StructField("qty", DoubleType()),
+        StructField("side", IntegerType()),
+        StructField("bucket", LongType()),
+    ]
+)
+
+#: cumulative traded volume per instrument (the VPIN volume clock)
+BUCKET_STATE_SCHEMA = StructType(
+    [StructField("cum_vol", DoubleType())]
+)
+
+
+def stateful_volume_buckets(
+    classified: DataFrame, bucket_volume: float
+) -> DataFrame:
+    """Assign VPIN volume-synchronized buckets on a live signed-trade
+    stream: per instrument, one scalar of state — cumulative traded
+    volume — makes bucket boundaries batch-invariant (a bucket that
+    opens in one micro-batch and fills in the next gets one id, exactly
+    the batch ``add_volume_buckets`` assignment; the replay gate
+    hash-checks that against the batch DuckDB oracle).
+
+    Input: a signed-trade stream — i.e. a feed whose prints already
+    carry an aggressor side (many venues tag it). For a RAW tape that
+    needs Lee-Ready classification first, use
+    :func:`stateful_signed_buckets` instead: Structured Streaming
+    allows only one ``applyInPandasWithState`` per stream, so the two
+    operators cannot be chained and the fused variant carries both
+    state tuples in one store. Trade sizes are exact binary fractions,
+    so the carried cumulative sum is bit-exact vs the batch window
+    cumsum.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        frames = [f for f in pdfs if len(f)]
+        if not frames:
+            return
+        df = pd.concat(frames, ignore_index=True).sort_values(
+            ["ts_ms", "raw_nonce"], kind="mergesort"
+        )
+        (cum0,) = state.get if state.exists else (0.0,)
+        qty = df["qty"].to_numpy(dtype=np.float64)
+        pre = cum0 + np.cumsum(qty) - qty  # pre-trade cumulative volume
+        bucket = np.floor(pre / float(bucket_volume)).astype("int64")
+        out = df.assign(bucket=bucket)
+        state.update((float(cum0 + qty.sum()),))
+        yield out[
+            [
+                "exchange_id",
+                "symbol",
+                "ts_ms",
+                "raw_nonce",
+                "mid",
+                "price",
+                "qty",
+                "side",
+                "bucket",
+            ]
+        ]
+
+    return classified.groupBy("exchange_id", "symbol").applyInPandasWithState(
+        fn,
+        outputStructType=BUCKETED_OUTPUT_SCHEMA,
+        stateStructType=BUCKET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+#: combined Lee-Ready + volume-clock state (one store, three scalars)
+SIGNED_BUCKET_STATE_SCHEMA = StructType(
+    [
+        StructField("last_price", DoubleType()),
+        StructField("tick_sign", IntegerType()),
+        StructField("cum_vol", DoubleType()),
+    ]
+)
+
+
+def stateful_signed_buckets(
+    stream: DataFrame, bucket_volume: float
+) -> DataFrame:
+    """Lee-Ready signs AND VPIN volume buckets in ONE stateful pass —
+    Structured Streaming allows a single ``applyInPandasWithState`` per
+    stream, so the two per-instrument state tuples (tick-rule lookback,
+    volume clock) merge into one three-scalar store. Semantics are
+    exactly ``stateful_lee_ready`` followed by
+    ``stateful_volume_buckets``; the ``streaming_vpin_replay`` gate
+    hash-checks the composition against the batch DuckDB oracle."""
+
+    def fn(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        frames = [f for f in pdfs if len(f)]
+        if not frames:
+            return
+        df = pd.concat(frames, ignore_index=True).sort_values(
+            ["ts_ms", "raw_nonce"], kind="mergesort"
+        )
+        last_price, tick_sign, cum0 = (
+            state.get if state.exists else (np.nan, 0, 0.0)
+        )
+        price = df["price"].to_numpy(dtype=np.float64)
+        mid = df["mid"].to_numpy(dtype=np.float64)
+        qty = df["qty"].to_numpy(dtype=np.float64)
+        prev = np.concatenate(([last_price], price[:-1]))
+        with np.errstate(invalid="ignore"):
+            raw = np.where(price > prev, 1, np.where(price < prev, -1, 0))
+        raw[np.isnan(prev)] = 0
+        idx = np.arange(len(raw))
+        nz = np.where(raw != 0, idx, -1)
+        carry_idx = np.maximum.accumulate(nz)
+        carried = np.where(
+            carry_idx >= 0, raw[np.maximum(carry_idx, 0)], tick_sign
+        )
+        side = np.where(mid < price, 1, np.where(price < mid, -1, carried))
+        pre = cum0 + np.cumsum(qty) - qty
+        bucket = np.floor(pre / float(bucket_volume)).astype("int64")
+        out = df.assign(side=side.astype("int32"), bucket=bucket)
+        state.update(
+            (float(price[-1]), int(carried[-1]), float(cum0 + qty.sum()))
+        )
+        yield out[
+            [
+                "exchange_id",
+                "symbol",
+                "ts_ms",
+                "raw_nonce",
+                "mid",
+                "price",
+                "qty",
+                "side",
+                "bucket",
+            ]
+        ]
+
+    return stream.groupBy("exchange_id", "symbol").applyInPandasWithState(
+        fn,
+        outputStructType=BUCKETED_OUTPUT_SCHEMA,
+        stateStructType=SIGNED_BUCKET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -293,3 +293,49 @@ class TestSortedIntervalOverlapPairs:
             [("y", 0, 10, 1.0)],
         )
         assert out.count() == 0
+
+
+class TestSortedOverlapProperty:
+    def test_matches_bruteforce_on_random_sorted_streams(self, spark):
+        """Property: for random sorted tick streams (random gaps incl.
+        bursts), the merge join's pair set equals the brute-force
+        O(n*m) overlap set."""
+        import random
+
+        rng = random.Random(1234)
+        for trial in range(5):
+            def stream(n):
+                t, out = 0, []
+                for _ in range(n):
+                    prev = t
+                    # bursty: mostly hairline steps, occasional huge gap
+                    t += rng.choice([1, 1, 2, 3, 500, 10_000])
+                    out.append((prev, t))
+                return out
+            A = stream(rng.randint(5, 40))
+            B = stream(rng.randint(5, 40))
+            expect = sorted(
+                (sa, sb)
+                for (sa, ea) in A
+                for (sb, eb) in B
+                if sa < eb and sb < ea
+            )
+            from market_microstructure_toolkit_spark.operators.rangejoin import (
+                sorted_interval_overlap_pairs,
+            )
+
+            l = spark.createDataFrame(
+                [("k", s, e, 0.0) for s, e in A],
+                "k string, s_a long, e_a long, r_a double",
+            )
+            r = spark.createDataFrame(
+                [("k", s, e, 0.0) for s, e in B],
+                "k string, s_b long, e_b long, r_b double",
+            )
+            got = sorted(
+                (row.s_a, row.s_b)
+                for row in sorted_interval_overlap_pairs(
+                    l, r, ("k",), "s_a", "e_a", "s_b", "e_b"
+                ).collect()
+            )
+            assert got == expect, f"trial {trial}"

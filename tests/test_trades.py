@@ -332,3 +332,57 @@ class TestL1EventInference:
         assert n == synthetic_book(spark, sf_dir).count()
         bid_kinds = {r.bid_event for r in rows}
         assert {"bid_improve", "bid_worsen", "first"}.issubset(bid_kinds)
+
+
+class TestStreamingVpin:
+    def test_volume_clock_crosses_batch_boundary(self, spark, tmp_path):
+        """Bucket volume 4: batch 1 trades fill 3 units of the first
+        bucket; batch 2's first trade (qty 2) must still land in bucket
+        0's... no — pre-trade cum is 3 < 4 -> bucket 0, and the next
+        (cum 5) opens bucket 1. Only carried cumulative volume gets
+        this right; per-batch clocks would reset to bucket 0."""
+        import time
+
+        from market_microstructure_toolkit_spark.streaming.trade_stream import (
+            stateful_signed_buckets,
+        )
+
+        schema = (
+            "exchange_id string, symbol string, ts_ms long, raw_nonce long,"
+            " mid double, price double, qty double"
+        )
+        rows_a = [
+            ("e", "A", 1, 1, 10.0, 10.1, 1.0),
+            ("e", "A", 2, 2, 10.0, 10.1, 2.0),
+        ]
+        rows_b = [
+            ("e", "A", 3, 3, 10.0, 10.1, 2.0),  # pre-cum 3 -> bucket 0
+            ("e", "A", 4, 4, 10.0, 10.1, 1.0),  # pre-cum 5 -> bucket 1
+        ]
+        base = str(tmp_path)
+        spark.createDataFrame(rows_a, schema).coalesce(1).write.parquet(
+            f"{base}/data/a"
+        )
+        time.sleep(0.05)
+        spark.createDataFrame(rows_b, schema).coalesce(1).write.parquet(
+            f"{base}/data/b"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/data/*/")
+        )
+        q = (
+            stateful_signed_buckets(stream, 4.0)
+            .writeStream.format("memory")
+            .queryName("vpin_state_test")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.raw_nonce: (r.bucket, r.side)
+            for r in spark.table("vpin_state_test").collect()
+        }
+        assert got == {1: (0, 1), 2: (0, 1), 3: (0, 1), 4: (1, 1)}
