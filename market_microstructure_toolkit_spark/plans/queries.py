@@ -5253,3 +5253,289 @@ def q_streaming_vpin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vpin",
         F.abs(F.col("buy_vol") - F.col("sell_vol")) / F.col("total_vol"),
     )
+
+
+_ACF_SQL = f"""{_BOOK_CTE},
+rets AS (
+  SELECT exchange_id, symbol, ts_ms, raw_nonce,
+    LN(((best_bid + best_ask) / 2.0)
+       / (LAG((best_bid + best_ask) / 2.0) OVER ({_W}))) AS r
+  FROM book
+),
+lagged AS (
+  SELECT exchange_id, symbol, r,
+    LAG(r, 1) OVER ({_W}) AS r1,
+    LAG(r, 2) OVER ({_W}) AS r2,
+    LAG(r, 3) OVER ({_W}) AS r3,
+    LAG(r, 4) OVER ({_W}) AS r4,
+    LAG(r, 5) OVER ({_W}) AS r5
+  FROM rets
+)
+SELECT exchange_id, symbol, lag,
+       ROUND(acf, 6) AS acf, n_pairs
+FROM (
+  SELECT exchange_id, symbol, 1 AS lag, CORR(r, r1) AS acf,
+         COUNT(CASE WHEN r IS NOT NULL AND r1 IS NOT NULL THEN 1 END) AS n_pairs
+  FROM lagged GROUP BY exchange_id, symbol
+  UNION ALL
+  SELECT exchange_id, symbol, 2, CORR(r, r2),
+         COUNT(CASE WHEN r IS NOT NULL AND r2 IS NOT NULL THEN 1 END)
+  FROM lagged GROUP BY exchange_id, symbol
+  UNION ALL
+  SELECT exchange_id, symbol, 3, CORR(r, r3),
+         COUNT(CASE WHEN r IS NOT NULL AND r3 IS NOT NULL THEN 1 END)
+  FROM lagged GROUP BY exchange_id, symbol
+  UNION ALL
+  SELECT exchange_id, symbol, 4, CORR(r, r4),
+         COUNT(CASE WHEN r IS NOT NULL AND r4 IS NOT NULL THEN 1 END)
+  FROM lagged GROUP BY exchange_id, symbol
+  UNION ALL
+  SELECT exchange_id, symbol, 5, CORR(r, r5),
+         COUNT(CASE WHEN r IS NOT NULL AND r5 IS NOT NULL THEN 1 END)
+  FROM lagged GROUP BY exchange_id, symbol
+)
+"""
+
+
+@register("book_return_acf", _ACF_SQL)
+def q_book_return_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return autocorrelation function, lags 1-5, per instrument — the
+    classic microstructure diagnostic (bid-ask bounce shows up as
+    negative lag-1 ACF; Roll's estimator is built on exactly that
+    moment). ONE window pass materializes all five lagged columns (the
+    five lags share the instrument-keyed sort), then one groupBy
+    computes five CORR aggregates that unpivot to (lag, acf) rows via
+    an in-plan stack — no re-scan per lag, no second shuffle. CORR is an
+    order-sensitive moment -> 6-dp rounding."""
+    book = synthetic_book(spark, sf_dir)
+    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
+    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
+    rets = book.select(
+        *KEYS, *ORDER_COLS, F.log(mid / F.lag(mid).over(w)).alias("r")
+    )
+    lagged = rets.select(
+        *KEYS,
+        "r",
+        *[F.lag("r", k).over(w).alias(f"r{k}") for k in range(1, 6)],
+    )
+    agg = lagged.groupBy(*KEYS).agg(
+        *[F.corr("r", f"r{k}").alias(f"acf{k}") for k in range(1, 6)],
+        *[
+            F.count(
+                F.when(F.col("r").isNotNull() & F.col(f"r{k}").isNotNull(), 1)
+            ).alias(f"n{k}")
+            for k in range(1, 6)
+        ],
+    )
+    stacked = agg.select(
+        *KEYS,
+        F.expr(
+            "stack(5, "
+            + ", ".join(f"{k}, acf{k}, n{k}" for k in range(1, 6))
+            + ") AS (lag, acf, n_pairs)"
+        ),
+    )
+    return stacked.select(
+        *KEYS,
+        "lag",
+        F.round("acf", 6).alias("acf"),
+        "n_pairs",
+    )
+
+
+_SEASONALITY_SQL = f"""{_BOOK_CTE},
+rets AS (
+  SELECT exchange_id, symbol, ts_ms,
+    LN(((best_bid + best_ask) / 2.0)
+       / (LAG((best_bid + best_ask) / 2.0) OVER ({_W}))) AS r
+  FROM book
+)
+SELECT exchange_id, symbol,
+       CAST((ts_ms // 3600000) % 24 AS BIGINT) AS hour_utc,
+       ROUND(AVG(ABS(r)) * 1e4, 6) AS avg_abs_ret_bps,
+       COUNT(r) AS n_returns
+FROM rets GROUP BY exchange_id, symbol, (ts_ms // 3600000) % 24
+"""
+
+
+@register("book_intraday_seasonality", _SEASONALITY_SQL)
+def q_book_intraday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraday volatility seasonality: mean |log return| (bps) per
+    instrument per UTC hour-of-day, aggregated across all days — the
+    U-shaped activity profile every execution scheduler calibrates
+    against. One keyed window for returns, then a partial-aggregating
+    groupBy on (instrument, hour): 24 uniform buckets per instrument,
+    no skew. AVG is order-sensitive -> 6-dp rounding."""
+    book = synthetic_book(spark, sf_dir)
+    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
+    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
+    rets = book.select(
+        *KEYS,
+        "ts_ms",
+        F.log(mid / F.lag(mid).over(w)).alias("r"),
+    )
+    hour = ((F.col("ts_ms") / F.lit(3600000)).cast("long") % 24).alias(
+        "hour_utc"
+    )
+    return rets.groupBy(*KEYS, hour).agg(
+        F.round(F.avg(F.abs(F.col("r"))) * F.lit(1e4), 6).alias(
+            "avg_abs_ret_bps"
+        ),
+        F.count("r").alias("n_returns"),
+    )
+
+
+_RCOV_SQL = f"""{_BOOK_CTE},
+rng AS (
+  SELECT exchange_id, MIN(ts_ms) AS a, MAX(ts_ms) AS b
+  FROM book GROUP BY exchange_id
+),
+grid AS (
+  SELECT exchange_id,
+         unnest(range(a, b + 1, GREATEST((b - a) // 500, 1))) AS t
+  FROM rng
+),
+syms AS (SELECT DISTINCT exchange_id, symbol FROM book),
+symgrid AS (
+  SELECT s.exchange_id, s.symbol, g.t
+  FROM grid g JOIN syms s USING (exchange_id)
+),
+merged AS (
+  SELECT exchange_id, symbol, ts_ms AS t, 0 AS tag, raw_nonce AS ord,
+         (best_bid + best_ask) / 2.0 AS mid
+  FROM book
+  UNION ALL
+  SELECT exchange_id, symbol, t, 1, NULL, NULL FROM symgrid
+),
+filled AS (
+  SELECT exchange_id, symbol, t, tag,
+    LAST_VALUE(mid IGNORE NULLS) OVER
+      (PARTITION BY exchange_id, symbol ORDER BY t, tag, ord
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mid
+  FROM merged
+),
+samples AS (
+  SELECT exchange_id, symbol, t, mid
+  FROM filled WHERE tag = 1 AND mid IS NOT NULL
+),
+srets AS (
+  SELECT exchange_id, symbol, t,
+    LN(mid / LAG(mid) OVER (PARTITION BY exchange_id, symbol ORDER BY t))
+      AS r
+  FROM samples
+)
+SELECT a.exchange_id AS exchange_id,
+       a.symbol AS sym_a, b.symbol AS sym_b,
+       ROUND(COVAR_SAMP(a.r, b.r), 10) AS rcov,
+       COUNT(CASE WHEN a.r IS NOT NULL AND b.r IS NOT NULL THEN 1 END)
+         AS n_grid_returns
+FROM srets a JOIN srets b
+  ON a.exchange_id = b.exchange_id AND a.t = b.t
+ AND a.symbol <= b.symbol
+GROUP BY a.exchange_id, a.symbol, b.symbol
+"""
+
+
+@register("book_realized_cov_matrix", _RCOV_SQL)
+def q_book_realized_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronized realized covariance matrix: every instrument's mid
+    sampled onto ONE common 500-point time grid per exchange (backward
+    as-of via the tag+union+running-last shape — no join, no broadcast
+    of data), grid log-returns per instrument, then the full
+    upper-triangle covariance matrix (variances on the diagonal) from
+    one equi-join on (exchange, grid tick). This is the estimator the
+    Hayashi-Yoshida gate deliberately avoids (resampling loses the
+    asynchronous information — Epps effect) and the pair shows both
+    sides of that trade; a portfolio risk pipeline wants exactly this
+    grid form. Scale: the grid is config-sized per exchange (500 ticks x
+    instruments), the sampling pass is one keyed window over
+    snapshots+ticks, and the pair join fans out |instruments| per grid
+    row. COVAR over ~500 aligned returns rounds at 10 dp (values sit
+    near 1e-8; 6 dp would round them all to zero and gate nothing)."""
+    book = synthetic_book(spark, sf_dir)
+    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
+    rng = book.groupBy("exchange_id").agg(
+        F.min("ts_ms").alias("a"), F.max("ts_ms").alias("b")
+    )
+    grid = rng.select(
+        "exchange_id",
+        F.explode(
+            F.sequence(
+                F.col("a"),
+                F.col("b"),
+                F.greatest(F.lit(1).cast("long"), F.expr("(b - a) DIV 500")),
+            )
+        ).alias("t"),
+    )
+    # config-sized driver pull (instrument list), then a map-side
+    # literal-array explode — a distinct-subquery join here would plan
+    # as a keyless BNLJ after Catalyst constant-folds the single
+    # exchange key away
+    syms = sorted(
+        r["symbol"]
+        for r in book.select("symbol").distinct().collect()
+    )
+    symgrid = grid.select(
+        "exchange_id",
+        F.explode(F.array(*[F.lit(s) for s in syms])).alias("symbol"),
+        "t",
+    )
+    snaps = book.select(
+        "exchange_id",
+        "symbol",
+        F.col("ts_ms").alias("t"),
+        F.lit(0).alias("tag"),
+        F.col("raw_nonce").alias("ord"),
+        mid.alias("mid"),
+    )
+    ticks = symgrid.select(
+        "exchange_id",
+        "symbol",
+        "t",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("ord"),
+        F.lit(None).cast("double").alias("mid"),
+    )
+    w = (
+        Window.partitionBy("exchange_id", "symbol")
+        .orderBy("t", "tag", "ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = snaps.unionByName(ticks).select(
+        "exchange_id",
+        "symbol",
+        "t",
+        "tag",
+        F.last("mid", ignorenulls=True).over(w).alias("mid"),
+    )
+    samples = filled.filter(
+        (F.col("tag") == 1) & F.col("mid").isNotNull()
+    ).select("exchange_id", "symbol", "t", "mid")
+    ws = Window.partitionBy("exchange_id", "symbol").orderBy("t")
+    srets = samples.select(
+        "exchange_id",
+        "symbol",
+        "t",
+        F.log(F.col("mid") / F.lag("mid").over(ws)).alias("r"),
+    )
+    a = srets.select(
+        "exchange_id",
+        F.col("symbol").alias("sym_a"),
+        "t",
+        F.col("r").alias("r_a"),
+    )
+    b = srets.select(
+        "exchange_id",
+        F.col("symbol").alias("sym_b"),
+        "t",
+        F.col("r").alias("r_b"),
+    )
+    pairs = a.join(b, ["exchange_id", "t"]).filter(
+        F.col("sym_a") <= F.col("sym_b")
+    )
+    return pairs.groupBy("exchange_id", "sym_a", "sym_b").agg(
+        F.round(F.covar_samp("r_a", "r_b"), 10).alias("rcov"),
+        F.count(
+            F.when(F.col("r_a").isNotNull() & F.col("r_b").isNotNull(), 1)
+        ).alias("n_grid_returns"),
+    )
