@@ -50,8 +50,9 @@ class TwapConfig:
     depth_cap: int | None = None
     allow_residual: bool = False
     jitter_ms: int = 0
-    schedule: str = "equal"  # "equal" | "stochastic"
+    schedule: str = "equal"  # "equal" | "stochastic" | "almgren"
     seed: int | None = None
+    kappa: float = 0.0  # almgren urgency per slice interval (0 -> TWAP)
 
 
 @dataclass
@@ -523,6 +524,36 @@ def simulate_vwap_onbook_grouped(
 # X5 — realistic TWAP (impact_twap.py:191-311)
 # ---------------------------------------------------------------------------
 
+def almgren_sizes(total_qty: float, slices: int, kappa: float) -> list[float]:
+    """Almgren-Chriss (2001) optimal-execution slice sizes.
+
+    Discrete risk-averse trajectory over N unit slice intervals
+    (T = N): the optimal holdings decay as
+    ``x_j = X sinh(kappa (T - t_j)) / sinh(kappa T)``, so slice j trades
+    ``n_j = 2 X sinh(kappa/2) / sinh(kappa T) * cosh(kappa (T - t_{j-1/2}))``
+    — front-loaded for urgency ``kappa > 0`` (risk aversion x temporary
+    impact calibration collapses into the single kappa knob at schedule
+    level), converging to the equal-slice TWAP as kappa -> 0. Sizes sum
+    to X exactly by the sinh telescoping; computed DRIVER-side (config
+    constants, like the seeded stochastic draws) and embedded as plan
+    literals, so the Spark plan and the SQL oracle consume bit-identical
+    doubles.
+    """
+    if slices <= 0:
+        return []
+    if kappa <= 0.0:
+        per = total_qty / slices
+        sizes = [per] * slices
+        sizes[-1] = total_qty - sum(sizes[:-1])
+        return sizes
+    big_t = float(slices)
+    denom = math.sinh(kappa * big_t)
+    lead = 2.0 * total_qty * math.sinh(kappa / 2.0) / denom
+    return [
+        lead * math.cosh(kappa * (big_t - (j - 0.5))) for j in range(1, slices + 1)
+    ]
+
+
 def _slice_sizes(cfg: TwapConfig) -> list[float]:
     """Equal (FP-drift-corrected last slice) or Dirichlet-stochastic sizes —
     seeded ``random.Random`` reproduces the reference draws exactly
@@ -534,6 +565,8 @@ def _slice_sizes(cfg: TwapConfig) -> list[float]:
         sizes = [per] * cfg.slices
         sizes[-1] = cfg.target_qty - sum(sizes[:-1])
         return sizes
+    if cfg.schedule == "almgren":
+        return almgren_sizes(cfg.target_qty, cfg.slices, cfg.kappa)
     rng = random.Random(cfg.seed)
     draws = [rng.gammavariate(3.0, 1.0) for _ in range(cfg.slices)]
     total = sum(draws)

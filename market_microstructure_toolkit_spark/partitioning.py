@@ -56,3 +56,66 @@ def salted_join(
     )
     out = lhs.join(rhs, keys + ["__salt"], how)
     return out.drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str] | str,
+    n_buckets: int = 8,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a bucketed (and bucket-sorted) parquet table.
+
+    Bucketing is THE pre-shuffle for the 100 TB fact-to-fact join: both
+    tables hash-clustered into ``n_buckets`` files per partition on the
+    join key at WRITE time, so every later join/groupBy on that key reads
+    co-located buckets and plans a SortMergeJoin with NO Exchange on
+    either side (and, when ``sort``, no Sort either) — the shuffle is
+    paid once at ingest instead of per query. Registered through the
+    session catalog (``saveAsTable`` — bucket metadata lives in the
+    catalog, plain ``.parquet()`` writes can't carry it) but with an
+    explicit external ``path`` so the data sits in caller-owned storage.
+    Existing table of the same name is replaced.
+    """
+    keys = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    sess = df.sparkSession
+    sess.sql(f"DROP TABLE IF EXISTS {table}")
+    w = df.write.mode("overwrite").format("parquet").option("path", path)
+    w = w.bucketBy(n_buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(table)
+
+
+def compact_files(
+    spark,
+    src: str,
+    dst: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Small-files compaction: rewrite ``src`` into ``dst`` with file
+    count sized from the ACTUAL input bytes (ceil(total/target)), not a
+    guessed constant. Streaming ingest and fine-grained hive partitions
+    leave thousands of KB-scale files whose per-file open/footer cost
+    dominates the scan at 100 TB; compaction is the table-maintenance
+    pass every serious lake runs (Delta OPTIMIZE / Hudi clustering do
+    exactly this rewrite). Input size comes from the driver's file
+    listing (metadata only — no data read); the rewrite itself is one
+    round-robin repartition, no key shuffle. Returns the output file
+    count it chose.
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.format(fmt).load(src)
+    df.repartition(n_out).write.mode("overwrite").format(fmt).save(dst)
+    return n_out

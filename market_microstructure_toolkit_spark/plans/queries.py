@@ -5539,3 +5539,303 @@ def q_book_realized_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("r_a").isNotNull() & F.col("r_b").isNotNull(), 1)
         ).alias("n_grid_returns"),
     )
+
+
+@register(
+    "book_orc_roundtrip",
+    f"{_BOOK_CTE} SELECT book.*, CAST(NULL AS VARCHAR) AS iso FROM book",
+)
+def q_book_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink -> ORC source, hive-partitioned by symbol — the second
+    columnar format behind the S6/S8 writer surface (book_io.write_book_orc).
+    ORC is lossless for the book's doubles/longs/strings, so the oracle is
+    the book itself: any bit flip in the format pair breaks the hash. The
+    partition column round-trips through the directory encoding, proving
+    partition-pruned reads work for an ORC-standardized warehouse too."""
+    from market_microstructure_toolkit_spark.sources.book_io import (
+        read_book_orc,
+        write_book_orc,
+    )
+
+    book = synthetic_book(spark, sf_dir)
+    path = _scratch(prefix="mmt_orc_rt_")
+    write_book_orc(book, path, partition_by=("symbol",))
+    back = read_book_orc(spark, path)
+    return back.select(*book.columns).withColumn(
+        "iso", F.lit(None).cast("string")
+    )
+
+
+_TSRV_K = 5
+_TSRV_SQL = f"""{_BOOK_CTE},
+rets AS (
+  SELECT exchange_id, symbol,
+    LN(((best_bid + best_ask) / 2.0)
+       / (LAG((best_bid + best_ask) / 2.0) OVER ({_W}))) AS r1,
+    LN(((best_bid + best_ask) / 2.0)
+       / (LAG((best_bid + best_ask) / 2.0, {_TSRV_K}) OVER ({_W}))) AS rk
+  FROM book
+)
+SELECT exchange_id, symbol,
+  ROUND(SUM(r1 * r1), 6) AS rv_all,
+  ROUND(SUM(rk * rk) / {_TSRV_K}.0, 6) AS rv_k_avg,
+  ROUND(
+    (SUM(rk * rk) / {_TSRV_K}.0
+     - ((COUNT(r1) - {_TSRV_K} + 1.0) / {_TSRV_K}.0 / COUNT(r1)) * SUM(r1 * r1))
+    / (1.0 - (COUNT(r1) - {_TSRV_K} + 1.0) / {_TSRV_K}.0 / COUNT(r1)),
+  6) AS tsrv,
+  COUNT(r1) AS n_returns
+FROM rets GROUP BY exchange_id, symbol
+"""
+
+
+@register("book_tsrv", _TSRV_SQL)
+def q_book_tsrv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-scale realized variance per instrument (Zhang, Mykland &
+    Ait-Sahalia 2005): tick-by-tick RV is dominated by microstructure
+    noise (2n x noise variance), so TSRV debiases it with the K-spaced
+    scale — the average of the K offset subsample RVs is SUM(r_K^2)/K in
+    one pass via LAG(mid, K) — minus (nbar/n) x RV_all, rescaled by the
+    small-sample factor 1/(1 - nbar/n). The reported ``tsrv`` is the
+    noise-corrected integrated variance to quote beside the raw
+    ``rv_all`` (their gap estimates the noise floor itself). One keyed
+    window computes both lags (1 and K) in a single pass, then one
+    groupBy on the same keys — co-partitioned shuffles, no extra pass
+    for the subsample grids. Order-sensitive float sums round at 6 dp
+    (bipower idiom)."""
+    book = synthetic_book(spark, sf_dir)
+    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
+    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
+    k = _TSRV_K
+    rets = book.select(
+        *KEYS,
+        F.log(mid / F.lag(mid).over(w)).alias("r1"),
+        F.log(mid / F.lag(mid, k).over(w)).alias("rk"),
+    )
+    n = F.count("r1")
+    rv_all = F.sum(F.col("r1") * F.col("r1"))
+    rv_k_avg = F.sum(F.col("rk") * F.col("rk")) / F.lit(float(k))
+    nbar_over_n = (n - k + F.lit(1.0)) / F.lit(float(k)) / n
+    return rets.groupBy(*KEYS).agg(
+        F.round(rv_all, 6).alias("rv_all"),
+        F.round(rv_k_avg, 6).alias("rv_k_avg"),
+        F.round(
+            (rv_k_avg - nbar_over_n * rv_all) / (F.lit(1.0) - nbar_over_n), 6
+        ).alias("tsrv"),
+        n.alias("n_returns"),
+    )
+
+
+_BUCKETED_JOIN_SQL = """
+SELECT o_orderpriority,
+  COUNT(*) AS n_items,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@register("orders_bucketed_join", _BUCKETED_JOIN_SQL)
+def q_orders_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join through pre-bucketed tables
+    (partitioning.write_bucketed): orders and lineitem are each written
+    hash-clustered into 8 buckets on their order key, then joined by
+    reading the bucketed tables back — the join plans as a SortMergeJoin
+    with NO Exchange on either side (asserted in
+    tests/test_properties_and_plans.py), because the shuffle was paid
+    once at write time. At 100 TB this is the difference between
+    re-shuffling two fact tables on every query and a metadata-only
+    co-located merge; the oracle is the PLAIN join on the raw parquet,
+    so hash-equality also proves bucketing is semantics-preserving.
+    Money sums use the DECIMAL idiom (order-free exact, 2 dp)."""
+    from market_microstructure_toolkit_spark.partitioning import write_bucketed
+
+    base = _scratch(prefix="mmt_bucketed_")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    write_bucketed(orders, "mmt_bucket_orders", f"{base}/orders", "o_orderkey")
+    write_bucketed(li, "mmt_bucket_lineitem", f"{base}/lineitem", "l_orderkey")
+    bo = spark.table("mmt_bucket_orders")
+    bl = spark.table("mmt_bucket_lineitem")
+    joined = bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                .cast("decimal(24,8)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+_CDC_SQL = """
+WITH upd AS (
+  SELECT doc_id, text || ' [rev2]' AS text, lang, source,
+         n_chars + 7 AS n_chars, 'U' AS op
+  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0
+),
+dels AS (
+  SELECT doc_id, text, lang, source, n_chars, 'D' AS op
+  FROM documents WHERE doc_id % 13 = 0
+),
+ins AS (
+  SELECT doc_id + 10000000 AS doc_id, text, lang,
+         'cdc_backfill' AS source, n_chars, 'U' AS op
+  FROM documents WHERE doc_id % 11 = 0
+),
+changes AS (
+  SELECT * FROM upd UNION ALL SELECT * FROM dels UNION ALL SELECT * FROM ins
+),
+unioned AS (
+  SELECT doc_id, text, lang, source, n_chars, 0 AS ver, 'U' AS op
+  FROM documents
+  UNION ALL
+  SELECT doc_id, text, lang, source, n_chars, 1 AS ver, op FROM changes
+)
+SELECT doc_id, text, lang, source, n_chars
+FROM unioned
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY ver DESC, op ASC) = 1
+        AND op <> 'D'
+"""
+
+
+@register("documents_cdc_apply", _CDC_SQL)
+def q_documents_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus merge (operators/cdc.apply_cdc): a derived
+    change batch — revisions for doc_id%7, deletes for doc_id%13,
+    backfilled inserts for doc_id%11 — applied onto the documents
+    snapshot with latest-version-wins semantics (the Delta MERGE INTO /
+    Hudi compaction shape on bare parquet). One union + one keyed
+    window, no join; the oracle replays the same merge relationally in
+    DuckDB, so the hash pins upsert, delete, insert, AND the
+    delete-beats-upsert tie rule at once."""
+    from market_microstructure_toolkit_spark.operators.cdc import apply_cdc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    upd = docs.filter((did % 7 == 0) & (did % 13 != 0)).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + 7).alias("n_chars"),
+        F.lit("U").alias("op"),
+    )
+    dels = docs.filter(did % 13 == 0).withColumn("op", F.lit("D"))
+    ins = docs.filter(did % 11 == 0).select(
+        (did + 10_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        F.lit("cdc_backfill").alias("source"),
+        "n_chars",
+        F.lit("U").alias("op"),
+    )
+    changes = upd.unionByName(dels).unionByName(ins)
+    return apply_cdc(docs, changes, "doc_id")
+
+
+@register(
+    "documents_compaction",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def q_documents_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction (partitioning.compact_files): the corpus
+    is first shattered into 64 tiny parquet files (the streaming-ingest
+    pathology), then rewritten with the file count sized from actual
+    input bytes at a 4 MiB target. The gate returns the compacted
+    table's full content against the identity oracle — compaction must
+    be byte-lossless — and the file-count reduction itself is pinned in
+    pytest (an environment-dependent number that doesn't belong in a
+    cross-engine hash)."""
+    from market_microstructure_toolkit_spark.partitioning import compact_files
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = _scratch(prefix="mmt_compact_")
+    src, dst = f"{base}/small", f"{base}/compacted"
+    docs.repartition(64).write.mode("overwrite").parquet(src)
+    compact_files(spark, src, dst, target_bytes=4 * 1024 * 1024)
+    return spark.read.parquet(dst).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+def _twap_almgren_sql() -> str:
+    """Almgren-Chriss oracle: the front-loaded slice sizes are CONFIG
+    constants (closed-form sinh/cosh of kappa and N, no data
+    dependence), so — like the seeded stochastic draws — they are
+    computed once driver-side (operators.impact.almgren_sizes) and
+    embedded as string-quoted literals (shortest-roundtrip doubles parse
+    identically in both engines). Everything data-dependent reuses the
+    deterministic X5 machinery: round-half-even schedule positions,
+    last-duplicate-wins row match, stop-at-first-blank walk, buy-fee
+    uplift."""
+    from market_microstructure_toolkit_spark.operators.impact import (
+        almgren_sizes,
+    )
+
+    slices, target, kappa = 16, 40.0, 0.35
+    sizes = almgren_sizes(target, slices, kappa)
+    vals = ",\n    ".join(
+        f"({k + 1}, CAST('{sizes[k]!r}' AS DOUBLE))" for k in range(slices)
+    )
+    w = _walk_exprs("slice_target_qty", BOOK_DEPTH, blank="stop")
+    return f"""{_BOOK_CTE},
+s0 AS (SELECT * FROM book WHERE symbol = 'S0'),
+nn AS (SELECT COUNT(*) AS n FROM s0),
+numbered AS (
+  SELECT *, row_number() OVER (ORDER BY ts_ms, raw_nonce) - 1 AS pos FROM s0
+),
+sched(s, qty) AS (VALUES
+    {vals}
+),
+sl AS (
+  SELECT s, qty,
+         CAST(round_even((s - 1) * (n - 1) / CAST({slices - 1} AS DOUBLE), 0) AS BIGINT) AS pos
+  FROM sched, nn
+),
+tsz AS (SELECT sl.s, sl.qty, r.ts_ms AS target_ts FROM sl JOIN numbered r USING (pos)),
+matched AS (
+  SELECT t.s AS slice, t.qty AS slice_target_qty, r.*
+  FROM tsz t JOIN numbered r ON r.ts_ms = t.target_ts
+  QUALIFY row_number() OVER (PARTITION BY t.s ORDER BY r.raw_nonce DESC) = 1
+)
+SELECT CAST(slice AS INTEGER) AS slice,
+  CAST(ts_ms AS BIGINT) AS ts_ms,
+  '' AS iso,
+  {w['filled']} AS filled_qty,
+  slice_target_qty,
+  CASE WHEN ({w['filled']}) > 0
+       THEN GREATEST(({w['cost']}) * (1.0 + 2.0 / 1e4), 0.0) / ({w['filled']})
+       ELSE CAST('nan' AS DOUBLE) END AS slice_vwap,
+  {w['touched']} AS levels_touched
+FROM matched"""
+
+
+@register("twap_almgren_sim", _twap_almgren_sql())
+def q_twap_almgren_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Almgren-Chriss optimal execution (2001) through the realistic
+    TWAP simulator: schedule='almgren' front-loads the slice sizes along
+    the closed-form sinh trajectory (kappa=0.35 urgency; kappa->0
+    recovers the equal-slice TWAP — unit-pinned in test_impact), then
+    the existing deterministic X5 path executes them (schedule
+    positions, nearest-row match, stop-at-blank walk, fees). Same
+    distributed shape as twap_real_equal_sim: per-slice walks fan out,
+    only the O(slices) schedule is driver-side."""
+    from market_microstructure_toolkit_spark.operators.impact import (
+        TwapConfig,
+        simulate_twap_real,
+    )
+
+    book = synthetic_book(spark, sf_dir).filter(F.col("symbol") == "S0")
+    cfg = TwapConfig(
+        side="buy", target_qty=40.0, slices=16, fee_bps=2.0,
+        jitter_ms=0, schedule="almgren", kappa=0.35, depth_cap=BOOK_DEPTH,
+    )
+    _, per_slice = simulate_twap_real(book, cfg)
+    return per_slice

@@ -88,3 +88,27 @@ def write_summary_append(df: DataFrame, path: str) -> None:
     """Summary-append sink (S10, impact_twap_cli.py:51-56): one-row
     summaries accumulate across runs."""
     df.write.mode("append").option("header", True).csv(path)
+
+
+def write_book_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """ORC sink: same conventions as the parquet sink (native
+    nulls/doubles, lossless for the book's types, optional hive
+    partitioning). ORC's per-stripe min/max + bloom-filter indexes give
+    a warehouse already standardized on ORC the same pushdown story the
+    parquet path has; both sinks share one writer surface so the format
+    is a config choice, not a code fork."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_book_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source: schema travels with the file, depth recovered from
+    column names exactly as the parquet path (schema.infer_depth)."""
+    return spark.read.orc(path)

@@ -275,3 +275,32 @@ def test_vwap_grouped_matches_single_series_per_symbol(spark, eth):
             "levels_touched",
         ):
             assert got[c] == pytest.approx(single[c], rel=1e-12), (sym, c)
+
+
+class TestAlmgrenSizes:
+    def test_sum_and_frontload(self):
+        from market_microstructure_toolkit_spark.operators.impact import (
+            almgren_sizes,
+        )
+
+        sizes = almgren_sizes(40.0, 16, 0.35)
+        assert len(sizes) == 16
+        assert abs(sum(sizes) - 40.0) < 1e-9  # sinh telescoping is exact
+        # urgency front-loads: strictly decreasing trade sizes
+        assert all(a > b for a, b in zip(sizes, sizes[1:]))
+
+    def test_kappa_zero_recovers_twap(self):
+        from market_microstructure_toolkit_spark.operators.impact import (
+            almgren_sizes,
+        )
+
+        sizes = almgren_sizes(40.0, 16, 0.0)
+        assert all(abs(s - 2.5) < 1e-12 for s in sizes)
+
+    def test_small_kappa_converges_to_equal(self):
+        from market_microstructure_toolkit_spark.operators.impact import (
+            almgren_sizes,
+        )
+
+        sizes = almgren_sizes(40.0, 16, 1e-6)
+        assert all(abs(s - 2.5) < 1e-3 for s in sizes)

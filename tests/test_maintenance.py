@@ -1,0 +1,210 @@
+"""Bucketed-table joins, CDC apply, small-files compaction, ORC
+roundtrip, and TSRV — the round-4 maintenance/layout tier. Plan-shape
+assertions pin the scale claims (no Exchange on the bucketed join;
+fewer files after compaction); semantics are pinned by the DuckDB
+oracle gates, so these tests focus on the properties the hash can't
+see."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from market_microstructure_toolkit_spark.operators.cdc import apply_cdc
+from market_microstructure_toolkit_spark.partitioning import (
+    compact_files,
+    write_bucketed,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestBucketedJoin:
+    def test_no_exchange_on_bucketed_merge_join(self, spark):
+        base = tempfile.mkdtemp(prefix="mmt_test_bucket_")
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        write_bucketed(orders, "t_bk_orders", f"{base}/o", "o_orderkey")
+        write_bucketed(li, "t_bk_lineitem", f"{base}/l", "l_orderkey")
+        bo = spark.table("t_bk_orders").hint("merge")
+        bl = spark.table("t_bk_lineitem")
+        j = bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange") == 0, plan
+        # contrast: the identical merge join on raw parquet shuffles both sides
+        po = spark.read.parquet(f"{SF}/orders.parquet").hint("merge")
+        pj = po.join(li, po["o_orderkey"] == li["l_orderkey"])
+        assert _plan(pj).count("Exchange") == 2
+        # and the data agrees with the plain join
+        assert j.count() == pj.count()
+
+    def test_bucketed_join_groupby_same_key_no_extra_shuffle(self, spark):
+        # a groupBy on the bucket key rides the bucketed distribution too
+        bo = spark.table("t_bk_orders")
+        agg = bo.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
+        assert _plan(agg).count("Exchange") == 0
+
+
+class TestApplyCdc:
+    def _base(self, spark):
+        return spark.createDataFrame(
+            [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+        )
+
+    def test_upsert_insert_delete(self, spark):
+        chg = spark.createDataFrame(
+            [
+                Row(k=2, v="b2", op="U"),   # update
+                Row(k=3, v=None, op="D"),   # delete
+                Row(k=4, v="d", op="U"),    # insert
+            ]
+        )
+        out = apply_cdc(self._base(spark), chg, "k")
+        got = {r["k"]: r["v"] for r in out.collect()}
+        assert got == {1: "a", 2: "b2", 4: "d"}
+
+    def test_delete_wins_tie_and_replay_idempotent(self, spark):
+        # same key carries U and D at the same version: delete must win,
+        # and applying the batch twice must equal applying it once
+        chg = spark.createDataFrame(
+            [Row(k=2, v="b2", op="U"), Row(k=2, v=None, op="D")]
+        )
+        once = apply_cdc(self._base(spark), chg, "k")
+        twice = apply_cdc(once, chg, "k")
+        assert {r["k"] for r in once.collect()} == {1, 3}
+        assert sorted(r["k"] for r in twice.collect()) == sorted(
+            r["k"] for r in once.collect()
+        )
+
+    def test_version_ordering(self, spark):
+        # higher version wins regardless of batch row order
+        chg = spark.createDataFrame(
+            [
+                Row(k=1, v="v1", op="U", ver=1),
+                Row(k=1, v="v9", op="U", ver=9),
+                Row(k=1, v="v5", op="U", ver=5),
+            ]
+        )
+        out = apply_cdc(self._base(spark), chg, "k", version_col="ver")
+        assert {r["v"] for r in out.filter("k = 1").collect()} == {"v9"}
+
+
+class TestCompaction:
+    def test_fewer_files_and_lossless(self, spark):
+        base = tempfile.mkdtemp(prefix="mmt_test_compact_")
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        docs.repartition(16).write.mode("overwrite").parquet(f"{base}/small")
+        n_out = compact_files(
+            spark, f"{base}/small", f"{base}/big", target_bytes=64 * 1024 * 1024
+        )
+        before = len(spark.read.parquet(f"{base}/small").inputFiles())
+        after = len(spark.read.parquet(f"{base}/big").inputFiles())
+        assert before == 16
+        assert after == n_out < before
+        a = docs.orderBy("doc_id").collect()
+        b = spark.read.parquet(f"{base}/big").orderBy("doc_id").collect()
+        assert a == b
+
+    def test_target_bytes_drives_file_count(self, spark):
+        base = tempfile.mkdtemp(prefix="mmt_test_compact2_")
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        docs.repartition(8).write.mode("overwrite").parquet(f"{base}/small")
+        # a tiny target must yield more output files than a huge target
+        n_small_target = compact_files(
+            spark, f"{base}/small", f"{base}/a", target_bytes=16 * 1024
+        )
+        n_big_target = compact_files(
+            spark, f"{base}/small", f"{base}/b", target_bytes=1 << 30
+        )
+        assert n_big_target == 1
+        assert n_small_target > n_big_target
+
+
+class TestOrcRoundtrip:
+    def test_orc_lossless_and_partition_pruned(self, spark):
+        from market_microstructure_toolkit_spark.plans.book import synthetic_book
+        from market_microstructure_toolkit_spark.sources.book_io import (
+            read_book_orc,
+            write_book_orc,
+        )
+
+        book = synthetic_book(spark, SF)
+        base = tempfile.mkdtemp(prefix="mmt_test_orc_")
+        write_book_orc(book, base, partition_by=("symbol",))
+        back = read_book_orc(spark, base)
+        assert back.count() == book.count()
+        # partition filter prunes to one directory
+        one = back.filter(F.col("symbol") == "S0")
+        plan = _plan(one)
+        assert "PartitionFilters" in plan and "symbol" in plan
+
+
+class TestTsrv:
+    def test_tsrv_debiases_noise(self, spark):
+        """On a noisy constant-price series (pure microstructure noise,
+        no true variance), RV_all explodes with n while TSRV must land
+        near zero — the estimator's whole point."""
+        import math
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            Row(
+                exchange_id="E",
+                symbol="S",
+                ts_ms=i,
+                raw_nonce=i,
+                # price = 100 * exp(noise), noise iid
+                best_bid=100.0 * math.exp(rng.gauss(0, 1e-4)) - 0.01,
+                best_ask=100.0 * math.exp(rng.gauss(0, 1e-4)) + 0.01,
+            )
+            for i in range(2000)
+        ]
+        df = spark.createDataFrame(rows)
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        # drive the same expressions directly (the gate runs on the book)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("exchange_id", "symbol").orderBy(
+            "ts_ms", "raw_nonce"
+        )
+        mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
+        k = 5
+        rets = df.select(
+            "exchange_id",
+            "symbol",
+            F.log(mid / F.lag(mid).over(w)).alias("r1"),
+            F.log(mid / F.lag(mid, k).over(w)).alias("rk"),
+        )
+        n = F.count("r1")
+        rv_all = F.sum(F.col("r1") * F.col("r1"))
+        rv_k = F.sum(F.col("rk") * F.col("rk")) / F.lit(float(k))
+        nbar_over_n = (n - k + F.lit(1.0)) / F.lit(float(k)) / n
+        row = rets.groupBy("exchange_id", "symbol").agg(
+            rv_all.alias("rv"),
+            ((rv_k - nbar_over_n * rv_all) / (F.lit(1.0) - nbar_over_n)).alias(
+                "tsrv"
+            ),
+        ).collect()[0]
+        # iid noise: E[RV_all] = 2 n sigma^2, TSRV -> true IV = 0
+        assert row["rv"] > 10 * abs(row["tsrv"])
+
+    def test_gate_runs_at_sf0001(self, spark):
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        out = REGISTRY["book_tsrv"].spark(spark, SF)
+        rows = out.collect()
+        assert len(rows) >= 1
+        for r in rows:
+            assert r["rv_all"] >= 0 and r["rv_k_avg"] >= 0
