@@ -214,3 +214,32 @@ def sorted_interval_overlap_pairs(
         .drop("__lo_m1", "__hi")
     )
     return pairs.join(r_idx, [*keys, "__ridx"]).drop("__ridx")
+
+
+def scd2_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts_col: str,
+    start_col: str = "valid_from",
+    end_col: str = "valid_to",
+) -> DataFrame:
+    """Temporal (SCD Type-2) dimension join: each fact row picks the
+    dimension VERSION whose half-open [start, end) validity contains the
+    fact's timestamp.
+
+    The versioned-dimension lookup every warehouse fact pipeline needs
+    once dimensions change over time (customer moved segment, instrument
+    changed tick size). Scale shape: dimensions are small relative to
+    facts even versioned, so the dim side is broadcast and the join
+    plans as a BroadcastHashJoin on the equi key with the validity range
+    as an in-stage filter — zero shuffle of the fact table, which at
+    100 TB is the only acceptable cost. (A big-big versioned dim would
+    ride interval_join's binned path instead.) Non-key columns must be
+    disjoint; degenerate versions (end <= start) match nothing.
+    """
+    d = dim.filter(F.col(end_col) > F.col(start_col))
+    out = facts.join(F.broadcast(d), on=key, how="inner").filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return out

@@ -5839,3 +5839,145 @@ def q_twap_almgren_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _, per_slice = simulate_twap_real(book, cfg)
     return per_slice
+
+
+_SCD2_SQL = """
+WITH ev AS (
+  SELECT event_id, epoch_ms(ts) AS ms, user_id, event_type, value FROM events
+),
+bounds AS (SELECT MIN(ms) AS a, MAX(ms) AS b FROM ev),
+dim AS (
+  SELECT c_custkey AS user_id, c_mktsegment AS segment,
+         a AS valid_from, (a + b) // 2 AS valid_to
+  FROM customer, bounds
+  UNION ALL
+  SELECT c_custkey, c_mktsegment || '_v2', (a + b) // 2, b + 1
+  FROM customer, bounds
+)
+SELECT segment, event_type,
+  COUNT(*) AS n_events,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM ev JOIN dim
+  ON ev.user_id = dim.user_id
+ AND ev.ms >= dim.valid_from AND ev.ms < dim.valid_to
+GROUP BY segment, event_type
+"""
+
+
+@register("events_scd2_join", _SCD2_SQL)
+def q_events_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 temporal dimension join (operators/rangejoin.scd2_join):
+    the customer dimension is versioned in two validity windows split at
+    the event-time midpoint (integer-exact in both engines), and every
+    event picks the version active at its timestamp — broadcast dim,
+    equi-key BroadcastHashJoin with the validity range as an in-stage
+    filter, ZERO shuffle of the fact side (plan-pinned in
+    test_maintenance). The oracle replays the version pick relationally,
+    so the hash pins the half-open [from, to) boundary semantics — an
+    event exactly at the split must land in v2, not both."""
+    from market_microstructure_toolkit_spark.operators.rangejoin import scd2_join
+
+    ev = read_events(spark, sf_dir).select(
+        "event_id",
+        F.expr("ts DIV 1000000").alias("ms"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    bounds = ev.agg(F.min("ms").alias("a"), F.max("ms").alias("b"))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    # bounds is one row: broadcast-graft it onto the dim (scalar CTE idiom)
+    versioned = cust.crossJoin(F.broadcast(bounds))
+    mid = ((F.col("a") + F.col("b")) / 2).cast("long")
+    v1 = versioned.select(
+        "user_id",
+        "segment",
+        F.col("a").alias("valid_from"),
+        mid.alias("valid_to"),
+    )
+    v2 = versioned.select(
+        "user_id",
+        F.concat(F.col("segment"), F.lit("_v2")).alias("segment"),
+        mid.alias("valid_from"),
+        (F.col("b") + 1).alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    joined = scd2_join(ev, dim, key="user_id", ts_col="ms")
+    return joined.groupBy("segment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+_INCR_AGG_SQL = """
+WITH ev AS (
+  SELECT event_id, epoch_ms(ts) // 86400000 AS day, event_type, value
+  FROM events
+)
+SELECT event_type, day,
+  COUNT(*) AS n_events,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
+  MIN(value) AS min_value,
+  MAX(value) AS max_value,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) / COUNT(*)
+    AS avg_value
+FROM ev GROUP BY event_type, day
+"""
+
+
+@register("events_incremental_agg", _INCR_AGG_SQL)
+def q_events_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-aggregate merge — the algebraic-aggregation contract that
+    makes incremental pipelines correct: the event stream arrives as two
+    disjoint batches (split by event_id parity here; by day in
+    production), each batch reduces to per-(type, day) PARTIAL states
+    (count, decimal sum, min, max), and the nightly merge combines
+    states (sum counts/sums, min of mins, max of maxes) WITHOUT touching
+    raw history — avg is derived from merged sum/count at the end, never
+    averaged across batches. The oracle aggregates the full stream
+    directly, so hash-equality proves state-merge == recompute, the
+    property that lets a 100 TB pipeline re-aggregate only the new day.
+    Decimal accumulation keeps the sums order-free-exact across the
+    batch split."""
+    ev = read_events(spark, sf_dir).select(
+        "event_id",
+        (F.expr("ts DIV 1000000") / F.lit(86400000)).cast("long").alias("day"),
+        "event_type",
+        "value",
+    )
+
+    def partial(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("vsum"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+
+    p1 = partial(ev.filter(F.col("event_id") % 2 == 0))
+    p2 = partial(ev.filter(F.col("event_id") % 2 == 1))
+    merged = (
+        p1.unionByName(p2)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("cnt").alias("n_events"),
+            F.sum("vsum").alias("vsum"),
+            F.min("vmin").alias("min_value"),
+            F.max("vmax").alias("max_value"),
+        )
+    )
+    total = F.round(F.col("vsum"), 2).cast("double")
+    return merged.select(
+        "event_type",
+        "day",
+        "n_events",
+        total.alias("total_value"),
+        "min_value",
+        "max_value",
+        (total / F.col("n_events")).alias("avg_value"),
+    )

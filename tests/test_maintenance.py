@@ -208,3 +208,52 @@ class TestTsrv:
         assert len(rows) >= 1
         for r in rows:
             assert r["rv_all"] >= 0 and r["rv_k_avg"] >= 0
+
+
+class TestScd2Join:
+    def test_broadcast_no_fact_shuffle(self, spark):
+        from market_microstructure_toolkit_spark.operators.rangejoin import (
+            scd2_join,
+        )
+
+        facts = spark.range(0, 1000).select(
+            (F.col("id") % 50).alias("k"), F.col("id").alias("t")
+        )
+        dim = spark.createDataFrame(
+            [(k, f"v1_{k}", 0, 500) for k in range(50)]
+            + [(k, f"v2_{k}", 500, 10**9) for k in range(50)],
+            "k long, label string, valid_from long, valid_to long",
+        )
+        j = scd2_join(facts, dim, key="k", ts_col="t")
+        plan = _plan(j)
+        assert "BroadcastHashJoin" in plan
+        assert "ShuffleExchange" not in plan.replace(
+            "BroadcastExchange", ""
+        ) and plan.count("Exchange") == plan.count("BroadcastExchange")
+
+    def test_half_open_boundary(self, spark):
+        # a fact exactly at a version split lands in the NEW version only
+        from market_microstructure_toolkit_spark.operators.rangejoin import (
+            scd2_join,
+        )
+
+        facts = spark.createDataFrame([(1, 500)], "k long, t long")
+        dim = spark.createDataFrame(
+            [(1, "old", 0, 500), (1, "new", 500, 1000)],
+            "k long, label string, valid_from long, valid_to long",
+        )
+        rows = scd2_join(facts, dim, key="k", ts_col="t").collect()
+        assert [r["label"] for r in rows] == ["new"]
+
+    def test_degenerate_version_dropped(self, spark):
+        from market_microstructure_toolkit_spark.operators.rangejoin import (
+            scd2_join,
+        )
+
+        facts = spark.createDataFrame([(1, 5)], "k long, t long")
+        dim = spark.createDataFrame(
+            [(1, "empty", 5, 5), (1, "ok", 0, 10)],
+            "k long, label string, valid_from long, valid_to long",
+        )
+        rows = scd2_join(facts, dim, key="k", ts_col="t").collect()
+        assert [r["label"] for r in rows] == ["ok"]
