@@ -5981,3 +5981,227 @@ def q_events_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_value",
         (total / F.col("n_events")).alias("avg_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): 8 subspaces x 16 centroids,
+# asymmetric-distance (ADC) scan. The memory-compression half of the ANN
+# story the IVF gates left open: each 64-dim float vector compresses to
+# 8 one-byte codes, and query scans sum 8 table lookups instead of 64
+# multiply-adds.
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_SUB, _PQ_C = 8, 8, 16
+
+_PQ_CTES = f"""emb AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id BETWEEN 1 AND {_PQ_C}),
+mm AS (SELECT UNNEST(range(1, {_PQ_M} + 1)) AS m),
+d AS (
+  SELECT e.vec_id, e.label, mm.m, c.cid,
+    list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+      i -> (e.v[(mm.m - 1) * {_PQ_SUB} + i] - c.cv[(mm.m - 1) * {_PQ_SUB} + i])
+         * (e.v[(mm.m - 1) * {_PQ_SUB} + i] - c.cv[(mm.m - 1) * {_PQ_SUB} + i])))
+      AS dist
+  FROM emb e CROSS JOIN mm CROSS JOIN cents c
+),
+codes AS (
+  SELECT vec_id, label, m, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+dq AS (
+  SELECT m, cid, floor(dist * 1048576.0 + 0.5) / 1048576.0 AS qd
+  FROM d WHERE vec_id = 0
+),
+adc AS (
+  SELECT c.vec_id, c.label, SUM(q.qd) AS adc_dist
+  FROM codes c JOIN dq q USING (m, cid)
+  WHERE c.vec_id != 0
+  GROUP BY c.vec_id, c.label
+)"""
+
+_PQ_SQL = f"""WITH {_PQ_CTES}
+SELECT vec_id, label, adc_dist FROM adc
+ORDER BY adc_dist, vec_id
+LIMIT 10
+"""
+
+
+def _pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared PQ pipeline: encode every vector to {_PQ_M} subspace codes
+    (argmin over broadcast centroids), then ADC-score against the
+    vec_id=0 query via the 8x16 broadcast distance table."""
+    m_col = F.explode(F.sequence(F.lit(1), F.lit(_PQ_M))).alias("m")
+    sub = f"slice(v, (m - 1) * {_PQ_SUB} + 1, {_PQ_SUB})"
+    csub = f"slice(cv, (m - 1) * {_PQ_SUB} + 1, {_PQ_SUB})"
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = emb.filter(F.col("vec_id").between(1, _PQ_C)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    cents_sub = cents.select(
+        "cid", F.explode(F.sequence(F.lit(1), F.lit(_PQ_M))).alias("m"), "cv"
+    ).select("cid", "m", F.expr(csub).alias("scv"))
+    subs = emb.select("vec_id", "label", m_col, "v").select(
+        "vec_id", "label", "m", F.expr(sub).alias("sv")
+    )
+    fold = F.aggregate(
+        F.zip_with("sv", "scv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d = subs.join(F.broadcast(cents_sub), "m").select(
+        "vec_id", "label", "m", "cid", fold.alias("dist")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
+    codes = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "m", "cid")
+    )
+    # quantize the query's table entries to 2^-20 multiples: the 8-term
+    # ADC sum is then EXACT in any aggregation order (returns_rv idiom),
+    # so the ranking needs no rounding at all
+    dq = d.filter(F.col("vec_id") == 0).select(
+        "m", "cid",
+        (F.floor(F.col("dist") * F.lit(1048576.0) + F.lit(0.5))
+         / F.lit(1048576.0)).alias("qd"),
+    )
+    return (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(dq), ["m", "cid"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum("qd").alias("adc_dist"))
+    )
+
+
+@register("similarity_pq_adc", _PQ_SQL)
+def q_similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compression + asymmetric-distance top-10 (Jégou, Douze &
+    Schmid 2011): vectors encode once to M={_PQ_M} one-byte codes (argmin
+    vs 16 broadcast centroids per subspace — sampled codebook, the repo's
+    IVF convention; trained k-means slots in identically), and the query
+    scans by summing 8 lookups from its broadcast 8x16 distance table.
+    At 100 TB this is the layout that keeps the index in memory: 64
+    float32 dims -> 8 bytes per vector (32x), with encode a broadcast
+    map stage and the scan a shuffle-free lookup-sum + TakeOrdered. The
+    query's table entries are quantized to 2^-20 so the 8-term ADC sum
+    is exact in any order — rankings hash-stable with no rounding."""
+    return (
+        _pq_adc(spark, sf_dir)
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
+
+
+_PQ_RECALL_SQL = f"""WITH {_PQ_CTES},
+top_adc AS (
+  SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+),
+exact AS (
+  SELECT e.vec_id,
+    list_sum(list_transform(range(1, 65),
+      i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i]))) AS dist
+  FROM emb e, (SELECT v AS qv FROM emb WHERE vec_id = 0) q
+  WHERE e.vec_id != 0
+),
+top_exact AS (SELECT vec_id FROM exact ORDER BY dist, vec_id LIMIT 10)
+SELECT COUNT(*) / 10.0 AS recall_at_10
+FROM top_adc JOIN top_exact USING (vec_id)
+"""
+
+
+@register("similarity_pq_recall", _PQ_RECALL_SQL)
+def q_similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PQ-ADC scan vs the exact L2 top-10 — the honest
+    quality number next to the 32x compression (ann_recall convention:
+    measure, don't claim). A sampled 16-centroid codebook on
+    near-uniform vectors loses real recall; the remedies are the
+    standard ones (trained codebook, more centroids, OPQ rotation,
+    ADC+rerank on the exact vectors of the top-100)."""
+    adc = _pq_adc(spark, sf_dir)
+    top_adc = adc.orderBy("adc_dist", "vec_id").limit(10).select("vec_id")
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    )
+    fold = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select("vec_id", fold.alias("dist"))
+    )
+    top_exact = exact.orderBy("dist", "vec_id").limit(10).select("vec_id")
+    return top_adc.join(top_exact, "vec_id").agg(
+        (F.count(F.lit(1)) / F.lit(10.0)).alias("recall_at_10")
+    )
+
+
+_PQ_RERANK_SQL = f"""WITH {_PQ_CTES},
+cand AS (
+  SELECT vec_id, label FROM adc ORDER BY adc_dist, vec_id LIMIT 100
+),
+rr AS (
+  SELECT c.vec_id, c.label,
+    list_sum(list_transform(range(1, 65),
+      i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i]))) AS l2_dist
+  FROM cand c
+  JOIN emb e USING (vec_id),
+       (SELECT v AS qv FROM emb WHERE vec_id = 0) q
+)
+SELECT vec_id, label, ROUND(l2_dist, 6) AS l2_dist
+FROM rr ORDER BY l2_dist, vec_id LIMIT 10
+"""
+
+
+@register("similarity_pq_rerank", _PQ_RERANK_SQL)
+def q_similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC + exact rerank — the production PQ query shape: the compressed
+    scan prunes the corpus to 100 candidates (table lookups only, no
+    float vectors touched), then ONLY those 100 fetch their exact
+    vectors for a true-L2 rerank. At 100 TB the exact side reads 100
+    rows instead of n — the scan cost stays in the compressed domain
+    while the rerank recovers what survives the prune: measured
+    recall@10 goes 0.1 (ADC-only) -> 0.3 on the sf0.1 fixture. The
+    fixture is PQ's concentration-of-measure worst case — iid
+    near-uniform vectors have no cluster structure, so ADC ordering is
+    close to noise and only 3 of the true top-10 land in the top-100
+    candidates; real embedding corpora cluster, which is exactly what
+    the codebook quantizes. Output rounds the rerank distance at 6 dp
+    (order-sensitive 64-term fold)."""
+    adc = _pq_adc(spark, sf_dir)
+    cand = adc.orderBy("adc_dist", "vec_id").limit(100).select("vec_id", "label")
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    )
+    fold = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rr = (
+        cand.join(emb, "vec_id")
+        .crossJoin(q)
+        .select("vec_id", "label", fold.alias("l2_dist"))
+    )
+    return (
+        rr.select("vec_id", "label", F.round("l2_dist", 6).alias("l2_dist"))
+        .orderBy("l2_dist", "vec_id")
+        .limit(10)
+    )
