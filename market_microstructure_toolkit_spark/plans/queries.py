@@ -6205,3 +6205,167 @@ def q_similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l2_dist", "vec_id")
         .limit(10)
     )
+
+
+@register("streaming_cdc_replay", _CDC_SQL)
+def q_streaming_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC merge computed by the STREAMING tier: the base snapshot
+    (ver 0) arrives as micro-batch one and the derived change batch
+    (ver 1: revisions, deletes, backfills — same derivation as
+    documents_cdc_apply) as micro-batch two, through the keyed
+    latest-version state operator (corpus_stream.stateful_cdc_apply).
+    Each batch emits the post-batch winner per touched key; the
+    materialized view keeps each key's final emission and drops delete
+    winners. Hash-matching the BATCH oracle proves upsert/delete state
+    carries across the micro-batch boundary — the live ingestion twin
+    of the one-shot merge."""
+    import time
+    import uuid
+
+    from market_microstructure_toolkit_spark.streaming.corpus_stream import (
+        stateful_cdc_apply,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    payload = ["doc_id", "text", "lang", "source", "n_chars"]
+    base = docs.select(
+        *payload, F.lit(0).cast("long").alias("ver"), F.lit("U").alias("op")
+    )
+    upd = docs.filter((did % 7 == 0) & (did % 13 != 0)).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + 7).alias("n_chars"),
+        F.lit(1).cast("long").alias("ver"),
+        F.lit("U").alias("op"),
+    )
+    dels = docs.filter(did % 13 == 0).select(
+        *payload, F.lit(1).cast("long").alias("ver"), F.lit("D").alias("op")
+    )
+    ins = docs.filter(did % 11 == 0).select(
+        (did + 10_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        F.lit("cdc_backfill").alias("source"),
+        "n_chars",
+        F.lit(1).cast("long").alias("ver"),
+        F.lit("U").alias("op"),
+    )
+    changes = upd.unionByName(dels).unionByName(ins)
+
+    base_dir = _scratch(prefix="mmt_stream_cdc_")
+    base.coalesce(1).write.parquet(f"{base_dir}/data/a")
+    time.sleep(0.05)  # file source orders batches by modification time
+    changes.coalesce(1).write.parquet(f"{base_dir}/data/b")
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long, ver long, op string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base_dir}/data/*/")
+    )
+    name = f"cdc_replay_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stateful_cdc_apply(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{base_dir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    emitted = spark.table(name)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("ver").desc(), F.col("op").asc()
+    )
+    return (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("op") != "D"))
+        .select(*payload)
+    )
+
+
+_CHUNK_DEDUP_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+chunks AS (
+  SELECT doc_id, u.i AS idx,
+         array_to_string(ts[(u.i * 10 + 1):(u.i * 10 + 10)], ' ') AS chunk
+  FROM tok, UNNEST(range(0, CAST(ceil(len(ts) / 10.0) AS BIGINT))) u(i)
+),
+keep AS (
+  SELECT doc_id, idx, chunk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+    FROM chunks
+  ) WHERE rn = 1
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_chunks_total FROM chunks GROUP BY doc_id)
+SELECT k.doc_id,
+       COUNT(*) AS n_chunks_kept,
+       t.n_chunks_total,
+       array_to_string(list(k.chunk ORDER BY k.idx), ' ') AS text_clean
+FROM keep k JOIN totals t USING (doc_id)
+GROUP BY k.doc_id, t.n_chunks_total
+"""
+
+
+@register("documents_chunk_dedup", _CHUNK_DEDUP_SQL)
+def q_documents_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus chunk-level dedup — the C4/RefinedWeb "remove
+    duplicated lines across the corpus" pass, on 10-token chunks (the
+    fixture has no newlines; a newline split is the same plan with a
+    different delimiter): every chunk keeps only its FIRST occurrence
+    corpus-wide (min (doc_id, idx)), and each document is reassembled
+    from its surviving chunks in order. One shuffle keyed by chunk text
+    (content-uniform keys — boilerplate chunks are exactly the hot keys
+    the first-occurrence window prunes to one row each), then one
+    doc-keyed regroup; documents whose every chunk was seen earlier
+    drop out entirely. The oracle replays the pass relationally, so the
+    hash pins the tie order AND the reassembly."""
+    docs = _docs(spark, sf_dir)
+    n10 = F.ceil(F.size(F.split(F.col("text"), " ", -1)) / F.lit(10.0))
+    chunked = docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ", -1).alias("ts"),
+        F.explode(F.sequence(F.lit(0), (n10 - 1).cast("long"))).alias("idx"),
+    ).select(
+        "doc_id",
+        "idx",
+        F.array_join(
+            F.expr("slice(ts, idx * 10 + 1, 10)"), " "
+        ).alias("chunk"),
+    )
+    wk = Window.partitionBy("chunk").orderBy("doc_id", "idx")
+    keep = (
+        chunked.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "idx", "chunk")
+    )
+    totals = chunked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks_total")
+    )
+    rebuilt = keep.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("idx", "chunk"))
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    return rebuilt.join(totals, "doc_id").select(
+        "doc_id", "n_chunks_kept", "n_chunks_total", "text_clean"
+    )

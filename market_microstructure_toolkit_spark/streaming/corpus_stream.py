@@ -82,3 +82,93 @@ def stateful_exact_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CDC_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+        StructField("ver", LongType()),
+        StructField("op", StringType()),
+    ]
+)
+
+#: latest winning (version, op, payload) per key — the materialized-view row.
+CDC_STATE_SCHEMA = StructType(
+    [
+        StructField("ver", LongType()),
+        StructField("op", StringType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def stateful_cdc_apply(stream: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Streaming CDC materialization: the live twin of
+    ``operators/cdc.apply_cdc``.
+
+    Input rows carry the payload plus ``ver`` (change ordinal; the base
+    snapshot is ver 0) and ``op`` ('U'/'D'). Per key, state holds the
+    current winner under the SAME ordering the batch operator uses —
+    highest version, delete beats upsert at equal version — and every
+    micro-batch that touches a key emits that key's post-batch winner.
+    A consumer materializes the view by keeping each key's last
+    emission and dropping 'D' winners; with batches replaying the
+    change log in ver order, that equals the batch ``apply_cdc`` result
+    — the property the ``streaming_cdc_replay`` gate hash-checks.
+
+    Scale shape: state is one payload row per live key, sharded by the
+    state store's hash partitioning; each micro-batch shuffles only its
+    own change rows.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        best = state.get if state.exists else None  # (ver, op, payload...)
+        for f in pdfs:
+            for r in f.itertuples(index=False):
+                cand = (
+                    int(r.ver),
+                    str(r.op),
+                    r.text,
+                    r.lang,
+                    r.source,
+                    int(r.n_chars),
+                )
+                if best is None:
+                    best = cand
+                    continue
+                # higher ver wins; at equal ver 'D' < 'U' lexically -> D wins
+                if (cand[0], -ord(cand[1][0])) > (best[0], -ord(best[1][0])):
+                    best = cand
+        if best is None:
+            return
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "doc_id": [key[0]],
+                "text": [best[2]],
+                "lang": [best[3]],
+                "source": [best[4]],
+                "n_chars": [best[5]],
+                "ver": [best[0]],
+                "op": [best[1]],
+            }
+        )
+
+    return stream.groupBy(id_col).applyInPandasWithState(
+        fn,
+        outputStructType=CDC_OUTPUT_SCHEMA,
+        stateStructType=CDC_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

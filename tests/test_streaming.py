@@ -263,3 +263,67 @@ def test_session_window_merges_across_micro_batches(spark, tmp_path):
     )
     # events at 0/10/20 min merge (gaps <= 30 min); 120 min starts fresh
     assert out == [(0, 3), (120 * 60000, 1)]
+
+
+def test_stateful_cdc_cross_batch_boundary(spark, tmp_path):
+    """An upsert in batch 1 overridden in batch 2, a delete of a batch-1
+    key, and a same-version U/D tie must resolve through STATE, not
+    within one batch."""
+    import time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from market_microstructure_toolkit_spark.streaming.corpus_stream import (
+        stateful_cdc_apply,
+    )
+
+    base = str(tmp_path / "cdc")
+    cols = "doc_id long, text string, lang string, source string, n_chars long, ver long, op string"
+    b1 = spark.createDataFrame(
+        [
+            (1, "one", "en", "s", 3, 0, "U"),
+            (2, "two", "en", "s", 3, 0, "U"),
+            (3, "three", "en", "s", 5, 0, "U"),
+        ],
+        cols,
+    )
+    b2 = spark.createDataFrame(
+        [
+            (1, "one-v2", "en", "s", 6, 1, "U"),   # cross-batch override
+            (2, "two", "en", "s", 3, 1, "D"),      # cross-batch delete
+            (3, "three-x", "en", "s", 7, 1, "U"),  # same-ver U/D tie ->
+            (3, "three", "en", "s", 5, 1, "D"),    #   delete must win
+            (4, "four", "en", "s", 4, 1, "U"),     # insert
+        ],
+        cols,
+    )
+    b1.coalesce(1).write.parquet(f"{base}/data/a")
+    time.sleep(0.05)
+    b2.coalesce(1).write.parquet(f"{base}/data/b")
+
+    stream = (
+        spark.readStream.schema(cols)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/data/*/")
+    )
+    q = (
+        stateful_cdc_apply(stream)
+        .writeStream.format("memory")
+        .queryName("cdc_unit")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.table("cdc_unit")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("ver").desc(), F.col("op").asc()
+    )
+    final = (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("doc_id", "text")
+    )
+    got = {r["doc_id"]: r["text"] for r in final.collect()}
+    assert got == {1: "one-v2", 4: "four"}
