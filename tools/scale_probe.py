@@ -136,6 +136,15 @@ def main() -> int:
         build(spark)
     if not Path(f"{OUT}/events.parquet").exists():
         build_events(spark)
+    # dims/facts the probe does NOT scale link through at 1x — realistic
+    # (dimensions stay small while facts grow) and keeps every gate
+    # runnable against OUT as its sf_dir
+    for t in (
+        "region nation customer supplier part orders lineitem".split()
+    ):
+        dst = Path(f"{OUT}/{t}.parquet")
+        if not dst.exists():
+            dst.symlink_to(f"{BASE}/{t}.parquet")
     report = {}
     for name in names:
         q = REGISTRY[name].spark
