@@ -6369,3 +6369,119 @@ def q_documents_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rebuilt.join(totals, "doc_id").select(
         "doc_id", "n_chunks_kept", "n_chunks_total", "text_clean"
     )
+
+
+_ANTI_JOIN_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers_no_urgent
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+@register("customers_no_urgent_orders", _ANTI_JOIN_SQL)
+def q_customers_no_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS (customers with no urgent order) as a LEFT ANTI join — the relational shape Spark turns
+    into one pass with NO second scan of the probe side: the orders key
+    set builds once (broadcast at dim scale; shuffled hash at fact
+    scale, AQE picks), and customers stream through it. The oracle's
+    correlated NOT EXISTS is semantically identical, so hash-equality
+    pins null/absence handling of the anti join."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    okeys = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        cust.join(okeys, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers_no_urgent"))
+    )
+
+
+def _zval_sql(x: str, y: str, bits: int = 8) -> str:
+    """Bit-interleave SQL: z = sum_i ((x>>i & 1) << 2i | (y>>i & 1) << 2i+1)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"((({y} >> {i}) & 1) * {1 << (2 * i + 1)})")
+    return " + ".join(terms)
+
+
+_ZORDER_N_FILES = 16
+_ZORDER_SQL = f"""
+WITH ev AS (
+  SELECT event_id,
+         user_id % 256 AS xb,
+         (epoch_ms(ts) // 60000) % 256 AS yb
+  FROM events
+),
+z AS (
+  SELECT event_id, xb, yb, {_zval_sql('xb', 'yb')} AS zval FROM ev
+),
+filed AS (
+  SELECT *,
+    CAST((ROW_NUMBER() OVER (ORDER BY zval, event_id) - 1)
+         // CAST(CEIL((SELECT COUNT(*) FROM z) / {_ZORDER_N_FILES}.0) AS BIGINT) AS BIGINT)
+      AS file_id
+  FROM z
+)
+SELECT file_id,
+  COUNT(*) AS n_rows,
+  MIN(xb) AS min_user_bucket, MAX(xb) AS max_user_bucket,
+  MIN(yb) AS min_time_bucket, MAX(yb) AS max_time_bucket
+FROM filed GROUP BY file_id
+"""
+
+
+@register("events_zorder_layout", _ZORDER_SQL)
+def q_events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data layout: events sorted by the bit
+    interleave of (user bucket, minute bucket) — both folded to 8-bit
+    ranks so the dims contribute EQUAL bit weight (unbalanced widths
+    degenerate z-order toward a single-dim sort) — and cut into
+    {_ZORDER_N_FILES} equal files; the gate emits each file's per-column
+    min/max — the footer statistics a lake scan prunes on. Interleaving
+    keeps BOTH dimensions' per-file ranges narrow simultaneously (a
+    plain sort on one column makes the other's ranges full-width), so
+    point/range filters on either column skip most files — Delta
+    OPTIMIZE ZORDER BY does exactly this rewrite. The z-value is a pure
+    projection (32 bit-terms, whole-stage codegen); the sort is the
+    rewrite cost, paid once at layout time like bucketing's shuffle.
+    The global row_number here is the single-writer file cut — at scale
+    the same cut falls out of repartitionByRange(zval) with one file
+    per partition, no global window."""
+    ev = read_events(spark, sf_dir).select(
+        "event_id",
+        (F.col("user_id") % 256).alias("xb"),
+        ((F.expr("ts DIV 1000000") / F.lit(60000)).cast("long") % 256).alias(
+            "yb"
+        ),
+    )
+    zval = None
+    for i in range(8):
+        tx = F.shiftleft(F.shiftright(F.col("xb"), i).bitwiseAND(F.lit(1)), 2 * i)
+        ty = F.shiftleft(
+            F.shiftright(F.col("yb"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        zval = tx + ty if zval is None else zval + tx + ty
+    z = ev.withColumn("zval", zval.cast("long"))
+    n = z.count()
+    per_file = -(-n // _ZORDER_N_FILES)  # ceil
+    w = Window.orderBy("zval", "event_id")
+    filed = z.withColumn(
+        "file_id", ((F.row_number().over(w) - 1) / F.lit(per_file)).cast("long")
+    )
+    return filed.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("xb").alias("min_user_bucket"),
+        F.max("xb").alias("max_user_bucket"),
+        F.min("yb").alias("min_time_bucket"),
+        F.max("yb").alias("max_time_bucket"),
+    )
