@@ -6485,3 +6485,174 @@ def q_events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("yb").alias("min_time_bucket"),
         F.max("yb").alias("max_time_bucket"),
     )
+
+
+_DOLLAR_BAR_THRESHOLD = 25_000.0
+
+_DOLLAR_BARS_SQL = f"""{_BOOK_CTE},
+trades AS ({trades_sql()}),
+q AS (
+  SELECT exchange_id, symbol, ts_ms, raw_nonce, price, qty,
+         floor(price * qty * 1024.0 + 0.5) / 1024.0 AS notional_q
+  FROM trades
+),
+cum AS (
+  SELECT *,
+    SUM(notional_q) OVER ({_W}
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - notional_q AS prefix
+  FROM q
+),
+bars AS (
+  SELECT *, CAST(floor(prefix / {_DOLLAR_BAR_THRESHOLD}) AS BIGINT) AS bar_id
+  FROM cum
+),
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY exchange_id, symbol, bar_id
+                       ORDER BY ts_ms, raw_nonce) AS rn_a,
+    ROW_NUMBER() OVER (PARTITION BY exchange_id, symbol, bar_id
+                       ORDER BY ts_ms DESC, raw_nonce DESC) AS rn_d
+  FROM bars
+)
+SELECT exchange_id, symbol, bar_id,
+       MAX(CASE WHEN rn_a = 1 THEN price END) AS open_px,
+       MAX(price) AS high_px,
+       MIN(price) AS low_px,
+       MAX(CASE WHEN rn_d = 1 THEN price END) AS close_px,
+       SUM(qty) AS volume,
+       SUM(notional_q) AS notional,
+       COUNT(*) AS n_trades
+FROM ranked
+GROUP BY exchange_id, symbol, bar_id
+"""
+
+
+@register("trade_dollar_bars", _DOLLAR_BARS_SQL)
+def q_trade_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dollar bars (Lopez de Prado 2018): resample the trade tape on a
+    NOTIONAL clock — a new bar every $25k traded (~26 bars per instrument at sf0.01) — instead of wall time,
+    so bars carry comparable information content through bursts and
+    lulls (the same argument VPIN makes for its volume clock). Per-trade
+    notional quantizes to 2^-10 multiples, making the running prefix
+    sum EXACT in any order (returns_rv idiom) — bar boundaries are then
+    engine-identical with no rounding, and bar notionals/volumes are
+    order-free exact sums. One keyed running-sum window + one grouped
+    OHLC rollup, co-partitioned on the instrument keys."""
+    trades = synthetic_trades(spark, sf_dir)
+    nq = (
+        F.floor(F.col("price") * F.col("qty") * F.lit(1024.0) + F.lit(0.5))
+        / F.lit(1024.0)
+    )
+    w = (
+        Window.partitionBy(*KEYS)
+        .orderBy(*ORDER_COLS)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    q = trades.withColumn("notional_q", nq)
+    bars = q.withColumn(
+        "bar_id",
+        F.floor(
+            (F.sum("notional_q").over(w) - F.col("notional_q"))
+            / F.lit(_DOLLAR_BAR_THRESHOLD)
+        ).cast("long"),
+    )
+    wa = Window.partitionBy(*KEYS, "bar_id").orderBy(*ORDER_COLS)
+    wd = Window.partitionBy(*KEYS, "bar_id").orderBy(
+        *[F.col(c).desc() for c in ORDER_COLS]
+    )
+    ranked = bars.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return ranked.groupBy(*KEYS, "bar_id").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("price"))).alias("open_px"),
+        F.max("price").alias("high_px"),
+        F.min("price").alias("low_px"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("price"))).alias("close_px"),
+        F.sum("qty").alias("volume"),
+        F.sum("notional_q").alias("notional"),
+        F.count(F.lit(1)).alias("n_trades"),
+    )
+
+
+_SIG_MAX_K = 10
+
+
+def _rv_signature_sql() -> str:
+    lags = ",\n    ".join(
+        f"LN(((best_bid + best_ask) / 2.0)"
+        f" / (LAG((best_bid + best_ask) / 2.0, {k}) OVER ({_W}))) AS r{k}"
+        for k in range(1, _SIG_MAX_K + 1)
+    )
+    sums = ",\n    ".join(
+        f"SUM(r{k} * r{k}) AS s{k}, COUNT(r{k}) AS n{k}"
+        for k in range(1, _SIG_MAX_K + 1)
+    )
+    arms = "\nUNION ALL\n".join(
+        f"SELECT exchange_id, symbol, {k} AS lag_k,"
+        f" ROUND(s{k} / {k}.0, 6) AS rv_subsampled, n{k} AS n_returns FROM agg"
+        for k in range(1, _SIG_MAX_K + 1)
+    )
+    return f"""{_BOOK_CTE},
+rets AS (
+  SELECT exchange_id, symbol,
+    {lags}
+  FROM book
+),
+agg AS (
+  SELECT exchange_id, symbol,
+    {sums}
+  FROM rets GROUP BY exchange_id, symbol
+)
+{arms}"""
+
+
+@register("book_rv_signature", _rv_signature_sql())
+def q_book_rv_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volatility signature plot (Andersen, Bollerslev, Diebold & Labys
+    2000): subsample-averaged realized variance SUM(r_k^2)/k at sampling
+    intervals k = 1..10 ticks, per instrument. On a noise-free price the
+    curve is flat; microstructure noise bends it upward as k -> 1 (RV
+    picks up 2n x noise variance), so where the curve flattens is the
+    sampling frequency at which RV becomes trustworthy — the diagnostic
+    that motivates TSRV's two-scale correction. All 10 lagged returns
+    ride ONE keyed window pass (no per-k rescan), one groupBy computes
+    the 10 sums, and the k-arms unpivot in-plan from the single agg row
+    per instrument. Order-sensitive sums round at 6 dp."""
+    book = synthetic_book(spark, sf_dir)
+    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
+    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
+    rets = book.select(
+        *KEYS,
+        *[
+            F.log(mid / F.lag(mid, k).over(w)).alias(f"r{k}")
+            for k in range(1, _SIG_MAX_K + 1)
+        ],
+    )
+    agg = rets.groupBy(*KEYS).agg(
+        *[
+            a
+            for k in range(1, _SIG_MAX_K + 1)
+            for a in (
+                F.sum(F.col(f"r{k}") * F.col(f"r{k}")).alias(f"s{k}"),
+                F.count(f"r{k}").alias(f"n{k}"),
+            )
+        ]
+    )
+    armed = agg.select(
+        *KEYS,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag_k"),
+                        F.round(F.col(f"s{k}") / F.lit(float(k)), 6).alias(
+                            "rv_subsampled"
+                        ),
+                        F.col(f"n{k}").alias("n_returns"),
+                    )
+                    for k in range(1, _SIG_MAX_K + 1)
+                ]
+            )
+        ).alias("a"),
+    )
+    return armed.select(*KEYS, "a.lag_k", "a.rv_subsampled", "a.n_returns")
