@@ -6454,9 +6454,12 @@ def q_events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     OPTIMIZE ZORDER BY does exactly this rewrite. The z-value is a pure
     projection (32 bit-terms, whole-stage codegen); the sort is the
     rewrite cost, paid once at layout time like bucketing's shuffle.
-    The global row_number here is the single-writer file cut — at scale
-    the same cut falls out of repartitionByRange(zval) with one file
-    per partition, no global window."""
+    The exact file cut uses NO global window: the 16-bit z-domain means
+    per-z-value counts are a bounded (<= 65536-row) metadata pull, the
+    driver prefix-sums them into broadcast offsets, and each row's
+    global rank is offset(zval) + its rank WITHIN its z-value (a keyed
+    window) — the same bounded-metadata planning pass Delta's OPTIMIZE
+    runs, exact where repartitionByRange's sampled cuts are not."""
     ev = read_events(spark, sf_dir).select(
         "event_id",
         (F.col("user_id") % 256).alias("xb"),
@@ -6472,11 +6475,27 @@ def q_events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         zval = tx + ty if zval is None else zval + tx + ty
     z = ev.withColumn("zval", zval.cast("long"))
-    n = z.count()
+    # bounded metadata pull: at most 2^16 distinct z-values regardless
+    # of data size
+    bins = sorted(
+        (r["zval"], r["cnt"])
+        for r in z.groupBy("zval").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    n = sum(c for _, c in bins)
     per_file = -(-n // _ZORDER_N_FILES)  # ceil
-    w = Window.orderBy("zval", "event_id")
-    filed = z.withColumn(
-        "file_id", ((F.row_number().over(w) - 1) / F.lit(per_file)).cast("long")
+    offsets, acc = [], 0
+    for zv, c in bins:
+        offsets.append((zv, acc))
+        acc += c
+    off = F.broadcast(
+        spark.createDataFrame(offsets, "zval long, __off long")
+    )
+    wz = Window.partitionBy("zval").orderBy("event_id")
+    filed = z.join(off, "zval").withColumn(
+        "file_id",
+        (
+            (F.col("__off") + F.row_number().over(wz) - 1) / F.lit(per_file)
+        ).cast("long"),
     )
     return filed.groupBy("file_id").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -6656,3 +6675,76 @@ def q_book_rv_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("a"),
     )
     return armed.select(*KEYS, "a.lag_k", "a.rv_subsampled", "a.n_returns")
+
+
+_CS_SQL = f"""WITH ohlc AS ({_OHLC_SQL}),
+paired AS (
+  SELECT exchange_id, symbol,
+    LN(high_mid / low_mid) * LN(high_mid / low_mid)
+      + LN(LAG(high_mid) OVER (PARTITION BY exchange_id, symbol ORDER BY bucket_ms)
+            / LAG(low_mid) OVER (PARTITION BY exchange_id, symbol ORDER BY bucket_ms))
+        * LN(LAG(high_mid) OVER (PARTITION BY exchange_id, symbol ORDER BY bucket_ms)
+            / LAG(low_mid) OVER (PARTITION BY exchange_id, symbol ORDER BY bucket_ms))
+      AS beta,
+    LN(GREATEST(high_mid, LAG(high_mid) OVER (PARTITION BY exchange_id, symbol ORDER BY bucket_ms))
+       / LEAST(low_mid, LAG(low_mid) OVER (PARTITION BY exchange_id, symbol ORDER BY bucket_ms)))
+      * LN(GREATEST(high_mid, LAG(high_mid) OVER (PARTITION BY exchange_id, symbol ORDER BY bucket_ms))
+       / LEAST(low_mid, LAG(low_mid) OVER (PARTITION BY exchange_id, symbol ORDER BY bucket_ms)))
+      AS gamma
+  FROM ohlc
+),
+alphas AS (
+  SELECT exchange_id, symbol,
+    (SQRT(2.0 * beta) - SQRT(beta)) / (3.0 - 2.0 * SQRT(2.0))
+      - SQRT(gamma / (3.0 - 2.0 * SQRT(2.0))) AS alpha
+  FROM paired WHERE beta IS NOT NULL
+)
+SELECT exchange_id, symbol,
+  ROUND(AVG(GREATEST(2.0 * (EXP(alpha) - 1.0) / (1.0 + EXP(alpha)), 0.0)), 6)
+    AS cs_spread_est,
+  COUNT(*) AS n_pairs
+FROM alphas GROUP BY exchange_id, symbol
+"""
+
+
+@register("book_corwin_schultz", _CS_SQL)
+def q_book_corwin_schultz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corwin-Schultz (2012) high-low spread estimator per instrument —
+    the OHLC-only companion to Roll (book_roll_amihud): consecutive
+    1-second buckets give beta (sum of squared single-bucket log
+    ranges) and gamma (squared two-bucket log range); the closed-form
+    alpha maps to a per-pair spread 2(e^a - 1)/(1 + e^a), negatives
+    floored to zero before averaging (the paper's convention). Input is
+    the same OHLC rollup the range-vol estimators use (order-free
+    aggregates), one more keyed LAG window, one groupBy on the same
+    keys. The only order-sensitive reduction is the final AVG — rounded
+    at 6 dp."""
+    book = synthetic_book(spark, sf_dir)
+    mids = book.select(
+        *IDS,
+        ((F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)).alias("mid"),
+        (F.expr("ts_ms DIV 1000") * F.lit(1000)).alias("bucket_ms"),
+    )
+    ohlc = mids.groupBy(*KEYS, "bucket_ms").agg(
+        F.max("mid").alias("h"), F.min("mid").alias("l")
+    )
+    w = Window.partitionBy(*KEYS).orderBy("bucket_ms")
+    hp, lp = F.lag("h").over(w), F.lag("l").over(w)
+    lr = F.log(F.col("h") / F.col("l"))
+    lrp = F.log(hp / lp)
+    beta = lr * lr + lrp * lrp
+    g = F.log(F.greatest(F.col("h"), hp) / F.least(F.col("l"), lp))
+    gamma = g * g
+    k = F.lit(3.0) - F.lit(2.0) * F.sqrt(F.lit(2.0))
+    paired = ohlc.select(
+        *KEYS, beta.alias("beta"), gamma.alias("gamma")
+    ).filter(F.col("beta").isNotNull())
+    alpha = (
+        (F.sqrt(F.lit(2.0) * F.col("beta")) - F.sqrt(F.col("beta"))) / k
+        - F.sqrt(F.col("gamma") / k)
+    )
+    s = F.lit(2.0) * (F.exp(alpha) - F.lit(1.0)) / (F.lit(1.0) + F.exp(alpha))
+    return paired.groupBy(*KEYS).agg(
+        F.round(F.avg(F.greatest(s, F.lit(0.0))), 6).alias("cs_spread_est"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
