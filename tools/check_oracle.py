@@ -183,7 +183,9 @@ def main() -> int:
         if os.path.exists(artifact):
             with open(artifact) as f:
                 doc = json.load(f)
-        doc.setdefault("sfs", {})[sf_key] = records
+        # merge per-query (a restricted run must not drop the full
+        # sweep's records for the untouched queries)
+        doc.setdefault("sfs", {}).setdefault(sf_key, {}).update(records)
         doc["session"] = "vanilla" if vanilla else "repo"
         doc["generated_utc"] = dt.datetime.now(dt.timezone.utc).isoformat(
             timespec="seconds"
