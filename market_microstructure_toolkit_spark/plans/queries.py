@@ -6748,3 +6748,116 @@ def q_book_corwin_schultz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.greatest(s, F.lit(0.0))), 6).alias("cs_spread_est"),
         F.count(F.lit(1)).alias("n_pairs"),
     )
+
+
+_MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n,
+       n / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+FROM trans
+"""
+
+
+@register("events_markov_transitions", _MARKOV_SQL)
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral fingerprint funnels and retention don't
+    capture (what follows what, not just whether a stage was reached).
+    One user-keyed LAG window, one grouped count, and the row
+    normalization is a window over the |types|^2-row aggregate — the
+    cheap side of the shuffle. Probabilities are integer-ratio exact
+    (n / total), so no rounding is needed."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("prev_type"), F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n") / F.sum("n").over(wr).cast("double")).alias("p"),
+    )
+
+
+_EMB_LABEL_SQL = """
+WITH emb AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+dims AS (
+  SELECT vec_id, label, u.i AS dim, v[u.i] AS x
+  FROM emb, UNNEST(range(1, 65)) u(i)
+),
+cent AS (
+  SELECT label, dim, AVG(x) AS c FROM dims GROUP BY label, dim
+),
+scored AS (
+  SELECT d.vec_id, d.label,
+         SUM(d.x * c.c) AS dot,
+         SQRT(SUM(d.x * d.x)) AS nv,
+         SQRT(SUM(c.c * c.c)) AS nc
+  FROM dims d JOIN cent c USING (label, dim)
+  GROUP BY d.vec_id, d.label
+)
+SELECT label,
+       COUNT(*) AS n_vectors,
+       ROUND(AVG(dot / (nv * nc)), 6) AS mean_cos_to_centroid,
+       ROUND(MIN(dot / (nv * nc)), 6) AS min_cos_to_centroid
+FROM scored GROUP BY label
+"""
+
+
+@register("embedding_label_centroids", _EMB_LABEL_SQL)
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding cohesion report — the sanity check a
+    labeled-embedding corpus needs before the labels are trusted for
+    training splits or stratified sampling: each label's centroid
+    (element-wise mean over an exploded (label, dim) aggregate — no
+    driver-side vectors) and each member's cosine to it, reduced to
+    mean/min per label. Dim-exploded rows are 64x the vector count but
+    map-side partial-aggregated on (label, dim) before the shuffle;
+    the per-vector rescore is one co-keyed join. AVG ordering is the
+    only cross-engine freedom — both cosine reductions round at 6 dp.
+    On the iid fixture cohesion is near zero by construction; the gate
+    pins the MACHINERY (a real corpus shows real separation)."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("v").alias("dim0", "x"),
+    ).select("vec_id", "label", (F.col("dim0") + 1).alias("dim"), "x")
+    cent = dims.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    scored = (
+        dims.join(cent, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("x") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nv"),
+            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"),
+        )
+    )
+    cos = F.col("dot") / (F.col("nv") * F.col("nc"))
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(cos), 6).alias("mean_cos_to_centroid"),
+        F.round(F.min(cos), 6).alias("min_cos_to_centroid"),
+    )
