@@ -6861,3 +6861,39 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(cos), 6).alias("mean_cos_to_centroid"),
         F.round(F.min(cos), 6).alias("min_cos_to_centroid"),
     )
+
+
+_CUBE_SQL = """
+WITH ev AS (
+  SELECT event_type, epoch_ms(ts) // 86400000 AS day, value FROM events
+)
+SELECT event_type, day,
+  GROUPING(event_type) * 2 + GROUPING(day) AS grouping_id,
+  COUNT(*) AS n_events,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM ev
+GROUP BY CUBE (event_type, day)
+"""
+
+
+@register("events_cube_report", _CUBE_SQL)
+def q_events_cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (event_type, day) — all four grouping sets
+    (detail, per-type, per-day, grand total) in ONE aggregation pass
+    with map-side partials, the complement to revenue_rollup's
+    hierarchy. grouping_id disambiguates a NULL key from a rolled-up
+    level (the classic CUBE correctness trap); decimal accumulation
+    keeps every level's sum order-free exact, so the subtotal rows
+    hash-check against their own detail rows' arithmetic."""
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        (F.expr("ts DIV 1000000") / F.lit(86400000)).cast("long").alias("day"),
+        "value",
+    )
+    return ev.cube("event_type", "day").agg(
+        (F.grouping("event_type") * 2 + F.grouping("day")).alias("grouping_id"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    ).select("event_type", "day", "grouping_id", "n_events", "total_value")
