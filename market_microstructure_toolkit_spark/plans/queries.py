@@ -1069,7 +1069,8 @@ def q_book_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _walk_exprs(
-    qty_sql: str, depth: int, prefix: str = "", blank: str = "skip"
+    qty_sql: str, depth: int, prefix: str = "", blank: str = "skip",
+    side: str = "ask",
 ) -> dict[str, str]:
     """Closed-form greedy ladder fill as SQL expression strings (X2).
 
@@ -1085,8 +1086,8 @@ def _walk_exprs(
     """
     p = prefix
     lvl_valid = [
-        f"({p}ask{i}_price IS NOT NULL AND {p}ask{i}_size IS NOT NULL"
-        f" AND {p}ask{i}_size > 0)"
+        f"({p}{side}{i}_price IS NOT NULL AND {p}{side}{i}_size IS NOT NULL"
+        f" AND {p}{side}{i}_size > 0)"
         for i in range(1, depth + 1)
     ]
     if blank == "stop":
@@ -1097,7 +1098,7 @@ def _walk_exprs(
     else:
         valid = lvl_valid
     avail = [
-        f"CASE WHEN {valid[i - 1]} THEN {p}ask{i}_size ELSE 0.0 END"
+        f"CASE WHEN {valid[i - 1]} THEN {p}{side}{i}_size ELSE 0.0 END"
         for i in range(1, depth + 1)
     ]
     cum = ["0.0"]
@@ -1109,7 +1110,7 @@ def _walk_exprs(
     ]
     filled = " + ".join(take)
     cost = " + ".join(
-        f"CASE WHEN {valid[i - 1]} THEN ({take[i - 1]}) * {p}ask{i}_price ELSE 0.0 END"
+        f"CASE WHEN {valid[i - 1]} THEN ({take[i - 1]}) * {p}{side}{i}_price ELSE 0.0 END"
         for i in range(1, depth + 1)
     )
     touched = " + ".join(
@@ -6897,3 +6898,106 @@ def q_events_cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     ).select("event_type", "day", "grouping_id", "n_events", "total_value")
+
+
+_VAMP_Q = 10.0
+
+
+def _vamp_sql() -> str:
+    wa = _walk_exprs(repr(_VAMP_Q), BOOK_DEPTH, side="ask")
+    wb = _walk_exprs(repr(_VAMP_Q), BOOK_DEPTH, side="bid")
+    return f"""{_BOOK_CTE}
+SELECT exchange_id, symbol, ts_ms, raw_nonce,
+  CASE WHEN ({wa['filled']}) = {_VAMP_Q!r} AND ({wb['filled']}) = {_VAMP_Q!r}
+       THEN (({wa['cost']}) / {_VAMP_Q!r} + ({wb['cost']}) / {_VAMP_Q!r}) / 2.0
+  END AS vamp,
+  CASE WHEN ({wa['filled']}) = {_VAMP_Q!r} AND ({wb['filled']}) = {_VAMP_Q!r}
+       THEN (({wa['cost']}) / {_VAMP_Q!r}) - (({wb['cost']}) / {_VAMP_Q!r})
+  END AS exec_spread_q,
+  (best_bid + best_ask) / 2.0 AS mid
+FROM book"""
+
+
+@register("book_vamp", _vamp_sql())
+def q_book_vamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-adjusted mid price at size Q=10 per snapshot — the fair
+    transfer price for an actual clip, not the L1 midpoint: walk the ask
+    ladder for a Q-size buy and the bid ladder for a Q-size sell (the
+    same X2 greedy fold, once per side), average the two execution
+    VWAPs. ``exec_spread_q`` (buy VWAP - sell VWAP) is the
+    effective round-trip cost at size — the spread a taker of Q
+    actually pays, vs the L1 quoted spread. NULL when either side's
+    visible depth can't absorb Q (fills are exact-quarter sums, so the
+    full-fill equality is exact). Map-only: two in-row array folds, no
+    shuffle, whole-stage codegen."""
+    from market_microstructure_toolkit_spark.functions.arrays import (
+        ladder_from_wide,
+        valid_levels,
+        walk_book,
+    )
+
+    book = synthetic_book(spark, sf_dir)
+    q = F.lit(_VAMP_Q)
+    wa = walk_book(valid_levels(ladder_from_wide("ask", BOOK_DEPTH)), q)
+    wb = walk_book(valid_levels(ladder_from_wide("bid", BOOK_DEPTH)), q)
+    out = book.withColumn("__a", wa).withColumn("__b", wb)
+    full = (F.col("__a.filled") == q) & (F.col("__b.filled") == q)
+    buy_vwap = F.col("__a.cost") / q
+    sell_vwap = F.col("__b.cost") / q
+    return out.select(
+        *IDS,
+        F.when(full, (buy_vwap + sell_vwap) / F.lit(2.0)).alias("vamp"),
+        F.when(full, buy_vwap - sell_vwap).alias("exec_spread_q"),
+        ((F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)).alias("mid"),
+    )
+
+
+_BPE_SQL = """
+WITH words AS (
+  SELECT w, COUNT(*) AS freq
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) >= 2
+  GROUP BY w
+),
+pairs AS (
+  SELECT substr(w, u.i, 2) AS pair, freq
+  FROM words, UNNEST(range(1, len(w))) u(i)
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 20
+"""
+
+
+@register("bpe_pair_counts", _BPE_SQL)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE-training inner loop, distributed: corpus word
+    frequencies (one hash aggregate — the vocabulary is tiny next to
+    the corpus), then every adjacent character pair of every DISTINCT
+    word weighted by its corpus frequency, reduced to the top-20 merge
+    candidates. This is exactly the statistic each merge round of
+    byte-pair-encoding tokenizer training recomputes; at 100 TB the
+    crucial shape is counting pairs over the DEDUPLICATED vocabulary
+    (|vocab| words) instead of the raw token stream (|corpus| tokens) —
+    the aggregate does the compression before the expensive explode.
+    Integer counts, TakeOrdered top-k: no float or window concerns."""
+    docs = _docs(spark, sf_dir)
+    words = (
+        docs.select(F.explode(F.split(F.col("text"), " ", -1)).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
