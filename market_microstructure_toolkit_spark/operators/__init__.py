@@ -15,3 +15,11 @@ from market_microstructure_toolkit_spark.operators.window_metrics import (  # no
     book_window,
     tail_n,
 )
+from market_microstructure_toolkit_spark.operators.cdc import (  # noqa: F401
+    apply_cdc,
+)
+from market_microstructure_toolkit_spark.operators.rangejoin import (  # noqa: F401
+    interval_join,
+    interval_overlap_join,
+    scd2_join,
+)
