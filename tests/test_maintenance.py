@@ -305,3 +305,77 @@ class TestZorderLayout:
         # time dim stays bounded (measured ~75) instead of exploding
         assert z_user_span < 0.7 * t_user_span
         assert z_time_span < 128
+
+
+class TestNewGateProperties:
+    def test_vamp_null_when_depth_insufficient(self, spark):
+        """A book whose visible ask depth can't absorb Q must yield NULL
+        vamp, not a partial-fill price."""
+        from market_microstructure_toolkit_spark.functions.arrays import (
+            ladder_from_wide,
+            valid_levels,
+            walk_book,
+        )
+
+        df = spark.createDataFrame(
+            [
+                # 3 units available per side < Q=10
+                (100.0, 101.0, 3.0, 3.0, 99.0, 102.0),
+            ],
+            "best_bid double, best_ask double, bid1_size double, "
+            "ask1_size double, bid1_price double, ask1_price double",
+        ).withColumn("bid1_price", F.col("best_bid")).withColumn(
+            "ask1_price", F.col("best_ask")
+        )
+        q = F.lit(10.0)
+        wa = walk_book(valid_levels(ladder_from_wide("ask", 1)), q)
+        out = df.withColumn("__a", wa).select(
+            F.when(F.col("__a.filled") == q, F.col("__a.cost") / q).alias(
+                "vwap_or_null"
+            ),
+            F.col("__a.filled").alias("filled"),
+        ).collect()[0]
+        assert out["vwap_or_null"] is None
+        assert out["filled"] == 3.0
+
+    def test_markov_rows_normalize(self, spark):
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        out = REGISTRY["events_markov_transitions"].spark(spark, SF)
+        sums = (
+            out.groupBy("prev_type").agg(F.sum("p").alias("s")).collect()
+        )
+        for r in sums:
+            assert abs(r["s"] - 1.0) < 1e-12, r
+
+    def test_cube_grouping_levels(self, spark):
+        """grand total == sum of per-type subtotals == sum of detail."""
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        rows = REGISTRY["events_cube_report"].spark(spark, SF).collect()
+        detail = [r for r in rows if r["grouping_id"] == 0]
+        by_type = [r for r in rows if r["grouping_id"] == 1]
+        by_day = [r for r in rows if r["grouping_id"] == 2]
+        grand = [r for r in rows if r["grouping_id"] == 3]
+        assert len(grand) == 1
+        n = grand[0]["n_events"]
+        assert sum(r["n_events"] for r in detail) == n
+        assert sum(r["n_events"] for r in by_type) == n
+        assert sum(r["n_events"] for r in by_day) == n
+
+    def test_dollar_bars_conserve_tape(self, spark):
+        """Bars partition the tape: volumes and trade counts sum to the
+        tape totals, and each bar's notional is bounded by threshold +
+        one max trade (the clock can only overshoot by the final print)."""
+        from market_microstructure_toolkit_spark.plans.book import (
+            synthetic_trades,
+        )
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        bars = REGISTRY["trade_dollar_bars"].spark(spark, SF).collect()
+        tape = synthetic_trades(spark, SF)
+        tot = tape.agg(
+            F.sum("qty").alias("v"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        assert abs(sum(r["volume"] for r in bars) - tot["v"]) < 1e-9
+        assert sum(r["n_trades"] for r in bars) == tot["n"]
