@@ -7132,3 +7132,119 @@ def q_book_imbalance_cond_returns(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count(F.lit(1)).alias("n_obs"),
         )
     )
+
+
+def _late_data_sql() -> str:
+    """Replicates Spark's MEASURED append-mode watermark semantics
+    relationally (probed on this engine version, see gate docstring):
+    the late-input filter of micro-batch N uses the watermark as of
+    batch N-1 — max(event time through batch N-2) - delay — while
+    eviction/emission in batch N uses max(through N-1) - delay; both
+    compare window_end <= watermark. With batches A, B, C: C's late
+    re-deliveries are dropped iff window_end <= max(A) - delay (the
+    watermark standing when C's filter was planned), and the final
+    flush emits windows with window_end <= max(all) - delay. Batch
+    split and late set are deterministic (position quarters,
+    raw_nonce % 17)."""
+    return f"""{_BOOK_CTE},
+s0 AS (
+  SELECT ts_ms, raw_nonce,
+         row_number() OVER (ORDER BY ts_ms, raw_nonce) - 1 AS pos,
+         COUNT(*) OVER () AS n
+  FROM book WHERE symbol = 'S0'
+),
+a AS (SELECT * FROM s0 WHERE pos < n // 2),
+b AS (SELECT * FROM s0 WHERE pos >= n // 2 AND pos < 3 * n // 4),
+d AS (SELECT * FROM s0 WHERE pos >= 3 * n // 4),
+late AS (SELECT * FROM a WHERE raw_nonce % 17 = 0),
+wm_c AS (SELECT MAX(ts_ms) - 2000 AS w FROM a),
+wmf AS (SELECT MAX(ts_ms) - 2000 AS w FROM s0),
+accepted AS (
+  SELECT ts_ms FROM a
+  UNION ALL SELECT ts_ms FROM b
+  UNION ALL SELECT ts_ms FROM d
+  UNION ALL
+  SELECT l.ts_ms FROM late l, wm_c
+  WHERE (l.ts_ms // 1000 * 1000 + 1000) > wm_c.w
+)
+SELECT ts_ms // 1000 * 1000 AS window_start_ms,
+       COUNT(*) AS n_rows
+FROM accepted, wmf
+WHERE (ts_ms // 1000 * 1000 + 1000) <= wmf.w
+GROUP BY ts_ms // 1000 * 1000
+"""
+
+
+@register("streaming_late_data_replay", _late_data_sql())
+def q_streaming_late_data_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode event-time windows WITH WATERMARK — the late-data
+    semantic the complete-mode windowed gate can't pin. Three
+    micro-batches: A (first half of the S0 tape), B (third quarter —
+    its only job is advancing the watermark a full batch), C (final
+    quarter PLUS a deterministic re-delivery of A rows, raw_nonce %
+    17). Probed on this engine version: the late-input filter of batch
+    N is planned with the watermark as of batch N-1 (so a 2-batch
+    design never drops anything — the re-delivery must arrive two
+    batches after its data), eviction uses batch N's watermark, and
+    both compare window_end <= watermark. C's re-deliveries into
+    windows finalized under max(A) - 2 s must be DROPPED
+    (numRowsDroppedByWatermark in the progress log), any landing in a
+    still-open window COUNTED ONCE, and only windows closed under the
+    final watermark emitted. The oracle replicates all three measured
+    rules relationally — the contract a billing or surveillance
+    pipeline on this engine depends on."""
+    import time
+    import uuid
+
+    book = synthetic_book(spark, sf_dir).filter(F.col("symbol") == "S0")
+    w = Window.orderBy("ts_ms", "raw_nonce")
+    numbered = book.select(
+        "ts_ms", "raw_nonce", (F.row_number().over(w) - 1).alias("pos")
+    )
+    n = numbered.count()
+    a = numbered.filter(F.col("pos") < n // 2).select("ts_ms", "raw_nonce")
+    b = numbered.filter(
+        (F.col("pos") >= n // 2) & (F.col("pos") < 3 * n // 4)
+    ).select("ts_ms", "raw_nonce")
+    d = numbered.filter(F.col("pos") >= 3 * n // 4).select(
+        "ts_ms", "raw_nonce"
+    )
+    late = a.filter(F.col("raw_nonce") % 17 == 0)
+    base = _scratch(prefix="mmt_stream_late_")
+    a.coalesce(1).write.parquet(f"{base}/data/a")
+    time.sleep(0.05)
+    b.coalesce(1).write.parquet(f"{base}/data/b")
+    time.sleep(0.05)
+    d.unionByName(late).coalesce(1).write.parquet(f"{base}/data/c")
+
+    stream = (
+        spark.readStream.schema("ts_ms long, raw_nonce long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{base}/data/*/")
+    )
+    agg = (
+        stream.select(F.timestamp_millis(F.col("ts_ms")).alias("et"))
+        .withWatermark("et", "2 seconds")
+        .groupBy(F.window("et", "1 second").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "n_rows",
+        )
+    )
+    name = f"late_replay_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
