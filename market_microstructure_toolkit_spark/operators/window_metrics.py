@@ -6,10 +6,14 @@ ONE shuffle (hash-partition by instrument, in-partition sort) shared by all
 of them — Catalyst reuses the exchange for every window in the same select.
 
 Scale note (SURVEY §4.1): a single instrument's multi-year history in one
-partition is the known risk at 100 TB; the mitigation (date-bucketed
-segmented prefix-sums for the unbounded cumsums) is documented but not
-needed at bench scale. All lag/rolling ops here use bounded frames, which
-Spark evaluates in a streaming fashion within the sorted partition.
+partition is the known risk at 100 TB — a keyed running window is
+sequential per key. The unbounded cumsums now have the mitigation
+implemented: ``add_cumulative_segmented`` (two-phase parallel scan —
+per-range-segment local prefix sums, then broadcast segment offsets from
+a config-sized aggregate), hash-pinned equal to the one-window form by
+the ``book_cumsum_segmented`` gate. All lag/rolling ops here use bounded
+frames, which Spark evaluates in a streaming fashion within the sorted
+partition.
 """
 
 from __future__ import annotations
@@ -380,3 +384,92 @@ def with_narrow_window(df, id_cols, input_cols, builder):
     new_cols = [c for c in out.columns if c not in narrow.columns]
     series = out.select(*id_cols, *new_cols)
     return df.join(F.broadcast(series), list(id_cols))
+
+
+def add_cumulative_segmented(
+    df: DataFrame,
+    col: str,
+    out_col: str | None = None,
+    keys: tuple[str, ...] = S.PARTITION_KEYS,
+    order_col: str | list = "ts_ms",
+    n_segments: int = 64,
+) -> DataFrame:
+    """Running total via segmented prefix-sum — the scale path for the
+    case ``add_cumulative`` serializes on: ONE instrument with a very
+    long history puts that key's whole series in one task (a keyed
+    running window is sequential per key; the 100x dollar-bars probe
+    measured exactly this — 2.5M rows per instrument on one core each).
+
+    Classic two-phase parallel scan, expressed relationally: the order
+    domain splits into ``n_segments`` range segments per key (by
+    order-column value — no global rank needed, segmentation must not
+    itself require the scan it enables); phase 1 computes each
+    segment's LOCAL running sum with a (keys, segment)-partitioned
+    window — ``n_segments``-way parallel per key; phase 2 computes each
+    segment's offset as the exclusive running sum of per-segment totals
+    over a (keys)-keyed window on the TINY per-segment aggregate
+    (``n_segments`` rows per key — config-sized, never data-sized);
+    final value = local cumsum + segment offset. Identical to the
+    one-window form whenever the summand is order-free exact (exact
+    binary sizes, decimal money, quantized notionals — the repo's
+    cumulative inputs); pinned hash-exact against the plain
+    ``SUM() OVER`` oracle by ``book_cumsum_segmented``.
+
+    Ties across a segment boundary: segmentation is by half-open value
+    ranges of ``order_col``, so equal order values land in the same
+    segment and the within-segment window must break ties exactly as
+    the reference single-window form does (pass the same tie-break
+    ordering via ``order_col`` conventions upstream).
+    """
+    order = [order_col] if isinstance(order_col, str) else list(order_col)
+    seg_col = order[0]  # range-segment by the primary order value; ties
+    # (equal values, broken by the remaining order cols) land in ONE
+    # segment, so the within-segment sort reproduces the single-window
+    # tie order exactly
+    bounds = df.groupBy(*keys).agg(
+        F.min(seg_col).alias("__lo"), F.max(seg_col).alias("__hi")
+    )
+    span = (
+        (F.col("__hi") - F.col("__lo")) / F.lit(n_segments) + F.lit(1)
+    ).cast("long")
+    seg = F.least(
+        F.floor((F.col(seg_col) - F.col("__lo")) / span).cast("long"),
+        F.lit(n_segments - 1).cast("long"),
+    )
+    keyed = df.join(F.broadcast(bounds), list(keys)).withColumn("__seg", seg)
+    w_local = (
+        Window.partitionBy(*keys, "__seg")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = keyed.withColumn(
+        "__local_cum", F.sum(F.col(col)).over(w_local)
+    )
+    totals = keyed.groupBy(*keys, "__seg").agg(
+        F.sum(F.col(col)).alias("__seg_total"),
+        F.count(F.col(col)).alias("__seg_cnt"),
+    )
+    w_off = (
+        Window.partitionBy(*keys)
+        .orderBy("__seg")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *keys,
+        "__seg",
+        F.coalesce(F.sum("__seg_total").over(w_off), F.lit(0.0)).alias("__off"),
+        F.coalesce(F.sum("__seg_cnt").over(w_off), F.lit(0)).alias("__pcnt"),
+    )
+    # SUM() OVER semantics through nulls: the running total is NULL only
+    # while NO non-null value has been seen yet — once any prior segment
+    # (or the in-segment prefix) holds a value, a null row still carries
+    # the running total forward
+    cum = F.when(
+        F.col("__local_cum").isNull() & (F.col("__pcnt") == 0), F.lit(None)
+    ).otherwise(F.coalesce(F.col("__local_cum"), F.lit(0.0)) + F.col("__off"))
+    out = (
+        local.join(F.broadcast(offsets), [*keys, "__seg"])
+        .withColumn(out_col or f"{col}_cum", cum)
+        .drop("__lo", "__hi", "__seg", "__local_cum", "__off", "__pcnt")
+    )
+    return out

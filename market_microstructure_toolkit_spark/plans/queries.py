@@ -7248,3 +7248,61 @@ def q_streaming_late_data_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
+
+
+_CUMSUM_SEG_SQL = f"""{_BOOK_CTE},
+ofi AS (
+  SELECT exchange_id, symbol, ts_ms, raw_nonce,
+    CASE WHEN bid1_price IS NULL OR ask1_price IS NULL
+           OR bid1_size IS NULL OR ask1_size IS NULL
+           OR LAG(bid1_price) OVER ({_W}) IS NULL
+           OR LAG(ask1_price) OVER ({_W}) IS NULL
+           OR LAG(bid1_size) OVER ({_W}) IS NULL
+           OR LAG(ask1_size) OVER ({_W}) IS NULL
+    THEN NULL
+    ELSE
+      (CASE WHEN bid1_price > LAG(bid1_price) OVER ({_W})
+              THEN bid1_size - LAG(bid1_size) OVER ({_W})
+            WHEN bid1_price < LAG(bid1_price) OVER ({_W})
+              THEN -LAG(bid1_size) OVER ({_W})
+            ELSE 0.0 END)
+      + (CASE WHEN ask1_price < LAG(ask1_price) OVER ({_W})
+              THEN ask1_size - LAG(ask1_size) OVER ({_W})
+            WHEN ask1_price > LAG(ask1_price) OVER ({_W})
+              THEN -LAG(ask1_size) OVER ({_W})
+            ELSE 0.0 END)
+    END AS ofi_l1
+  FROM book
+)
+SELECT exchange_id, symbol, ts_ms, raw_nonce, ofi_l1,
+       SUM(ofi_l1) OVER ({_W}
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ofi_l1_cum
+FROM ofi
+"""
+
+
+@register("book_cumsum_segmented", _CUMSUM_SEG_SQL)
+def q_book_cumsum_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7's running total through the SEGMENTED prefix-sum path
+    (window_metrics.add_cumulative_segmented) — the two-phase parallel
+    scan that breaks the one-core-per-key serialization of long
+    single-instrument histories (the bottleneck the 100x dollar-bars
+    probe measured): 64 range segments per key compute local prefix
+    sums in parallel, segment offsets come from a config-sized
+    aggregate, final = local + offset. The oracle is the PLAIN
+    ``SUM() OVER`` — hash-equality proves the decomposition is exact
+    (OFI summands are exact binary fractions, so regrouping cannot
+    perturb the total)."""
+    from market_microstructure_toolkit_spark.operators.window_metrics import (
+        add_cumulative_segmented,
+        add_ofi_l1,
+    )
+
+    book = synthetic_book(spark, sf_dir)
+    ofi = add_ofi_l1(book, mode="strict", order_col=ORDER_COLS).select(
+        *IDS, "ofi_l1"
+    )
+    out = add_cumulative_segmented(
+        ofi, "ofi_l1", out_col="ofi_l1_cum", keys=KEYS, order_col=list(ORDER_COLS)
+    )
+    return out.select(*IDS, "ofi_l1", "ofi_l1_cum")
