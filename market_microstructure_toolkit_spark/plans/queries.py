@@ -7168,16 +7168,19 @@ def _late_data_sql() -> str:
     split and late set are deterministic (position quarters,
     raw_nonce % 17)."""
     return f"""{_BOOK_CTE},
-s0 AS (
-  SELECT ts_ms, raw_nonce,
-         row_number() OVER (ORDER BY ts_ms, raw_nonce) - 1 AS pos,
-         COUNT(*) OVER () AS n
-  FROM book WHERE symbol = 'S0'
+s0 AS (SELECT ts_ms, raw_nonce FROM book WHERE symbol = 'S0'),
+cuts AS (
+  SELECT (MIN(ts_ms) + MAX(ts_ms)) // 2 AS t1,
+         ((MIN(ts_ms) + MAX(ts_ms)) // 2 + MAX(ts_ms)) // 2 AS t2
+  FROM s0
 ),
-a AS (SELECT * FROM s0 WHERE pos < n // 2),
-b AS (SELECT * FROM s0 WHERE pos >= n // 2 AND pos < 3 * n // 4),
-d AS (SELECT * FROM s0 WHERE pos >= 3 * n // 4),
-late AS (SELECT * FROM a WHERE raw_nonce % 17 = 0),
+a AS (SELECT s0.* FROM s0, cuts WHERE ts_ms <= t1),
+b AS (SELECT s0.* FROM s0, cuts WHERE ts_ms > t1 AND ts_ms <= t2),
+d AS (SELECT s0.* FROM s0, cuts WHERE ts_ms > t2),
+late AS (
+  SELECT a.* FROM a, (SELECT MAX(ts_ms) AS ma FROM a) m
+  WHERE raw_nonce % 17 = 0 OR ts_ms > m.ma - 3000
+),
 wm_c AS (SELECT MAX(ts_ms) - 2000 AS w FROM a),
 wmf AS (SELECT MAX(ts_ms) - 2000 AS w FROM s0),
 accepted AS (
@@ -7200,10 +7203,13 @@ GROUP BY ts_ms // 1000 * 1000
 def q_streaming_late_data_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-mode event-time windows WITH WATERMARK — the late-data
     semantic the complete-mode windowed gate can't pin. Three
-    micro-batches: A (first half of the S0 tape), B (third quarter —
-    its only job is advancing the watermark a full batch), C (final
-    quarter PLUS a deterministic re-delivery of A rows, raw_nonce %
-    17). Probed on this engine version: the late-input filter of batch
+    micro-batches split at event-time value cuts (midpoint and third
+    quartile of the S0 tape's ts range — value-based like the
+    sessionize replay, no global rank window): A, then B (its only job
+    is advancing the watermark a full batch), then C PLUS a
+    deterministic re-delivery of A rows (raw_nonce % 17 across all of
+    A, plus rows within 3 s of A's final tick so the accept branch
+    always has witnesses too). Probed on this engine version: the late-input filter of batch
     N is planned with the watermark as of batch N-1 (so a 2-batch
     design never drops anything — the re-delivery must arrive two
     batches after its data), eviction uses batch N's watermark, and
@@ -7218,19 +7224,23 @@ def q_streaming_late_data_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     book = synthetic_book(spark, sf_dir).filter(F.col("symbol") == "S0")
-    w = Window.orderBy("ts_ms", "raw_nonce")
-    numbered = book.select(
-        "ts_ms", "raw_nonce", (F.row_number().over(w) - 1).alias("pos")
+    s0 = book.select("ts_ms", "raw_nonce")
+    rng = s0.agg(F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")).collect()[0]
+    t1 = (rng["lo"] + rng["hi"]) // 2
+    t2 = (t1 + rng["hi"]) // 2
+    a = s0.filter(F.col("ts_ms") <= t1)
+    b = s0.filter((F.col("ts_ms") > t1) & (F.col("ts_ms") <= t2))
+    d = s0.filter(F.col("ts_ms") > t2)
+    # nonce-sampled rows spread over A (deep-late -> dropped) PLUS rows
+    # within 3 s of A's LAST tick (that tick's window end = max(A)
+    # rounded up exceeds the wm max(A) - 2 s, so it is still open ->
+    # the re-delivery must be COUNTED) — both branches of the drop rule
+    # get witnesses at every scale factor, even on this ~17-min-spaced
+    # tape where a band near the t1 cut holds no rows at all
+    max_a = a.agg(F.max("ts_ms").alias("m")).collect()[0]["m"]
+    late = a.filter(
+        (F.col("raw_nonce") % 17 == 0) | (F.col("ts_ms") > max_a - 3000)
     )
-    n = numbered.count()
-    a = numbered.filter(F.col("pos") < n // 2).select("ts_ms", "raw_nonce")
-    b = numbered.filter(
-        (F.col("pos") >= n // 2) & (F.col("pos") < 3 * n // 4)
-    ).select("ts_ms", "raw_nonce")
-    d = numbered.filter(F.col("pos") >= 3 * n // 4).select(
-        "ts_ms", "raw_nonce"
-    )
-    late = a.filter(F.col("raw_nonce") % 17 == 0)
     base = _scratch(prefix="mmt_stream_late_")
     a.coalesce(1).write.parquet(f"{base}/data/a")
     time.sleep(0.05)
