@@ -59,10 +59,16 @@ def apply_cdc(
         F.lit(0).alias("__ver"),
         F.lit("U").alias("__op"),
     )
+    # normalize ops: anything that isn't a delete IS an upsert ('I'nsert,
+    # 'U'pdate, 'M'erge — producers differ); without this, an op code
+    # sorting before 'D' would silently win the equal-version tie that
+    # deletes must win
     tagged_chg = changes.select(
         *data_cols,
         ver.alias("__ver"),
-        F.col(op_col).alias("__op"),
+        F.when(F.col(op_col) == "D", F.lit("D")).otherwise(F.lit("U")).alias(
+            "__op"
+        ),
     )
     unioned = tagged_base.unionByName(tagged_chg)
     # deletes sort before upserts at equal version -> delete wins the tie,

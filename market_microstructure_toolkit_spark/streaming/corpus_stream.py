@@ -136,9 +136,12 @@ def stateful_cdc_apply(stream: DataFrame, id_col: str = "doc_id") -> DataFrame:
         best = state.get if state.exists else None  # (ver, op, payload...)
         for f in pdfs:
             for r in f.itertuples(index=False):
+                # normalize: any non-delete op is an upsert (batch
+                # apply_cdc does the same), so the D-wins-tie rule holds
+                # for producers coding inserts 'I' or merges 'M'
                 cand = (
                     int(r.ver),
-                    str(r.op),
+                    "D" if str(r.op) == "D" else "U",
                     r.text,
                     r.lang,
                     r.source,

@@ -379,3 +379,16 @@ class TestNewGateProperties:
         ).collect()[0]
         assert abs(sum(r["volume"] for r in bars) - tot["v"]) < 1e-9
         assert sum(r["n_trades"] for r in bars) == tot["n"]
+
+
+def test_cdc_nonstandard_op_codes_normalize(spark):
+    """A producer coding inserts as 'I' (which sorts BEFORE 'D') must not
+    steal the equal-version tie that deletes win."""
+    from pyspark.sql import Row
+
+    base = spark.createDataFrame([Row(k=1, v="a")])
+    chg = spark.createDataFrame(
+        [Row(k=1, v="a2", op="I"), Row(k=1, v=None, op="D")]
+    )
+    out = apply_cdc(base, chg, "k")
+    assert out.count() == 0  # delete wins over the 'I' at equal version
