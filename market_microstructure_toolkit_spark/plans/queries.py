@@ -7337,3 +7337,98 @@ def q_book_cumsum_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
         ofi, "ofi_l1", out_col="ofi_l1_cum", keys=KEYS, order_col=list(ORDER_COLS)
     )
     return out.select(*IDS, "ofi_l1", "ofi_l1_cum")
+
+
+_LEN_QUANTILES_SRC_SQL = """
+WITH l AS (SELECT source, length(text) AS len FROM documents),
+o AS (SELECT source, len,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY len) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS c
+      FROM l)
+SELECT source,
+  MAX(CASE WHEN rn = CAST(ceil(0.50 * c) AS BIGINT) THEN len END) AS p50,
+  MAX(CASE WHEN rn = CAST(ceil(0.90 * c) AS BIGINT) THEN len END) AS p90,
+  MAX(CASE WHEN rn = CAST(ceil(0.99 * c) AS BIGINT) THEN len END) AS p99,
+  MAX(CASE WHEN rn = c THEN len END) AS p100,
+  MAX(c) AS n_docs
+FROM o GROUP BY source
+"""
+
+
+@register("doc_length_quantiles_by_source", _LEN_QUANTILES_SRC_SQL)
+def q_doc_length_quantiles_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact per-GROUP order statistics — doc_length_quantiles' sorted-
+    domain fold generalized under a key, proving the no-global-sort
+    shape survives grouping: pass 1 is a (source, len) histogram (one
+    shuffle, map-side combined); pass 2 collapses each source's
+    distinct-length domain into one sorted array row and walks it with
+    the same rank-latching fold, now per group. The per-group state is
+    bounded by the length domain (not the row count), so a source with
+    a billion docs folds the same few-thousand-entry array as one with
+    a million. The oracle uses the relational rank form per source;
+    integer answers, engine-exact."""
+    docs = _docs(spark, sf_dir)
+    hist = (
+        docs.select("source", F.length("text").alias("len"))
+        .groupBy("source", "len")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    one = hist.groupBy("source").agg(
+        F.sort_array(F.collect_list(F.struct("len", "cnt"))).alias("h"),
+        F.sum("cnt").alias("c"),
+    )
+    folded = one.select(
+        "source",
+        F.col("c"),
+        F.explode(
+            F.array(
+                F.aggregate(
+                    "h",
+                    F.struct(
+                        F.lit(0).cast("long").alias("cum"),
+                        F.lit(None).cast("long").alias("p50"),
+                        F.lit(None).cast("long").alias("p90"),
+                        F.lit(None).cast("long").alias("p99"),
+                    ),
+                    lambda acc, x: F.struct(
+                        (acc["cum"] + x["cnt"]).alias("cum"),
+                        F.coalesce(
+                            acc["p50"],
+                            F.when(
+                                acc["cum"] + x["cnt"]
+                                >= F.ceil(F.lit(0.50) * F.col("c")).cast("long"),
+                                x["len"].cast("long"),
+                            ),
+                        ).alias("p50"),
+                        F.coalesce(
+                            acc["p90"],
+                            F.when(
+                                acc["cum"] + x["cnt"]
+                                >= F.ceil(F.lit(0.90) * F.col("c")).cast("long"),
+                                x["len"].cast("long"),
+                            ),
+                        ).alias("p90"),
+                        F.coalesce(
+                            acc["p99"],
+                            F.when(
+                                acc["cum"] + x["cnt"]
+                                >= F.ceil(F.lit(0.99) * F.col("c")).cast("long"),
+                                x["len"].cast("long"),
+                            ),
+                        ).alias("p99"),
+                    ),
+                )
+            )
+        ).alias("q"),
+        F.element_at("h", -1)["len"].cast("long").alias("p100"),
+    )
+    return folded.select(
+        "source",
+        F.col("q")["p50"].alias("p50"),
+        F.col("q")["p90"].alias("p90"),
+        F.col("q")["p99"].alias("p99"),
+        "p100",
+        F.col("c").alias("n_docs"),
+    )
