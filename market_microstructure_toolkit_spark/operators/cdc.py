@@ -45,7 +45,9 @@ def apply_cdc(
     Without ``version_col`` every change outranks the base row (single
     change batch). With it, the per-key winner is the row with the
     highest (version, is_change) ordering; a delete that wins removes
-    the key.
+    the key. Contract: (key, version) identifies ONE change — two
+    same-version upserts with different payloads have no defined winner
+    (in this or any engine; the window tie is plan-order).
     """
     kcols = [keys] if isinstance(keys, str) else list(keys)
     data_cols = [c for c in base.columns]

@@ -392,3 +392,67 @@ def test_cdc_nonstandard_op_codes_normalize(spark):
     )
     out = apply_cdc(base, chg, "k")
     assert out.count() == 0  # delete wins over the 'I' at equal version
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ops = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),           # key
+        st.integers(min_value=1, max_value=4),           # version
+        st.sampled_from(["U", "D"]),                     # op
+        st.integers(min_value=0, max_value=99),          # payload
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(changes=_ops)
+def test_apply_cdc_matches_dict_model(spark, changes):
+    """apply_cdc == a sequential dict replay of the change log in
+    (version, D-before-U) order — the declarative one-shot merge must
+    equal the imperative per-row application for ANY change batch,
+    including multi-change keys, version ties, and delete-only keys."""
+    from pyspark.sql import Row
+
+    # dedupe (key, version, op) triples: two same-version upserts with
+    # different payloads are out of contract (a change log's (key,
+    # version) identifies one change) and the winner would be plan-
+    # nondeterministic in ANY engine
+    seen = set()
+    changes = [
+        c for c in changes
+        if (c[0], c[1], c[2]) not in seen and not seen.add((c[0], c[1], c[2]))
+    ]
+    base_rows = [(k, -1) for k in range(3)]  # keys 0..2 exist, 3..5 don't
+    model = {k: v for k, v in base_rows}
+    # winner per key: max version, delete beats upsert on ties
+    best: dict[int, tuple] = {}
+    for k, ver, op, payload in changes:
+        cand = (ver, 1 if op == "D" else 0, op, payload)  # D outranks U at a tie
+        if k not in best or cand[:2] > best[k][:2]:
+            best[k] = cand
+    for k, (_ver, _pri, op, payload) in best.items():
+        if op == "D":
+            model.pop(k, None)
+        else:
+            model[k] = payload
+
+    base = spark.createDataFrame(base_rows, "k long, v long")
+    if changes:
+        chg = spark.createDataFrame(
+            [(k, v, o, p) for k, v, o, p in changes],
+            "k long, ver long, op string, v long",
+        ).select("k", "v", "op", "ver")
+        got_df = apply_cdc(base, chg, "k", version_col="ver")
+    else:
+        got_df = base
+    got = {r["k"]: r["v"] for r in got_df.collect()}
+    assert got == model, (changes, got, model)
