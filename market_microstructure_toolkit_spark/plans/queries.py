@@ -6031,17 +6031,14 @@ LIMIT 10
 """
 
 
-def _pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared PQ pipeline: encode every vector to {_PQ_M} subspace codes
-    (argmin over broadcast centroids), then ADC-score against the
-    vec_id=0 query via the 8x16 broadcast distance table."""
+def _pq_adc_from(emb: DataFrame) -> DataFrame:
+    """Shared PQ pipeline over any (vec_id, label, v: array<double>)
+    frame: encode every vector to {_PQ_M} subspace codes (argmin over
+    broadcast centroids), then ADC-score against the vec_id=0 query via
+    the 8x16 broadcast distance table."""
     m_col = F.explode(F.sequence(F.lit(1), F.lit(_PQ_M))).alias("m")
     sub = f"slice(v, (m - 1) * {_PQ_SUB} + 1, {_PQ_SUB})"
     csub = f"slice(cv, (m - 1) * {_PQ_SUB} + 1, {_PQ_SUB})"
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
     cents = emb.filter(F.col("vec_id").between(1, _PQ_C)).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
@@ -6079,6 +6076,14 @@ def _pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "label")
         .agg(F.sum("qd").alias("adc_dist"))
     )
+
+
+def _pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    return _pq_adc_from(emb)
 
 
 @register("similarity_pq_adc", _PQ_SQL)

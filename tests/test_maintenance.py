@@ -456,3 +456,49 @@ def test_apply_cdc_matches_dict_model(spark, changes):
         got_df = base
     got = {r["k"]: r["v"] for r in got_df.collect()}
     assert got == model, (changes, got, model)
+
+
+def test_pq_recall_high_on_clustered_vectors(spark):
+    """The fixture's 0.1 ADC recall is the DATA (iid vectors,
+    concentration of measure), not the machinery: on embeddings with
+    real cluster structure the same pipeline must rank the query's own
+    cluster first. 16 tight clusters, centers far apart; the query
+    (vec_id 0) and vectors 1..16 (the sampled codebook) are placed so
+    each cluster contributes a codebook entry, then ADC top-10 must be
+    dominated by the query's cluster."""
+    import random
+
+    rng = random.Random(11)
+    dim, n_clusters, per = 64, 16, 15
+    centers = [
+        [rng.uniform(-10, 10) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+
+    def member(c):
+        return [x + rng.gauss(0, 0.05) for x in centers[c]]
+
+    rows = []
+    # vec_id 1..16: one per cluster (the sampled codebook sees every mode)
+    for c in range(n_clusters):
+        rows.append((c + 1, member(c), c))
+    # query: cluster 0
+    rows.append((0, member(0), 0))
+    nid = n_clusters + 1
+    for c in range(n_clusters):
+        for _ in range(per):
+            rows.append((nid, member(c), c))
+            nid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, v array<double>, label int"
+    ).select("vec_id", "label", "v")
+
+    from market_microstructure_toolkit_spark.plans.queries import _pq_adc_from
+
+    top = (
+        _pq_adc_from(emb)
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+        .collect()
+    )
+    same_cluster = sum(1 for r in top if r["label"] == 0)
+    assert same_cluster >= 9, [(r["vec_id"], r["label"]) for r in top]
