@@ -33,15 +33,26 @@ def main() -> None:
     # warm the JVM + parquet footers once
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # SPARK_GRAFT_BENCH_WARM=1: run each query twice, report the second
+    # (steady-state) time. Default stays cold/one-shot — the driver's
+    # protocol — but at this scale one-shot numbers are dominated by
+    # per-plan analysis + codegen compilation (measured 2-5x inflation;
+    # e.g. corpus_curation 10.7s cold vs 4.3s warm), so cross-round
+    # per-query comparisons should use the warm mode.
+    warm = os.environ.get("SPARK_GRAFT_BENCH_WARM", "") == "1"
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     t0 = time.perf_counter()
     for name, qd in REGISTRY.items():
         print(f"[bench] {name}", file=sys.stderr, flush=True)
-        t = time.perf_counter()
         try:
-            qd.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t, 3)
+            runs = 2 if warm else 1
+            for _ in range(runs):
+                t = time.perf_counter()
+                qd.spark(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                timings[name] = round(time.perf_counter() - t, 3)
         except Exception as e:  # noqa: BLE001 — one bad query must not
             # zero out the whole benchmark artifact (round-2 lesson: an
             # environment change crashed query 1 and lost all 56 numbers)

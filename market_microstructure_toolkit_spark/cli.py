@@ -240,6 +240,62 @@ def cmd_plot_adv(args) -> None:
         print(f"wrote {p}")
 
 
+def cmd_compact(args) -> None:
+    """Small-files compaction (partitioning.compact_files): rewrite a
+    directory with file count sized from actual input bytes."""
+    from market_microstructure_toolkit_spark.partitioning import compact_files
+
+    spark = get_spark("mmt-compact")
+    n = compact_files(
+        spark, args.src, args.dst, target_bytes=args.target_bytes, fmt=args.format
+    )
+    print(f"wrote {args.dst} ({n} files, target {args.target_bytes} bytes)")
+
+
+def cmd_dedup_exact(args) -> None:
+    """Exact-dedup application: keep each content group's canonical
+    (min id) row — one shuffle on the content hash."""
+    from pyspark.sql import functions as F
+
+    spark = get_spark("mmt-dedup-exact")
+    df = spark.read.parquet(args.input)
+    hashed = df.withColumn("__h", F.md5(F.col(args.text_col)))
+    canon = (
+        hashed.groupBy("__h")
+        .agg(F.min(args.id_col).alias("__keep"))
+        .withColumnRenamed("__h", "__hk")
+    )
+    kept = (
+        hashed.join(
+            canon,
+            (hashed["__h"] == canon["__hk"])
+            & (hashed[args.id_col] == canon["__keep"]),
+        )
+        .drop("__h", "__hk", "__keep")
+    )
+    kept.write.mode("overwrite").parquet(args.out)
+    print(f"wrote {args.out}")
+
+
+def cmd_cdc_apply(args) -> None:
+    """Merge a change batch into a base snapshot (operators/cdc.apply_cdc:
+    latest version wins, delete beats upsert at equal version)."""
+    from market_microstructure_toolkit_spark.operators.cdc import apply_cdc
+
+    spark = get_spark("mmt-cdc-apply")
+    base = spark.read.parquet(args.base)
+    changes = spark.read.parquet(args.changes)
+    out = apply_cdc(
+        base,
+        changes,
+        keys=args.key,
+        op_col=args.op_col,
+        version_col=args.version_col,
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"wrote {args.out}")
+
+
 def cmd_record_replay(args) -> None:
     """mmt-record / mmt-ws-record batch analog: replay a directory of
     snapshot files through the checkpointed streaming recorder
@@ -346,6 +402,29 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--max-points", type=int, default=20_000)
     pa.add_argument("--outdir")
     pa.set_defaults(fn=cmd_plot_adv)
+
+    c = sub.add_parser("compact", help="small-files compaction (rewrite at target file size)")
+    c.add_argument("src")
+    c.add_argument("dst")
+    c.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
+    c.add_argument("--format", default="parquet")
+    c.set_defaults(fn=cmd_compact)
+
+    de = sub.add_parser("dedup-exact", help="drop exact-duplicate rows, keep min-id canonical")
+    de.add_argument("input")
+    de.add_argument("--out", required=True)
+    de.add_argument("--text-col", default="text")
+    de.add_argument("--id-col", default="doc_id")
+    de.set_defaults(fn=cmd_dedup_exact)
+
+    ca = sub.add_parser("cdc-apply", help="merge a change batch into a base snapshot")
+    ca.add_argument("base")
+    ca.add_argument("changes")
+    ca.add_argument("--out", required=True)
+    ca.add_argument("--key", default="doc_id")
+    ca.add_argument("--op-col", default="op")
+    ca.add_argument("--version-col", default=None)
+    ca.set_defaults(fn=cmd_cdc_apply)
 
     r = sub.add_parser("record-replay", help="streaming recorder replay")
     r.add_argument("input")

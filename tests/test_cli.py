@@ -160,3 +160,47 @@ def test_plot_adv_cmd_writes_figures(spark, book_files, tmp_path):
     names = {p.stem for p in outdir.iterdir()}
     assert {"spread_hist", "micro_premium", "ofi_vs_returns", "rv_event",
             "depth_curve", "depth_slope"} == names
+
+
+def test_compact_cmd(spark, tmp_path):
+    from market_microstructure_toolkit_spark import cli
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").repartition(
+        8
+    ).write.parquet(src)
+    cli.main(["compact", src, dst, "--target-bytes", str(1 << 30)])
+    assert len(spark.read.parquet(dst).inputFiles()) == 1
+    assert spark.read.parquet(dst).count() == spark.read.parquet(src).count()
+
+
+def test_dedup_exact_cmd(spark, tmp_path):
+    from market_microstructure_toolkit_spark import cli
+
+    src, out = str(tmp_path / "docs"), str(tmp_path / "dedup")
+    spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "uniq")], "doc_id long, text string"
+    ).write.parquet(src)
+    cli.main(["dedup-exact", src, "--out", out])
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 3]
+
+
+def test_cdc_apply_cmd(spark, tmp_path):
+    from market_microstructure_toolkit_spark import cli
+
+    base, chg, out = (
+        str(tmp_path / "base"),
+        str(tmp_path / "chg"),
+        str(tmp_path / "merged"),
+    )
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    ).write.parquet(base)
+    spark.createDataFrame(
+        [(2, "b2", "U"), (1, None, "D"), (3, "c", "U")],
+        "doc_id long, text string, op string",
+    ).write.parquet(chg)
+    cli.main(["cdc-apply", base, chg, "--out", out, "--key", "doc_id"])
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert got == {2: "b2", 3: "c"}
