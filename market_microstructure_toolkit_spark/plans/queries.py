@@ -7437,3 +7437,84 @@ def q_doc_length_quantiles_by_source(
         "p100",
         F.col("c").alias("n_docs"),
     )
+
+
+_VOLUME_BAR_THRESHOLD = 500.0
+
+_VOLUME_BARS_SQL = f"""{_BOOK_CTE},
+trades AS ({trades_sql()}),
+cum AS (
+  SELECT exchange_id, symbol, ts_ms, raw_nonce, price, qty,
+    SUM(qty) OVER ({_W}
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - qty AS prefix
+  FROM trades
+),
+bars AS (
+  SELECT *, CAST(floor(prefix / {_VOLUME_BAR_THRESHOLD}) AS BIGINT) AS bar_id
+  FROM cum
+),
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY exchange_id, symbol, bar_id
+                       ORDER BY ts_ms, raw_nonce) AS rn_a,
+    ROW_NUMBER() OVER (PARTITION BY exchange_id, symbol, bar_id
+                       ORDER BY ts_ms DESC, raw_nonce DESC) AS rn_d
+  FROM bars
+)
+SELECT exchange_id, symbol, bar_id,
+       MAX(CASE WHEN rn_a = 1 THEN price END) AS open_px,
+       MAX(price) AS high_px,
+       MIN(price) AS low_px,
+       MAX(CASE WHEN rn_d = 1 THEN price END) AS close_px,
+       SUM(qty) AS volume,
+       COUNT(*) AS n_trades,
+       MIN(ts_ms) AS start_ms,
+       MAX(ts_ms) AS end_ms
+FROM ranked
+GROUP BY exchange_id, symbol, bar_id
+"""
+
+
+@register("trade_volume_bars", _VOLUME_BARS_SQL)
+def q_trade_volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume bars — the second of de Prado's event-based bar clocks
+    beside trade_dollar_bars (and the same clock VPIN buckets on): a
+    new bar every 500 units traded. The tape's quantities are exact
+    binary fractions, so the running prefix sum needs NO quantization —
+    bar boundaries and per-bar volumes are engine-exact as-is. The
+    start/end timestamps expose the information-clock property: bar
+    duration compresses in active periods and stretches in quiet ones.
+    Same co-partitioned one-window + grouped-OHLC shape as the dollar
+    bars; the per-key sequential prefix sum has the segmented-scan
+    remedy (add_cumulative_segmented) if one instrument's tape becomes
+    the task bottleneck."""
+    trades = synthetic_trades(spark, sf_dir)
+    w = (
+        Window.partitionBy(*KEYS)
+        .orderBy(*ORDER_COLS)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bars = trades.withColumn(
+        "bar_id",
+        F.floor(
+            (F.sum("qty").over(w) - F.col("qty"))
+            / F.lit(_VOLUME_BAR_THRESHOLD)
+        ).cast("long"),
+    )
+    wa = Window.partitionBy(*KEYS, "bar_id").orderBy(*ORDER_COLS)
+    wd = Window.partitionBy(*KEYS, "bar_id").orderBy(
+        *[F.col(c).desc() for c in ORDER_COLS]
+    )
+    ranked = bars.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return ranked.groupBy(*KEYS, "bar_id").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("price"))).alias("open_px"),
+        F.max("price").alias("high_px"),
+        F.min("price").alias("low_px"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("price"))).alias("close_px"),
+        F.sum("qty").alias("volume"),
+        F.count(F.lit(1)).alias("n_trades"),
+        F.min("ts_ms").alias("start_ms"),
+        F.max("ts_ms").alias("end_ms"),
+    )
