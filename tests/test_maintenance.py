@@ -502,3 +502,88 @@ def test_pq_recall_high_on_clustered_vectors(spark):
     )
     same_cluster = sum(1 for r in top if r["label"] == 0)
     assert same_cluster >= 9, [(r["vec_id"], r["label"]) for r in top]
+
+
+_docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c"]),  # tiny alphabet -> chunk collisions
+        min_size=1,
+        max_size=25,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(token_docs=_docs_strategy)
+def test_chunk_dedup_matches_python_model(spark, token_docs):
+    """documents_chunk_dedup's Spark plan == a direct Python replay of
+    the C4-style rule (first corpus-wide occurrence of each 10-token
+    chunk wins, ordered by (doc_id, idx); docs rebuilt from survivors)
+    for arbitrary corpora with heavy chunk collisions."""
+    texts = [" ".join(toks) for toks in token_docs]
+    # python model
+    first: dict[str, tuple] = {}
+    chunks_of: dict[int, list] = {}
+    for did, toks in enumerate(token_docs):
+        cs = [
+            " ".join(toks[i * 10 : i * 10 + 10])
+            for i in range(-(-len(toks) // 10))
+        ]
+        chunks_of[did] = cs
+        for idx, c in enumerate(cs):
+            if c not in first:
+                first[c] = (did, idx)
+    model = {}
+    for did, cs in chunks_of.items():
+        kept = [c for idx, c in enumerate(cs) if first[c] == (did, idx)]
+        if kept:
+            model[did] = (" ".join(kept), len(kept), len(cs))
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    # mirror the gate's plan on the synthetic frame
+    n10 = F.ceil(F.size(F.split(F.col("text"), " ", -1)) / F.lit(10.0))
+    chunked = docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ", -1).alias("ts"),
+        F.explode(F.sequence(F.lit(0), (n10 - 1).cast("long"))).alias("idx"),
+    ).select(
+        "doc_id",
+        "idx",
+        F.array_join(F.expr("slice(ts, idx * 10 + 1, 10)"), " ").alias(
+            "chunk"
+        ),
+    )
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy("chunk").orderBy("doc_id", "idx")
+    keep = (
+        chunked.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "idx", "chunk")
+    )
+    totals = chunked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("tot")
+    )
+    rebuilt = keep.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    got = {
+        r["doc_id"]: (r["text_clean"], r["kept"], r["tot"])
+        for r in rebuilt.join(totals, "doc_id").collect()
+    }
+    assert got == model, (texts, got, model)
