@@ -40,10 +40,17 @@ def main() -> None:
     # e.g. corpus_curation 10.7s cold vs 4.3s warm), so cross-round
     # per-query comparisons should use the warm mode.
     warm = os.environ.get("SPARK_GRAFT_BENCH_WARM", "") == "1"
+    # SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run (smoke/debug only —
+    # the driver's per-round artifact always runs the full registry).
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
+    }
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     t0 = time.perf_counter()
     for name, qd in REGISTRY.items():
+        if only and name not in only:
+            continue
         print(f"[bench] {name}", file=sys.stderr, flush=True)
         try:
             runs = 2 if warm else 1
@@ -61,15 +68,43 @@ def main() -> None:
     total = round(time.perf_counter() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full per-query timings go to a checked-in detail file: at 134
+    # queries the complete dict overflows the driver's fixed-size tail
+    # capture (BENCH_r03/r04 "parsed": null — the tail started mid-JSON),
+    # so the stdout line must stay small enough to always fit a tail.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+    )
+    detail = {
+        "metric": "total_bench_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "warm": warm,
+        "queries": timings,
+    }
+    if errors:
+        detail["errors"] = errors
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
     out = {
         "metric": "total_bench_wall_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries": slowest,  # 10 slowest only — full dict in detail file
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "detail": os.path.basename(detail_path),
+        "sf": sf_val,
     }
-    if errors:
-        out["errors"] = errors
     # the timings line must be the ONLY stdout line and must not be torn
     # by late stderr flushes: drain stderr first, then emit compact JSON
     sys.stderr.flush()

@@ -130,6 +130,7 @@ def sorted_interval_overlap_pairs(
     left_end: str,
     right_start: str,
     right_end: str,
+    check_contract: bool = True,
 ) -> DataFrame:
     """Overlap join for SORTED interval streams — work proportional to
     the TRUE pair count, with no bin-width parameter at all.
@@ -158,7 +159,46 @@ def sorted_interval_overlap_pairs(
     fixed or quantile-tuned bin, and runs here).
 
     Non-key column names must be disjoint across the two sides.
+
+    ``check_contract`` (default on) guards the one contract violation
+    that would produce SILENTLY WRONG answers rather than an error:
+    duplicate ``left_start`` values within a key make the
+    (keys, left_start) join-back below fan out each duplicated left row
+    into every duplicate's pair range. The guard replaces the join key
+    with a ``raise_error`` branch when ``lag(left_start)`` repeats, so a
+    violating frame fails at execution time instead. Cost: one extra
+    keyed window over the left side (same partitioning as the bounds
+    join it protects); pass ``check_contract=False`` only when the
+    caller has already proven strict monotonicity upstream.
     """
+    if check_contract:
+        wl = Window.partitionBy(*keys).orderBy(left_start)
+        ls_type = left.schema[left_start].dataType.simpleString()
+        left = (
+            left.withColumn("__prev_ls", F.lag(left_start).over(wl))
+            .withColumn(
+                left_start,
+                F.when(
+                    F.col("__prev_ls") == F.col(left_start),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "sorted_interval_overlap_pairs: duplicate "
+                                f"{left_start} within a key group (value "
+                            ),
+                            F.col(left_start).cast("string"),
+                            F.lit(
+                                ") violates the strictly-increasing-starts"
+                                " contract; the (keys, left_start)"
+                                " join-back would silently fan out"
+                            ),
+                        )
+                    ).cast(ls_type),
+                ).otherwise(F.col(left_start)),
+            )
+            .drop("__prev_ls")
+        )
+
     wr = Window.partitionBy(*keys).orderBy(right_start)
     r_idx = right.withColumn("__ridx", F.row_number().over(wr))
 

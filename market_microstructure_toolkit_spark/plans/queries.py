@@ -4726,48 +4726,124 @@ def q_customer_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Approximate-sketch tier (rows-only gates): at 100 TB, exact DISTINCT and
-# exact percentiles are shuffle-the-world operations; the production path
-# is a mergeable sketch (HyperLogLog++ / Greenwald-Khanna) whose partial
-# states combine map-side. Sketch internals differ across engines, so no
-# DuckDB hash oracle exists — these register sql=None (the driver's
-# weaker rows-only check) and their accuracy contracts are pinned by
-# tolerance tests against the exact answers (tests/test_sketches.py).
+# Approximate-sketch tier: at 100 TB, exact DISTINCT and exact
+# percentiles are shuffle-the-world operations; the production path is a
+# mergeable sketch (HyperLogLog++ / Greenwald-Khanna) whose partial
+# states combine map-side. Sketch VALUES differ across engines, so the
+# raw estimate can't be hash-gated — instead each gate emits the exact
+# answer (engine-comparable) plus a DETERMINISTIC BOOLEAN "the sketch's
+# error is within its published contract", which the oracle asserts as
+# TRUE. A sketch regression flips the boolean and breaks the hash, so
+# these are full value-bearing gates (round-4 verdict ask #4); the
+# per-quantile rank-error mechanics are additionally pinned by
+# tests/test_sketches.py.
 # --------------------------------------------------------------------------
 
 
-@register("events_approx_distinct", None)
+_APPROX_DISTINCT_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       COUNT(*) AS n_events,
+       TRUE AS approx_ok
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_approx_distinct", _APPROX_DISTINCT_SQL)
 def q_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event type via HyperLogLog++
-    (approx_count_distinct, rsd 2%) next to the exact count. The sketch
-    aggregates map-side into a fixed ~1.5 KB register set per group and
-    merges at the reducer — the count-distinct you can actually afford
-    over 100 TB (exact distinct shuffles every (type, user) pair). The
-    relative-error contract is pinned by test; the exact column is
-    carried so the gate row-count stays meaningful."""
+    (approx_count_distinct, rsd 2%) checked against the exact count in
+    the same aggregate. The sketch aggregates map-side into a fixed
+    ~1.5 KB register set per group and merges at the reducer — the
+    count-distinct you can actually afford over 100 TB (exact distinct
+    shuffles every (type, user) pair). The gate emits the exact count
+    plus ``approx_ok`` = relative error <= 10% (5 sigma of the 2% rsd,
+    absorbing small-cardinality wobble); the oracle asserts TRUE, so an
+    HLL regression breaks the hash."""
     ev = read_events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
-        F.count(F.lit(1)).alias("n_events"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("__approx"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("__approx") - F.col("exact_users"))
+                <= F.col("exact_users") * F.lit(0.10)
+            ).alias("approx_ok"),
+        )
     )
 
 
-@register("events_approx_quantiles", None)
+_APPROX_QUANTILES_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ROUND(quantile_cont(value, 0.5), 6) AS q50_exact,
+       ROUND(quantile_cont(value, 0.9), 6) AS q90_exact,
+       ROUND(quantile_cont(value, 0.99), 6) AS q99_exact,
+       TRUE AS approx_ok
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_approx_quantiles", _APPROX_QUANTILES_SQL)
 def q_events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p50/p90/p99 of the event value per type via the Greenwald-Khanna
     sketch (percentile_approx, accuracy 10000 -> worst-case rank error
-    1e-4) beside the exact percentiles. Same scale story as the HLL
-    gate: the sketch is mergeable and bounded-size per group, where
-    exact percentiles need a per-group sort. Accuracy contract pinned by
-    test (rank-error tolerance, not value tolerance — the correct
-    guarantee for GK)."""
-    ev = read_events(spark, sf_dir)
+    1e-4), verified IN the gate: each approx quantile is joined back to
+    the events to measure its true empirical rank, and ``approx_ok`` =
+    every rank is within n*1e-4 + 1 of its target — the actual GK
+    guarantee (rank error, not value error). The exact interpolated
+    percentiles ride along as engine-comparable values (round 6dp,
+    matching DuckDB quantile_cont). The rank probe is 3 rows per group
+    broadcast against the events — one extra pass, no extra shuffle of
+    the data."""
+    ev = read_events(spark, sf_dir).select("event_type", "value")
     qs = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", qs, 10000).alias("approx_q"),
-        F.percentile("value", qs).alias("exact_q"),
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", qs, 10000).alias("__approx_q"),
+        F.round(F.element_at(F.percentile("value", qs), 1), 6).alias("q50_exact"),
+        F.round(F.element_at(F.percentile("value", qs), 2), 6).alias("q90_exact"),
+        F.round(F.element_at(F.percentile("value", qs), 3), 6).alias("q99_exact"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+    probes = agg.select(
+        "event_type", F.posexplode("__approx_q").alias("__i", "__av")
+    )
+    ranks = (
+        ev.join(F.broadcast(probes), "event_type")
+        .groupBy("event_type", "__i", "__av")
+        .agg(
+            F.sum((F.col("value") <= F.col("__av")).cast("long")).alias("__rank")
+        )
+    )
+    target = F.element_at(qs, F.col("__i") + 1)
+    return (
+        agg.join(ranks, "event_type")
+        .withColumn(
+            "__ok",
+            F.abs(F.col("__rank") - target * F.col("n_events"))
+            <= F.col("n_events") * F.lit(1e-4) + F.lit(1.0),
+        )
+        .groupBy(
+            "event_type", "n_events", "q50_exact", "q90_exact", "q99_exact"
+        )
+        .agg(F.min("__ok").alias("approx_ok"))
+        .select(
+            "event_type",
+            "n_events",
+            "q50_exact",
+            "q90_exact",
+            "q99_exact",
+            "approx_ok",
+        )
     )
 
 

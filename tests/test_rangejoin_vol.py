@@ -294,6 +294,66 @@ class TestSortedIntervalOverlapPairs:
         )
         assert out.count() == 0
 
+    def test_duplicate_left_start_raises_not_fans_out(self, spark):
+        """Contract guard: duplicate left_start within a key would make
+        the (keys, left_start) join-back silently fan out; the guard
+        must turn that into an execution-time error instead."""
+        out = self._pairs(
+            spark,
+            [("e", 0, 10, 1.0), ("e", 0, 12, 2.0)],  # duplicate start 0
+            [("e", 0, 15, 0.3)],
+        )
+        with pytest.raises(Exception, match="strictly-increasing-starts"):
+            out.collect()
+
+    def test_duplicate_start_other_key_unaffected(self, spark):
+        """The guard is per-key: a clean key must not be poisoned by a
+        violating one when filtered before execution."""
+        from market_microstructure_toolkit_spark.operators.rangejoin import (
+            sorted_interval_overlap_pairs,
+        )
+
+        l = spark.createDataFrame(
+            [("bad", 0, 10, 1.0), ("bad", 0, 12, 2.0), ("ok", 0, 10, 3.0)],
+            "k string, s_a long, e_a long, r_a double",
+        )
+        r = spark.createDataFrame(
+            [("ok", 5, 15, 0.3)], "k string, s_b long, e_b long, r_b double"
+        )
+        got = sorted_interval_overlap_pairs(
+            l.filter(F.col("k") == "ok"),
+            r,
+            ("k",),
+            "s_a",
+            "e_a",
+            "s_b",
+            "e_b",
+        ).collect()
+        assert [(row.s_a, row.s_b) for row in got] == [(0, 5)]
+
+    def test_check_contract_off_preserves_legacy_behavior(self, spark):
+        """check_contract=False skips the guard window entirely (for
+        callers that proved monotonicity upstream): valid input returns
+        the same pairs, and no raise_error appears in the plan."""
+        from market_microstructure_toolkit_spark.operators.rangejoin import (
+            sorted_interval_overlap_pairs,
+        )
+
+        l = spark.createDataFrame(
+            [("e", 0, 10, 0.1), ("e", 10, 30, 0.2)],
+            "k string, s_a long, e_a long, r_a double",
+        )
+        r = spark.createDataFrame(
+            [("e", 0, 15, 0.3), ("e", 15, 30, -0.1)],
+            "k string, s_b long, e_b long, r_b double",
+        )
+        out = sorted_interval_overlap_pairs(
+            l, r, ("k",), "s_a", "e_a", "s_b", "e_b", check_contract=False
+        )
+        assert "raise_error" not in out._jdf.queryExecution().analyzed().toString()
+        got = sorted((row.s_a, row.s_b) for row in out.collect())
+        assert got == [(0, 0), (10, 0), (10, 15)]
+
 
 class TestSortedOverlapProperty:
     def test_matches_bruteforce_on_random_sorted_streams(self, spark):
