@@ -254,12 +254,19 @@ def cmd_compact(args) -> None:
 
 def cmd_dedup_exact(args) -> None:
     """Exact-dedup application: keep each content group's canonical
-    (min id) row — one shuffle on the content hash."""
+    (min id) row — one shuffle on the content hash. NULL-text rows have
+    no content to compare, so they bypass the hash join entirely and are
+    all kept as non-duplicates (md5(NULL) is NULL and a NULL key never
+    equi-joins, which would otherwise silently DROP them from the
+    output)."""
     from pyspark.sql import functions as F
 
     spark = get_spark("mmt-dedup-exact")
     df = spark.read.parquet(args.input)
-    hashed = df.withColumn("__h", F.md5(F.col(args.text_col)))
+    nulls = df.filter(F.col(args.text_col).isNull())
+    hashed = df.filter(F.col(args.text_col).isNotNull()).withColumn(
+        "__h", F.md5(F.col(args.text_col))
+    )
     canon = (
         hashed.groupBy("__h")
         .agg(F.min(args.id_col).alias("__keep"))
@@ -273,7 +280,7 @@ def cmd_dedup_exact(args) -> None:
         )
         .drop("__h", "__hk", "__keep")
     )
-    kept.write.mode("overwrite").parquet(args.out)
+    kept.unionByName(nulls).write.mode("overwrite").parquet(args.out)
     print(f"wrote {args.out}")
 
 

@@ -36,6 +36,7 @@ def apply_cdc(
     keys: list[str] | str,
     op_col: str = "op",
     version_col: str | None = None,
+    strict: bool = True,
 ) -> DataFrame:
     """Return ``base`` with ``changes`` merged in, latest version wins.
 
@@ -48,17 +49,42 @@ def apply_cdc(
     the key. Contract: (key, version) identifies ONE change — two
     same-version upserts with different payloads have no defined winner
     (in this or any engine; the window tie is plan-order).
+
+    Guard rails (both were silent-wrong before): a change row with a
+    NULL version RAISES at execution time (NULL sorts last under desc,
+    so the change would silently lose to the base); and a change whose
+    version equals the base's synthetic version 0 wins deterministically
+    via the change-beats-base tiebreak rather than by plan order.
+
+    ``strict`` (default on) additionally DETECTS the out-of-contract
+    batch instead of letting plan order pick a winner: with a
+    ``version_col``, two upserts sharing (key, version) raise at
+    execution time (even equal payloads — the contract is that (key,
+    version) identifies one change). Cost: one extra keyed window over
+    the CHANGES side only (tiny next to base in any incremental merge);
+    pass ``strict=False`` when the producer already guarantees unique
+    change ordinals.
     """
     kcols = [keys] if isinstance(keys, str) else list(keys)
     data_cols = [c for c in base.columns]
     ver = (
-        F.col(version_col).cast("long")
+        F.when(
+            F.col(version_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"apply_cdc: NULL {version_col} in changes — the row "
+                    "would silently lose every version comparison; emit "
+                    "an explicit change ordinal instead"
+                )
+            ).cast("long"),
+        ).otherwise(F.col(version_col).cast("long"))
         if version_col is not None
         else F.lit(1).cast("long")
     )
     tagged_base = base.select(
         *data_cols,
         F.lit(0).alias("__ver"),
+        F.lit(0).alias("__chg"),
         F.lit("U").alias("__op"),
     )
     # normalize ops: anything that isn't a delete IS an upsert ('I'nsert,
@@ -68,15 +94,40 @@ def apply_cdc(
     tagged_chg = changes.select(
         *data_cols,
         ver.alias("__ver"),
+        F.lit(1).alias("__chg"),
         F.when(F.col(op_col) == "D", F.lit("D")).otherwise(F.lit("U")).alias(
             "__op"
         ),
     )
+    if strict and version_col is not None:
+        wdup = Window.partitionBy(*kcols, "__ver", "__op")
+        tagged_chg = (
+            tagged_chg.withColumn("__dup", F.count(F.lit(1)).over(wdup))
+            .withColumn(
+                "__op",
+                F.when(
+                    (F.col("__dup") > 1) & (F.col("__op") == "U"),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "apply_cdc: multiple upserts share one "
+                                f"(key, {version_col}) — no defined winner; "
+                                "ill-formed change batch (version "
+                            ),
+                            F.col("__ver").cast("string"),
+                            F.lit(")"),
+                        )
+                    ).cast("string"),
+                ).otherwise(F.col("__op")),
+            )
+            .drop("__dup")
+        )
     unioned = tagged_base.unionByName(tagged_chg)
-    # deletes sort before upserts at equal version -> delete wins the tie,
+    # tie order at equal version: changes beat the base (__chg desc),
+    # then deletes beat upserts (__op asc) -> delete wins the tie,
     # making same-batch replay idempotent
     w = Window.partitionBy(*kcols).orderBy(
-        F.col("__ver").desc(), F.col("__op").asc()
+        F.col("__ver").desc(), F.col("__chg").desc(), F.col("__op").asc()
     )
     return (
         unioned.withColumn("__rn", F.row_number().over(w))

@@ -98,6 +98,25 @@ def _scratch(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
+def _stamp_batch_order(*dirs: str) -> None:
+    """Pin the micro-batch replay order: give every file under each dir
+    an explicit mtime, strictly increasing by 2s per dir in argument
+    order. Spark's file stream source orders files by modification time,
+    and the 0.05s-sleep-between-writes this replaces is undefined on
+    filesystems with coarse (>=1s) mtime granularity — for the watermark
+    gates a flipped batch order changes the accepted/dropped sets and
+    breaks the oracle hash."""
+    import os
+    import time
+
+    t0 = time.time()
+    for i, d in enumerate(dirs):
+        ts = t0 + 2.0 * i
+        for root, _, files in os.walk(d):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (ts, ts))
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents scan, spread over cores (hash/shingle stages are
     expression-heavy; a single-file local input would otherwise pin them
@@ -1951,10 +1970,10 @@ def q_streaming_ofi_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     book.filter(F.col("ts_ms") <= split_ts).coalesce(1).write.parquet(
         f"{base}/data/a"
     )
-    time.sleep(0.05)  # file source orders batches by modification time
     book.filter(F.col("ts_ms") > split_ts).coalesce(1).write.parquet(
         f"{base}/data/b"
     )
+    _stamp_batch_order(f"{base}/data/a", f"{base}/data/b")
 
     stream = read_book_stream(
         spark, f"{base}/data/*/", BOOK_DEPTH, max_files_per_trigger=1
@@ -3021,10 +3040,10 @@ def q_streaming_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     book.filter(F.col("ts_ms") <= split_ts).coalesce(1).write.parquet(
         f"{base}/data/a"
     )
-    time.sleep(0.05)
     book.filter(F.col("ts_ms") > split_ts).coalesce(1).write.parquet(
         f"{base}/data/b"
     )
+    _stamp_batch_order(f"{base}/data/a", f"{base}/data/b")
 
     stream = with_event_time(
         read_book_stream(spark, f"{base}/data/*/", BOOK_DEPTH, max_files_per_trigger=1)
@@ -3446,10 +3465,10 @@ def q_streaming_alert_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     ev.filter(F.col("ts") <= split_ts).coalesce(1).write.parquet(
         f"{base}/data/a"
     )
-    time.sleep(0.05)
     ev.filter(F.col("ts") > split_ts).coalesce(1).write.parquet(
         f"{base}/data/b"
     )
+    _stamp_batch_order(f"{base}/data/a", f"{base}/data/b")
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
@@ -3548,10 +3567,10 @@ def q_streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     ev.filter(F.col("ts") <= split_ts).coalesce(1).write.parquet(
         f"{base}/data/a"
     )
-    time.sleep(0.05)
     ev.filter(F.col("ts") > split_ts).coalesce(1).write.parquet(
         f"{base}/data/b"
     )
+    _stamp_batch_order(f"{base}/data/a", f"{base}/data/b")
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
@@ -3622,10 +3641,10 @@ def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(
         f"{base}/data/a"
     )
-    time.sleep(0.05)  # file source orders batches by modification time
     docs.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(
         f"{base}/data/b"
     )
+    _stamp_batch_order(f"{base}/data/a", f"{base}/data/b")
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -4872,10 +4891,10 @@ def q_streaming_trade_signs_replay(spark: SparkSession, sf_dir: str) -> DataFram
     tape.filter(F.col("ts_ms") <= mid_ts).coalesce(1).write.parquet(
         f"{base}/data/a"
     )
-    time.sleep(0.05)  # file source orders batches by modification time
     tape.filter(F.col("ts_ms") > mid_ts).coalesce(1).write.parquet(
         f"{base}/data/b"
     )
+    _stamp_batch_order(f"{base}/data/a", f"{base}/data/b")
 
     stream = (
         spark.readStream.schema(
@@ -5292,10 +5311,10 @@ def q_streaming_vpin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     tape.filter(F.col("ts_ms") <= mid_ts).coalesce(1).write.parquet(
         f"{base}/data/a"
     )
-    time.sleep(0.05)
     tape.filter(F.col("ts_ms") > mid_ts).coalesce(1).write.parquet(
         f"{base}/data/b"
     )
+    _stamp_batch_order(f"{base}/data/a", f"{base}/data/b")
     stream = (
         spark.readStream.schema(
             "exchange_id string, symbol string, ts_ms long, raw_nonce long,"
@@ -6360,8 +6379,8 @@ def q_streaming_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base_dir = _scratch(prefix="mmt_stream_cdc_")
     base.coalesce(1).write.parquet(f"{base_dir}/data/a")
-    time.sleep(0.05)  # file source orders batches by modification time
     changes.coalesce(1).write.parquet(f"{base_dir}/data/b")
+    _stamp_batch_order(f"{base_dir}/data/a", f"{base_dir}/data/b")
 
     stream = (
         spark.readStream.schema(
@@ -7324,10 +7343,11 @@ def q_streaming_late_data_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = _scratch(prefix="mmt_stream_late_")
     a.coalesce(1).write.parquet(f"{base}/data/a")
-    time.sleep(0.05)
     b.coalesce(1).write.parquet(f"{base}/data/b")
-    time.sleep(0.05)
     d.unionByName(late).coalesce(1).write.parquet(f"{base}/data/c")
+    _stamp_batch_order(
+        f"{base}/data/a", f"{base}/data/b", f"{base}/data/c"
+    )
 
     stream = (
         spark.readStream.schema("ts_ms long, raw_nonce long")

@@ -186,6 +186,22 @@ def test_dedup_exact_cmd(spark, tmp_path):
     assert got == [1, 3]
 
 
+def test_dedup_exact_cmd_keeps_null_text_rows(spark, tmp_path):
+    """md5(NULL) is NULL and never equi-joins: without the null split,
+    rows 4 and 5 would vanish from the output instead of being kept as
+    non-duplicates."""
+    from market_microstructure_toolkit_spark import cli
+
+    src, out = str(tmp_path / "docs_null"), str(tmp_path / "dedup_null")
+    spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "uniq"), (4, None), (5, None)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    cli.main(["dedup-exact", src, "--out", out])
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 3, 4, 5]
+
+
 def test_cdc_apply_cmd(spark, tmp_path):
     from market_microstructure_toolkit_spark import cli
 

@@ -98,6 +98,48 @@ class TestApplyCdc:
         out = apply_cdc(self._base(spark), chg, "k", version_col="ver")
         assert {r["v"] for r in out.filter("k = 1").collect()} == {"v9"}
 
+    def test_version_zero_change_beats_base_deterministically(self, spark):
+        """A change at version 0 ties the base's synthetic __ver 0; the
+        change-beats-base tiebreak must make the change win (before the
+        guard this was plan-order nondeterministic)."""
+        chg = spark.createDataFrame([Row(k=1, v="z", op="U", ver=0)])
+        out = apply_cdc(self._base(spark), chg, "k", version_col="ver")
+        assert {r["v"] for r in out.filter("k = 1").collect()} == {"z"}
+
+    def test_null_version_raises_not_silently_loses(self, spark):
+        chg = spark.createDataFrame(
+            [Row(k=1, v="x", op="U", ver=7), Row(k=2, v="y", op="U", ver=None)],
+            "k long, v string, op string, ver long",
+        )
+        out = apply_cdc(self._base(spark), chg, "k", version_col="ver")
+        with pytest.raises(Exception, match="NULL ver"):
+            out.collect()
+
+    def test_strict_detects_same_version_upsert_pair(self, spark):
+        """Two upserts sharing (key, version) have no defined winner —
+        strict mode (default) must raise instead of letting plan order
+        pick one."""
+        chg = spark.createDataFrame(
+            [Row(k=1, v="a1", op="U", ver=3), Row(k=1, v="a2", op="U", ver=3)]
+        )
+        out = apply_cdc(self._base(spark), chg, "k", version_col="ver")
+        with pytest.raises(Exception, match="no defined winner"):
+            out.collect()
+        # opting out restores the (documented) engine-tie behavior
+        relaxed = apply_cdc(
+            self._base(spark), chg, "k", version_col="ver", strict=False
+        )
+        assert relaxed.filter("k = 1").count() == 1
+
+    def test_strict_allows_delete_upsert_tie(self, spark):
+        """U+D at the same version IS defined (delete wins) and must not
+        trip the strict duplicate detector."""
+        chg = spark.createDataFrame(
+            [Row(k=1, v="a1", op="U", ver=3), Row(k=1, v=None, op="D", ver=3)]
+        )
+        out = apply_cdc(self._base(spark), chg, "k", version_col="ver")
+        assert {r["k"] for r in out.collect()} == {2, 3}
+
 
 class TestCompaction:
     def test_fewer_files_and_lossless(self, spark):
