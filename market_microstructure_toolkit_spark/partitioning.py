@@ -77,11 +77,22 @@ def write_bucketed(
     session catalog (``saveAsTable`` — bucket metadata lives in the
     catalog, plain ``.parquet()`` writes can't carry it) but with an
     explicit external ``path`` so the data sits in caller-owned storage.
-    Existing table of the same name is replaced.
+    Existing table of the same name is replaced — callers sharing a
+    metastore across sessions must namespace ``table`` themselves (the
+    gate queries suffix a uuid4 for exactly this reason); the name is
+    validated as a bare identifier so it can't smuggle SQL into the
+    DROP.
     """
+    import re
+
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table):
+        raise ValueError(
+            f"write_bucketed: table name {table!r} must be a bare "
+            "identifier ([A-Za-z_][A-Za-z0-9_]*)"
+        )
     keys = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
     sess = df.sparkSession
-    sess.sql(f"DROP TABLE IF EXISTS {table}")
+    sess.sql(f"DROP TABLE IF EXISTS `{table}`")
     w = df.write.mode("overwrite").format("parquet").option("path", path)
     w = w.bucketBy(n_buckets, *keys)
     if sort:
