@@ -326,3 +326,54 @@ def test_interval_join_matches_brute_force(spark, pts, ivls, bin_ms):
         if s <= t < s + w
     )
     assert got == want
+
+
+def test_partition_pruned_scan_prunes_partitions(spark, sf_dir):
+    """The hive-partitioned rollup's scan must carry the event_type
+    filter as a PARTITION filter (directory-level pruning), not a data
+    filter — the whole point of the partitioned layout."""
+    plan = _plan(spark, sf_dir, "events_partition_pruned_scan")
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
+def test_schema_evolution_surfaces_missing_column_as_null(spark, sf_dir):
+    """v1-generation rows (written without quality_score) must read back
+    with NULL there, and every v2 row must carry a value."""
+    from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+    out = REGISTRY["documents_schema_evolution"].spark(spark, sf_dir)
+    agg = out.agg(
+        F.sum("n_docs").alias("n"), F.sum("n_with_quality").alias("nq")
+    ).collect()[0]
+    assert 0 < agg["nq"] < agg["n"]
+
+
+def test_table_diff_statuses_match_planted_deltas(spark, sf_dir):
+    """The Merkle diff must recover exactly the planted delta sets:
+    deletes (doc_id % 97), inserts (% 101, shifted ids), and text
+    changes (% 89 among surviving docs)."""
+    from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["documents_table_diff"].spark(spark, sf_dir).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.status, set()).add(r.doc_id)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    max_id = max(ids)
+    expect_v1 = {i for i in ids if i % 97 == 0}
+    expect_v2 = {i + max_id + 1 for i in ids if i % 101 == 0}
+    expect_chg = {i for i in ids if i % 89 == 0 and i % 97 != 0}
+    assert got.get("only_v1", set()) == expect_v1
+    assert got.get("only_v2", set()) == expect_v2
+    assert got.get("changed", set()) == expect_chg
+
+
+def test_table_diff_detail_join_is_bucket_gated(spark, sf_dir):
+    """Phase 3 must semi-join both sides against the differing-bucket
+    list (broadcast) before the full outer join — the pruning that makes
+    an unchanged 100 TB table cost no detail reads."""
+    plan = _plan(spark, sf_dir, "documents_table_diff")
+    assert plan.count("LeftSemi") >= 2
+    assert "FullOuter" in plan or "full_outer" in plan
