@@ -7941,3 +7941,338 @@ def q_documents_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("changed"))
         .alias("status"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 batch 2: robust cleaning, forward as-of spread decomposition,
+# temperature-mixture sampling, LSH calibration.
+# --------------------------------------------------------------------------
+
+_WINSOR_SQL = f"""{_BOOK_CTE},
+trades AS ({trades_sql()}),
+spiked AS (
+  SELECT exchange_id, symbol, ts_ms, raw_nonce, mid,
+         price * (CASE WHEN raw_nonce % 211 = 0 THEN 1.05 ELSE 1.0 END) - mid
+           AS dev
+  FROM trades
+),
+med AS (
+  SELECT exchange_id, symbol, quantile_cont(dev, 0.5) AS med
+  FROM spiked GROUP BY exchange_id, symbol
+),
+mad AS (
+  SELECT s.exchange_id, s.symbol, quantile_cont(abs(s.dev - m.med), 0.5) AS mad
+  FROM spiked s JOIN med m USING (exchange_id, symbol)
+  GROUP BY s.exchange_id, s.symbol
+)
+SELECT s.exchange_id, s.symbol, s.ts_ms, s.raw_nonce,
+       ROUND(s.mid + s.dev, 6) AS price_raw,
+       abs(s.dev - m.med) > 5.0 * d.mad AS is_outlier,
+       ROUND(s.mid + (CASE WHEN s.dev > m.med + 5.0 * d.mad THEN m.med + 5.0 * d.mad
+                           WHEN s.dev < m.med - 5.0 * d.mad THEN m.med - 5.0 * d.mad
+                           ELSE s.dev END), 6) AS price_winsorized
+FROM spiked s
+JOIN med m USING (exchange_id, symbol)
+JOIN mad d USING (exchange_id, symbol)
+"""
+
+
+@register("trade_outlier_winsorize", _WINSOR_SQL)
+def q_trade_outlier_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust tape cleaning (Brownlees-Gallo 2006 family): flag and clip
+    prints whose DEVIATION FROM THE PREVAILING MID is further than
+    5 MADs from the per-instrument median deviation. Filtering the
+    deviation, not the raw price, is what makes the rule work on a
+    trending tape — the raw-price median would flag the legitimate
+    tails of the day's price range while a fat-fingered print near the
+    median price slipped through. The fixture plants a +5% spike on
+    every 211th print (~5 units vs quarter-spread deviations of
+    ~±0.05), so the flag provably fires on exactly those (unit-pinned).
+    Median and MAD are exact interpolated percentiles — two grouped
+    aggregates whose 4-row results broadcast back onto the tape, so
+    the tape is never shuffled (at 100 TB the percentile aggregates
+    are the only wide stages, and they partial-aggregate).
+    IEEE-identical arithmetic both engines; only the emitted prices are
+    rounded (6 dp)."""
+    trades = synthetic_trades(spark, sf_dir)
+    spiked = trades.select(
+        *KEYS,
+        "ts_ms",
+        "raw_nonce",
+        "mid",
+        (
+            F.col("price")
+            * F.when(F.col("raw_nonce") % 211 == 0, F.lit(1.05)).otherwise(
+                F.lit(1.0)
+            )
+            - F.col("mid")
+        ).alias("dev"),
+    )
+    med = spiked.groupBy(*KEYS).agg(
+        F.percentile("dev", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        spiked.join(F.broadcast(med), list(KEYS))
+        .groupBy(*KEYS)
+        .agg(
+            F.percentile(F.abs(F.col("dev") - F.col("med")), F.lit(0.5)).alias(
+                "mad"
+            )
+        )
+    )
+    lo = F.col("med") - F.lit(5.0) * F.col("mad")
+    hi = F.col("med") + F.lit(5.0) * F.col("mad")
+    return (
+        spiked.join(F.broadcast(med), list(KEYS))
+        .join(F.broadcast(mad), list(KEYS))
+        .select(
+            *KEYS,
+            "ts_ms",
+            "raw_nonce",
+            F.round(F.col("mid") + F.col("dev"), 6).alias("price_raw"),
+            (
+                F.abs(F.col("dev") - F.col("med")) > F.lit(5.0) * F.col("mad")
+            ).alias("is_outlier"),
+            F.round(
+                F.col("mid")
+                + F.when(F.col("dev") > hi, hi)
+                .when(F.col("dev") < lo, lo)
+                .otherwise(F.col("dev")),
+                6,
+            ).alias("price_winsorized"),
+        )
+    )
+
+
+_RSPREAD_DELTA_MS = 60_000
+
+_RSPREAD_SQL = f"""{_BOOK_CTE},
+trades AS ({trades_sql()}),
+m AS (
+  SELECT exchange_id, symbol, -ts_ms AS nts, mid AS mid_fut FROM trades
+),
+t AS (
+  SELECT *, -(ts_ms + {_RSPREAD_DELTA_MS}) AS ntarget,
+         CASE WHEN price > mid THEN 1.0 WHEN price < mid THEN -1.0 ELSE 0.0 END AS q
+  FROM trades
+),
+j AS (
+  SELECT t.exchange_id, t.symbol, t.q, t.price, t.mid, m.mid_fut
+  FROM t ASOF JOIN m
+    ON t.exchange_id = m.exchange_id AND t.symbol = m.symbol
+   AND m.nts <= t.ntarget
+  WHERE t.q <> 0.0
+)
+SELECT exchange_id, symbol,
+       COUNT(*) AS n_trades,
+       ROUND(AVG(2.0 * q * (price - mid)), 6) AS avg_effective_spread,
+       ROUND(AVG(2.0 * q * (price - mid_fut)), 6) AS avg_realized_spread,
+       ROUND(AVG(2.0 * q * (mid_fut - mid)), 6) AS avg_price_impact
+FROM j GROUP BY exchange_id, symbol
+"""
+
+
+@register("trade_realized_spread", _RSPREAD_SQL)
+def q_trade_realized_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-spread decomposition at a 60 s midpoint benchmark
+    (the exchange-report / TAQ-literature standard): effective spread
+    2q(p - mid) splits into realized spread 2q(p - mid_fut) — what the
+    liquidity provider actually keeps — plus price impact
+    2q(mid_fut - mid), the adverse-selection leak, where mid_fut is the
+    prevailing mid at the first tick >= 60 s after the print. The
+    FORWARD as-of lookup reuses the join-free backward machinery
+    (operators/asof.py::asof_backward_union) on NEGATED timestamps —
+    forward-asof(ts) == backward-asof(-ts) — so the plan stays one
+    union + one keyed window, no join operator, at any scale. Quote-rule
+    signs; mid prints (q=0) and tape-tail trades with no 60 s-ahead
+    tick are excluded on both engines (inner semantics). Oracle: DuckDB
+    ASOF JOIN on the same negated axis."""
+    from market_microstructure_toolkit_spark.operators.asof import (
+        asof_backward_union,
+    )
+
+    trades = synthetic_trades(spark, sf_dir)
+    snaps = trades.select(
+        *KEYS,
+        (-F.col("ts_ms")).alias("nts"),
+        (-F.col("raw_nonce")).alias("raw_nonce"),
+        F.col("mid").alias("mid_fut"),
+    )
+    q = (
+        F.when(F.col("price") > F.col("mid"), F.lit(1.0))
+        .when(F.col("price") < F.col("mid"), F.lit(-1.0))
+        .otherwise(F.lit(0.0))
+    )
+    tgts = trades.select(
+        *KEYS,
+        (-(F.col("ts_ms") + F.lit(_RSPREAD_DELTA_MS))).alias("nts"),
+        q.alias("q"),
+        "price",
+        "mid",
+    ).filter(F.col("q") != 0.0)
+    picked = asof_backward_union(
+        snaps,
+        tgts,
+        keys=KEYS,
+        ts_col="nts",
+        value_cols=("mid_fut",),
+        target_ts_col="nts",
+        target_payload_cols=("q", "price", "mid"),
+    ).filter(F.col("mid_fut").isNotNull())
+    two_q = F.lit(2.0) * F.col("q")
+    return picked.groupBy(*KEYS).agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.round(F.avg(two_q * (F.col("price") - F.col("mid"))), 6).alias(
+            "avg_effective_spread"
+        ),
+        F.round(F.avg(two_q * (F.col("price") - F.col("mid_fut"))), 6).alias(
+            "avg_realized_spread"
+        ),
+        F.round(F.avg(two_q * (F.col("mid_fut") - F.col("mid"))), 6).alias(
+            "avg_price_impact"
+        ),
+    )
+
+
+_TARGET_MIX_SQL = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+),
+rates AS (
+  SELECT source, n_s,
+         LEAST(
+           1.0,
+           (SELECT floor(COUNT(*) / 2.0) FROM documents)
+             * (sqrt(CAST(n_s AS DOUBLE))
+                / (SELECT SUM(sqrt(CAST(n_s AS DOUBLE))) FROM counts))
+             / CAST(n_s AS DOUBLE)
+         ) AS r
+  FROM counts
+),
+flagged AS (
+  SELECT d.source, r.n_s,
+         CASE WHEN r.r >= 1.0 THEN TRUE
+              ELSE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                   < printf('%08x', CAST(floor(r.r * 4294967296.0) AS BIGINT))
+         END AS kept
+  FROM documents d JOIN rates r USING (source)
+)
+SELECT source, n_s AS n_source,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM flagged GROUP BY source, n_s
+"""
+
+
+@register("corpus_target_mix_sample", _TARGET_MIX_SQL)
+def q_corpus_target_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture sampling (the multilingual-corpus
+    standard, alpha = 0.5): target share of source s is proportional to
+    n_s^alpha — big sources are downweighted sub-linearly instead of
+    capped to the minimum (``corpus_rebalance``'s uniform mix is the
+    alpha->0 limit). Budget = half the corpus; per-source keep rate
+    r_s = min(1, T * p_s / n_s); membership is the engine-portable
+    lexicographic-hex md5 threshold (content-free, re-runnable,
+    join-free at apply time — same idiom as rebalance_keep_flag, and
+    the sqrt/divide arithmetic is IEEE-identical across engines).
+    Scale shape: one groupBy for counts, broadcast of the tiny rate
+    table, map-side flag; no corpus shuffle."""
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = counts.agg(
+        F.floor(F.sum("n_s") / F.lit(2.0)).alias("t"),
+        F.sum(F.sqrt(F.col("n_s").cast("double"))).alias("wsum"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_s",
+        F.least(
+            F.lit(1.0),
+            F.col("t")
+            * (F.sqrt(F.col("n_s").cast("double")) / F.col("wsum"))
+            / F.col("n_s").cast("double"),
+        ).alias("r"),
+    )
+    thr = F.lower(
+        F.lpad(F.hex(F.floor(F.col("r") * F.lit(4294967296.0))), 8, "0")
+    )
+    kept = F.when(F.col("r") >= 1.0, F.lit(True)).otherwise(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < thr
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .select("source", "n_s", kept.alias("kept"))
+        .groupBy("source", F.col("n_s").alias("n_source"))
+        .agg(F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"))
+    )
+
+
+_LSH_CALIBRATION_SQL = """
+WITH cand AS (""" + _MINHASH_SQL + """),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gs
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 3
+),
+j AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(ga.gs, gb.gs)) AS inter,
+         len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs)) AS uni
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.id_a
+  JOIN grams gb ON gb.doc_id = c.id_b
+)
+SELECT CAST(LEAST(9, (10 * inter) // uni) AS BIGINT) AS jaccard_decile,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(inter) AS BIGINT) AS sum_intersection,
+       CAST(SUM(uni) AS BIGINT) AS sum_union
+FROM j GROUP BY CAST(LEAST(9, (10 * inter) // uni) AS BIGINT)
+"""
+
+
+@register("dedup_minhash_calibration", _LSH_CALIBRATION_SQL)
+def q_dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve of the MinHash-LSH candidate generator: for
+    every candidate pair, the TRUE shingle-set Jaccard, histogrammed by
+    decile — the evaluation a dedup pipeline runs before trusting its
+    banding parameters (8 hashes / 4 bands targets the s-curve
+    1-(1-s^2)^4, so most candidates should sit in the upper deciles;
+    a mass of low-decile candidates means the bands are too loose).
+    The true Jaccard is computed ONLY for candidate pairs — the
+    verification join is candidate-sized, never corpus-quadratic, which
+    is what makes post-hoc calibration affordable at 100 TB. Integer
+    arithmetic end to end (set sizes, integer-division deciles):
+    engine-exact with no rounding."""
+    from market_microstructure_toolkit_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        word_shingles,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cand = minhash_lsh_candidates(docs)
+    grams = docs.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("gs")
+    ).filter(F.size("gs") >= 1)
+    ga = grams.select(
+        F.col("doc_id").alias("id_a"), F.col("gs").alias("gs_a")
+    )
+    gb = grams.select(
+        F.col("doc_id").alias("id_b"), F.col("gs").alias("gs_b")
+    )
+    inter = F.size(F.array_intersect(F.col("gs_a"), F.col("gs_b")))
+    uni = F.size("gs_a") + F.size("gs_b") - inter
+    paired = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            inter.alias("inter"),
+            uni.alias("uni"),
+        )
+    )
+    decile = F.least(F.lit(9), F.expr("(10 * inter) DIV uni")).cast("long")
+    return paired.groupBy(decile.alias("jaccard_decile")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("inter").cast("long").alias("sum_intersection"),
+        F.sum("uni").cast("long").alias("sum_union"),
+    )

@@ -675,3 +675,45 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert out[(2, 0)] == ("a b", 2)
     # consecutive chunks share exactly `overlap` tokens
     assert out[(1, 0)][0].split()[-2:] == out[(1, 1)][0].split()[:2]
+
+
+class TestTargetMixSample:
+    def test_temperature_mix_flattens_shares(self, spark, sf_dir):
+        """alpha=0.5 must move the kept mix toward uniform: every
+        source's kept share sits between its raw share and the uniform
+        share (the defining property of temperature flattening), and
+        the realized keep counts track r_s * n_s within binomial noise."""
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        rows = (
+            REGISTRY["corpus_target_mix_sample"].spark(spark, sf_dir).collect()
+        )
+        assert rows
+        tot_n = sum(r.n_source for r in rows)
+        tot_kept = sum(r.n_kept for r in rows)
+        assert 0 < tot_kept <= tot_n
+        k = len(rows)
+        for r in rows:
+            raw = r.n_source / tot_n
+            kept = r.n_kept / tot_kept
+            lo, hi = sorted((raw, 1.0 / k))
+            assert lo - 0.05 <= kept <= hi + 0.05, (r.source, raw, kept)
+
+
+class TestMinhashCalibration:
+    def test_candidates_skew_to_high_jaccard(self, spark, sf_dir):
+        """With 4 bands x 2 rows the s-curve passes ~50% at J~0.54, so
+        candidate mass should sit in the upper deciles; the histogram
+        must be internally consistent (sums positive, deciles in 0..9)."""
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        rows = (
+            REGISTRY["dedup_minhash_calibration"].spark(spark, sf_dir).collect()
+        )
+        assert rows
+        total = sum(r.n_pairs for r in rows)
+        hi = sum(r.n_pairs for r in rows if r.jaccard_decile >= 5)
+        assert total > 0 and hi / total >= 0.5
+        for r in rows:
+            assert 0 <= r.jaccard_decile <= 9
+            assert 0 < r.sum_intersection <= r.sum_union

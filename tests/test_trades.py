@@ -386,3 +386,43 @@ class TestStreamingVpin:
             for r in spark.table("vpin_state_test").collect()
         }
         assert got == {1: (0, 1), 2: (0, 1), 3: (0, 1), 4: (1, 1)}
+
+
+class TestOutlierWinsorize:
+    def test_planted_spikes_flagged_exactly(self, spark, sf_dir):
+        """The fixture plants a +5% spike on every 211th print; the MAD
+        flag must fire on exactly those nonces (5% of price >> 5 MADs of
+        the quarter-spread offsets) and nothing else."""
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        rows = (
+            REGISTRY["trade_outlier_winsorize"].spark(spark, sf_dir).collect()
+        )
+        flagged = {r.raw_nonce for r in rows if r.is_outlier}
+        expected = {r.raw_nonce for r in rows if r.raw_nonce % 211 == 0}
+        assert flagged == expected and flagged
+        for r in rows:
+            if r.is_outlier:
+                assert r.price_winsorized < r.price_raw  # clipped down
+            else:
+                assert r.price_winsorized == r.price_raw
+
+
+class TestRealizedSpread:
+    def test_decomposition_identity_and_sign(self, spark, sf_dir):
+        """effective = realized + impact must hold per instrument (to
+        rounding), and the synthetic tape's mean-reverting offsets give
+        a positive effective spread."""
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        rows = (
+            REGISTRY["trade_realized_spread"].spark(spark, sf_dir).collect()
+        )
+        assert rows
+        for r in rows:
+            assert r.n_trades > 0
+            assert r.avg_effective_spread > 0
+            assert abs(
+                r.avg_effective_spread
+                - (r.avg_realized_spread + r.avg_price_impact)
+            ) <= 2e-6  # identity up to the 6dp rounding of each term
