@@ -8276,3 +8276,260 @@ def q_dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("inter").cast("long").alias("sum_intersection"),
         F.sum("uni").cast("long").alias("sum_union"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 batch 3: hard-negative mining, native session windows,
+# pivot/unpivot round-trip, SCD2 dimension build.
+# --------------------------------------------------------------------------
+
+_HARD_NEG_SQL = """
+WITH probes AS (
+  SELECT vec_id AS qid, label AS qlabel, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id <= 1550
+),
+scored AS (
+  SELECT p.qid, e.vec_id, e.label,
+         ROUND(
+           list_dot_product(CAST(e.embedding AS DOUBLE[]), p.qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(p.qv, p.qv))),
+           6) AS cos_sim
+  FROM embeddings e, probes p
+  WHERE e.label <> p.qlabel
+)
+SELECT qid, rk AS rank, vec_id, label, cos_sim
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM scored
+)
+WHERE rk <= 5
+"""
+
+
+@register("embedding_hard_negatives", _HARD_NEG_SQL)
+def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each probe
+    vector (every 50th id), the 5 most-similar vectors with a DIFFERENT
+    label — the near-misses that make the best negatives (the easy,
+    dissimilar ones teach nothing). The probe set is CONFIG-SIZED (at
+    most 32 ids: every 50th id up to 1550 — mining runs per bounded
+    probe batch, never per unbounded corpus slice), broadcasts, and
+    scoring is one map-side pass over the corpus; rank is a probe-keyed
+    window (probe-count partitions, never global). At full scale the
+    same contract swaps the brute-force scorer for the IVF path
+    (similarity_ivf) — this gate is the exact baseline that path is
+    measured against. Cosine rounded 6dp (dot-product reorder), rank
+    ties broken by vec_id."""
+    emb = _emb(spark, sf_dir)
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    emb_d = emb.select("vec_id", "label", vec_d.alias("v"))
+    probes = F.broadcast(
+        emb_d.filter(
+            (F.col("vec_id") % 50 == 0) & (F.col("vec_id") <= 1550)
+        ).select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("v").alias("qv"),
+        )
+    )
+    scored = (
+        emb_d.crossJoin(probes)
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            F.round(
+                A.dot("v", "qv") / (A.l2_norm("v") * A.l2_norm("qv")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "rank", "vec_id", "label", "cos_sim")
+    )
+
+
+_SESSION_GAP_US = 1_800_000_000  # 30 min
+_SESSION_WM_US = 60_000_000  # 1 min watermark delay
+
+_SESSION_WINDOW_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= {_SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id) AS session_no
+  FROM flagged
+),
+rolled AS (
+  SELECT user_id,
+         MIN(us) AS session_start_us,
+         MAX(us) + {_SESSION_GAP_US} AS session_end_us,
+         COUNT(*) AS n_events
+  FROM sessions GROUP BY user_id, session_no
+)
+SELECT user_id, session_start_us, session_end_us, n_events
+FROM rolled
+WHERE session_end_us <= (SELECT MAX(epoch_us(ts)) FROM events) - {_SESSION_WM_US}
+"""
+
+
+@register("streaming_session_window_replay", _SESSION_WINDOW_SQL)
+def q_streaming_session_window_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spark's NATIVE session windows (``session_window`` aggregate,
+    state-store-merged) on a 3-batch file replay — the built-in twin of
+    the relational gap-cut ``events_sessionize``: windows extend to
+    last-event + 30 min, merge when a new event lands inside, and emit
+    in append mode once the watermark (1 min delay) passes the window
+    end. The oracle replays the same rule relationally at MICROsecond
+    precision (the stream's timestamp grain — ms flooring would split
+    hairline-different gaps differently) and applies the same final-
+    watermark emission filter: sessions ending within 1 min of the
+    tape's max event time stay open and must NOT be emitted. Session
+    state is per-(user, open-window) and evicts at the watermark — the
+    bounded-memory contract that makes this the production sessionizer
+    for infinite streams."""
+    import uuid
+
+    ev = read_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    rng = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    lo, hi = rng["lo"], rng["hi"]
+    c1, c2 = lo + (hi - lo) // 3, lo + 2 * ((hi - lo) // 3)
+    base = _scratch(prefix="mmt_stream_sesswin_")
+    ev.filter(F.col("ts") <= c1).coalesce(1).write.parquet(f"{base}/data/a")
+    ev.filter((F.col("ts") > c1) & (F.col("ts") <= c2)).coalesce(1).write.parquet(
+        f"{base}/data/b"
+    )
+    ev.filter(F.col("ts") > c2).coalesce(1).write.parquet(f"{base}/data/c")
+    _stamp_batch_order(f"{base}/data/a", f"{base}/data/b", f"{base}/data/c")
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/data/*/")
+        .withColumn("event_time", F.expr("timestamp_micros(ts DIV 1000)"))
+        .withWatermark("event_time", "1 minute")
+        .groupBy(
+            F.session_window("event_time", "30 minutes"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+    name = f"sesswin_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
+
+
+_PIVOT_ROUNDTRIP_SQL = """
+SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY CAST(epoch_ms(ts) // 86400000 AS BIGINT), event_type
+"""
+
+
+@register("events_pivot_roundtrip", _PIVOT_ROUNDTRIP_SQL)
+def q_events_pivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot/unpivot round-trip: the day x event_type count matrix is
+    PIVOTed to wide (one column per type — the report/feature-matrix
+    shape) and immediately UNPIVOTed back to long; hash-equality with
+    the plain grouped oracle proves the two reshapes are mutually
+    lossless (absent day x type cells surface as NULL wide cells and
+    are dropped on the way back, matching the oracle's no-zero-rows
+    semantics). The pivot value list is collected first (driver-side,
+    #event-types rows — bounded metadata, and REQUIRED at scale: the
+    implicit-pivot variant runs a whole extra distinct job and caps at
+    spark.sql.pivotMaxValues anyway)."""
+    ev = read_events(spark, sf_dir)
+    day = (F.expr("ts DIV 1000000") / F.lit(86400000)).cast("long")
+    types = sorted(
+        r["event_type"]
+        for r in ev.select("event_type").distinct().collect()
+    )
+    wide = (
+        ev.select(day.alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .count()
+    )
+    return (
+        wide.unpivot("day", types, "event_type", "n_events")
+        .filter(F.col("n_events").isNotNull())
+        .select("day", "event_type", "n_events")
+    )
+
+
+_SCD2_BUILD_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to_us,
+         floor(value * 1048576.0 + 0.5) / 1048576.0 AS attr_value
+  FROM events
+)
+SELECT user_id, event_id AS version_id, valid_from_us, valid_to_us,
+       attr_value, valid_to_us IS NULL AS is_current
+FROM ordered
+"""
+
+
+@register("users_scd2_build", _SCD2_BUILD_SQL)
+def q_users_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build an SCD Type-2 dimension FROM a change log (the inverse of
+    events_scd2_join, which consumes one): each user's attribute events,
+    time-ordered, become validity versions — valid_from = the change's
+    timestamp, valid_to = the NEXT change's (half-open, via one keyed
+    LEAD window), NULL marking the current version. This is the
+    dimension-table materialization every warehouse ingest runs on CDC
+    feeds. One user-keyed window, co-partitioned with any later
+    as-of/SCD2 join on the same key; attribute values quantized to
+    exact binary so the gate needs no rounding."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("ts DIV 1000")
+    return ev.select(
+        "user_id",
+        F.col("event_id").alias("version_id"),
+        us.alias("valid_from_us"),
+        F.lead(us).over(w).alias("valid_to_us"),
+        F.expr(_VALQ_SPARK).alias("attr_value"),
+        F.lead(us).over(w).isNull().alias("is_current"),
+    )

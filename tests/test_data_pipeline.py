@@ -717,3 +717,63 @@ class TestMinhashCalibration:
         for r in rows:
             assert 0 <= r.jaccard_decile <= 9
             assert 0 < r.sum_intersection <= r.sum_union
+
+
+class TestHardNegatives:
+    def test_negatives_exclude_probe_label_and_rank_dense(self, spark, sf_dir):
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+        from pyspark.sql import functions as F
+
+        rows = (
+            REGISTRY["embedding_hard_negatives"].spark(spark, sf_dir).collect()
+        )
+        assert rows
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        labels = {
+            r.vec_id: r.label
+            for r in emb.filter(
+                (F.col("vec_id") % 50 == 0) & (F.col("vec_id") <= 1550)
+            ).collect()
+        }
+        by_probe = {}
+        for r in rows:
+            by_probe.setdefault(r.qid, []).append(r)
+            assert r.label != labels[r.qid]  # a negative, never the class
+        for qid, rs in by_probe.items():
+            assert sorted(x.rank for x in rs) == list(range(1, len(rs) + 1))
+            sims = [x.cos_sim for x in sorted(rs, key=lambda x: x.rank)]
+            assert sims == sorted(sims, reverse=True)
+
+
+class TestSessionWindowReplay:
+    def test_watermark_holds_back_open_sessions(self, spark, sf_dir):
+        """Append-mode session windows must NOT emit sessions still open
+        at the final watermark — the emitted set is strictly smaller
+        than the full batch sessionization."""
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        emitted = (
+            REGISTRY["streaming_session_window_replay"]
+            .spark(spark, sf_dir)
+            .count()
+        )
+        total = REGISTRY["events_sessionize"].spark(spark, sf_dir).count()
+        assert 0 < emitted < total
+
+
+class TestScd2Build:
+    def test_versions_tile_each_users_timeline(self, spark, sf_dir):
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        rows = REGISTRY["users_scd2_build"].spark(spark, sf_dir).collect()
+        assert rows
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r.user_id, []).append(r)
+        for uid, vs in by_user.items():
+            vs.sort(key=lambda r: r.valid_from_us)
+            assert sum(1 for r in vs if r.is_current) == 1
+            assert vs[-1].is_current and vs[-1].valid_to_us is None
+            for a, b in zip(vs, vs[1:]):
+                assert a.valid_to_us == b.valid_from_us  # half-open tiling
+                assert a.valid_from_us < a.valid_to_us
