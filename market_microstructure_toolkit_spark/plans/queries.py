@@ -8533,3 +8533,233 @@ def q_users_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_VALQ_SPARK).alias("attr_value"),
         F.lead(us).over(w).isNull().alias("is_current"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 batch 4: incremental cross-snapshot dedup, order-flow sign
+# autocorrelation, price clustering.
+# --------------------------------------------------------------------------
+
+_INCR_DEDUP_SQL = """
+WITH mid AS (
+  SELECT CAST((MIN(doc_id) + MAX(doc_id)) // 2 AS BIGINT) AS m FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gs
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 3
+),
+sigs AS (
+  SELECT doc_id,
+         list_aggregate(list_transform(gs, g -> md5(g || '#0')), 'min') AS mh0,
+         list_aggregate(list_transform(gs, g -> md5(g || '#1')), 'min') AS mh1,
+         list_aggregate(list_transform(gs, g -> md5(g || '#2')), 'min') AS mh2,
+         list_aggregate(list_transform(gs, g -> md5(g || '#3')), 'min') AS mh3,
+         list_aggregate(list_transform(gs, g -> md5(g || '#4')), 'min') AS mh4,
+         list_aggregate(list_transform(gs, g -> md5(g || '#5')), 'min') AS mh5,
+         list_aggregate(list_transform(gs, g -> md5(g || '#6')), 'min') AS mh6,
+         list_aggregate(list_transform(gs, g -> md5(g || '#7')), 'min') AS mh7
+  FROM grams
+),
+keyed AS (
+  SELECT doc_id, band, key FROM (
+    SELECT doc_id, 0 AS band, concat_ws('|', mh0, mh1) AS key FROM sigs WHERE mh0 IS NOT NULL
+    UNION ALL
+    SELECT doc_id, 1, concat_ws('|', mh2, mh3) FROM sigs WHERE mh0 IS NOT NULL
+    UNION ALL
+    SELECT doc_id, 2, concat_ws('|', mh4, mh5) FROM sigs WHERE mh0 IS NOT NULL
+    UNION ALL
+    SELECT doc_id, 3, concat_ws('|', mh6, mh7) FROM sigs WHERE mh0 IS NOT NULL
+  )
+),
+keys_c AS (
+  SELECT DISTINCT band, key FROM keyed CROSS JOIN mid WHERE doc_id <= m
+),
+near_ids AS (
+  SELECT DISTINCT k.doc_id
+  FROM keyed k JOIN keys_c USING (band, key) CROSS JOIN mid
+  WHERE k.doc_id > m
+),
+chash AS (
+  SELECT DISTINCT md5(text) AS h FROM documents CROSS JOIN mid WHERE doc_id <= m
+)
+SELECT d.doc_id,
+       CASE WHEN md5(d.text) IN (SELECT h FROM chash) THEN 'exact'
+            WHEN d.doc_id IN (SELECT doc_id FROM near_ids) THEN 'near'
+            ELSE 'unique' END AS dup_kind
+FROM documents d CROSS JOIN mid WHERE d.doc_id > m
+"""
+
+
+@register("documents_incremental_dedup", _INCR_DEDUP_SQL)
+def q_documents_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a NEW batch against an EXISTING corpus
+    snapshot — the shape live ingestion actually runs (self-dedup of the
+    union would re-pay the whole corpus every batch). The corpus's older
+    id-half plays the snapshot, the newer half the arriving batch; each
+    batch doc classifies as 'exact' (content hash already in the
+    corpus), 'near' (shares a MinHash LSH band key with any corpus doc),
+    or 'unique'. Scale shape: the corpus side reduces to two DISTINCT
+    key sets — content hashes and (band, key) pairs — and the batch
+    probes them with semi-joins; fan-out is at most 1 per probe (the
+    corpus sets are distinct), so there is NO pairwise candidate
+    generation at all, unlike self-dedup. At 100 TB the corpus key sets
+    are incrementally maintainable (append-only), making per-batch cost
+    independent of corpus size except for the key-set join."""
+    from market_microstructure_toolkit_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    docs = _docs(spark, sf_dir)
+    rng = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    mid = (rng["lo"] + rng["hi"]) // 2
+
+    chash = (
+        docs.filter(F.col("doc_id") <= mid)
+        .select(F.md5("text").alias("__h"))
+        .distinct()
+    )
+    sigs = minhash_signatures(docs)
+    keyed = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+                        ).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    keys_c = (
+        keyed.filter(F.col("doc_id") <= mid).select("band", "key").distinct()
+    )
+    near_ids = (
+        keyed.filter(F.col("doc_id") > mid)
+        .join(keys_c, ["band", "key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+    batch = docs.filter(F.col("doc_id") > mid).withColumn(
+        "__h", F.md5("text")
+    )
+    exact_ids = (
+        batch.join(chash, "__h", "left_semi")
+        .select("doc_id")
+        .withColumn("__exact", F.lit(True))
+    )
+    return (
+        batch.join(exact_ids, "doc_id", "left")
+        .join(near_ids, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__exact"), F.lit("exact"))
+            .when(F.col("__near"), F.lit("near"))
+            .otherwise(F.lit("unique"))
+            .alias("dup_kind"),
+        )
+    )
+
+
+_SIGN_ACF_MAX_LAG = 5
+
+_SIGN_ACF_SQL = f"""{_CLASSIFIED_CTE},
+lagged AS (
+  SELECT exchange_id, symbol,
+    {", ".join(f"side * LAG(side, {k}) OVER ({_W}) AS p{k}" for k in range(1, _SIGN_ACF_MAX_LAG + 1))}
+  FROM classified
+),
+long AS (
+  {" UNION ALL ".join(f"SELECT exchange_id, symbol, {k} AS lag, p{k} AS p FROM lagged" for k in range(1, _SIGN_ACF_MAX_LAG + 1))}
+)
+SELECT exchange_id, symbol, CAST(lag AS BIGINT) AS lag,
+       ROUND(AVG(CAST(p AS DOUBLE)), 6) AS sign_acf,
+       COUNT(p) AS n_pairs
+FROM long GROUP BY exchange_id, symbol, lag
+"""
+
+
+@register("trade_sign_autocorrelation", _SIGN_ACF_SQL)
+def q_trade_sign_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-flow sign autocorrelation at lags 1..5 — the long-memory
+    diagnostic (Bouchaud et al.; Lillo-Farmer): real order flow has
+    slowly decaying positive sign ACF from order splitting, and any
+    impact model (Kyle lambda, OFI R^2 — both gated here) must be read
+    against it. Signs from the same Lee-Ready classifier the signs gate
+    pins; ACF_k = mean(s_t * s_{{t-k}}) via ONE instrument-keyed window
+    pass computing all 5 lagged products, unpivoted in-plan (explode of
+    a 5-element struct array — no second scan, no join). Integer
+    products sum exactly; only the final mean is rounded."""
+    tape = synthetic_trades(spark, sf_dir)
+    cls = T.classify_lee_ready(tape, KEYS, ORDER_COLS)
+    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
+    lagged = cls.select(
+        *KEYS,
+        *[
+            (F.col("side") * F.lag("side", k).over(w))
+            .cast("double")
+            .alias(f"__p{k}")
+            for k in range(1, _SIGN_ACF_MAX_LAG + 1)
+        ],
+    )
+    prods = lagged.select(
+        *KEYS,
+        F.posexplode(
+            F.array(
+                *[F.col(f"__p{k}") for k in range(1, _SIGN_ACF_MAX_LAG + 1)]
+            )
+        ).alias("__i", "p"),
+    )
+    return (
+        prods.groupBy(*KEYS, (F.col("__i") + 1).cast("long").alias("lag"))
+        .agg(
+            F.round(F.avg("p"), 6).alias("sign_acf"),
+            F.count("p").alias("n_pairs"),
+        )
+    )
+
+
+_PRICE_CLUSTER_SQL = f"""{_BOOK_CTE},
+trades AS ({trades_sql()}),
+q AS (
+  SELECT exchange_id, symbol,
+         floor(price * 1024.0 + 0.5) / 1024.0 AS pq
+  FROM trades
+)
+SELECT exchange_id, symbol,
+       CAST(CAST(floor(pq * 100.0) AS BIGINT) % 100 AS BIGINT) AS cent_bucket,
+       COUNT(*) AS n_trades
+FROM q GROUP BY exchange_id, symbol, CAST(CAST(floor(pq * 100.0) AS BIGINT) % 100 AS BIGINT)
+"""
+
+
+@register("trade_price_clustering", _PRICE_CLUSTER_SQL)
+def q_trade_price_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price clustering histogram (Harris 1991): the distribution of the
+    cent digit of trade prices — real tapes pile up on round increments
+    (whole cents, nickels, quarters), and the histogram's shape is the
+    standard effective-tick-size diagnostic. Prices are first quantized
+    to 2^-10 (the repo's exact-binary idiom) so the cent extraction is
+    engine-exact — floor of a double whose value is k/1024 is the same
+    double op on both engines, with no epsilon hacks. One map + one
+    grouped count; integer output."""
+    trades = synthetic_trades(spark, sf_dir)
+    pq = F.expr("floor(price * 1024e0 + 5e-1) / 1024e0")
+    cent = (
+        F.floor(pq * F.lit(100.0)).cast("long") % F.lit(100)
+    ).cast("long")
+    return (
+        trades.select(*KEYS, cent.alias("cent_bucket"))
+        .groupBy(*KEYS, "cent_bucket")
+        .agg(F.count(F.lit(1)).alias("n_trades"))
+    )

@@ -777,3 +777,38 @@ class TestScd2Build:
             for a, b in zip(vs, vs[1:]):
                 assert a.valid_to_us == b.valid_from_us  # half-open tiling
                 assert a.valid_from_us < a.valid_to_us
+
+
+class TestIncrementalDedup:
+    def test_kinds_partition_batch_and_exact_implies_match(self, spark, sf_dir):
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+        from pyspark.sql import functions as F
+
+        rows = (
+            REGISTRY["documents_incremental_dedup"].spark(spark, sf_dir).collect()
+        )
+        assert rows
+        kinds = {r.dup_kind for r in rows}
+        assert kinds <= {"exact", "near", "unique"}
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        rng = docs.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        mid = (rng["lo"] + rng["hi"]) // 2
+        # every batch doc classified exactly once
+        n_batch = docs.filter(F.col("doc_id") > mid).count()
+        assert len(rows) == n_batch
+        # 'exact' really means the text exists in the corpus half
+        corpus_texts = {
+            r.text
+            for r in docs.filter(F.col("doc_id") <= mid).select("text").collect()
+        }
+        batch_texts = {
+            r.doc_id: r.text
+            for r in docs.filter(F.col("doc_id") > mid).collect()
+        }
+        for r in rows:
+            if r.dup_kind == "exact":
+                assert batch_texts[r.doc_id] in corpus_texts
+            if r.dup_kind == "unique":
+                assert batch_texts[r.doc_id] not in corpus_texts

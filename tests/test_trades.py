@@ -426,3 +426,38 @@ class TestRealizedSpread:
                 r.avg_effective_spread
                 - (r.avg_realized_spread + r.avg_price_impact)
             ) <= 2e-6  # identity up to the 6dp rounding of each term
+
+
+class TestSignAutocorrelation:
+    def test_acf_bounded_and_pair_counts_decay(self, spark, sf_dir):
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        rows = (
+            REGISTRY["trade_sign_autocorrelation"].spark(spark, sf_dir).collect()
+        )
+        assert rows
+        by_key = {}
+        for r in rows:
+            assert -1.0 <= r.sign_acf <= 1.0
+            by_key.setdefault((r.exchange_id, r.symbol), {})[r.lag] = r
+        for key, lags in by_key.items():
+            assert sorted(lags) == [1, 2, 3, 4, 5]
+            # lag k loses exactly k leading pairs per instrument
+            for k in range(1, 5):
+                assert lags[k].n_pairs == lags[k + 1].n_pairs + 1
+
+
+class TestPriceClustering:
+    def test_histogram_covers_tape_and_buckets_valid(self, spark, sf_dir):
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+        from market_microstructure_toolkit_spark.plans.book import (
+            synthetic_trades,
+        )
+
+        rows = (
+            REGISTRY["trade_price_clustering"].spark(spark, sf_dir).collect()
+        )
+        assert rows
+        assert all(0 <= r.cent_bucket <= 99 for r in rows)
+        total = sum(r.n_trades for r in rows)
+        assert total == synthetic_trades(spark, sf_dir).count()
