@@ -8763,3 +8763,309 @@ def q_trade_price_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(*KEYS, "cent_bucket")
         .agg(F.count(F.lit(1)).alias("n_trades"))
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 batch 5: foreachBatch streaming upsert, recorder integrity
+# audit, constraint validation, table profiling.
+# --------------------------------------------------------------------------
+
+
+@register("streaming_foreachbatch_upsert", _CDC_SQL)
+def q_streaming_foreachbatch_upsert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The standard streaming-MERGE recipe: a change stream applied to a
+    versioned parquet table via ``foreachBatch`` — each micro-batch
+    reads snapshot v_i, merges with apply_cdc, writes v_{i+1} (the
+    copy-on-write loop Delta's MERGE INTO runs inside foreachBatch in
+    every production upsert pipeline; snapshot versioning stands in for
+    the transaction log on bare parquet). The change derivation is the
+    CDC fixture's (revisions %7, deletes %13, backfills %11), split
+    into two key-disjoint micro-batches, so the sequential per-batch
+    merge provably equals the one-shot batch merge — which is the
+    oracle (_CDC_SQL, shared with documents_cdc_apply and
+    streaming_cdc_replay: three execution tiers, one truth).
+    Idempotence note: a replayed batch id would rewrite the same
+    v_{i+1} from the same v_i — the versioned layout is what makes the
+    sink effectively exactly-once."""
+    import uuid
+
+    from market_microstructure_toolkit_spark.operators.cdc import apply_cdc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    payload = ["doc_id", "text", "lang", "source", "n_chars"]
+    upd = docs.filter((did % 7 == 0) & (did % 13 != 0)).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + 7).alias("n_chars"),
+        F.lit("U").alias("op"),
+    )
+    dels = docs.filter(did % 13 == 0).select(
+        *payload, F.lit("D").alias("op")
+    )
+    ins = docs.filter(did % 11 == 0).select(
+        (did + 10_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        F.lit("cdc_backfill").alias("source"),
+        "n_chars",
+        F.lit("U").alias("op"),
+    )
+
+    base_dir = _scratch(prefix="mmt_stream_febatch_")
+    docs.select(*payload).write.parquet(f"{base_dir}/tbl/v0")
+    upd.coalesce(1).write.parquet(f"{base_dir}/data/a")
+    dels.unionByName(ins).coalesce(1).write.parquet(f"{base_dir}/data/b")
+    _stamp_batch_order(f"{base_dir}/data/a", f"{base_dir}/data/b")
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long, op string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base_dir}/data/*/")
+    )
+    state = {"v": 0}
+
+    def merge(batch_df, batch_id) -> None:
+        cur = spark.read.parquet(f"{base_dir}/tbl/v{state['v']}")
+        merged = apply_cdc(cur, batch_df, "doc_id", op_col="op")
+        merged.write.parquet(f"{base_dir}/tbl/v{state['v'] + 1}")
+        state["v"] += 1
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option(
+                "checkpointLocation", f"{base_dir}/ckpt_{uuid.uuid4().hex[:8]}"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(f"{base_dir}/tbl/v{state['v']}")
+
+
+_NONCE_AUDIT_SQL = f"""{_BOOK_CTE},
+d AS (
+  SELECT exchange_id, symbol,
+         raw_nonce - LAG(raw_nonce) OVER ({_W}) AS dn,
+         ts_ms - LAG(ts_ms) OVER ({_W}) AS dt
+  FROM book
+),
+step AS (
+  SELECT exchange_id, symbol,
+         MIN(dn) AS min_step
+  FROM d WHERE dn IS NOT NULL GROUP BY exchange_id, symbol
+)
+SELECT d.exchange_id, d.symbol,
+       COUNT(*) + 1 AS n_rows,
+       CAST(SUM(CASE WHEN d.dn > s.min_step THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gaps,
+       CAST(SUM(CASE WHEN d.dn > s.min_step
+                     THEN (d.dn - s.min_step) / s.min_step ELSE 0 END)
+            AS BIGINT) AS n_missing,
+       CAST(SUM(CASE WHEN d.dn <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nonce_regressions,
+       CAST(SUM(CASE WHEN d.dt < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ts_regressions
+FROM d JOIN step s USING (exchange_id, symbol)
+WHERE d.dn IS NOT NULL
+GROUP BY d.exchange_id, d.symbol
+"""
+
+
+@register("book_nonce_gap_audit", _NONCE_AUDIT_SQL)
+def q_book_nonce_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recorder integrity audit: per instrument, detect dropped messages
+    (nonce increments above the instrument's own base step — inferred
+    as the MIN observed increment, so the audit needs no out-of-band
+    knowledge of the feed's numbering), nonce regressions (replays /
+    out-of-order writes), and timestamp regressions. This is the
+    first health check run over any recorded tape before analytics
+    trust it (the reference records exchange nonces for exactly this
+    purpose). One keyed window pass for the diffs, a tiny per-key
+    aggregate for the base step broadcast back, integer output —
+    engine-exact."""
+    book = synthetic_book(spark, sf_dir, depth=1)
+    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
+    d = book.select(
+        *KEYS,
+        (F.col("raw_nonce") - F.lag("raw_nonce").over(w)).alias("dn"),
+        (F.col("ts_ms") - F.lag("ts_ms").over(w)).alias("dt"),
+    ).filter(F.col("dn").isNotNull())
+    step = d.groupBy(*KEYS).agg(F.min("dn").alias("min_step"))
+    gap = F.col("dn") > F.col("min_step")
+    return (
+        d.join(F.broadcast(step), list(KEYS))
+        .groupBy(*KEYS)
+        .agg(
+            (F.count(F.lit(1)) + 1).alias("n_rows"),
+            F.sum(gap.cast("long")).alias("n_gaps"),
+            F.sum(
+                F.when(
+                    gap, (F.col("dn") - F.col("min_step")) / F.col("min_step")
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_missing"),
+            F.sum((F.col("dn") <= 0).cast("long")).alias("n_nonce_regressions"),
+            F.sum((F.col("dt") < 0).cast("long")).alias("n_ts_regressions"),
+        )
+    )
+
+
+_CONSTRAINT_AUDIT_SQL = """
+WITH bad AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  UNION ALL
+  SELECT MIN(o_orderkey), MIN(o_custkey) FROM orders          -- planted dup pk
+  UNION ALL
+  SELECT 900000001, NULL                                      -- planted null fk
+  UNION ALL
+  SELECT 900000002, -42                                       -- planted orphan fk
+),
+dup AS (
+  SELECT COUNT(*) AS n FROM (
+    SELECT o_orderkey FROM bad GROUP BY o_orderkey HAVING COUNT(*) > 1
+  )
+),
+nullfk AS (SELECT COUNT(*) AS n FROM bad WHERE o_custkey IS NULL),
+orphan AS (
+  SELECT COUNT(*) AS n FROM bad b
+  WHERE b.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = b.o_custkey)
+)
+SELECT 'duplicate_pk' AS check_name, n AS n_violations FROM dup
+UNION ALL
+SELECT 'null_fk', n FROM nullfk
+UNION ALL
+SELECT 'orphan_fk', n FROM orphan
+"""
+
+
+@register("orders_constraint_audit", _CONSTRAINT_AUDIT_SQL)
+def q_orders_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation (the dbt-test / Deequ pattern): audit a
+    fact table for primary-key uniqueness, foreign-key null-ness, and
+    referential integrity against its dimension — with three violations
+    PLANTED in-plan (a duplicated min-key row, a null-FK row, an
+    orphan-FK row) so the audit provably detects each kind: expected
+    output is exactly one violation per check. Scale shape: uniqueness
+    is one pk-keyed partial-aggregated groupBy; the orphan check is a
+    LEFT ANTI join that broadcasts the dimension when small and
+    shuffles on the key otherwise — never a count-per-row subquery.
+    Integer output."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    planted = orders.agg(
+        F.min("o_orderkey").alias("o_orderkey"),
+        F.min("o_custkey").alias("o_custkey"),
+    )
+    bad = (
+        orders.unionByName(planted)
+        .unionByName(
+            spark.createDataFrame(
+                [(900000001, None), (900000002, -42)],
+                "o_orderkey long, o_custkey long",
+            )
+        )
+    )
+    dup = (
+        bad.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("duplicate_pk").alias("check_name"), "n_violations")
+    )
+    nullfk = bad.filter(F.col("o_custkey").isNull()).agg(
+        F.lit("null_fk").alias("check_name"),
+        F.count(F.lit(1)).alias("n_violations"),
+    )
+    orphan = (
+        bad.filter(F.col("o_custkey").isNotNull())
+        .join(cust, bad["o_custkey"] == cust["c_custkey"], "left_anti")
+        .agg(
+            F.lit("orphan_fk").alias("check_name"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+    )
+    return dup.unionByName(nullfk).unionByName(orphan)
+
+
+_PROFILE_SQL = """
+SELECT 'doc_id' AS column_name,
+       CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       COUNT(DISTINCT doc_id) AS n_distinct,
+       CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+       CAST(MAX(doc_id) AS VARCHAR) AS max_value
+FROM documents
+UNION ALL
+SELECT 'lang',
+       CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT lang), MIN(lang), MAX(lang)
+FROM documents
+UNION ALL
+SELECT 'source',
+       CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT source), MIN(source), MAX(source)
+FROM documents
+UNION ALL
+SELECT 'n_chars',
+       CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT n_chars),
+       CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+FROM documents
+"""
+
+
+@register("documents_profile", _PROFILE_SQL)
+def q_documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the Deequ/Great-Expectations analyzer pass): per
+    column, null count, exact distinct count, and min/max — the summary
+    every ingest job publishes before downstream consumers trust a drop.
+    All four columns profile in ONE aggregate pass (Spark computes the
+    grouped-by-nothing aggregate with partial aggregation; the
+    per-column rows are unpivoted from that single row in-plan), not one
+    scan per column — at 100 TB the difference between 1 and k table
+    scans. Values stringified for a uniform schema; integer/string
+    outputs are engine-exact."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    one = docs.agg(*aggs)
+    profiled = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(f"__null_{c}").alias("n_null"),
+                        F.col(f"__nd_{c}").alias("n_distinct"),
+                        F.col(f"__min_{c}").alias("min_value"),
+                        F.col(f"__max_{c}").alias("max_value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    )
+    return profiled.select("p.*")

@@ -10,7 +10,7 @@ from __future__ import annotations
 import tempfile
 
 import pytest
-from pyspark.sql import Row
+from pyspark.sql import Row, Window
 from pyspark.sql import functions as F
 
 from market_microstructure_toolkit_spark.operators.cdc import apply_cdc
@@ -629,3 +629,114 @@ def test_chunk_dedup_matches_python_model(spark, token_docs):
         for r in rebuilt.join(totals, "doc_id").collect()
     }
     assert got == model, (texts, got, model)
+
+
+class TestForeachBatchUpsert:
+    def test_final_snapshot_matches_one_shot_merge(self, spark, sf_dir):
+        """Three execution tiers — one-shot batch merge, keyed-state
+        streaming CDC, and the foreachBatch copy-on-write loop — must
+        produce the identical table."""
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        feb = (
+            REGISTRY["streaming_foreachbatch_upsert"]
+            .spark(spark, sf_dir)
+            .orderBy("doc_id")
+            .collect()
+        )
+        batch = (
+            REGISTRY["documents_cdc_apply"]
+            .spark(spark, sf_dir)
+            .orderBy("doc_id")
+            .collect()
+        )
+        assert feb == batch
+
+
+class TestConstraintAudit:
+    def test_each_planted_violation_detected_once(self, spark, sf_dir):
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        got = {
+            r.check_name: r.n_violations
+            for r in REGISTRY["orders_constraint_audit"]
+            .spark(spark, sf_dir)
+            .collect()
+        }
+        assert got == {"duplicate_pk": 1, "null_fk": 1, "orphan_fk": 1}
+
+
+class TestNonceGapAudit:
+    def test_ordered_tape_has_no_regressions_and_audit_is_consistent(
+        self, spark, sf_dir
+    ):
+        """The synthetic tape is time/nonce-ordered, so regressions must
+        be zero; per-symbol nonce steps ARE irregular (symbol is
+        user_id % 4 — not a fixed stride), so gaps are expected but must
+        be internally consistent: every gap contributes at least one
+        missing message."""
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        rows = REGISTRY["book_nonce_gap_audit"].spark(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.n_nonce_regressions == 0 and r.n_ts_regressions == 0
+            assert r.n_missing >= r.n_gaps >= 0
+            assert r.n_rows > 1
+
+    def test_planted_gap_detected(self, spark):
+        """Drop two interior rows from one instrument: the audit must
+        report one gap of exactly two missing messages there."""
+        from pyspark.sql import Row
+
+        from market_microstructure_toolkit_spark.plans.queries import (
+            KEYS,
+            ORDER_COLS,
+        )
+
+        rows = [
+            Row(exchange_id="e", symbol="S", ts_ms=1000 + 10 * i,
+                raw_nonce=100 + i)
+            for i in range(10)
+            if i not in (4, 5)
+        ]
+        df = spark.createDataFrame(rows)
+        w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
+        d = df.select(
+            *KEYS,
+            (F.col("raw_nonce") - F.lag("raw_nonce").over(w)).alias("dn"),
+        ).filter(F.col("dn").isNotNull())
+        step = d.groupBy(*KEYS).agg(F.min("dn").alias("min_step"))
+        out = (
+            d.join(step, list(KEYS))
+            .groupBy(*KEYS)
+            .agg(
+                F.sum((F.col("dn") > F.col("min_step")).cast("long")).alias(
+                    "n_gaps"
+                ),
+                F.sum(
+                    F.when(
+                        F.col("dn") > F.col("min_step"),
+                        (F.col("dn") - F.col("min_step")) / F.col("min_step"),
+                    ).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias("n_missing"),
+            )
+            .collect()[0]
+        )
+        assert out.n_gaps == 1 and out.n_missing == 2
+
+
+class TestDocumentsProfile:
+    def test_single_scan_and_counts_match_direct(self, spark, sf_dir):
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        df = REGISTRY["documents_profile"].spark(spark, sf_dir)
+        # one table scan in the plan, not one per profiled column
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FileScan parquet") == 1
+        got = {r.column_name: r for r in df.collect()}
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        assert got["doc_id"].n_distinct == docs.select("doc_id").distinct().count()
+        assert got["lang"].n_null == docs.filter("lang IS NULL").count()

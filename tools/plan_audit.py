@@ -72,7 +72,9 @@ def audit(name: str, df) -> list[str]:
             if "Exchange SinglePartition" not in ln:
                 continue
             below = "\n".join(lines[i + 1 : i + 3])
-            if "keys=[]" not in below:
+            # HashAggregate prints "keys=[]", SortAggregate "key=[]" —
+            # both are the benign grouped-by-nothing 1-row final
+            if "keys=[]" not in below and "key=[]" not in below:
                 flags.append("SINGLE_PARTITION")
                 break
     # unpartitioned data-sized window. WindowExec's simpleString on this
