@@ -9069,3 +9069,233 @@ def q_documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     )
     return profiled.select("p.*")
+
+
+# --------------------------------------------------------------------------
+# Round-5 batch 6: stream-stream LEFT OUTER join, split back-adjustment,
+# GDPR erasure cascade.
+# --------------------------------------------------------------------------
+
+_STREAM_OUTER_JOIN_SQL = """
+WITH wm AS (
+  -- the join's watermark is the MIN over both input streams' (max event
+  -- time - delay); the alert side is the sparse one (alerts are a
+  -- subset of events, so its max is <= the left's)
+  SELECT MAX(epoch_ms(ts)) - 60000 AS w FROM events WHERE value > 140
+),
+l AS (SELECT event_id AS l_event_id, user_id AS u, epoch_ms(ts) AS t FROM events),
+r AS (
+  SELECT event_id AS r_alert_id, user_id AS u, epoch_ms(ts) AS s
+  FROM events WHERE value > 140
+),
+matched AS (
+  SELECT l.l_event_id, r.r_alert_id
+  FROM l JOIN r ON l.u = r.u AND r.s >= l.t - 300000 AND r.s <= l.t
+),
+unmatched AS (
+  SELECT l.l_event_id, CAST(NULL AS BIGINT) AS r_alert_id
+  FROM l CROSS JOIN wm
+  WHERE l.l_event_id NOT IN (SELECT l_event_id FROM matched)
+    AND l.t <= wm.w
+)
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+"""
+
+
+@register("streaming_outer_join_replay", _STREAM_OUTER_JOIN_SQL)
+def q_streaming_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with a time-range condition — the
+    semantically hardest streaming join: matches emit as they happen,
+    but a NULL row for an unmatched left can only emit once the
+    watermark proves no future right can still match it. The 3-batch
+    availableNow replay pins Spark 4.1's MEASURED emission rule (probed
+    the same way as the late-data gate): the join's eviction watermark
+    is the MIN over BOTH input streams' (max seen event time - delay) —
+    here the sparse alert side, whose last event trails the tape — and
+    unmatched lefts at-or-below that final watermark emit null rows;
+    lefts above it (including everything after the last alert) remain
+    in state unemitted. The oracle replays exactly that: inner matches
+    plus null rows for unmatched lefts at-or-below the min-side
+    watermark. At scale this is THE join for enrichment against a
+    sparse reference stream where absence is itself a signal (no alert
+    within the window), with state bounded by the watermark horizon on
+    both sides."""
+    import uuid
+
+    ev = read_events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    rng = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    lo, hi = rng["lo"], rng["hi"]
+    c1, c2 = lo + (hi - lo) // 3, lo + 2 * ((hi - lo) // 3)
+    base = _scratch(prefix="mmt_stream_oj_")
+    ev.filter(F.col("ts") <= c1).coalesce(1).write.parquet(f"{base}/data/a")
+    ev.filter((F.col("ts") > c1) & (F.col("ts") <= c2)).coalesce(1).write.parquet(
+        f"{base}/data/b"
+    )
+    ev.filter(F.col("ts") > c2).coalesce(1).write.parquet(f"{base}/data/c")
+    _stamp_batch_order(f"{base}/data/a", f"{base}/data/b", f"{base}/data/c")
+
+    def mkstream():
+        return (
+            spark.readStream.schema(
+                "event_id long, user_id long, ts long, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/data/*/")
+        )
+
+    et = F.timestamp_millis(F.expr("ts DIV 1000000"))
+    left = mkstream().select(
+        F.col("event_id").alias("l_event_id"),
+        F.col("user_id").alias("l_user"),
+        et.alias("l_time"),
+    ).withWatermark("l_time", "1 minute")
+    right = (
+        mkstream()
+        .filter(F.col("value") > 140)
+        .select(
+            F.col("event_id").alias("r_alert_id"),
+            F.col("user_id").alias("r_user"),
+            et.alias("r_time"),
+        )
+        .withWatermark("r_time", "1 minute")
+    )
+    joined = left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_time") >= F.col("l_time") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("r_time") <= F.col("l_time")),
+        "leftOuter",
+    ).select("l_event_id", "r_alert_id")
+    name = f"oj_replay_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
+
+
+_SPLIT_ADJUST_SQL = f"""{_BOOK_CTE},
+trades AS ({trades_sql()}),
+s AS (
+  SELECT *, CASE WHEN raw_nonce % 997 = 0 THEN 1 ELSE 0 END AS is_split
+  FROM trades
+),
+k AS (
+  SELECT *, COALESCE(SUM(is_split) OVER ({_W.replace("ORDER BY ts_ms, raw_nonce", "ORDER BY ts_ms DESC, raw_nonce DESC")}
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_future_splits
+  FROM s
+)
+SELECT exchange_id, symbol, ts_ms, raw_nonce,
+       floor(price * 1048576.0 + 0.5) / 1048576.0 AS price_raw,
+       CAST(n_future_splits AS BIGINT) AS n_future_splits,
+       floor(price / power(2.0, n_future_splits) * 1048576.0 + 0.5)
+         / 1048576.0 AS price_adjusted
+FROM k
+"""
+
+
+@register("trade_split_adjust", _SPLIT_ADJUST_SQL)
+def q_trade_split_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corporate-action back-adjustment: every price is divided by
+    2^(number of LATER 2:1 splits for its instrument) so the whole
+    history is comparable to today's quote basis — the adjustment every
+    continuous price series (and every backtest) applies before
+    computing returns across a split. Split events are planted on the
+    nonce grid (%997); the future-split count is one DESCENDING keyed
+    running sum (exclusive frame), and division by a power of two is an
+    exact mantissa shift — engine-identical with no accumulation
+    error. Same instrument-keyed shuffle every other series op rides."""
+    trades = synthetic_trades(spark, sf_dir)
+    wdesc = (
+        Window.partitionBy(*KEYS)
+        .orderBy(*[F.col(c).desc() for c in ORDER_COLS])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_split = F.when(F.col("raw_nonce") % 997 == 0, 1).otherwise(0)
+    k = trades.withColumn(
+        "n_future_splits",
+        F.coalesce(F.sum(is_split).over(wdesc), F.lit(0)).cast("long"),
+    )
+    # 2^-20 quantization instead of ROUND(6): decimal rounding of a
+    # binary double at a .5 ulp boundary is half-up in DuckDB and
+    # half-even in Spark (observed: 12.5931875 -> .593188 vs .593187);
+    # floor(x*2^20+0.5) is a single well-defined double op on both
+    def q20(c):
+        return F.floor(c * F.lit(1048576.0) + F.lit(0.5)) / F.lit(1048576.0)
+
+    return k.select(
+        *KEYS,
+        "ts_ms",
+        "raw_nonce",
+        q20(F.col("price")).alias("price_raw"),
+        "n_future_splits",
+        q20(
+            F.col("price") / F.pow(F.lit(2.0), F.col("n_future_splits"))
+        ).alias("price_adjusted"),
+    )
+
+
+_GDPR_SQL = """
+WITH erase AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+),
+remaining AS (
+  SELECT e.* FROM events e WHERE e.user_id NOT IN (SELECT user_id FROM erase)
+)
+SELECT e.event_type,
+       COUNT(*) AS n_before,
+       CAST(SUM(CASE WHEN e.user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_erased,
+       COUNT(*) - CAST(SUM(CASE WHEN e.user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after,
+       TRUE AS erasure_complete
+FROM events e
+GROUP BY e.event_type
+"""
+
+
+@register("events_gdpr_erasure", _GDPR_SQL)
+def q_events_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure pass: given a deletion-request list
+    (user_id % 97 — in production, the DSAR queue), produce the scrubbed
+    event log and an auditable per-type report: rows before, rows
+    erased, rows after, plus ``erasure_complete`` — COMPUTED by
+    re-scanning the scrubbed output for any surviving requested user
+    (the verification a privacy audit actually demands, not an assumed
+    TRUE; the oracle asserts it TRUE, so a broken anti-join breaks the
+    hash). Scale shape: the deletion list broadcasts (requests are
+    human-scale next to the log); the scrub is one broadcast LEFT ANTI
+    join, the verification a second map-side semi-probe of the scrubbed
+    stream — the log is never shuffled."""
+    ev = read_events(spark, sf_dir)
+    erase = F.broadcast(
+        ev.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    )
+    remaining = ev.join(erase, "user_id", "left_anti")
+    leak = (
+        remaining.join(erase, "user_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("__n_leaked"))
+    )
+    per_type = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.sum((F.col("user_id") % 97 == 0).cast("long")).alias("n_erased"),
+    )
+    return (
+        per_type.crossJoin(F.broadcast(leak))
+        .select(
+            "event_type",
+            "n_before",
+            "n_erased",
+            (F.col("n_before") - F.col("n_erased")).alias("n_after"),
+            (F.col("__n_leaked") == 0).alias("erasure_complete"),
+        )
+    )

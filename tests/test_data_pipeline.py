@@ -812,3 +812,15 @@ class TestIncrementalDedup:
                 assert batch_texts[r.doc_id] in corpus_texts
             if r.dup_kind == "unique":
                 assert batch_texts[r.doc_id] not in corpus_texts
+
+
+class TestGdprErasure:
+    def test_erasure_report_consistent_and_complete(self, spark, sf_dir):
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        rows = REGISTRY["events_gdpr_erasure"].spark(spark, sf_dir).collect()
+        assert rows
+        assert all(r.erasure_complete for r in rows)
+        assert any(r.n_erased > 0 for r in rows)
+        for r in rows:
+            assert r.n_after == r.n_before - r.n_erased

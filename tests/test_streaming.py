@@ -327,3 +327,43 @@ def test_stateful_cdc_cross_batch_boundary(spark, tmp_path):
     )
     got = {r["doc_id"]: r["text"] for r in final.collect()}
     assert got == {1: "one-v2", 4: "four"}
+
+
+class TestStreamStreamOuterJoin:
+    def test_nulls_held_past_min_side_watermark(self, spark, sf_dir):
+        """Left rows after the last alert's watermark must NOT have
+        emitted null rows (their state is still open), while every
+        unmatched left below it must have — the measured min-side
+        watermark rule the oracle encodes."""
+        from pyspark.sql import functions as F
+
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+        from market_microstructure_toolkit_spark.sources.events import (
+            read_events,
+        )
+
+        out = REGISTRY["streaming_outer_join_replay"].spark(spark, sf_dir)
+        ev = read_events(spark, sf_dir)
+        wm = (
+            ev.filter(F.col("value") > 140)
+            .agg((F.max(F.expr("ts DIV 1000000")) - 60000).alias("w"))
+            .collect()[0]["w"]
+        )
+        times = {
+            r.event_id: r.t
+            for r in ev.select(
+                "event_id", F.expr("ts DIV 1000000").alias("t")
+            ).collect()
+        }
+        null_ids = {
+            r.l_event_id
+            for r in out.filter(F.col("r_alert_id").isNull()).collect()
+        }
+        assert null_ids
+        assert all(times[i] <= wm for i in null_ids)
+        # matched rows can come from ANY batch, including past the wm
+        matched_ids = {
+            r.l_event_id
+            for r in out.filter(F.col("r_alert_id").isNotNull()).collect()
+        }
+        assert matched_ids and null_ids.isdisjoint(matched_ids)

@@ -461,3 +461,32 @@ class TestPriceClustering:
         assert all(0 <= r.cent_bucket <= 99 for r in rows)
         total = sum(r.n_trades for r in rows)
         assert total == synthetic_trades(spark, sf_dir).count()
+
+
+class TestSplitAdjust:
+    def test_adjustment_halves_across_each_split(self, spark, sf_dir):
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        rows = REGISTRY["trade_split_adjust"].spark(spark, sf_dir).collect()
+        assert rows
+        by_key = {}
+        for r in rows:
+            by_key.setdefault((r.exchange_id, r.symbol), []).append(r)
+        saw_split = False
+        for key, rs in by_key.items():
+            rs.sort(key=lambda r: (r.ts_ms, r.raw_nonce))
+            # counts are non-increasing in time and drop by exactly 1
+            # after each split event
+            for a, b in zip(rs, rs[1:]):
+                assert a.n_future_splits >= b.n_future_splits
+                if a.raw_nonce % 997 == 0:
+                    saw_split = True
+            last = rs[-1]
+            assert last.n_future_splits == 0
+            assert last.price_adjusted == last.price_raw
+            first = rs[0]
+            k = first.n_future_splits
+            assert first.price_adjusted * (2**k) == pytest.approx(
+                first.price_raw, rel=1e-6
+            )
+        assert saw_split
