@@ -9299,3 +9299,278 @@ def q_events_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__n_leaked") == 0).alias("erasure_complete"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 batch 7: leakage-free training matrix, purged K-fold,
+# exact stratified sampling, time-weighted quote average.
+# --------------------------------------------------------------------------
+
+_TRAIN_MATRIX_H = 10  # label horizon in ticks
+
+_TRAIN_MATRIX_SQL = f"""{_BOOK_CTE},
+feat AS (
+  SELECT exchange_id, symbol, ts_ms, raw_nonce,
+         (best_bid + best_ask) / 2.0 AS mid,
+         best_ask - best_bid AS spread,
+         CASE WHEN COALESCE(bid1_size, 0.0) + COALESCE(ask1_size, 0.0) > 0
+              THEN COALESCE(bid1_size, 0.0)
+                   / (COALESCE(bid1_size, 0.0) + COALESCE(ask1_size, 0.0))
+         END AS imb_l1,
+         LEAD((best_bid + best_ask) / 2.0, {_TRAIN_MATRIX_H}) OVER ({_W})
+           AS mid_fwd
+  FROM book
+)
+SELECT exchange_id, symbol, ts_ms, raw_nonce,
+       floor(spread * 1048576.0 + 0.5) / 1048576.0 AS spread,
+       floor(imb_l1 * 1048576.0 + 0.5) / 1048576.0 AS imb_l1,
+       CASE WHEN mid_fwd > mid THEN 1
+            WHEN mid_fwd < mid THEN -1 ELSE 0 END AS label_up
+FROM feat WHERE mid_fwd IS NOT NULL
+"""
+
+
+@register("book_train_matrix", _TRAIN_MATRIX_SQL)
+def q_book_train_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free training-matrix assembly — the canonical supervised
+    setup for microstructure ML: features computed ONLY from the
+    current snapshot (spread, L1 imbalance), label = the SIGN of the
+    mid move exactly H=10 ticks ahead via one keyed LEAD window. The
+    discipline the gate pins is point-in-time correctness: every
+    feature is measurable at the row's own timestamp and the label
+    never feeds back (rows whose horizon extends past the tape are
+    DROPPED, not zero-filled — a silent fill would train on a fake
+    'no-move' class). One instrument-keyed window pass, co-partitioned
+    with every other series op; features exact-binary quantized."""
+    book = synthetic_book(spark, sf_dir, depth=1)
+    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
+    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
+    denom = F.coalesce(F.col("bid1_size"), F.lit(0.0)) + F.coalesce(
+        F.col("ask1_size"), F.lit(0.0)
+    )
+    imb = F.when(
+        denom > 0, F.coalesce(F.col("bid1_size"), F.lit(0.0)) / denom
+    )
+
+    def q20(c):
+        return F.floor(c * F.lit(1048576.0) + F.lit(0.5)) / F.lit(1048576.0)
+
+    feat = book.select(
+        *KEYS,
+        "ts_ms",
+        "raw_nonce",
+        mid.alias("mid"),
+        (F.col("best_ask") - F.col("best_bid")).alias("spread"),
+        imb.alias("imb_l1"),
+        F.lead(mid, _TRAIN_MATRIX_H).over(w).alias("mid_fwd"),
+    )
+    return feat.filter(F.col("mid_fwd").isNotNull()).select(
+        *KEYS,
+        "ts_ms",
+        "raw_nonce",
+        q20(F.col("spread")).alias("spread"),
+        q20(F.col("imb_l1")).alias("imb_l1"),
+        F.when(F.col("mid_fwd") > F.col("mid"), 1)
+        .when(F.col("mid_fwd") < F.col("mid"), -1)
+        .otherwise(0)
+        .alias("label_up"),
+    )
+
+
+_KFOLD_K = 5
+_KFOLD_EMBARGO_MS = 3_600_000  # 1 hour
+
+_PURGED_KFOLD_SQL = f"""{_BOOK_CTE},
+bounds AS (
+  SELECT exchange_id, symbol, MIN(ts_ms) AS lo, MAX(ts_ms) AS hi
+  FROM book GROUP BY exchange_id, symbol
+),
+folded AS (
+  SELECT b.exchange_id, b.symbol, b.ts_ms,
+         LEAST({_KFOLD_K - 1},
+               CAST(({_KFOLD_K} * (b.ts_ms - d.lo)) // (d.hi - d.lo + 1)
+                    AS BIGINT)) AS fold,
+         d.lo, d.hi
+  FROM book b JOIN bounds d USING (exchange_id, symbol)
+),
+marked AS (
+  SELECT f.exchange_id, f.symbol, f.fold AS test_fold, g.ts_ms,
+         CASE
+           WHEN g.fold = f.fold THEN 'test'
+           WHEN g.ts_ms >= f.lo + (f.hi - f.lo + 1) * f.fold / {_KFOLD_K}.0
+                          - {_KFOLD_EMBARGO_MS}
+            AND g.ts_ms <  f.lo + (f.hi - f.lo + 1) * (f.fold + 1) / {_KFOLD_K}.0
+                          + {_KFOLD_EMBARGO_MS}
+             THEN 'embargo'
+           ELSE 'train'
+         END AS role
+  FROM (SELECT DISTINCT exchange_id, symbol, fold, lo, hi FROM folded) f
+  JOIN folded g USING (exchange_id, symbol)
+)
+SELECT exchange_id, symbol, test_fold, role, COUNT(*) AS n_rows
+FROM marked GROUP BY exchange_id, symbol, test_fold, role
+"""
+
+
+@register("book_purged_kfold", _PURGED_KFOLD_SQL)
+def q_book_purged_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged K-fold with embargo for time series (Lopez de Prado 2018
+    ch.7): for each of 5 contiguous TIME folds per instrument, every
+    tick is test (inside the fold), embargo (within 1 hour of the
+    fold's boundaries — dropped so serially-correlated labels can't
+    leak across the train/test cut), or train. Random K-fold on a time
+    series is how backtests lie; this is the standard correction. The
+    fold geometry is value-based (time range split), never a global
+    rank — fold bounds come from a tiny per-instrument min/max
+    aggregate broadcast back; the fan-out is K test-fold copies of the
+    metadata joined against the ticks, all integer/time arithmetic.
+    Output is the per-(instrument, fold, role) census — the
+    auditable invariants: test+embargo+train = n, test blocks tile."""
+    book = synthetic_book(spark, sf_dir, depth=1).select(*KEYS, "ts_ms")
+    bounds = book.groupBy(*KEYS).agg(
+        F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")
+    )
+    span = F.col("hi") - F.col("lo") + 1
+    folded = book.join(F.broadcast(bounds), list(KEYS)).withColumn(
+        "fold",
+        F.least(
+            F.lit(_KFOLD_K - 1),
+            F.expr(f"({_KFOLD_K} * (ts_ms - lo)) DIV (hi - lo + 1)"),
+        ).cast("long"),
+    )
+    test_folds = (
+        folded.select(*KEYS, "fold", "lo", "hi")
+        .distinct()
+        .select(
+            *KEYS,
+            F.col("fold").alias("test_fold"),
+            (
+                F.col("lo")
+                + span * F.col("fold") / F.lit(float(_KFOLD_K))
+                - F.lit(_KFOLD_EMBARGO_MS)
+            ).alias("__emb_lo"),
+            (
+                F.col("lo")
+                + span * (F.col("fold") + 1) / F.lit(float(_KFOLD_K))
+                + F.lit(_KFOLD_EMBARGO_MS)
+            ).alias("__emb_hi"),
+        )
+    )
+    marked = folded.join(F.broadcast(test_folds), list(KEYS)).select(
+        *KEYS,
+        "test_fold",
+        F.when(F.col("fold") == F.col("test_fold"), F.lit("test"))
+        .when(
+            (F.col("ts_ms") >= F.col("__emb_lo"))
+            & (F.col("ts_ms") < F.col("__emb_hi")),
+            F.lit("embargo"),
+        )
+        .otherwise(F.lit("train"))
+        .alias("role"),
+    )
+    return marked.groupBy(*KEYS, "test_fold", "role").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+_STRAT_SAMPLE_CAP = 100
+
+_STRAT_SAMPLE_SQL = f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_source,
+       CAST(SUM(CASE WHEN rk <= {_STRAT_SAMPLE_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sampled,
+       CAST(MIN(CASE WHEN rk <= {_STRAT_SAMPLE_CAP} THEN doc_id END)
+            AS BIGINT) AS min_sampled_id
+FROM ranked GROUP BY source
+"""
+
+
+@register("corpus_exact_stratified_sample", _STRAT_SAMPLE_SQL)
+def q_corpus_exact_stratified_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT-count stratified sampling: exactly min(n_s, 100) documents
+    per source, chosen by hash rank — unlike the Bernoulli-threshold
+    samplers (corpus_rebalance, corpus_target_mix_sample) whose counts
+    are binomial, this is the contract evaluation sets need ("exactly
+    100 per stratum"). Hash-order rank keeps the choice content-free,
+    deterministic, and stable under reruns; the rank window partitions
+    by stratum (never global), so parallelism = #strata and the cap
+    bounds per-task output. Skew note: a jumbo stratum still sorts its
+    partition — for 100 TB strata the two-phase trick is pre-filtering
+    on the hash threshold that admits ~2x the cap, then ranking the
+    survivors; the gate output (census + min sampled id) is identical."""
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select(
+        "source", "doc_id", F.row_number().over(w).alias("rk")
+    )
+    incap = F.col("rk") <= _STRAT_SAMPLE_CAP
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_source"),
+        F.sum(incap.cast("long")).alias("n_sampled"),
+        F.min(F.when(incap, F.col("doc_id"))).cast("long").alias(
+            "min_sampled_id"
+        ),
+    )
+
+
+_TW_MID_SQL = f"""{_BOOK_CTE},
+seg AS (
+  SELECT exchange_id, symbol, ts_ms,
+         (best_bid + best_ask) / 2.0 AS mid,
+         LEAD(ts_ms) OVER ({_W}) - ts_ms AS dt_ms,
+         CAST(ts_ms // 3600000 AS BIGINT) AS hour_bucket
+  FROM book
+)
+SELECT exchange_id, symbol, hour_bucket,
+       CAST(SUM(CAST(mid * dt_ms AS DECIMAL(28,6))) AS DOUBLE)
+         / CAST(SUM(dt_ms) AS DOUBLE) AS tw_mid,
+       CAST(SUM(dt_ms) AS BIGINT) AS covered_ms,
+       COUNT(*) AS n_quotes
+FROM seg WHERE dt_ms IS NOT NULL
+GROUP BY exchange_id, symbol, hour_bucket
+"""
+
+
+@register("book_time_weighted_mid", _TW_MID_SQL)
+def q_book_time_weighted_mid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average mid per hour — the quote-side TWAP
+    (regulatory benchmarks and venue scorecards weight by the DURATION
+    a quote prevailed, not by tick count, so a flickering quote can't
+    dominate the average): each quote's weight is the interval to the
+    next tick (one keyed LEAD), summed per hour bucket. Sums accumulate
+    in DECIMAL(28,6) (mid * dt products are money-like magnitudes —
+    order-free exact, the repo's money idiom) and divide once at the
+    end. The final hourless tail quote of each instrument drops (no
+    prevailing interval), matching the oracle's NULL-lead filter."""
+    book = synthetic_book(spark, sf_dir, depth=1)
+    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
+    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
+    seg = book.select(
+        *KEYS,
+        "ts_ms",
+        mid.alias("mid"),
+        (F.lead("ts_ms").over(w) - F.col("ts_ms")).alias("dt_ms"),
+        F.expr("ts_ms DIV 3600000").alias("hour_bucket"),
+    ).filter(F.col("dt_ms").isNotNull())
+    return seg.groupBy(*KEYS, "hour_bucket").agg(
+        (
+            F.sum((F.col("mid") * F.col("dt_ms")).cast("decimal(28,6)")).cast(
+                "double"
+            )
+            / F.sum("dt_ms").cast("double")
+        ).alias("tw_mid"),
+        F.sum("dt_ms").cast("long").alias("covered_ms"),
+        F.count(F.lit(1)).alias("n_quotes"),
+    )

@@ -7,6 +7,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from market_microstructure_toolkit_spark import schema as S
 from market_microstructure_toolkit_spark.operators import window_metrics as W
@@ -352,3 +353,101 @@ class TestNarrowWindowGraft:
             ).collect()
         }
         assert a == b
+
+
+class TestTrainMatrix:
+    def test_label_is_future_and_features_are_present_only(self, spark, sf_dir):
+        """Point-in-time check: recompute the label from raw data and
+        confirm each row's label equals sign(mid[t+10] - mid[t]) — and
+        that the last 10 rows per instrument (no full horizon) are
+        absent, not zero-filled."""
+        from market_microstructure_toolkit_spark.plans.book import (
+            synthetic_book,
+        )
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        out = REGISTRY["book_train_matrix"].spark(spark, sf_dir)
+        book = synthetic_book(spark, sf_dir, depth=1)
+        per_key = (
+            book.groupBy("exchange_id", "symbol").count().collect()
+        )
+        n_expected = sum(max(0, r["count"] - 10) for r in per_key)
+        assert out.count() == n_expected
+        # spot-check one instrument's labels against a python replay
+        rows = sorted(
+            book.filter(
+                (F.col("exchange_id") == per_key[0]["exchange_id"])
+                & (F.col("symbol") == per_key[0]["symbol"])
+            )
+            .select("ts_ms", "raw_nonce", "best_bid", "best_ask")
+            .collect(),
+            key=lambda r: (r.ts_ms, r.raw_nonce),
+        )
+        mids = [(r.best_bid + r.best_ask) / 2.0 for r in rows]
+        want = {}
+        for i in range(len(rows) - 10):
+            d = mids[i + 10] - mids[i]
+            want[(rows[i].ts_ms, rows[i].raw_nonce)] = (
+                1 if d > 0 else (-1 if d < 0 else 0)
+            )
+        got = {
+            (r.ts_ms, r.raw_nonce): r.label_up
+            for r in out.filter(
+                (F.col("exchange_id") == per_key[0]["exchange_id"])
+                & (F.col("symbol") == per_key[0]["symbol"])
+            ).collect()
+        }
+        assert got == want
+
+
+class TestPurgedKfold:
+    def test_roles_partition_and_embargo_nonempty(self, spark, sf_dir):
+        from market_microstructure_toolkit_spark.plans.book import (
+            synthetic_book,
+        )
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        rows = REGISTRY["book_purged_kfold"].spark(spark, sf_dir).collect()
+        assert rows
+        book = synthetic_book(spark, sf_dir, depth=1)
+        n_per_key = {
+            (r["exchange_id"], r["symbol"]): r["count"]
+            for r in book.groupBy("exchange_id", "symbol").count().collect()
+        }
+        census = {}
+        for r in rows:
+            census.setdefault(
+                (r.exchange_id, r.symbol, r.test_fold), {}
+            )[r.role] = r.n_rows
+        saw_embargo = False
+        for (ex, sym, fold), roles in census.items():
+            assert sum(roles.values()) == n_per_key[(ex, sym)]
+            assert roles.get("test", 0) > 0
+            saw_embargo = saw_embargo or roles.get("embargo", 0) > 0
+        assert saw_embargo
+
+
+class TestTimeWeightedMid:
+    def test_durations_tile_the_tape(self, spark, sf_dir):
+        """Per instrument, total covered_ms must equal last_ts - first_ts
+        (quote intervals tile the tape exactly once)."""
+        from market_microstructure_toolkit_spark.plans.book import (
+            synthetic_book,
+        )
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        rows = (
+            REGISTRY["book_time_weighted_mid"].spark(spark, sf_dir).collect()
+        )
+        covered = {}
+        for r in rows:
+            k = (r.exchange_id, r.symbol)
+            covered[k] = covered.get(k, 0) + r.covered_ms
+        spans = {
+            (r["exchange_id"], r["symbol"]): r["span"]
+            for r in synthetic_book(spark, sf_dir, depth=1)
+            .groupBy("exchange_id", "symbol")
+            .agg((F.max("ts_ms") - F.min("ts_ms")).alias("span"))
+            .collect()
+        }
+        assert covered == spans
