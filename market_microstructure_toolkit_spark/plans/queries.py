@@ -9574,3 +9574,201 @@ def q_book_time_weighted_mid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dt_ms").cast("long").alias("covered_ms"),
         F.count(F.lit(1)).alias("n_quotes"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 batch 8: delta-feed book reconstruction, in-engine feature AUC.
+# --------------------------------------------------------------------------
+
+# NULL-safe delta encoding: a real L2 field can legitimately BE null
+# (levels empty on the fixture's %97 rows), so NULL cannot mean
+# "no change"; encode absent-as--1 (prices/sizes are strictly
+# positive), emit a delta only where the encoded value changed, carry
+# it forward with last_value(IGNORE NULLS), decode at the end.
+_DELTA_FIELDS = ("best_bid", "best_ask", "bid1_size", "ask1_size")
+
+
+def _delta_sql_field(f: str) -> str:
+    enc = f"COALESCE({f}, -1.0)"
+    return f"""
+    CASE WHEN LAG({enc}) OVER ({_W}) IS NULL
+              OR {enc} <> LAG({enc}) OVER ({_W})
+         THEN {enc} END AS d_{f}"""
+
+
+_DELTA_RECON_SQL = f"""{_BOOK_CTE},
+deltas AS (
+  SELECT exchange_id, symbol, ts_ms, raw_nonce,
+         {", ".join(f"COALESCE({f}, -1.0) AS e_{f}" for f in _DELTA_FIELDS)},
+         {", ".join(_delta_sql_field(f) for f in _DELTA_FIELDS)}
+  FROM book
+),
+recon AS (
+  SELECT *,
+         {", ".join(
+            f"LAST_VALUE(d_{f} IGNORE NULLS) OVER ({_W} ROWS BETWEEN"
+            f" UNBOUNDED PRECEDING AND CURRENT ROW) AS r_{f}"
+            for f in _DELTA_FIELDS)}
+  FROM deltas
+)
+SELECT exchange_id, symbol,
+       COUNT(*) AS n_rows,
+       CAST({" + ".join(f"SUM(CASE WHEN d_{f} IS NOT NULL THEN 1 ELSE 0 END)"
+                        for f in _DELTA_FIELDS)} AS BIGINT) AS n_deltas,
+       COUNT(*) * {len(_DELTA_FIELDS)} AS n_fields_total,
+       {" AND ".join(f"SUM(CASE WHEN r_{f} <> e_{f} THEN 1 ELSE 0 END) = 0"
+                     for f in _DELTA_FIELDS)} AS reconstruction_ok
+FROM recon
+GROUP BY exchange_id, symbol
+"""
+
+
+@register("book_delta_reconstruct", _DELTA_RECON_SQL)
+def q_book_delta_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-feed round trip — the core exchange-feed ingestion op: real
+    L2 feeds send LEVEL UPDATES, not snapshots, and the recorder
+    reconstructs state by carrying each level's last update forward.
+    The gate derives the delta stream FROM the snapshot tape (emit a
+    field only when it changed — with null-able levels encoded via a
+    -1 sentinel, since NULL must mean "no change" on the wire), then
+    reconstructs every snapshot with per-field last-non-null keyed
+    windows and verifies byte-equality against the original. Output:
+    per instrument, the delta compression ratio (n_deltas of
+    n_fields_total slots) and ``reconstruction_ok`` — COMPUTED, and
+    asserted by identical logic in the oracle. Both passes ride the one
+    instrument-keyed shuffle; at scale the delta stream is the
+    bandwidth win (the fixture's books change one field per tick,
+    ~25% of slots)."""
+    book = synthetic_book(spark, sf_dir, depth=1)
+    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    enc = {f: F.coalesce(F.col(f), F.lit(-1.0)) for f in _DELTA_FIELDS}
+    deltas = book.select(
+        *KEYS,
+        "ts_ms",
+        "raw_nonce",
+        *[enc[f].alias(f"e_{f}") for f in _DELTA_FIELDS],
+        *[
+            F.when(
+                F.lag(enc[f]).over(w).isNull()
+                | (enc[f] != F.lag(enc[f]).over(w)),
+                enc[f],
+            ).alias(f"d_{f}")
+            for f in _DELTA_FIELDS
+        ],
+    )
+    recon = deltas.select(
+        "*",
+        *[
+            F.last(F.col(f"d_{f}"), ignorenulls=True)
+            .over(wrun)
+            .alias(f"r_{f}")
+            for f in _DELTA_FIELDS
+        ],
+    )
+    n_deltas = None
+    ok = None
+    for f in _DELTA_FIELDS:
+        nd = F.sum(F.col(f"d_{f}").isNotNull().cast("long"))
+        n_deltas = nd if n_deltas is None else n_deltas + nd
+        o = F.sum((F.col(f"r_{f}") != F.col(f"e_{f}")).cast("long")) == 0
+        ok = o if ok is None else ok & o
+    return recon.groupBy(*KEYS).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        n_deltas.cast("long").alias("n_deltas"),
+        (F.count(F.lit(1)) * len(_DELTA_FIELDS)).alias("n_fields_total"),
+        ok.alias("reconstruction_ok"),
+    )
+
+
+_FEATURE_AUC_SQL = f"""{_BOOK_CTE},
+feat AS (
+  SELECT exchange_id, symbol,
+         floor(CASE WHEN COALESCE(bid1_size, 0.0) + COALESCE(ask1_size, 0.0) > 0
+                    THEN COALESCE(bid1_size, 0.0)
+                         / (COALESCE(bid1_size, 0.0) + COALESCE(ask1_size, 0.0))
+               END * 1048576.0 + 0.5) / 1048576.0 AS x,
+         CASE WHEN LEAD((best_bid + best_ask) / 2.0, 10) OVER ({_W})
+                   > (best_bid + best_ask) / 2.0 THEN 1 ELSE 0 END AS y,
+         LEAD((best_bid + best_ask) / 2.0, 10) OVER ({_W}) AS fwd
+  FROM book
+),
+grouped AS (
+  SELECT exchange_id, symbol, x,
+         CAST(SUM(y) AS BIGINT) AS n_pos_x,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg_x
+  FROM feat WHERE fwd IS NOT NULL AND x IS NOT NULL
+  GROUP BY exchange_id, symbol, x
+),
+cum AS (
+  SELECT *,
+         COALESCE(SUM(n_neg_x) OVER (PARTITION BY exchange_id, symbol
+                                     ORDER BY x
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS neg_below
+  FROM grouped
+)
+SELECT exchange_id, symbol,
+       ROUND(SUM(n_pos_x * (neg_below + n_neg_x / 2.0))
+             / (SUM(n_pos_x) * SUM(n_neg_x)), 6) AS auc,
+       CAST(SUM(n_pos_x) AS BIGINT) AS n_pos,
+       CAST(SUM(n_neg_x) AS BIGINT) AS n_neg
+FROM cum GROUP BY exchange_id, symbol
+"""
+
+
+@register("book_feature_auc", _FEATURE_AUC_SQL)
+def q_book_feature_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC of the L1-imbalance feature predicting the 10-tick-
+    ahead up-move — closing the in-engine ML loop (feature ->
+    point-in-time label -> evaluation) without ever leaving the
+    DataFrame plan: AUC is the Mann-Whitney concordance
+    P(x_pos > x_neg) + P(tie)/2, computed exactly from per-distinct-
+    value class counts and one cumulative window over the (small)
+    distinct-feature domain — NOT a sample sort: the heavy groupBy is
+    partial-aggregated on (instrument, x), and the window runs over
+    distinct feature values only (<= 2^20 after quantization, typically
+    thousands), so a 100 TB tape reduces before anything is ordered.
+    Ties get the standard half-credit; rational arithmetic until the
+    final 6dp round."""
+    book = synthetic_book(spark, sf_dir, depth=1)
+    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
+    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
+    denom = F.coalesce(F.col("bid1_size"), F.lit(0.0)) + F.coalesce(
+        F.col("ask1_size"), F.lit(0.0)
+    )
+    imb = F.when(
+        denom > 0, F.coalesce(F.col("bid1_size"), F.lit(0.0)) / denom
+    )
+    x = F.floor(imb * F.lit(1048576.0) + F.lit(0.5)) / F.lit(1048576.0)
+    fwd = F.lead(mid, 10).over(w)
+    feat = book.select(
+        *KEYS,
+        x.alias("x"),
+        F.when(fwd > mid, 1).otherwise(0).alias("y"),
+        fwd.alias("fwd"),
+    ).filter(F.col("fwd").isNotNull() & F.col("x").isNotNull())
+    grouped = feat.groupBy(*KEYS, "x").agg(
+        F.sum("y").cast("long").alias("n_pos_x"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_neg_x"),
+    )
+    wcum = (
+        Window.partitionBy(*KEYS)
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = grouped.withColumn(
+        "neg_below", F.coalesce(F.sum("n_neg_x").over(wcum), F.lit(0))
+    )
+    return cum.groupBy(*KEYS).agg(
+        F.round(
+            F.sum(
+                F.col("n_pos_x")
+                * (F.col("neg_below") + F.col("n_neg_x") / F.lit(2.0))
+            )
+            / (F.sum("n_pos_x") * F.sum("n_neg_x")),
+            6,
+        ).alias("auc"),
+        F.sum("n_pos_x").cast("long").alias("n_pos"),
+        F.sum("n_neg_x").cast("long").alias("n_neg"),
+    )

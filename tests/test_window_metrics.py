@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -451,3 +453,66 @@ class TestTimeWeightedMid:
             .collect()
         }
         assert covered == spans
+
+
+class TestDeltaReconstruct:
+    def test_roundtrip_ok_and_compression_real(self, spark, sf_dir):
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        rows = (
+            REGISTRY["book_delta_reconstruct"].spark(spark, sf_dir).collect()
+        )
+        assert rows
+        for r in rows:
+            assert r.reconstruction_ok
+            # first row of each field is always a delta; beyond that the
+            # stream must actually compress (not every slot changes)
+            assert r.n_deltas < r.n_fields_total
+            assert r.n_deltas >= len(
+                ("best_bid", "best_ask", "bid1_size", "ask1_size")
+            )
+
+
+class TestFeatureAuc:
+    def test_auc_matches_sklearn_free_python_replay(self, spark, sf_dir):
+        """Recompute AUC per instrument with a direct O(n log n) python
+        rank implementation (average ranks for ties) and compare."""
+        from market_microstructure_toolkit_spark.plans.book import (
+            synthetic_book,
+        )
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        got = {
+            (r.exchange_id, r.symbol): r
+            for r in REGISTRY["book_feature_auc"].spark(spark, sf_dir).collect()
+        }
+        book = synthetic_book(spark, sf_dir, depth=1).select(
+            "exchange_id", "symbol", "ts_ms", "raw_nonce",
+            "best_bid", "best_ask", "bid1_size", "ask1_size",
+        ).collect()
+        series = {}
+        for r in book:
+            series.setdefault((r.exchange_id, r.symbol), []).append(r)
+        for key, rs in series.items():
+            rs.sort(key=lambda r: (r.ts_ms, r.raw_nonce))
+            mids = [(r.best_bid + r.best_ask) / 2.0 for r in rs]
+            pairs = []
+            for i in range(len(rs) - 10):
+                b = rs[i].bid1_size or 0.0
+                a = rs[i].ask1_size or 0.0
+                if b + a <= 0:
+                    continue
+                xq = math.floor(b / (b + a) * 1048576.0 + 0.5) / 1048576.0
+                pairs.append((xq, 1 if mids[i + 10] > mids[i] else 0))
+            pos = sorted(x for x, y in pairs if y == 1)
+            neg = sorted(x for x, y in pairs if y == 0)
+            import bisect
+
+            num = 0.0
+            for x in pos:
+                lo = bisect.bisect_left(neg, x)
+                hi = bisect.bisect_right(neg, x)
+                num += lo + (hi - lo) / 2.0
+            want = round(num / (len(pos) * len(neg)), 6)
+            assert got[key].auc == pytest.approx(want, abs=2e-6), key
+            assert got[key].n_pos == len(pos) and got[key].n_neg == len(neg)
