@@ -9772,3 +9772,307 @@ def q_book_feature_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_pos_x").cast("long").alias("n_pos"),
         F.sum("n_neg_x").cast("long").alias("n_neg"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 batch 9: hierarchical OHLC rollup, intraday volume curve,
+# tolerance-bounded as-of.
+# --------------------------------------------------------------------------
+
+_FINE_MS = 60_000
+_COARSE_MS = 300_000
+
+_OHLC_LADDER_SQL = f"""{_BOOK_CTE},
+mids AS (
+  SELECT exchange_id, symbol, ts_ms, raw_nonce,
+         (best_bid + best_ask) / 2.0 AS mid,
+         ts_ms // {_FINE_MS} * {_FINE_MS} AS fine_ms,
+         ts_ms // {_COARSE_MS} * {_COARSE_MS} AS coarse_ms
+  FROM book
+),
+fine AS (
+  SELECT exchange_id, symbol, coarse_ms, fine_ms,
+         MAX(CASE WHEN rn_a = 1 THEN mid END) AS o,
+         MAX(mid) AS h, MIN(mid) AS l,
+         MAX(CASE WHEN rn_d = 1 THEN mid END) AS c,
+         COUNT(*) AS n
+  FROM (
+    SELECT *,
+      ROW_NUMBER() OVER (PARTITION BY exchange_id, symbol, fine_ms
+                         ORDER BY ts_ms, raw_nonce) AS rn_a,
+      ROW_NUMBER() OVER (PARTITION BY exchange_id, symbol, fine_ms
+                         ORDER BY ts_ms DESC, raw_nonce DESC) AS rn_d
+    FROM mids
+  ) GROUP BY exchange_id, symbol, coarse_ms, fine_ms
+),
+derived AS (
+  SELECT exchange_id, symbol, coarse_ms,
+         MAX(CASE WHEN rf_a = 1 THEN o END) AS open_mid,
+         MAX(h) AS high_mid, MIN(l) AS low_mid,
+         MAX(CASE WHEN rf_d = 1 THEN c END) AS close_mid,
+         CAST(SUM(n) AS BIGINT) AS n_snapshots
+  FROM (
+    SELECT *,
+      ROW_NUMBER() OVER (PARTITION BY exchange_id, symbol, coarse_ms
+                         ORDER BY fine_ms) AS rf_a,
+      ROW_NUMBER() OVER (PARTITION BY exchange_id, symbol, coarse_ms
+                         ORDER BY fine_ms DESC) AS rf_d
+    FROM fine
+  ) GROUP BY exchange_id, symbol, coarse_ms
+),
+direct AS (
+  SELECT exchange_id, symbol, coarse_ms,
+         MAX(CASE WHEN rn_a = 1 THEN mid END) AS open_mid,
+         MAX(mid) AS high_mid, MIN(mid) AS low_mid,
+         MAX(CASE WHEN rn_d = 1 THEN mid END) AS close_mid,
+         COUNT(*) AS n_snapshots
+  FROM (
+    SELECT *,
+      ROW_NUMBER() OVER (PARTITION BY exchange_id, symbol, coarse_ms
+                         ORDER BY ts_ms, raw_nonce) AS rn_a,
+      ROW_NUMBER() OVER (PARTITION BY exchange_id, symbol, coarse_ms
+                         ORDER BY ts_ms DESC, raw_nonce DESC) AS rn_d
+    FROM mids
+  ) GROUP BY exchange_id, symbol, coarse_ms
+)
+SELECT d.exchange_id, d.symbol, d.coarse_ms,
+       d.open_mid, d.high_mid, d.low_mid, d.close_mid, d.n_snapshots,
+       (d.open_mid = x.open_mid AND d.high_mid = x.high_mid
+        AND d.low_mid = x.low_mid AND d.close_mid = x.close_mid
+        AND d.n_snapshots = x.n_snapshots) AS rollup_consistent
+FROM derived d JOIN direct x USING (exchange_id, symbol, coarse_ms)
+"""
+
+
+@register("book_ohlc_rollup_ladder", _OHLC_LADDER_SQL)
+def q_book_ohlc_rollup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical OHLC rollup — the timeseries-DB "continuous
+    aggregate" property: 5-minute bars derived FROM 1-minute bars
+    (open = first fine open, high = max, low = min, close = last fine
+    close, count = sum) must equal 5-minute bars computed directly from
+    ticks. This mergeability is what lets a 100 TB tape keep only fine
+    bars and materialize every coarser resolution incrementally without
+    re-reading ticks; ``rollup_consistent`` verifies it IN the gate
+    (and the oracle replays both paths, so the hash pins the merge
+    algebra itself). Windows at every level key on (instrument,
+    bucket) — fine-bar merging touches bar counts, not tick counts."""
+    book = synthetic_book(spark, sf_dir, depth=1)
+    mid = ((F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)).alias("mid")
+    mids = book.select(
+        *KEYS,
+        "ts_ms",
+        "raw_nonce",
+        mid,
+        F.expr(f"ts_ms DIV {_FINE_MS} * {_FINE_MS}").alias("fine_ms"),
+        F.expr(f"ts_ms DIV {_COARSE_MS} * {_COARSE_MS}").alias("coarse_ms"),
+    )
+
+    def ohlc(df, bucket_cols, order_cols):
+        wa = Window.partitionBy(*KEYS, *bucket_cols).orderBy(*order_cols)
+        wd = Window.partitionBy(*KEYS, *bucket_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        ranked = df.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+            "rn_d", F.row_number().over(wd)
+        )
+        return ranked
+
+    fine = (
+        ohlc(mids, ["coarse_ms", "fine_ms"], ["ts_ms", "raw_nonce"])
+        .groupBy(*KEYS, "coarse_ms", "fine_ms")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("mid"))).alias("o"),
+            F.max("mid").alias("h"),
+            F.min("mid").alias("l"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("mid"))).alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    wf_a = Window.partitionBy(*KEYS, "coarse_ms").orderBy("fine_ms")
+    wf_d = Window.partitionBy(*KEYS, "coarse_ms").orderBy(
+        F.col("fine_ms").desc()
+    )
+    derived = (
+        fine.withColumn("rf_a", F.row_number().over(wf_a))
+        .withColumn("rf_d", F.row_number().over(wf_d))
+        .groupBy(*KEYS, "coarse_ms")
+        .agg(
+            F.max(F.when(F.col("rf_a") == 1, F.col("o"))).alias("open_mid"),
+            F.max("h").alias("high_mid"),
+            F.min("l").alias("low_mid"),
+            F.max(F.when(F.col("rf_d") == 1, F.col("c"))).alias("close_mid"),
+            F.sum("n").cast("long").alias("n_snapshots"),
+        )
+    )
+    direct = (
+        ohlc(mids, ["coarse_ms"], ["ts_ms", "raw_nonce"])
+        .groupBy(*KEYS, "coarse_ms")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("mid"))).alias("x_open"),
+            F.max("mid").alias("x_high"),
+            F.min("mid").alias("x_low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("mid"))).alias("x_close"),
+            F.count(F.lit(1)).alias("x_n"),
+        )
+    )
+    j = derived.join(direct, [*KEYS, "coarse_ms"])
+    consistent = (
+        (F.col("open_mid") == F.col("x_open"))
+        & (F.col("high_mid") == F.col("x_high"))
+        & (F.col("low_mid") == F.col("x_low"))
+        & (F.col("close_mid") == F.col("x_close"))
+        & (F.col("n_snapshots") == F.col("x_n"))
+    )
+    return j.select(
+        *KEYS,
+        "coarse_ms",
+        "open_mid",
+        "high_mid",
+        "low_mid",
+        "close_mid",
+        "n_snapshots",
+        consistent.alias("rollup_consistent"),
+    )
+
+
+_VOLUME_CURVE_SQL = f"""{_BOOK_CTE},
+trades AS ({trades_sql()}),
+q AS (
+  SELECT exchange_id, symbol,
+         CAST(ts_ms // 86400000 AS BIGINT) AS day,
+         CAST((ts_ms % 86400000) // 3600000 AS BIGINT) AS hour_of_day,
+         floor(price * qty * 1024.0 + 0.5) / 1024.0 AS notional_q
+  FROM trades
+),
+hourly AS (
+  SELECT exchange_id, symbol, day, hour_of_day,
+         SUM(notional_q) AS v
+  FROM q GROUP BY exchange_id, symbol, day, hour_of_day
+),
+daily AS (
+  SELECT exchange_id, symbol, day, SUM(v) AS tot
+  FROM hourly GROUP BY exchange_id, symbol, day
+)
+SELECT h.exchange_id, h.symbol, h.hour_of_day,
+       ROUND(SUM(h.v / d.tot) / COUNT(*), 6) AS avg_share,
+       COUNT(*) AS n_days
+FROM hourly h JOIN daily d USING (exchange_id, symbol, day)
+GROUP BY h.exchange_id, h.symbol, h.hour_of_day
+"""
+
+
+@register("trade_volume_curve", _VOLUME_CURVE_SQL)
+def q_trade_volume_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraday volume curve — THE input to VWAP scheduling (the
+    vwap sims' proxy weights model exactly this): each hour-of-day's
+    share of its day's notional, averaged across days per instrument.
+    Hourly and daily notionals are exact (quantized summands), each
+    day's shares sum to 1 by construction, and only the cross-day mean
+    is rounded. Two partial-aggregated groupBys co-keyed on the
+    instrument; the hourly->daily join is instrument-day keyed (tiny).
+    At 100 TB the curve is computed once per estimation window and
+    broadcast to every execution simulation."""
+    trades = synthetic_trades(spark, sf_dir)
+    nq = (
+        F.floor(F.col("price") * F.col("qty") * F.lit(1024.0) + F.lit(0.5))
+        / F.lit(1024.0)
+    )
+    q = trades.select(
+        *KEYS,
+        F.expr("ts_ms DIV 86400000").alias("day"),
+        F.expr("(ts_ms % 86400000) DIV 3600000").alias("hour_of_day"),
+        nq.alias("notional_q"),
+    )
+    hourly = q.groupBy(*KEYS, "day", "hour_of_day").agg(
+        F.sum("notional_q").alias("v")
+    )
+    daily = hourly.groupBy(*KEYS, "day").agg(F.sum("v").alias("tot"))
+    return (
+        hourly.join(daily, [*KEYS, "day"])
+        .groupBy(*KEYS, "hour_of_day")
+        .agg(
+            F.round(
+                F.sum(F.col("v") / F.col("tot")) / F.count(F.lit(1)), 6
+            ).alias("avg_share"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+
+
+_ASOF_TOL_MS = 5_000
+
+_ASOF_TOL_SQL = f"""{_BOOK_CTE},
+grid AS (
+  SELECT exchange_id, symbol,
+         ts_ms + (raw_nonce % 7) * 1000 AS grid_ts
+  FROM book
+),
+m AS (
+  SELECT exchange_id, symbol, ts_ms AS src_ts,
+         (best_bid + best_ask) / 2.0 AS mid
+  FROM book
+),
+j AS (
+  SELECT g.exchange_id, g.symbol, g.grid_ts, m.src_ts, m.mid
+  FROM grid g ASOF LEFT JOIN m
+    ON g.exchange_id = m.exchange_id AND g.symbol = m.symbol
+   AND m.src_ts <= g.grid_ts
+)
+SELECT exchange_id, symbol, grid_ts,
+       src_ts IS NOT NULL AND grid_ts - src_ts <= {_ASOF_TOL_MS} AS matched,
+       CASE WHEN grid_ts - src_ts <= {_ASOF_TOL_MS} THEN mid END AS mid,
+       CASE WHEN grid_ts - src_ts <= {_ASOF_TOL_MS}
+            THEN grid_ts - src_ts END AS staleness_ms
+FROM j
+"""
+
+
+@register("book_asof_tolerance", _ASOF_TOL_SQL)
+def q_book_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a MAX-STALENESS tolerance — the variant every
+    production as-of API grows (pandas merge_asof's ``tolerance``,
+    kdb's wj window bound): a probe matches the latest snapshot
+    at-or-before it ONLY if that snapshot is at most 5 s old; staler
+    prevailing state returns NULL (a quote from minutes ago is not a
+    fill-able price). Probes are the tick grid jittered 0-6 s by nonce,
+    so both branches are exercised against the 5 s bound with pure
+    integer staleness arithmetic. Rides the join-free
+    asof_backward_union (tag + union + one keyed window), with the
+    tolerance applied as a post-filter on the carried source timestamp;
+    oracle = DuckDB ASOF LEFT JOIN + the same bound."""
+    from market_microstructure_toolkit_spark.operators.asof import (
+        asof_backward_union,
+    )
+
+    book = synthetic_book(spark, sf_dir, depth=1)
+    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
+    snaps = book.select(
+        *KEYS, "ts_ms", "raw_nonce", mid.alias("mid")
+    )
+    grid = book.select(
+        *KEYS,
+        (F.col("ts_ms") + (F.col("raw_nonce") % 7) * F.lit(1000)).alias(
+            "grid_ts"
+        ),
+    )
+    picked = asof_backward_union(
+        snaps,
+        grid,
+        keys=KEYS,
+        ts_col="ts_ms",
+        value_cols=("mid",),
+        target_ts_col="grid_ts",
+    )
+    # picked carries the probe time as ts_ms (the union's ts_col) and the
+    # matched snapshot's timestamp as src_ts_ms
+    stale = F.col("ts_ms") - F.col("src_ts_ms") > _ASOF_TOL_MS
+    fresh = F.col("src_ts_ms").isNotNull() & ~stale
+    return picked.select(
+        *KEYS,
+        F.col("ts_ms").alias("grid_ts"),
+        fresh.alias("matched"),
+        F.when(fresh, F.col("mid")).alias("mid"),
+        F.when(fresh, F.col("ts_ms") - F.col("src_ts_ms")).alias(
+            "staleness_ms"
+        ),
+    )

@@ -516,3 +516,69 @@ class TestFeatureAuc:
             want = round(num / (len(pos) * len(neg)), 6)
             assert got[key].auc == pytest.approx(want, abs=2e-6), key
             assert got[key].n_pos == len(pos) and got[key].n_neg == len(neg)
+
+
+class TestOhlcRollupLadder:
+    def test_merge_algebra_holds_everywhere(self, spark, sf_dir):
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        rows = (
+            REGISTRY["book_ohlc_rollup_ladder"].spark(spark, sf_dir).collect()
+        )
+        assert rows
+        assert all(r.rollup_consistent for r in rows)
+        for r in rows:
+            assert r.low_mid <= r.open_mid <= r.high_mid
+            assert r.low_mid <= r.close_mid <= r.high_mid
+
+
+class TestAsofTolerance:
+    def test_bound_is_half_open_at_exactly_tolerance(self, spark, sf_dir):
+        """Nonce jitter lands probes exactly AT the 5s bound (offset
+        5000): those must match (staleness <= tol), while 6000 must
+        not."""
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        rows = REGISTRY["book_asof_tolerance"].spark(spark, sf_dir).collect()
+        assert rows
+        matched_stale = {r.staleness_ms for r in rows if r.matched}
+        assert matched_stale and max(matched_stale) <= 5000
+        assert any(not r.matched for r in rows)
+        for r in rows:
+            if r.matched:
+                assert r.mid is not None
+            else:
+                assert r.mid is None and r.staleness_ms is None
+
+
+class TestVolumeCurve:
+    def test_share_mass_equals_day_count(self, spark, sf_dir):
+        """Each day's shares sum to exactly 1, so the total share mass
+        Σ_hours avg_share * n_days must equal the instrument's distinct
+        day count (a plain Σ avg_share ≈ 1 only holds when every hour
+        trades on every day — not true on a sparse tape)."""
+        from market_microstructure_toolkit_spark.plans.book import (
+            synthetic_trades,
+        )
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        rows = REGISTRY["trade_volume_curve"].spark(spark, sf_dir).collect()
+        assert rows
+        mass = {}
+        for r in rows:
+            assert 0.0 < r.avg_share <= 1.0
+            k = (r.exchange_id, r.symbol)
+            mass[k] = mass.get(k, 0.0) + r.avg_share * r.n_days
+        days = {
+            (r["exchange_id"], r["symbol"]): r["n"]
+            for r in synthetic_trades(spark, sf_dir)
+            .select(
+                "exchange_id", "symbol", F.expr("ts_ms DIV 86400000").alias("d")
+            )
+            .distinct()
+            .groupBy("exchange_id", "symbol")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for k, m in mass.items():
+            assert m == pytest.approx(days[k], abs=1e-3), k
