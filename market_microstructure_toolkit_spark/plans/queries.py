@@ -10076,3 +10076,186 @@ def q_book_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "staleness_ms"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 batch 10: four more TPC-H-shaped relational gates (EXISTS,
+# two-level CASE aggregation, promo share, disjunctive predicates).
+# --------------------------------------------------------------------------
+
+_LATE_SHIP_SQL = """
+SELECT o.o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("orders_late_shipping_priority", _LATE_SHIP_SQL)
+def q_orders_late_shipping_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q4 shape: per priority, orders with at least one line item
+    shipped more than 60 days after the order date — EXISTS over a
+    big-big correlated pair. Spark plans the EXISTS as a LEFT SEMI join
+    on the order key (each order counted once no matter how many late
+    lines), with the lateness predicate evaluated inside the join —
+    one key-partitioned shuffle, no per-row subquery execution. Counts:
+    integer-exact."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.date_add(orders["o_orderdate"], 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+_RETURNFLAG_PRIORITY_SQL = """
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_priority,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low_priority
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_returnflag
+"""
+
+
+@register("lineitem_priority_by_returnflag", _RETURNFLAG_PRIORITY_SQL)
+def q_lineitem_priority_by_returnflag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q12 shape: line items shipped in 1997, bucketed by return
+    flag, split into high/low order-priority counts with conditional
+    aggregation — the two-level CASE rollup pattern. The date-range
+    filter pushes to the parquet scan (PushedFilters), the join
+    shuffles once on the order key with map-side partial counts, and
+    the CASE arms are JVM codegen. Integer-exact."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(hi.cast("long")).alias("n_high_priority"),
+            F.sum((~hi).cast("long")).alias("n_low_priority"),
+        )
+    )
+
+
+_PROMO_SHARE_SQL = """
+SELECT
+  CAST(ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+        THEN CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,8))
+        ELSE CAST(0 AS DECIMAL(24,8)) END)
+      / SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,8))),
+      6) AS DOUBLE) AS promo_revenue_pct,
+  CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+        THEN CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,8))
+        ELSE CAST(0 AS DECIMAL(24,8)) END), 2) AS DOUBLE) AS promo_revenue,
+  COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+"""
+
+
+@register("lineitem_promo_revenue_share", _PROMO_SHARE_SQL)
+def q_lineitem_promo_revenue_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q14 shape: the share of revenue from promotional parts —
+    conditional revenue over total revenue in one aggregate. The part
+    dimension broadcasts (it is the small side); revenue accumulates in
+    DECIMAL(24,8) (order-free exact, the money idiom) and only the
+    final ratio is rounded. One broadcast join + one
+    grouped-by-nothing aggregate: scan-bound at any scale."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_type"
+    )
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(24,8)")
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(24,8)")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo_rev) / F.sum(rev), 6
+            )
+            .cast("double")
+            .alias("promo_revenue_pct"),
+            F.round(F.sum(promo_rev), 2).cast("double").alias("promo_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_DISJUNCTIVE_SQL = """
+SELECT
+  CAST(ROUND(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                      AS DECIMAL(24,8))), 2) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_size BETWEEN 16 AND 35 AND l.l_quantity BETWEEN 15 AND 35)
+   OR (p.p_size BETWEEN 36 AND 50 AND l.l_quantity BETWEEN 30 AND 50)
+"""
+
+
+@register("lineitem_disjunctive_filter_revenue", _DISJUNCTIVE_SQL)
+def q_lineitem_disjunctive_filter_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of conjunctive
+    band predicates spanning both join sides — the pattern that defeats
+    naive predicate pushdown (no single conjunct holds everywhere).
+    Spark still broadcasts the part side and evaluates the whole
+    disjunction post-join in codegen; per-side implied filters
+    (p_size 1..50, l_quantity 1..50) remain pushable. DECIMAL revenue,
+    integer count."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_size"
+    )
+    qty, sz = F.col("l_quantity"), F.col("p_size")
+    pred = (
+        (sz.between(1, 15) & qty.between(1, 20))
+        | (sz.between(16, 35) & qty.between(15, 35))
+        | (sz.between(36, 50) & qty.between(30, 50))
+    )
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(24,8)")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(pred)
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -740,3 +740,146 @@ class TestDocumentsProfile:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         assert got["doc_id"].n_distinct == docs.select("doc_id").distinct().count()
         assert got["lang"].n_null == docs.filter("lang IS NULL").count()
+
+
+from hypothesis import HealthCheck as _HC2
+from hypothesis import given as _given2
+from hypothesis import settings as _settings2
+from hypothesis import strategies as _st2
+
+_delta_plan = _st2.fixed_dictionaries(
+    {
+        "dels": _st2.sets(_st2.integers(0, 29), max_size=8),
+        "mods": _st2.sets(_st2.integers(0, 29), max_size=8),
+        "ins": _st2.sets(_st2.integers(100, 120), max_size=5),
+    }
+)
+
+
+@_settings2(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[_HC2.function_scoped_fixture],
+)
+@_given2(plan=_delta_plan)
+def test_merkle_diff_property_random_deltas(spark, plan):
+    """Property: for ANY random delete/modify/insert delta, the
+    bucket-fingerprint-pruned diff equals the direct full-outer diff.
+    Uses the same fingerprint+prune machinery as the gate, on 8 buckets
+    so multi-row buckets (including changed+unchanged mixes) occur."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"text {i}", "en", "s", 10 + i) for i in range(30)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    v2 = (
+        docs.filter(~F.col("doc_id").isin(*plan["dels"]) if plan["dels"] else F.lit(True))
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id").isin(*plan["mods"]) if plan["mods"] else F.lit(False),
+                F.concat(F.col("text"), F.lit(" [mod]")),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(i, f"new {i}", "en", "s", 0) for i in sorted(plan["ins"])],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            )
+        )
+    )
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    def fingerprint(df):
+        row_h = F.conv(
+            F.substring(F.md5(F.concat_ws("|", *cols)), 1, 10), 16, 10
+        ).cast("long")
+        return df.groupBy((F.col("doc_id") % 8).alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum(row_h).alias("fp")
+        )
+
+    f1, f2 = fingerprint(docs), fingerprint(v2)
+    diff_buckets = (
+        f1.alias("x")
+        .join(f2.alias("y"), "bucket", "full")
+        .filter(
+            (F.col("x.n").eqNullSafe(F.col("y.n")) == F.lit(False))
+            | (F.col("x.fp").eqNullSafe(F.col("y.fp")) == F.lit(False))
+        )
+        .select("bucket")
+    )
+    a = docs.join(
+        F.broadcast(diff_buckets),
+        (F.col("doc_id") % 8) == F.col("bucket"),
+        "left_semi",
+    ).alias("a")
+    b = v2.join(
+        F.broadcast(diff_buckets),
+        (F.col("doc_id") % 8) == F.col("bucket"),
+        "left_semi",
+    ).alias("b")
+    joined = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full")
+    pruned = {
+        (r.doc_id, r.status)
+        for r in joined.filter(
+            F.col("b.doc_id").isNull()
+            | F.col("a.doc_id").isNull()
+            | (F.col("a.text") != F.col("b.text"))
+        )
+        .select(
+            F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+            F.when(F.col("b.doc_id").isNull(), F.lit("only_v1"))
+            .when(F.col("a.doc_id").isNull(), F.lit("only_v2"))
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+        )
+        .collect()
+    }
+    expect = (
+        {(i, "only_v1") for i in plan["dels"]}
+        | {(i, "changed") for i in plan["mods"] - plan["dels"]}
+        | {(i, "only_v2") for i in plan["ins"]}
+    )
+    assert pruned == expect, plan
+
+
+@_settings2(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[_HC2.function_scoped_fixture],
+)
+@_given2(
+    vals=_st2.lists(
+        _st2.one_of(_st2.none(), _st2.floats(0.5, 100.0, allow_nan=False)),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_delta_reconstruct_property_random_null_tape(spark, vals):
+    """Property: sentinel delta-encoding then last-non-null carry
+    reconstructs ANY single-field tape exactly, including null runs,
+    value->null and null->value transitions."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [("k", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, i long, x double")
+    w = Window.partitionBy("k").orderBy("i")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    enc = F.coalesce(F.col("x"), F.lit(-1.0))
+    deltas = df.select(
+        "k",
+        "i",
+        enc.alias("e"),
+        F.when(
+            F.lag(enc).over(w).isNull() | (enc != F.lag(enc).over(w)), enc
+        ).alias("d"),
+    )
+    recon = deltas.withColumn(
+        "r", F.last("d", ignorenulls=True).over(wrun)
+    ).collect()
+    got = [
+        None if r.r == -1.0 else r.r for r in sorted(recon, key=lambda r: r.i)
+    ]
+    assert got == list(vals)

@@ -377,3 +377,27 @@ def test_table_diff_detail_join_is_bucket_gated(spark, sf_dir):
     plan = _plan(spark, sf_dir, "documents_table_diff")
     assert plan.count("LeftSemi") >= 2
     assert "FullOuter" in plan or "full_outer" in plan
+
+
+def test_late_shipping_exists_plans_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "orders_late_shipping_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q12_date_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "lineitem_priority_by_returnflag")
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split(
+        "PushedFilters", 1
+    )[1].split("]", 1)[0]
+
+
+def test_promo_share_broadcasts_part_dim(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "lineitem_promo_revenue_share")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_disjunctive_filter_still_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "lineitem_disjunctive_filter_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
