@@ -10259,3 +10259,83 @@ def q_lineitem_disjunctive_filter_revenue(
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 batch 11: conversion attribution (first/last touch).
+# --------------------------------------------------------------------------
+
+_ATTR_LOOKBACK_NS = 604_800_000_000_000  # 7 days
+
+_ATTRIBUTION_SQL = f"""
+WITH tagged AS (
+  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns,
+         event_type = (SELECT MAX(event_type) FROM events) AS is_conv
+  FROM events
+),
+windowed AS (
+  SELECT *,
+    MIN(CASE WHEN NOT is_conv
+             THEN printf('%020d|%010d', tns, event_id) END)
+      OVER (PARTITION BY user_id ORDER BY tns
+            RANGE BETWEEN {_ATTR_LOOKBACK_NS} PRECEDING AND 1 PRECEDING)
+      AS ft,
+    MAX(CASE WHEN NOT is_conv
+             THEN printf('%020d|%010d', tns, event_id) END)
+      OVER (PARTITION BY user_id ORDER BY tns
+            RANGE BETWEEN {_ATTR_LOOKBACK_NS} PRECEDING AND 1 PRECEDING)
+      AS lt
+  FROM tagged
+)
+SELECT event_id AS conversion_event_id, user_id,
+       CAST(substr(ft, 22, 10) AS BIGINT) AS first_touch_event_id,
+       CAST(substr(lt, 22, 10) AS BIGINT) AS last_touch_event_id
+FROM windowed WHERE is_conv
+"""
+
+
+@register("events_conversion_attribution", _ATTRIBUTION_SQL)
+def q_events_conversion_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-touch and last-touch conversion attribution — the two
+    canonical marketing-attribution models, in ONE keyed range-frame
+    window pass: for every conversion (the lexicographic-max event type,
+    picked deterministically — no hardcoded fixture string), the
+    earliest and latest NON-conversion touchpoint of the same user
+    within a 7-day event-time lookback. The argmin/argmax over the
+    range frame uses the engine-portable sortable-string encoding
+    printf('%020d|%010d', ts, id) (struct-min in a window is not
+    portable); conversions with an empty lookback attribute to NULL.
+    Scale shape: one shuffle on user_id, RANGE frame state bounded by
+    the lookback horizon — the same plan at any tape length."""
+    ev = read_events(spark, sf_dir)
+    conv_type = ev.agg(F.max("event_type").alias("m")).collect()[0]["m"]
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("event_type") == F.lit(conv_type)).alias("is_conv"),
+    )
+    enc = F.when(
+        ~F.col("is_conv"),
+        F.format_string("%020d|%010d", F.col("ts"), F.col("event_id")),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(-_ATTR_LOOKBACK_NS, -1)
+    )
+    windowed = tagged.select(
+        "user_id",
+        "event_id",
+        "is_conv",
+        F.min(enc).over(w).alias("ft"),
+        F.max(enc).over(w).alias("lt"),
+    )
+    return windowed.filter(F.col("is_conv")).select(
+        F.col("event_id").alias("conversion_event_id"),
+        "user_id",
+        F.substring("ft", 22, 10).cast("long").alias("first_touch_event_id"),
+        F.substring("lt", 22, 10).cast("long").alias("last_touch_event_id"),
+    )

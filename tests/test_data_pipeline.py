@@ -824,3 +824,42 @@ class TestGdprErasure:
         assert any(r.n_erased > 0 for r in rows)
         for r in rows:
             assert r.n_after == r.n_before - r.n_erased
+
+
+class TestConversionAttribution:
+    def test_touch_ordering_and_lookback(self, spark, sf_dir):
+        """First touch <= last touch in time, both strictly before the
+        conversion, within 7 days, and never a conversion event
+        themselves; NULL only when the lookback is empty."""
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+        from market_microstructure_toolkit_spark.sources.events import (
+            read_events,
+        )
+
+        rows = (
+            REGISTRY["events_conversion_attribution"]
+            .spark(spark, sf_dir)
+            .collect()
+        )
+        assert rows
+        ev = read_events(spark, sf_dir).collect()
+        ts = {r.event_id: r.ts for r in ev}
+        conv_type = max(r.event_type for r in ev)
+        types = {r.event_id: r.event_type for r in ev}
+        n_attributed = 0
+        for r in rows:
+            assert types[r.conversion_event_id] == conv_type
+            if r.first_touch_event_id is None:
+                assert r.last_touch_event_id is None
+                continue
+            n_attributed += 1
+            ft, lt, ct = (
+                ts[r.first_touch_event_id],
+                ts[r.last_touch_event_id],
+                ts[r.conversion_event_id],
+            )
+            assert ft <= lt < ct
+            assert ct - ft <= 604_800_000_000_000
+            assert types[r.first_touch_event_id] != conv_type
+            assert types[r.last_touch_event_id] != conv_type
+        assert n_attributed > 0
