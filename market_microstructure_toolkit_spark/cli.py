@@ -284,6 +284,44 @@ def cmd_dedup_exact(args) -> None:
     print(f"wrote {args.out}")
 
 
+def cmd_table_diff(args) -> None:
+    """Merkle-style version diff (operators/reconcile.table_diff):
+    per-bucket fingerprints first, row detail only for differing
+    buckets."""
+    from market_microstructure_toolkit_spark.operators.reconcile import (
+        table_diff,
+    )
+
+    spark = get_spark("mmt-table-diff")
+    v1 = spark.read.parquet(args.v1)
+    v2 = spark.read.parquet(args.v2)
+    cols = args.columns.split(",") if args.columns else None
+    out = table_diff(v1, v2, args.key, compare_cols=cols)
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    else:
+        for r in out.orderBy(args.key).collect():
+            print(f"{r[args.key]}\t{r['status']}")
+
+
+def cmd_profile(args) -> None:
+    """One-scan per-column profile (operators/reconcile.profile_table)."""
+    from market_microstructure_toolkit_spark.operators.reconcile import (
+        profile_table,
+    )
+
+    spark = get_spark("mmt-profile")
+    df = spark.read.parquet(args.input)
+    cols = args.columns.split(",") if args.columns else None
+    for r in profile_table(df, cols).collect():
+        print(
+            f"{r['column_name']}\tnulls={r['n_null']}\t"
+            f"distinct={r['n_distinct']}\tmin={r['min_value']}\t"
+            f"max={r['max_value']}"
+        )
+
+
 def cmd_cdc_apply(args) -> None:
     """Merge a change batch into a base snapshot (operators/cdc.apply_cdc:
     latest version wins, delete beats upsert at equal version)."""
@@ -432,6 +470,21 @@ def build_parser() -> argparse.ArgumentParser:
     ca.add_argument("--op-col", default="op")
     ca.add_argument("--version-col", default=None)
     ca.set_defaults(fn=cmd_cdc_apply)
+
+    td = sub.add_parser(
+        "table-diff", help="Merkle-style row-level diff of two versions"
+    )
+    td.add_argument("v1")
+    td.add_argument("v2")
+    td.add_argument("--key", default="doc_id")
+    td.add_argument("--columns", default=None, help="comma list; default all shared")
+    td.add_argument("--out", default=None, help="parquet out; default print")
+    td.set_defaults(fn=cmd_table_diff)
+
+    pr = sub.add_parser("profile", help="per-column null/distinct/min/max, one scan")
+    pr.add_argument("input")
+    pr.add_argument("--columns", default=None)
+    pr.set_defaults(fn=cmd_profile)
 
     r = sub.add_parser("record-replay", help="streaming recorder replay")
     r.add_argument("input")

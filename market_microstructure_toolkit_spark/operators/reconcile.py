@@ -1,0 +1,122 @@
+"""Table reconciliation and profiling — the audit passes a data platform
+runs between pipelines: Merkle-style version diff (find row-level deltas
+without a full-table compare) and one-scan column profiling.
+
+Extracted from the round-5 gate queries (``documents_table_diff``,
+``documents_profile``) so the CLI can run them on arbitrary parquet
+inputs; the gates now call these functions, so the DuckDB oracles pin
+this exact code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["table_diff", "profile_table"]
+
+
+def table_diff(
+    v1: DataFrame,
+    v2: DataFrame,
+    key: str,
+    compare_cols: list[str] | None = None,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Row-level delta between two table versions, Merkle-style.
+
+    Phase 1 fingerprints each version per bucket (``key % n_buckets``):
+    row count plus the exact SUM of a 40-bit integer slice of md5(row)
+    — order-free exact (n_buckets * 1e6 rows * 2^40 < int64), and
+    engine-portable (the gate's DuckDB oracle computes the identical
+    digests). Phase 2 compares the two bucket-fingerprint tables
+    (metadata-sized) and keeps only differing buckets; phase 3
+    full-outer-joins the ROW DATA of those buckets alone. An unchanged
+    table costs two fingerprint scans and ZERO detail reads; a
+    0.1%-changed table reads ~0.1% of buckets in phase 3.
+
+    Returns (key, status) with status in {'only_v1', 'only_v2',
+    'changed'}. ``compare_cols`` defaults to every shared non-key
+    column; the key column must be integral (bucketing is ``% n``).
+    """
+    if compare_cols is None:
+        compare_cols = [
+            c for c in v1.columns if c in set(v2.columns) and c != key
+        ]
+    cols = [key, *compare_cols]
+
+    def fingerprint(df: DataFrame) -> DataFrame:
+        row_h = F.conv(
+            F.substring(F.md5(F.concat_ws("|", *cols)), 1, 10), 16, 10
+        ).cast("long")
+        return df.groupBy((F.col(key) % n_buckets).alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum(row_h).alias("fp")
+        )
+
+    f1 = fingerprint(v1.select(*cols))
+    f2 = fingerprint(v2.select(*cols))
+    diff_buckets = (
+        f1.alias("x")
+        .join(f2.alias("y"), "bucket", "full")
+        .filter(
+            (F.col("x.n").eqNullSafe(F.col("y.n")) == F.lit(False))
+            | (F.col("x.fp").eqNullSafe(F.col("y.fp")) == F.lit(False))
+        )
+        .select("bucket")
+    )
+    a = v1.select(*cols).join(
+        F.broadcast(diff_buckets),
+        (F.col(key) % n_buckets) == F.col("bucket"),
+        "left_semi",
+    )
+    b = v2.select(*cols).join(
+        F.broadcast(diff_buckets),
+        (F.col(key) % n_buckets) == F.col("bucket"),
+        "left_semi",
+    )
+    al, bl = a.alias("a"), b.alias("b")
+    joined = al.join(bl, F.col(f"a.{key}") == F.col(f"b.{key}"), "full")
+    differs = F.col(f"b.{key}").isNull() | F.col(f"a.{key}").isNull()
+    for c in compare_cols:
+        differs = differs | (F.col(f"a.{c}") != F.col(f"b.{c}"))
+    return joined.filter(differs).select(
+        F.coalesce(F.col(f"a.{key}"), F.col(f"b.{key}")).alias(key),
+        F.when(F.col(f"b.{key}").isNull(), F.lit("only_v1"))
+        .when(F.col(f"a.{key}").isNull(), F.lit("only_v2"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-column null count, exact distinct count, and min/max — in ONE
+    scan (a single grouped-by-nothing aggregate; the per-column rows
+    are unpivoted from that one row in-plan). Values stringified for a
+    uniform output schema.
+    """
+    cols = cols or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(f"__null_{c}").alias("n_null"),
+                        F.col(f"__nd_{c}").alias("n_distinct"),
+                        F.col(f"__min_{c}").alias("min_value"),
+                        F.col(f"__max_{c}").alias("max_value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")

@@ -7892,54 +7892,16 @@ def q_documents_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    from market_microstructure_toolkit_spark.operators.reconcile import (
+        table_diff,
+    )
 
-    def fingerprint(df: DataFrame) -> DataFrame:
-        row_h = F.conv(
-            F.substring(F.md5(F.concat_ws("|", *cols)), 1, 10), 16, 10
-        ).cast("long")
-        return df.groupBy((F.col("doc_id") % 256).alias("bucket")).agg(
-            F.count(F.lit(1)).alias("n"), F.sum(row_h).alias("fp")
-        )
-    f1 = fingerprint(docs.select(*cols))
-    f2 = fingerprint(v2.select(*cols))
-    diff_buckets = (
-        f1.alias("x")
-        .join(f2.alias("y"), "bucket", "full")
-        .filter(
-            (F.col("x.n").eqNullSafe(F.col("y.n")) == F.lit(False))
-            | (F.col("x.fp").eqNullSafe(F.col("y.fp")) == F.lit(False))
-        )
-        .select("bucket")
-    )
-    # detail pass touches ONLY differing buckets (broadcast semi-join on
-    # the <=256-row bucket list)
-    a = docs.select(*cols).join(
-        F.broadcast(diff_buckets),
-        (F.col("doc_id") % 256) == F.col("bucket"),
-        "left_semi",
-    )
-    b = v2.select(*cols).join(
-        F.broadcast(diff_buckets),
-        (F.col("doc_id") % 256) == F.col("bucket"),
-        "left_semi",
-    )
-    al, bl = a.alias("a"), b.alias("b")
-    joined = al.join(bl, F.col("a.doc_id") == F.col("b.doc_id"), "full")
-    differs = (
-        F.col("b.doc_id").isNull()
-        | F.col("a.doc_id").isNull()
-        | (F.col("a.text") != F.col("b.text"))
-        | (F.col("a.lang") != F.col("b.lang"))
-        | (F.col("a.source") != F.col("b.source"))
-        | (F.col("a.n_chars") != F.col("b.n_chars"))
-    )
-    return joined.filter(differs).select(
-        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
-        F.when(F.col("b.doc_id").isNull(), F.lit("only_v1"))
-        .when(F.col("a.doc_id").isNull(), F.lit("only_v2"))
-        .otherwise(F.lit("changed"))
-        .alias("status"),
+    return table_diff(
+        docs,
+        v2,
+        "doc_id",
+        compare_cols=["text", "lang", "source", "n_chars"],
+        n_buckets=256,
     )
 
 
@@ -9041,34 +9003,12 @@ def q_documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan per column — at 100 TB the difference between 1 and k table
     scans. Values stringified for a uniform schema; integer/string
     outputs are engine-exact."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    cols = ["doc_id", "lang", "source", "n_chars"]
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
-            F.countDistinct(c).alias(f"__nd_{c}"),
-            F.min(c).cast("string").alias(f"__min_{c}"),
-            F.max(c).cast("string").alias(f"__max_{c}"),
-        ]
-    one = docs.agg(*aggs)
-    profiled = one.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("column_name"),
-                        F.col(f"__null_{c}").alias("n_null"),
-                        F.col(f"__nd_{c}").alias("n_distinct"),
-                        F.col(f"__min_{c}").alias("min_value"),
-                        F.col(f"__max_{c}").alias("max_value"),
-                    )
-                    for c in cols
-                ]
-            )
-        ).alias("p")
+    from market_microstructure_toolkit_spark.operators.reconcile import (
+        profile_table,
     )
-    return profiled.select("p.*")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return profile_table(docs, ["doc_id", "lang", "source", "n_chars"])
 
 
 # --------------------------------------------------------------------------

@@ -220,3 +220,31 @@ def test_cdc_apply_cmd(spark, tmp_path):
     cli.main(["cdc-apply", base, chg, "--out", out, "--key", "doc_id"])
     got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
     assert got == {2: "b2", 3: "c"}
+
+
+def test_table_diff_cmd(spark, tmp_path, capsys):
+    from market_microstructure_toolkit_spark import cli
+
+    v1, v2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    ).write.parquet(v1)
+    spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], "doc_id long, text string"
+    ).write.parquet(v2)
+    cli.main(["table-diff", v1, v2, "--key", "doc_id"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ["2\tchanged", "3\tonly_v1", "4\tonly_v2"]
+
+
+def test_profile_cmd(spark, tmp_path, capsys):
+    from market_microstructure_toolkit_spark import cli
+
+    src = str(tmp_path / "prof")
+    spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y")], "k long, v string"
+    ).write.parquet(src)
+    cli.main(["profile", src])
+    out = capsys.readouterr().out
+    assert "k\tnulls=0\tdistinct=2" in out
+    assert "v\tnulls=1\tdistinct=2" in out
