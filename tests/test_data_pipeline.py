@@ -863,3 +863,23 @@ class TestConversionAttribution:
             assert types[r.first_touch_event_id] != conv_type
             assert types[r.last_touch_event_id] != conv_type
         assert n_attributed > 0
+
+
+class TestConversionLatency:
+    def test_latency_positive_and_counts_match_attribution(self, spark, sf_dir):
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        rows = (
+            REGISTRY["events_conversion_latency"].spark(spark, sf_dir).collect()
+        )
+        assert rows
+        total = sum(r.n_conversions for r in rows)
+        attributed = (
+            REGISTRY["events_conversion_attribution"]
+            .spark(spark, sf_dir)
+            .filter("last_touch_event_id IS NOT NULL")
+            .count()
+        )
+        assert total == attributed
+        for r in rows:
+            assert 0 <= r.median_latency_ms <= r.p90_latency_ms

@@ -304,3 +304,23 @@ class TestAlmgrenSizes:
 
         sizes = almgren_sizes(40.0, 16, 1e-6)
         assert all(abs(s - 2.5) < 1e-3 for s in sizes)
+
+
+class TestCostCurve:
+    def test_premium_monotone_in_size(self, spark, sf_dir):
+        """Walking deeper into the ask ladder can only cost more per
+        unit: avg premium must be non-decreasing in q per instrument
+        (ladder prices rise with level)."""
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        rows = REGISTRY["book_cost_curve"].spark(spark, sf_dir).collect()
+        assert rows
+        by_key = {}
+        for r in rows:
+            by_key.setdefault((r.exchange_id, r.symbol), []).append(r)
+        for key, rs in by_key.items():
+            rs.sort(key=lambda r: r.q)
+            assert all(r.n_full_fills > 0 for r in rs), key
+            prems = [r.avg_premium_bps for r in rs]
+            assert all(a <= b + 1e-9 for a, b in zip(prems, prems[1:])), key
+            assert all(p >= 0 for p in prems), key
