@@ -10458,3 +10458,37 @@ def q_events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile(F.col("latency_ms").cast("double"), F.lit(0.9)), 6
         ).alias("p90_latency_ms"),
     )
+
+
+_LANGID_CONFUSION_SQL = (
+    "WITH preds AS (\n"
+    + _lang_id_sql()
+    + "\n)\n"
+    "SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs\n"
+    "FROM preds GROUP BY labeled_lang, predicted_lang"
+)
+
+
+@register("doc_langid_confusion", _LANGID_CONFUSION_SQL)
+def q_doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language classifier against the
+    corpus's labels — the in-engine evaluation of doc_lang_id (the same
+    pattern as book_feature_auc: model, prediction, AND its quality
+    report all inside the DataFrame plan). The matrix is label-count
+    sized (languages², not documents), so it reduces map-side; the
+    misclassification cells tell a curation pipeline which language
+    pairs its marker lexicons confuse before it routes documents by
+    prediction. Integer-exact."""
+    from market_microstructure_toolkit_spark.operators.text_analysis import (
+        lang_id_expr,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            F.col("lang").alias("labeled_lang"),
+            lang_id_expr("text").alias("predicted_lang"),
+        )
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

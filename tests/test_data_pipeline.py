@@ -883,3 +883,29 @@ class TestConversionLatency:
         assert total == attributed
         for r in rows:
             assert 0 <= r.median_latency_ms <= r.p90_latency_ms
+
+
+class TestLangidConfusion:
+    def test_matrix_mass_and_diagonal_dominance(self, spark, sf_dir):
+        from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+        rows = (
+            REGISTRY["doc_langid_confusion"].spark(spark, sf_dir).collect()
+        )
+        assert rows
+        total = sum(r.n_docs for r in rows)
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        assert total == n_docs  # every doc classified exactly once
+        # the fixture's text is English-like regardless of its lang
+        # LABEL (the matrix exists precisely to surface such
+        # label/content mismatches) — so the defensible invariants are:
+        # labeled-en docs classify en-dominantly, and predictions are
+        # only known languages or 'und'
+        en = {r.predicted_lang: r.n_docs for r in rows if r.labeled_lang == "en"}
+        assert en.get("en", 0) > sum(v for k, v in en.items() if k != "en")
+        from market_microstructure_toolkit_spark.operators.text_analysis import (
+            LANG_MARKERS,
+        )
+
+        allowed = set(LANG_MARKERS) | {"und"}
+        assert {r.predicted_lang for r in rows} <= allowed
