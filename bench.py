@@ -45,8 +45,29 @@ def main() -> None:
     only = {
         s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
     }
+    # Physical-plan audit rides the bench loop (the DataFrames are built
+    # here anyway): every batch query's plan is checked for the 100 TB
+    # anti-patterns (cartesian, data-sized BNLJ, global window, non-
+    # scalar single-partition exchange) and the result lands in a
+    # checked-in PLAN_AUDIT artifact. Audit wall-time is tracked
+    # separately so `value` stays comparable across rounds; streaming
+    # replays are skipped (they execute eagerly; their operators are
+    # audited via their batch twins). Disable with
+    # SPARK_GRAFT_BENCH_AUDIT=0.
+    do_audit = os.environ.get("SPARK_GRAFT_BENCH_AUDIT", "1") == "1"
+    audit_fn = None
+    if do_audit:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        from plan_audit import audit as audit_fn  # noqa: E402
+
     timings: dict[str, float] = {}
+    cold_timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    audit_flags: dict[str, list[str]] = {}
+    n_audited = 0
+    audit_wall = 0.0
     t0 = time.perf_counter()
     for name, qd in REGISTRY.items():
         if only and name not in only:
@@ -54,18 +75,61 @@ def main() -> None:
         print(f"[bench] {name}", file=sys.stderr, flush=True)
         try:
             runs = 2 if warm else 1
-            for _ in range(runs):
+            df = None
+            for i in range(runs):
                 t = time.perf_counter()
-                qd.spark(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                timings[name] = round(time.perf_counter() - t, 3)
+                df = qd.spark(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                elapsed = round(time.perf_counter() - t, 3)
+                timings[name] = elapsed
+                if i == 0:
+                    cold_timings[name] = elapsed
+            if audit_fn is not None and not name.startswith("streaming_"):
+                ta = time.perf_counter()
+                flags = audit_fn(name, df)
+                audit_wall += time.perf_counter() - ta
+                n_audited += 1
+                if flags:
+                    audit_flags[name] = flags
+                    print(
+                        f"PLAN AUDIT FLAG {name}: {flags}", file=sys.stderr
+                    )
         except Exception as e:  # noqa: BLE001 — one bad query must not
             # zero out the whole benchmark artifact (round-2 lesson: an
             # environment change crashed query 1 and lost all 56 numbers)
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
     total = round(time.perf_counter() - t0, 3)
+    # The cross-round comparable: sum of the RECORDED per-query timings
+    # (cold mode: the cold runs; warm mode: the second, steady-state runs
+    # only). `value` below stays the all-in wall of the whole loop —
+    # in warm mode that INCLUDES the cold priming pass, so `value` in a
+    # warm artifact is NOT "warm total"; total_query_s is.
+    total_query_s = round(sum(timings.values()), 3)
+
+    if do_audit:
+        audit_path = os.environ.get(
+            "SPARK_GRAFT_PLAN_AUDIT",
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "PLAN_AUDIT.json"
+            ),
+        )
+        with open(audit_path, "w") as f:
+            json.dump(
+                {
+                    "audited": n_audited,
+                    "flagged": audit_flags,
+                    "n_flagged": len(audit_flags),
+                    "skipped_streaming": sorted(
+                        n for n in timings if n.startswith("streaming_")
+                    ),
+                    "audit_wall_s": round(audit_wall, 3),
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+            f.write("\n")
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -80,12 +144,16 @@ def main() -> None:
     )
     detail = {
         "metric": "total_bench_wall_seconds",
-        "value": total,
+        "value": total,  # all-in wall: in warm mode includes the cold pass
+        "total_query_s": total_query_s,  # sum of recorded (warm-only) runs
         "unit": "sec",
         "sf": sf_val,
         "warm": warm,
         "queries": timings,
+        "plan_audit_flagged": len(audit_flags),
     }
+    if warm:
+        detail["queries_cold"] = cold_timings
     if errors:
         detail["errors"] = errors
     with open(detail_path, "w") as f:
@@ -98,10 +166,12 @@ def main() -> None:
     out = {
         "metric": "total_bench_wall_seconds",
         "value": total,
+        "total_query_s": total_query_s,
         "unit": "sec",
         "queries": slowest,  # 10 slowest only — full dict in detail file
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "n_plan_flags": len(audit_flags),
         "detail": os.path.basename(detail_path),
         "sf": sf_val,
     }

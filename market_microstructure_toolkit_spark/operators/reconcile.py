@@ -38,6 +38,13 @@ def table_diff(
     Returns (key, status) with status in {'only_v1', 'only_v2',
     'changed'}. ``compare_cols`` defaults to every shared non-key
     column; the key column must be integral (bucketing is ``% n``).
+
+    NULL handling is explicit in both phases: the fingerprint encodes
+    each column as ``'v' || value`` vs the ``'n'`` sentinel (plain
+    ``concat_ws`` SKIPS nulls, so ``(a, NULL, b)`` and ``(a, b, NULL)``
+    would otherwise collide), and the phase-3 predicate uses null-safe
+    inequality (``a <> b`` is NULL — filtered out — when either side is
+    NULL, which would silently report a value↔NULL change as unchanged).
     """
     if compare_cols is None:
         compare_cols = [
@@ -46,8 +53,14 @@ def table_diff(
     cols = [key, *compare_cols]
 
     def fingerprint(df: DataFrame) -> DataFrame:
+        enc = [
+            F.coalesce(
+                F.concat(F.lit("v"), F.col(c).cast("string")), F.lit("n")
+            )
+            for c in cols
+        ]
         row_h = F.conv(
-            F.substring(F.md5(F.concat_ws("|", *cols)), 1, 10), 16, 10
+            F.substring(F.md5(F.concat_ws("|", *enc)), 1, 10), 16, 10
         ).cast("long")
         return df.groupBy((F.col(key) % n_buckets).alias("bucket")).agg(
             F.count(F.lit(1)).alias("n"), F.sum(row_h).alias("fp")
@@ -78,7 +91,7 @@ def table_diff(
     joined = al.join(bl, F.col(f"a.{key}") == F.col(f"b.{key}"), "full")
     differs = F.col(f"b.{key}").isNull() | F.col(f"a.{key}").isNull()
     for c in compare_cols:
-        differs = differs | (F.col(f"a.{c}") != F.col(f"b.{c}"))
+        differs = differs | ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
     return joined.filter(differs).select(
         F.coalesce(F.col(f"a.{key}"), F.col(f"b.{key}")).alias(key),
         F.when(F.col(f"b.{key}").isNull(), F.lit("only_v1"))

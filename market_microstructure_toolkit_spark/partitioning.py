@@ -79,20 +79,23 @@ def write_bucketed(
     explicit external ``path`` so the data sits in caller-owned storage.
     Existing table of the same name is replaced — callers sharing a
     metastore across sessions must namespace ``table`` themselves (the
-    gate queries suffix a uuid4 for exactly this reason); the name is
+    gate queries suffix a uuid4 for exactly this reason); each
+    dot-separated segment of the (possibly schema-qualified) name is
     validated as a bare identifier so it can't smuggle SQL into the
     DROP.
     """
     import re
 
-    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table):
+    parts = table.split(".")
+    if not all(re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", p) for p in parts):
         raise ValueError(
-            f"write_bucketed: table name {table!r} must be a bare "
-            "identifier ([A-Za-z_][A-Za-z0-9_]*)"
+            f"write_bucketed: table name {table!r} must be one or more "
+            "dot-separated bare identifiers ([A-Za-z_][A-Za-z0-9_]*)"
         )
+    quoted = ".".join(f"`{p}`" for p in parts)
     keys = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
     sess = df.sparkSession
-    sess.sql(f"DROP TABLE IF EXISTS `{table}`")
+    sess.sql(f"DROP TABLE IF EXISTS {quoted}")
     w = df.write.mode("overwrite").format("parquet").option("path", path)
     w = w.bucketBy(n_buckets, *keys)
     if sort:

@@ -7854,8 +7854,9 @@ SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
             ELSE 'changed' END AS status
 FROM documents a FULL JOIN v2 b USING (doc_id)
 WHERE a.doc_id IS NULL OR b.doc_id IS NULL
-   OR a.text <> b.text OR a.lang <> b.lang OR a.source <> b.source
-   OR a.n_chars <> b.n_chars
+   OR a.text IS DISTINCT FROM b.text OR a.lang IS DISTINCT FROM b.lang
+   OR a.source IS DISTINCT FROM b.source
+   OR a.n_chars IS DISTINCT FROM b.n_chars
 """
 
 
@@ -9212,33 +9213,24 @@ def q_events_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scanning the scrubbed output for any surviving requested user
     (the verification a privacy audit actually demands, not an assumed
     TRUE; the oracle asserts it TRUE, so a broken anti-join breaks the
-    hash). Scale shape: the deletion list broadcasts (requests are
-    human-scale next to the log); the scrub is one broadcast LEFT ANTI
-    join, the verification a second map-side semi-probe of the scrubbed
-    stream — the log is never shuffled."""
+    hash). ``n_after`` is COUNTED from the scrubbed frame per type —
+    not derived as n_before − n_erased — while the ORACLE derives it
+    arithmetically, so the cross-engine hash pins the identity in both
+    failure directions: a leaking anti-join flips erasure_complete, an
+    OVER-deleting one (dropping non-requested users) makes the counted
+    n_after fall short of the oracle's arithmetic one. Scale shape: the
+    deletion list broadcasts (requests are human-scale next to the
+    log); the scrub is one broadcast LEFT ANTI join, the verification a
+    second map-side semi-probe of the scrubbed stream — the log is
+    never shuffled. Logic lives in ``operators/privacy.py`` (extracted
+    round 6) so the oracle pins that exact code."""
+    from market_microstructure_toolkit_spark.operators.privacy import (
+        erasure_report,
+    )
+
     ev = read_events(spark, sf_dir)
-    erase = F.broadcast(
-        ev.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
-    )
-    remaining = ev.join(erase, "user_id", "left_anti")
-    leak = (
-        remaining.join(erase, "user_id", "left_semi")
-        .agg(F.count(F.lit(1)).alias("__n_leaked"))
-    )
-    per_type = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_before"),
-        F.sum((F.col("user_id") % 97 == 0).cast("long")).alias("n_erased"),
-    )
-    return (
-        per_type.crossJoin(F.broadcast(leak))
-        .select(
-            "event_type",
-            "n_before",
-            "n_erased",
-            (F.col("n_before") - F.col("n_erased")).alias("n_after"),
-            (F.col("__n_leaked") == 0).alias("erasure_complete"),
-        )
-    )
+    requests = ev.filter(F.col("user_id") % 97 == 0).select("user_id")
+    return erasure_report(ev, requests)
 
 
 # --------------------------------------------------------------------------

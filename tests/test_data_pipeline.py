@@ -825,6 +825,62 @@ class TestGdprErasure:
         for r in rows:
             assert r.n_after == r.n_before - r.n_erased
 
+    def _fixture(self, spark):
+        from pyspark.sql import functions as F
+
+        ev = spark.createDataFrame(
+            [(i, i % 10, "click" if i % 2 else "view") for i in range(100)],
+            "event_id long, user_id long, event_type string",
+        )
+        requests = ev.filter(F.col("user_id") % 3 == 0).select("user_id")
+        return ev, requests
+
+    def test_over_deleting_scrub_breaks_arithmetic_identity(self, spark):
+        """An over-deleting scrub (drops non-requested users too) must
+        make the COUNTED n_after fall short of n_before - n_erased —
+        the arithmetic identity the DuckDB oracle computes — while a
+        leak-only audit would have passed it (erasure_complete TRUE)."""
+        from pyspark.sql import functions as F
+
+        from market_microstructure_toolkit_spark.operators.privacy import (
+            erasure_report,
+        )
+
+        ev, requests = self._fixture(spark)
+        # over-delete: also scrubs user 1 (never requested: 1 % 3 != 0)
+        bad_remaining = ev.filter(
+            (F.col("user_id") % 3 != 0) & (F.col("user_id") != 1)
+        )
+        rows = erasure_report(ev, requests, remaining=bad_remaining).collect()
+        assert all(r.erasure_complete for r in rows)  # the old blind spot
+        assert any(r.n_after < r.n_before - r.n_erased for r in rows)
+
+    def test_leaking_scrub_flips_erasure_complete(self, spark):
+        from pyspark.sql import functions as F
+
+        from market_microstructure_toolkit_spark.operators.privacy import (
+            erasure_report,
+        )
+
+        ev, requests = self._fixture(spark)
+        # leak: requested user 0 survives the scrub
+        bad_remaining = ev.filter(
+            (F.col("user_id") % 3 != 0) | (F.col("user_id") == 0)
+        )
+        rows = erasure_report(ev, requests, remaining=bad_remaining).collect()
+        assert all(not r.erasure_complete for r in rows)
+
+    def test_correct_scrub_passes_both_directions(self, spark):
+        from market_microstructure_toolkit_spark.operators.privacy import (
+            erasure_report,
+        )
+
+        ev, requests = self._fixture(spark)
+        rows = erasure_report(ev, requests).collect()
+        assert rows and all(r.erasure_complete for r in rows)
+        for r in rows:
+            assert r.n_after == r.n_before - r.n_erased
+
 
 class TestConversionAttribution:
     def test_touch_ordering_and_lookback(self, spark, sf_dir):

@@ -54,6 +54,26 @@ class TestBucketedJoin:
         agg = bo.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
         assert _plan(agg).count("Exchange") == 0
 
+    def test_schema_qualified_table_name(self, spark):
+        # dotted names (db.table) are valid; each segment is validated
+        base = tempfile.mkdtemp(prefix="mmt_test_bucket_q_")
+        spark.sql("CREATE DATABASE IF NOT EXISTS mmt_testdb")
+        region = spark.read.parquet(f"{SF}/region.parquet")
+        write_bucketed(
+            region, "mmt_testdb.t_bk_region", f"{base}/r", "r_regionkey"
+        )
+        assert spark.table("mmt_testdb.t_bk_region").count() == region.count()
+        # re-run replaces (exercises DROP on the quoted dotted name)
+        write_bucketed(
+            region, "mmt_testdb.t_bk_region", f"{base}/r2", "r_regionkey"
+        )
+        assert spark.table("mmt_testdb.t_bk_region").count() == region.count()
+        import pytest as _pytest
+
+        for bad in ("a.b; DROP TABLE x", "a..b", "1abc", "a.b-c"):
+            with _pytest.raises(ValueError):
+                write_bucketed(region, bad, f"{base}/bad", "r_regionkey")
+
 
 class TestApplyCdc:
     def _base(self, spark):
@@ -751,6 +771,11 @@ _delta_plan = _st2.fixed_dictionaries(
     {
         "dels": _st2.sets(_st2.integers(0, 29), max_size=8),
         "mods": _st2.sets(_st2.integers(0, 29), max_size=8),
+        # text set to NULL in v2 (value->NULL change) — must be flagged
+        "nulls": _st2.sets(_st2.integers(0, 29), max_size=6),
+        # base rows whose text is NULL in BOTH versions (NULL==NULL:
+        # must NOT be flagged) and, when also in mods, NULL->value
+        "base_nulls": _st2.sets(_st2.integers(0, 29), max_size=6),
         "ins": _st2.sets(_st2.integers(100, 120), max_size=5),
     }
 )
@@ -763,24 +788,45 @@ _delta_plan = _st2.fixed_dictionaries(
 )
 @_given2(plan=_delta_plan)
 def test_merkle_diff_property_random_deltas(spark, plan):
-    """Property: for ANY random delete/modify/insert delta, the
-    bucket-fingerprint-pruned diff equals the direct full-outer diff.
-    Uses the same fingerprint+prune machinery as the gate, on 8 buckets
-    so multi-row buckets (including changed+unchanged mixes) occur."""
+    """Property: for ANY random delete/modify/insert/nullify delta, the
+    SHIPPED operators.reconcile.table_diff (fingerprint+prune+detail
+    join) equals the expected delta — on 8 buckets so multi-row buckets
+    (changed+unchanged mixes) occur, and with NULL text on both the
+    unchanged path (NULL==NULL must not flag) and the changed paths
+    (value->NULL and NULL->value must flag)."""
     from pyspark.sql import functions as F
 
-    rows = [(i, f"text {i}", "en", "s", 10 + i) for i in range(30)]
+    from market_microstructure_toolkit_spark.operators.reconcile import (
+        table_diff,
+    )
+
+    base_nulls = plan["base_nulls"]
+    rows = [
+        (i, None if i in base_nulls else f"text {i}", "en", "s", 10 + i)
+        for i in range(30)
+    ]
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     )
+    # v2 text: NULLed for `nulls`; '[mod]'-suffixed (or NULL->'mod i')
+    # for `mods`; else unchanged (possibly NULL from base_nulls).
+    mods, nulls = plan["mods"], plan["nulls"]
     v2 = (
         docs.filter(~F.col("doc_id").isin(*plan["dels"]) if plan["dels"] else F.lit(True))
         .withColumn(
             "text",
             F.when(
-                F.col("doc_id").isin(*plan["mods"]) if plan["mods"] else F.lit(False),
-                F.concat(F.col("text"), F.lit(" [mod]")),
-            ).otherwise(F.col("text")),
+                F.col("doc_id").isin(*nulls) if nulls else F.lit(False),
+                F.lit(None).cast("string"),
+            )
+            .when(
+                F.col("doc_id").isin(*mods) if mods else F.lit(False),
+                F.coalesce(
+                    F.concat(F.col("text"), F.lit(" [mod]")),
+                    F.concat(F.lit("mod "), F.col("doc_id").cast("string")),
+                ),
+            )
+            .otherwise(F.col("text")),
         )
         .unionByName(
             spark.createDataFrame(
@@ -789,59 +835,23 @@ def test_merkle_diff_property_random_deltas(spark, plan):
             )
         )
     )
-    cols = ["doc_id", "text", "lang", "source", "n_chars"]
-
-    def fingerprint(df):
-        row_h = F.conv(
-            F.substring(F.md5(F.concat_ws("|", *cols)), 1, 10), 16, 10
-        ).cast("long")
-        return df.groupBy((F.col("doc_id") % 8).alias("bucket")).agg(
-            F.count(F.lit(1)).alias("n"), F.sum(row_h).alias("fp")
-        )
-
-    f1, f2 = fingerprint(docs), fingerprint(v2)
-    diff_buckets = (
-        f1.alias("x")
-        .join(f2.alias("y"), "bucket", "full")
-        .filter(
-            (F.col("x.n").eqNullSafe(F.col("y.n")) == F.lit(False))
-            | (F.col("x.fp").eqNullSafe(F.col("y.fp")) == F.lit(False))
-        )
-        .select("bucket")
-    )
-    a = docs.join(
-        F.broadcast(diff_buckets),
-        (F.col("doc_id") % 8) == F.col("bucket"),
-        "left_semi",
-    ).alias("a")
-    b = v2.join(
-        F.broadcast(diff_buckets),
-        (F.col("doc_id") % 8) == F.col("bucket"),
-        "left_semi",
-    ).alias("b")
-    joined = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full")
-    pruned = {
+    got = {
         (r.doc_id, r.status)
-        for r in joined.filter(
-            F.col("b.doc_id").isNull()
-            | F.col("a.doc_id").isNull()
-            | (F.col("a.text") != F.col("b.text"))
-        )
-        .select(
-            F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
-            F.when(F.col("b.doc_id").isNull(), F.lit("only_v1"))
-            .when(F.col("a.doc_id").isNull(), F.lit("only_v2"))
-            .otherwise(F.lit("changed"))
-            .alias("status"),
-        )
-        .collect()
+        for r in table_diff(docs, v2, "doc_id", n_buckets=8).collect()
     }
+    surviving = set(range(30)) - plan["dels"]
+    changed = (
+        # value -> NULL (only a change if the base text was non-null)
+        {i for i in nulls & surviving if i not in base_nulls}
+        # modified: value->'... [mod]' or NULL->'mod i'; `nulls` wins
+        | {i for i in (mods - nulls) & surviving}
+    )
     expect = (
         {(i, "only_v1") for i in plan["dels"]}
-        | {(i, "changed") for i in plan["mods"] - plan["dels"]}
+        | {(i, "changed") for i in changed}
         | {(i, "only_v2") for i in plan["ins"]}
     )
-    assert pruned == expect, plan
+    assert got == expect, plan
 
 
 @_settings2(
