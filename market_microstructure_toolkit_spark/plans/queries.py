@@ -10484,3 +10484,115 @@ def q_doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("labeled_lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# --------------------------------------------------------------------------
+# Round-6 batch 1: book-side schema evolution (depth grows mid-stream).
+# --------------------------------------------------------------------------
+
+def _depth_evo_sql() -> str:
+    """Oracle for book_depth_evolution: the depth-5 book with levels 4-5
+    NULLed on the first (depth-3-recorded) half, then the same per-row
+    depth metrics. The cut is integer midpoint of ts_ms — identical
+    floor-division arithmetic on both engines."""
+    n_bid = " + ".join(
+        f"CASE WHEN e.bid{i}_price IS NOT NULL THEN 1 ELSE 0 END"
+        for i in range(1, 6)
+    )
+    n_ask = " + ".join(
+        f"CASE WHEN e.ask{i}_price IS NOT NULL THEN 1 ELSE 0 END"
+        for i in range(1, 6)
+    )
+    bid_qty = " + ".join(f"COALESCE(e.bid{i}_size, 0.0)" for i in range(1, 6))
+    ask_qty = " + ".join(f"COALESCE(e.ask{i}_size, 0.0)" for i in range(1, 6))
+    effective = ",\n".join(
+        f"    CASE WHEN b.ts_ms <= c.cut THEN NULL ELSE b.bid{i}_price END AS bid{i}_price,\n"
+        f"    CASE WHEN b.ts_ms <= c.cut THEN NULL ELSE b.bid{i}_size END AS bid{i}_size,\n"
+        f"    CASE WHEN b.ts_ms <= c.cut THEN NULL ELSE b.ask{i}_price END AS ask{i}_price,\n"
+        f"    CASE WHEN b.ts_ms <= c.cut THEN NULL ELSE b.ask{i}_size END AS ask{i}_size"
+        for i in range(4, 6)
+    )
+    return f"""{_BOOK_CTE},
+cutoff AS (SELECT (MIN(ts_ms) + MAX(ts_ms)) // 2 AS cut FROM book),
+evolved AS (
+  SELECT b.exchange_id, b.symbol, b.ts_ms, b.raw_nonce,
+    CASE WHEN b.ts_ms <= c.cut THEN 'depth3' ELSE 'depth5' END AS recorder,
+    b.bid1_price, b.bid1_size, b.ask1_price, b.ask1_size,
+    b.bid2_price, b.bid2_size, b.ask2_price, b.ask2_size,
+    b.bid3_price, b.bid3_size, b.ask3_price, b.ask3_size,
+{effective}
+  FROM book b CROSS JOIN cutoff c
+)
+SELECT e.exchange_id, e.symbol, e.ts_ms, e.raw_nonce, e.recorder,
+       CAST({n_bid} AS BIGINT) AS n_bid_levels,
+       CAST({n_ask} AS BIGINT) AS n_ask_levels,
+       {bid_qty} AS bid_depth_qty,
+       {ask_qty} AS ask_depth_qty
+FROM evolved e
+"""
+
+
+@register("book_depth_evolution", _depth_evo_sql())
+def q_book_depth_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Book-side schema evolution: a recording whose depth K GROWS
+    mid-stream — the first half of the tape written by a depth-3
+    recorder, the second by a depth-5 one (the reference infers depth
+    by probing columns until missing, ``impact_twap.py:78-98``; our
+    schema-based twin is ``schema.py:infer_depth``). The two segments
+    are written as separate parquet recordings and unioned via
+    ``mergeSchema`` footer-level reconciliation; ``infer_depth`` on the
+    merged frame returns the MAX depth (5), and depth-K metrics
+    null-propagate on the never-recorded levels: level-presence counts
+    top out at 3 on the old segment and the depth-quantity sums (sizes
+    are exact 0.25 multiples — order-free) simply omit the missing
+    levels. At 100 TB this is the footer-only merge path: no data
+    rewrite when a feed upgrade widens the schema, old files read with
+    NULL columns."""
+    from market_microstructure_toolkit_spark.schema import infer_depth
+
+    ev = read_events(spark, sf_dir).select(F.expr("ts DIV 1000000").alias("ts_ms"))
+    rng = ev.agg(F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")).collect()[0]
+    cut = (rng["lo"] + rng["hi"]) // 2
+
+    base = _scratch(prefix="mmt_depth_evo_")
+    synthetic_book(spark, sf_dir, depth=3).filter(F.col("ts_ms") <= cut).write.parquet(
+        f"{base}/rec_a"
+    )
+    synthetic_book(spark, sf_dir, depth=5).filter(F.col("ts_ms") > cut).write.parquet(
+        f"{base}/rec_b"
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/rec_a", f"{base}/rec_b"
+    )
+    k = infer_depth(merged)
+    if k != 5:
+        raise ValueError(f"depth evolution merge lost levels: inferred {k}")
+    n_bid = sum(
+        (F.col(f"bid{i}_price").isNotNull().cast("long") for i in range(1, k + 1)),
+        start=F.lit(0).cast("long"),
+    )
+    n_ask = sum(
+        (F.col(f"ask{i}_price").isNotNull().cast("long") for i in range(1, k + 1)),
+        start=F.lit(0).cast("long"),
+    )
+    bid_qty = sum(
+        (F.coalesce(F.col(f"bid{i}_size"), F.lit(0.0)) for i in range(1, k + 1)),
+        start=F.lit(0.0),
+    )
+    ask_qty = sum(
+        (F.coalesce(F.col(f"ask{i}_size"), F.lit(0.0)) for i in range(1, k + 1)),
+        start=F.lit(0.0),
+    )
+    return merged.select(
+        "exchange_id",
+        "symbol",
+        "ts_ms",
+        "raw_nonce",
+        F.when(F.col("ts_ms") <= cut, F.lit("depth3"))
+        .otherwise(F.lit("depth5"))
+        .alias("recorder"),
+        n_bid.alias("n_bid_levels"),
+        n_ask.alias("n_ask_levels"),
+        bid_qty.alias("bid_depth_qty"),
+        ask_qty.alias("ask_depth_qty"),
+    )

@@ -440,3 +440,18 @@ def test_bench_emits_plan_audit_artifact(tmp_path):
     assert out["total_query_s"] <= out["value"]
     detail = json.loads((tmp_path / "detail.json").read_text())
     assert detail["plan_audit_flagged"] == 0
+
+
+def test_book_depth_evolution_null_propagates_old_segment(spark, sf_dir):
+    """The depth3-recorded half must never show more than 3 levels and
+    its depth-qty sums must exclude levels 4-5; the depth5 half must
+    reach past 3 on at least some rows (pad-nulls aside)."""
+    from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["book_depth_evolution"].spark(spark, sf_dir).collect()
+    a = [r for r in rows if r.recorder == "depth3"]
+    b = [r for r in rows if r.recorder == "depth5"]
+    assert a and b
+    assert all(r.n_bid_levels <= 3 and r.n_ask_levels <= 3 for r in a)
+    assert any(r.n_bid_levels > 3 for r in b)
+    assert max(r.bid_depth_qty for r in b) > max(r.bid_depth_qty for r in a)
