@@ -117,6 +117,85 @@ def _stamp_batch_order(*dirs: str) -> None:
                 os.utime(os.path.join(root, fn), (ts, ts))
 
 
+#: (sf_dir, kind) -> tape base dir. Replay tapes depend only on the
+#: fixture and sf_dir, so every replay gate streaming the same fixture
+#: shares ONE tape write per process (the round-5 verdict flagged the 13
+#: replays' spin-up as 19% of the cold bench; tape prep was ~half of
+#: each replay's warm cost).
+_TAPE_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _memo_tape(sf_dir: str, kind: str, build) -> str:
+    """Memoized replay tape: ``build(base)`` writes the micro-batch
+    chunk dirs under ``base`` and returns them in batch order (they get
+    mtime-stamped here). Tapes are pure functions of (sf_dir, kind), so
+    one process writes each once; checkpoints must stay PER-RUN (a
+    reused checkpoint replays committed offsets and emits nothing)."""
+    key = (sf_dir, kind)
+    hit = _TAPE_MEMO.get(key)
+    if hit:
+        return hit
+    base = _scratch(prefix=f"mmt_tape_{kind}_")
+    _stamp_batch_order(*build(base))
+    _TAPE_MEMO[key] = base
+    return base
+
+
+def _split2(df: DataFrame, ts_col: str, base: str) -> list[str]:
+    """Write ``df`` as two chunks split at the midpoint of its
+    ``ts_col`` range (chunk a = earlier half for EVERY key, so
+    micro-batch 2 genuinely depends on batch-1 state). ``persist()``
+    bounds the build to one derivation scan instead of three."""
+    df = df.persist()
+    try:
+        rng = df.agg(
+            F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+        ).collect()[0]
+        split = (rng["lo"] + rng["hi"]) // 2
+        df.filter(F.col(ts_col) <= split).coalesce(1).write.parquet(
+            f"{base}/data/a"
+        )
+        df.filter(F.col(ts_col) > split).coalesce(1).write.parquet(
+            f"{base}/data/b"
+        )
+    finally:
+        df.unpersist()
+    return [f"{base}/data/a", f"{base}/data/b"]
+
+
+def _split3(df: DataFrame, ts_col: str, base: str) -> list[str]:
+    """Three chunks at the thirds of the ``ts_col`` range (the shape the
+    watermark gates need: Spark 4.1 plans batch N's late filter with
+    batch N-1's watermark, so late-data semantics need >= 3 batches)."""
+    df = df.persist()
+    try:
+        rng = df.agg(
+            F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+        ).collect()[0]
+        lo, hi = rng["lo"], rng["hi"]
+        c1, c2 = lo + (hi - lo) // 3, lo + 2 * ((hi - lo) // 3)
+        df.filter(F.col(ts_col) <= c1).coalesce(1).write.parquet(
+            f"{base}/data/a"
+        )
+        df.filter(
+            (F.col(ts_col) > c1) & (F.col(ts_col) <= c2)
+        ).coalesce(1).write.parquet(f"{base}/data/b")
+        df.filter(F.col(ts_col) > c2).coalesce(1).write.parquet(
+            f"{base}/data/c"
+        )
+    finally:
+        df.unpersist()
+    return [f"{base}/data/a", f"{base}/data/b", f"{base}/data/c"]
+
+
+def _tape2(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """Two-chunk tape over the book/trades fixture (see _memo_tape)."""
+    df_fn = synthetic_book if kind == "book2" else synthetic_trades
+    return _memo_tape(
+        sf_dir, kind, lambda base: _split2(df_fn(spark, sf_dir), "ts_ms", base)
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents scan, spread over cores (hash/shingle stages are
     expression-heavy; a single-file local input would otherwise pin them
@@ -1957,26 +2036,10 @@ def q_streaming_ofi_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful_ofi,
     )
 
-    base = _scratch(prefix="mmt_stream_replay_")
-    book = synthetic_book(spark, sf_dir)
-    # midpoint of the time range splits every instrument's series (event
-    # times are dense) — one cheap agg instead of an exact quantile
-    rng = book.agg(
-        F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")
-    ).collect()[0]
-    split_ts = (rng["lo"] + rng["hi"]) // 2
-    # chunk a = earlier half of event time for EVERY instrument, so the
-    # second micro-batch genuinely depends on state from the first
-    book.filter(F.col("ts_ms") <= split_ts).coalesce(1).write.parquet(
-        f"{base}/data/a"
-    )
-    book.filter(F.col("ts_ms") > split_ts).coalesce(1).write.parquet(
-        f"{base}/data/b"
-    )
-    _stamp_batch_order(f"{base}/data/a", f"{base}/data/b")
-
+    tape_base = _tape2(spark, sf_dir, "book2")
+    base = _scratch(prefix="mmt_stream_replay_")  # per-run checkpoint
     stream = read_book_stream(
-        spark, f"{base}/data/*/", BOOK_DEPTH, max_files_per_trigger=1
+        spark, f"{tape_base}/data/*/", BOOK_DEPTH, max_files_per_trigger=1
     )
     name = f"ofi_replay_{uuid.uuid4().hex[:8]}"
     # state-store partitions = shuffle partitions; there are only a few
@@ -3031,22 +3094,12 @@ def q_streaming_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_event_time,
     )
 
-    base = _scratch(prefix="mmt_stream_win_")
-    book = synthetic_book(spark, sf_dir)
-    rng = book.agg(
-        F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")
-    ).collect()[0]
-    split_ts = (rng["lo"] + rng["hi"]) // 2
-    book.filter(F.col("ts_ms") <= split_ts).coalesce(1).write.parquet(
-        f"{base}/data/a"
-    )
-    book.filter(F.col("ts_ms") > split_ts).coalesce(1).write.parquet(
-        f"{base}/data/b"
-    )
-    _stamp_batch_order(f"{base}/data/a", f"{base}/data/b")
-
+    tape_base = _tape2(spark, sf_dir, "book2")
+    base = _scratch(prefix="mmt_stream_win_")  # per-run checkpoint
     stream = with_event_time(
-        read_book_stream(spark, f"{base}/data/*/", BOOK_DEPTH, max_files_per_trigger=1)
+        read_book_stream(
+            spark, f"{tape_base}/data/*/", BOOK_DEPTH, max_files_per_trigger=1
+        )
     )
     spread = F.col("best_ask") - F.col("best_bid")
     mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
@@ -3459,20 +3512,14 @@ def q_streaming_alert_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     import uuid
 
     ev = read_events(spark, sf_dir)
-    base = _scratch(prefix="mmt_stream_ssj_")
-    rng = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
-    split_ts = (rng["lo"] + rng["hi"]) // 2
-    ev.filter(F.col("ts") <= split_ts).coalesce(1).write.parquet(
-        f"{base}/data/a"
+    tape_base = _memo_tape(
+        sf_dir, "events2", lambda b: _split2(ev, "ts", b)
     )
-    ev.filter(F.col("ts") > split_ts).coalesce(1).write.parquet(
-        f"{base}/data/b"
-    )
-    _stamp_batch_order(f"{base}/data/a", f"{base}/data/b")
+    base = _scratch(prefix="mmt_stream_ssj_")  # per-run checkpoint
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(f"{base}/data/*/")
+        .parquet(f"{tape_base}/data/*/")
     )
     et = F.timestamp_millis(F.expr("ts DIV 1000000"))
     pts = stream.select("user_id", et.alias("pt_time")).withWatermark(
@@ -3561,20 +3608,14 @@ def q_streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     import uuid
 
     ev = read_events(spark, sf_dir)
-    base = _scratch(prefix="mmt_stream_sess_")
-    rng = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
-    split_ts = (rng["lo"] + rng["hi"]) // 2
-    ev.filter(F.col("ts") <= split_ts).coalesce(1).write.parquet(
-        f"{base}/data/a"
+    tape_base = _memo_tape(
+        sf_dir, "events2", lambda b: _split2(ev, "ts", b)
     )
-    ev.filter(F.col("ts") > split_ts).coalesce(1).write.parquet(
-        f"{base}/data/b"
-    )
-    _stamp_batch_order(f"{base}/data/a", f"{base}/data/b")
+    base = _scratch(prefix="mmt_stream_sess_")  # per-run checkpoint
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(f"{base}/data/*/")
+        .parquet(f"{tape_base}/data/*/")
     )
     et = F.timestamp_millis(F.expr("ts DIV 1000000")).alias("et")
     agg = (
@@ -3633,23 +3674,16 @@ def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful_exact_dedup,
     )
 
-    base = _scratch(prefix="mmt_stream_dedup_")
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    mid = docs.agg(
-        ((F.min("doc_id") + F.max("doc_id")) / 2).cast("long").alias("m")
-    ).collect()[0]["m"]
-    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(
-        f"{base}/data/a"
+    tape_base = _memo_tape(
+        sf_dir, "docs2", lambda b: _split2(docs, "doc_id", b)
     )
-    docs.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(
-        f"{base}/data/b"
-    )
-    _stamp_batch_order(f"{base}/data/a", f"{base}/data/b")
+    base = _scratch(prefix="mmt_stream_dedup_")  # per-run checkpoint
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{base}/data/*/")
+        .parquet(f"{tape_base}/data/*/")
     )
     name = f"dedup_replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -4883,26 +4917,15 @@ def q_streaming_trade_signs_replay(spark: SparkSession, sf_dir: str) -> DataFram
         stateful_lee_ready,
     )
 
-    base = _scratch(prefix="mmt_stream_signs_")
-    tape = synthetic_trades(spark, sf_dir)
-    mid_ts = tape.agg(
-        ((F.min("ts_ms") + F.max("ts_ms")) / 2).cast("long").alias("m")
-    ).collect()[0]["m"]
-    tape.filter(F.col("ts_ms") <= mid_ts).coalesce(1).write.parquet(
-        f"{base}/data/a"
-    )
-    tape.filter(F.col("ts_ms") > mid_ts).coalesce(1).write.parquet(
-        f"{base}/data/b"
-    )
-    _stamp_batch_order(f"{base}/data/a", f"{base}/data/b")
-
+    tape_base = _tape2(spark, sf_dir, "trades2")
+    base = _scratch(prefix="mmt_stream_signs_")  # per-run checkpoint
     stream = (
         spark.readStream.schema(
             "exchange_id string, symbol string, ts_ms long, raw_nonce long,"
             " mid double, price double, qty double"
         )
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{base}/data/*/")
+        .parquet(f"{tape_base}/data/*/")
     )
     name = f"trade_signs_replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -5303,25 +5326,15 @@ def q_streaming_vpin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful_signed_buckets,
     )
 
-    base = _scratch(prefix="mmt_stream_vpin_")
-    tape = synthetic_trades(spark, sf_dir)
-    mid_ts = tape.agg(
-        ((F.min("ts_ms") + F.max("ts_ms")) / 2).cast("long").alias("m")
-    ).collect()[0]["m"]
-    tape.filter(F.col("ts_ms") <= mid_ts).coalesce(1).write.parquet(
-        f"{base}/data/a"
-    )
-    tape.filter(F.col("ts_ms") > mid_ts).coalesce(1).write.parquet(
-        f"{base}/data/b"
-    )
-    _stamp_batch_order(f"{base}/data/a", f"{base}/data/b")
+    tape_base = _tape2(spark, sf_dir, "trades2")
+    base = _scratch(prefix="mmt_stream_vpin_")  # per-run checkpoint
     stream = (
         spark.readStream.schema(
             "exchange_id string, symbol string, ts_ms long, raw_nonce long,"
             " mid double, price double, qty double"
         )
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{base}/data/*/")
+        .parquet(f"{tape_base}/data/*/")
     )
     name = f"vpin_replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -5336,6 +5349,96 @@ def q_streaming_vpin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    rows = spark.table(name)
+    qty, side = F.col("qty"), F.col("side")
+    return rows.groupBy(*KEYS, "bucket").agg(
+        F.sum(F.when(side > 0, qty).otherwise(F.lit(0.0))).alias("buy_vol"),
+        F.sum(F.when(side < 0, qty).otherwise(F.lit(0.0))).alias("sell_vol"),
+        F.sum(qty).alias("total_vol"),
+        F.count(F.lit(1)).alias("n_trades"),
+    ).withColumn(
+        "vpin",
+        F.abs(F.col("buy_vol") - F.col("sell_vol")) / F.col("total_vol"),
+    )
+
+
+@register("streaming_vpin_two_stage_replay", _VPIN_SQL)
+def q_streaming_vpin_two_stage_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VPIN with the two stateful operators UN-fused: stage 1 streams
+    the tape through ``stateful_lee_ready`` alone (tick-rule state) and
+    lands each micro-batch in a handoff directory via ``foreachBatch``;
+    stage 2 streams the handoff through ``stateful_volume_buckets``
+    alone (volume-clock state). This is the production shape when the
+    two operators live in separate jobs joined by a topic/landing zone —
+    and the only way to chain two ``applyInPandasWithState`` operators,
+    which Structured Streaming limits to one per stream (the in-plan
+    chain needs ``transformWithStateInPandas``, blocked in this
+    environment by the missing google.protobuf dependency — see
+    ``streaming/trade_stream_tws.py``). Hash-matching the SAME batch
+    oracle as the fused ``streaming_vpin_replay`` proves fused and
+    un-fused compositions agree, with BOTH state tuples still crossing
+    a micro-batch boundary (the handoff keeps stage 1's two-batch
+    structure, mtime-stamped)."""
+    import uuid
+
+    from market_microstructure_toolkit_spark.streaming.trade_stream import (
+        stateful_lee_ready,
+        stateful_volume_buckets,
+    )
+
+    tape_base = _tape2(spark, sf_dir, "trades2")
+    base = _scratch(prefix="mmt_stream_vpin2_")
+    schema = (
+        "exchange_id string, symbol string, ts_ms long, raw_nonce long,"
+        " mid double, price double, qty double"
+    )
+    stream1 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tape_base}/data/*/")
+    )
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.coalesce(1).write.parquet(f"{base}/signed/b{batch_id}")
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q1 = (
+            stateful_lee_ready(stream1)
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", f"{base}/ckpt1")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q1.awaitTermination(300)
+        import os
+
+        chunk_dirs = sorted(
+            f"{base}/signed/{d}"
+            for d in os.listdir(f"{base}/signed")
+            if d.startswith("b")
+        )
+        _stamp_batch_order(*chunk_dirs)
+        stream2 = (
+            spark.readStream.schema(schema + ", side int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/signed/*/")
+        )
+        name = f"vpin2_replay_{uuid.uuid4().hex[:8]}"
+        q2 = (
+            stateful_volume_buckets(stream2, 50.0)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{base}/ckpt2")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     rows = spark.table(name)
@@ -6383,10 +6486,13 @@ def q_streaming_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = upd.unionByName(dels).unionByName(ins)
 
-    base_dir = _scratch(prefix="mmt_stream_cdc_")
-    base.coalesce(1).write.parquet(f"{base_dir}/data/a")
-    changes.coalesce(1).write.parquet(f"{base_dir}/data/b")
-    _stamp_batch_order(f"{base_dir}/data/a", f"{base_dir}/data/b")
+    def build(b: str) -> list[str]:
+        base.coalesce(1).write.parquet(f"{b}/data/a")
+        changes.coalesce(1).write.parquet(f"{b}/data/b")
+        return [f"{b}/data/a", f"{b}/data/b"]
+
+    tape_base = _memo_tape(sf_dir, "cdc2", build)
+    base_dir = _scratch(prefix="mmt_stream_cdc_")  # per-run checkpoint
 
     stream = (
         spark.readStream.schema(
@@ -6394,7 +6500,7 @@ def q_streaming_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars long, ver long, op string"
         )
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{base_dir}/data/*/")
+        .parquet(f"{tape_base}/data/*/")
     )
     name = f"cdc_replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -7343,36 +7449,48 @@ def q_streaming_late_data_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time
     import uuid
 
-    book = synthetic_book(spark, sf_dir).filter(F.col("symbol") == "S0")
-    s0 = book.select("ts_ms", "raw_nonce")
-    rng = s0.agg(F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")).collect()[0]
-    t1 = (rng["lo"] + rng["hi"]) // 2
-    t2 = (t1 + rng["hi"]) // 2
-    a = s0.filter(F.col("ts_ms") <= t1)
-    b = s0.filter((F.col("ts_ms") > t1) & (F.col("ts_ms") <= t2))
-    d = s0.filter(F.col("ts_ms") > t2)
-    # nonce-sampled rows spread over A (deep-late -> dropped) PLUS rows
-    # within 3 s of A's LAST tick (that tick's window end = max(A)
-    # rounded up exceeds the wm max(A) - 2 s, so it is still open ->
-    # the re-delivery must be COUNTED) — both branches of the drop rule
-    # get witnesses at every scale factor, even on this ~17-min-spaced
-    # tape where a band near the t1 cut holds no rows at all
-    max_a = a.agg(F.max("ts_ms").alias("m")).collect()[0]["m"]
-    late = a.filter(
-        (F.col("raw_nonce") % 17 == 0) | (F.col("ts_ms") > max_a - 3000)
-    )
-    base = _scratch(prefix="mmt_stream_late_")
-    a.coalesce(1).write.parquet(f"{base}/data/a")
-    b.coalesce(1).write.parquet(f"{base}/data/b")
-    d.unionByName(late).coalesce(1).write.parquet(f"{base}/data/c")
-    _stamp_batch_order(
-        f"{base}/data/a", f"{base}/data/b", f"{base}/data/c"
-    )
+    def build(bdir: str) -> list[str]:
+        s0 = (
+            synthetic_book(spark, sf_dir)
+            .filter(F.col("symbol") == "S0")
+            .select("ts_ms", "raw_nonce")
+            .persist()
+        )
+        try:
+            rng = s0.agg(
+                F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")
+            ).collect()[0]
+            t1 = (rng["lo"] + rng["hi"]) // 2
+            t2 = (t1 + rng["hi"]) // 2
+            a = s0.filter(F.col("ts_ms") <= t1)
+            b = s0.filter((F.col("ts_ms") > t1) & (F.col("ts_ms") <= t2))
+            d = s0.filter(F.col("ts_ms") > t2)
+            # nonce-sampled rows spread over A (deep-late -> dropped)
+            # PLUS rows within 3 s of A's LAST tick (that tick's window
+            # end = max(A) rounded up exceeds the wm max(A) - 2 s, so it
+            # is still open -> the re-delivery must be COUNTED) — both
+            # branches of the drop rule get witnesses at every scale
+            # factor, even on this ~17-min-spaced tape where a band near
+            # the t1 cut holds no rows at all
+            max_a = a.agg(F.max("ts_ms").alias("m")).collect()[0]["m"]
+            late = a.filter(
+                (F.col("raw_nonce") % 17 == 0)
+                | (F.col("ts_ms") > max_a - 3000)
+            )
+            a.coalesce(1).write.parquet(f"{bdir}/data/a")
+            b.coalesce(1).write.parquet(f"{bdir}/data/b")
+            d.unionByName(late).coalesce(1).write.parquet(f"{bdir}/data/c")
+        finally:
+            s0.unpersist()
+        return [f"{bdir}/data/a", f"{bdir}/data/b", f"{bdir}/data/c"]
+
+    tape_base = _memo_tape(sf_dir, "late3", build)
+    base = _scratch(prefix="mmt_stream_late_")  # per-run checkpoint
 
     stream = (
         spark.readStream.schema("ts_ms long, raw_nonce long")
         .option("maxFilesPerTrigger", "1")
-        .parquet(f"{base}/data/*/")
+        .parquet(f"{tape_base}/data/*/")
     )
     agg = (
         stream.select(F.timestamp_millis(F.col("ts_ms")).alias("et"))
@@ -7786,28 +7904,38 @@ def q_streaming_dedup_watermark_replay(
     ev = read_events(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "ts"
     )
-    rng = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
-    lo, hi = rng["lo"], rng["hi"]
-    c1, c2 = lo + (hi - lo) // 3, lo + 2 * ((hi - lo) // 3)
-    b1 = ev.filter(F.col("ts") <= c1)
-    b2 = ev.filter((F.col("ts") > c1) & (F.col("ts") <= c2))
-    b3 = ev.filter(F.col("ts") > c2)
-    base = _scratch(prefix="mmt_stream_wmdedup_")
-    b1.coalesce(1).write.parquet(f"{base}/data/a")
-    b2.unionByName(b1.filter(F.col("event_id") % 7 == 0)).coalesce(1).write.parquet(
-        f"{base}/data/b"
-    )
-    b3.unionByName(b2.filter(F.col("event_id") % 7 == 0)).coalesce(1).write.parquet(
-        f"{base}/data/c"
-    )
-    _stamp_batch_order(f"{base}/data/a", f"{base}/data/b", f"{base}/data/c")
+
+    def build(b: str) -> list[str]:
+        evp = ev.persist()
+        try:
+            rng = evp.agg(
+                F.min("ts").alias("lo"), F.max("ts").alias("hi")
+            ).collect()[0]
+            lo, hi = rng["lo"], rng["hi"]
+            c1, c2 = lo + (hi - lo) // 3, lo + 2 * ((hi - lo) // 3)
+            b1 = evp.filter(F.col("ts") <= c1)
+            b2 = evp.filter((F.col("ts") > c1) & (F.col("ts") <= c2))
+            b3 = evp.filter(F.col("ts") > c2)
+            b1.coalesce(1).write.parquet(f"{b}/data/a")
+            b2.unionByName(
+                b1.filter(F.col("event_id") % 7 == 0)
+            ).coalesce(1).write.parquet(f"{b}/data/b")
+            b3.unionByName(
+                b2.filter(F.col("event_id") % 7 == 0)
+            ).coalesce(1).write.parquet(f"{b}/data/c")
+        finally:
+            evp.unpersist()
+        return [f"{b}/data/a", f"{b}/data/b", f"{b}/data/c"]
+
+    tape_base = _memo_tape(sf_dir, "events3_inject", build)
+    base = _scratch(prefix="mmt_stream_wmdedup_")  # per-run checkpoint
 
     stream = (
         spark.readStream.schema(
             "event_id long, user_id long, event_type string, ts long"
         )
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{base}/data/*/")
+        .parquet(f"{tape_base}/data/*/")
         .withColumn("event_time", F.expr("timestamp_micros(ts DIV 1000)"))
         .withWatermark("event_time", "3650 days")
         .dropDuplicatesWithinWatermark(["event_id"])
@@ -8372,21 +8500,15 @@ def q_streaming_session_window_replay(
     import uuid
 
     ev = read_events(spark, sf_dir).select("event_id", "user_id", "ts")
-    rng = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
-    lo, hi = rng["lo"], rng["hi"]
-    c1, c2 = lo + (hi - lo) // 3, lo + 2 * ((hi - lo) // 3)
-    base = _scratch(prefix="mmt_stream_sesswin_")
-    ev.filter(F.col("ts") <= c1).coalesce(1).write.parquet(f"{base}/data/a")
-    ev.filter((F.col("ts") > c1) & (F.col("ts") <= c2)).coalesce(1).write.parquet(
-        f"{base}/data/b"
+    tape_base = _memo_tape(
+        sf_dir, "events3_sess", lambda b: _split3(ev, "ts", b)
     )
-    ev.filter(F.col("ts") > c2).coalesce(1).write.parquet(f"{base}/data/c")
-    _stamp_batch_order(f"{base}/data/a", f"{base}/data/b", f"{base}/data/c")
+    base = _scratch(prefix="mmt_stream_sesswin_")  # per-run checkpoint
 
     stream = (
         spark.readStream.schema("event_id long, user_id long, ts long")
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{base}/data/*/")
+        .parquet(f"{tape_base}/data/*/")
         .withColumn("event_time", F.expr("timestamp_micros(ts DIV 1000)"))
         .withWatermark("event_time", "1 minute")
         .groupBy(
@@ -9064,16 +9186,10 @@ def q_streaming_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     import uuid
 
     ev = read_events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
-    rng = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
-    lo, hi = rng["lo"], rng["hi"]
-    c1, c2 = lo + (hi - lo) // 3, lo + 2 * ((hi - lo) // 3)
-    base = _scratch(prefix="mmt_stream_oj_")
-    ev.filter(F.col("ts") <= c1).coalesce(1).write.parquet(f"{base}/data/a")
-    ev.filter((F.col("ts") > c1) & (F.col("ts") <= c2)).coalesce(1).write.parquet(
-        f"{base}/data/b"
+    tape_base = _memo_tape(
+        sf_dir, "events3_oj", lambda b: _split3(ev, "ts", b)
     )
-    ev.filter(F.col("ts") > c2).coalesce(1).write.parquet(f"{base}/data/c")
-    _stamp_batch_order(f"{base}/data/a", f"{base}/data/b", f"{base}/data/c")
+    base = _scratch(prefix="mmt_stream_oj_")  # per-run checkpoint
 
     def mkstream():
         return (
@@ -9081,7 +9197,7 @@ def q_streaming_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame
                 "event_id long, user_id long, ts long, value double"
             )
             .option("maxFilesPerTrigger", 1)
-            .parquet(f"{base}/data/*/")
+            .parquet(f"{tape_base}/data/*/")
         )
 
     et = F.timestamp_millis(F.expr("ts DIV 1000000"))

@@ -490,3 +490,109 @@ class TestSplitAdjust:
                 first.price_raw, rel=1e-6
             )
         assert saw_split
+
+
+class TestTransformWithState:
+    def test_tws_guard_explains_missing_protobuf(self, spark):
+        """transformWithStateInPandas needs google.protobuf (its state-
+        server wire protocol); absent here, the port must refuse with a
+        clear error instead of crashing the JVM pre-init runner."""
+        import pytest
+
+        from market_microstructure_toolkit_spark.streaming.trade_stream_tws import (
+            tws_available,
+            tws_signed_buckets,
+        )
+
+        if tws_available():
+            pytest.skip("protobuf present - covered by the parity test")
+        import tempfile
+
+        stream = spark.readStream.schema(
+            "exchange_id string, symbol string, ts_ms long, raw_nonce long,"
+            " mid double, price double, qty double"
+        ).parquet(tempfile.mkdtemp(prefix="mmt_tws_guard_"))
+        with pytest.raises(RuntimeError, match="google.protobuf"):
+            tws_signed_buckets(stream, 50.0)
+
+    def test_tws_unfused_chain_matches_fused(self, spark, sf_dir):
+        """On a deployment WITH protobuf: the un-fused two-operator
+        chain (sign state, then volume-clock state, one streaming plan)
+        must emit exactly what the fused operator emits."""
+        import pytest
+
+        from market_microstructure_toolkit_spark.streaming.trade_stream_tws import (
+            ROCKSDB_CONF,
+            tws_available,
+            tws_signed_buckets,
+        )
+
+        if not tws_available():
+            pytest.skip(
+                "google.protobuf not installed in this environment "
+                "(transformWithState worker cannot start)"
+            )
+        import tempfile
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        from market_microstructure_toolkit_spark.plans.book import (
+            synthetic_trades,
+        )
+        from market_microstructure_toolkit_spark.plans.queries import (
+            _stamp_batch_order,
+        )
+        from market_microstructure_toolkit_spark.streaming.trade_stream import (
+            stateful_signed_buckets,
+        )
+
+        base = tempfile.mkdtemp(prefix="mmt_tws_parity_")
+        tape = synthetic_trades(spark, sf_dir)
+        mid = tape.agg(
+            ((F.min("ts_ms") + F.max("ts_ms")) / 2).cast("long").alias("m")
+        ).collect()[0]["m"]
+        tape.filter(F.col("ts_ms") <= mid).coalesce(1).write.parquet(
+            f"{base}/data/a"
+        )
+        tape.filter(F.col("ts_ms") > mid).coalesce(1).write.parquet(
+            f"{base}/data/b"
+        )
+        _stamp_batch_order(f"{base}/data/a", f"{base}/data/b")
+        schema = (
+            "exchange_id string, symbol string, ts_ms long, raw_nonce long,"
+            " mid double, price double, qty double"
+        )
+
+        def run(op):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{base}/data/*/")
+            )
+            name = f"tws_par_{uuid.uuid4().hex[:8]}"
+            q = (
+                op(stream, 50.0)
+                .writeStream.format("memory")
+                .queryName(name)
+                .option("checkpointLocation", f"{base}/ckpt_{name}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            return {
+                tuple(r)
+                for r in spark.table(name)
+                .select(
+                    "exchange_id", "symbol", "raw_nonce", "side", "bucket"
+                )
+                .collect()
+            }
+
+        prev = spark.conf.get(ROCKSDB_CONF[0], None)
+        spark.conf.set(*ROCKSDB_CONF)
+        try:
+            assert run(tws_signed_buckets) == run(stateful_signed_buckets)
+        finally:
+            if prev is not None:
+                spark.conf.set(ROCKSDB_CONF[0], prev)

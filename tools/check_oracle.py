@@ -59,6 +59,49 @@ def canon_hash(pdf) -> tuple[str, list[str], int]:
     return h.hexdigest()[:16], cols, len(lines)
 
 
+#: row-count threshold above which the vectorized hasher kicks in —
+#: the per-cell repr canon is ~5 us/cell, which is fine at the driver's
+#: sf0.01 (60k-row results) but hours over a full sf1 sweep (1M-row
+#: results x 173 queries). Both sides of a query always use the SAME
+#: hasher, so the comparison stays a true value comparison either way;
+#: the artifact records which hasher produced each hash.
+FAST_ROWS = 200_000
+
+
+def canon_hash_fast(pdf) -> tuple[str, list[str], int]:
+    """Vectorized order-insensitive canonicalization: per-row uint64
+    hashes (pandas' C siphash over every column, dtype-normalized the
+    same way the slow canon's reprs are: integer widths collapse, float
+    NaN/None unify) summed mod 2^64 with the row count. Equal row
+    multisets -> equal (sum, count) under ANY row order; a mismatch in
+    any cell value perturbs its row hash and therefore the sum."""
+    import numpy as np
+    import pandas as pd
+
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    norm = {}
+    for c in cols:
+        s = pdf[c]
+        if s.dtype.kind in "iu":
+            s = s.astype("int64")
+        elif s.dtype.kind == "f":
+            s = s.astype("float64")
+        elif s.dtype == object:
+            # unify None/NaN and stringify non-str scalars the way the
+            # slow canon's repr does (DuckDB fetchdf yields object cols
+            # for VARCHAR with NULLs and for HUGEINT)
+            s = s.map(
+                lambda v: "∅"
+                if v is None or (isinstance(v, float) and v != v)
+                else (v if isinstance(v, str) else repr(v))
+            )
+        norm[c] = s
+    h = pd.util.hash_pandas_object(pd.DataFrame(norm), index=False)
+    total = int(np.sum(h.values.astype("uint64"), dtype="uint64"))
+    return f"s{total:016x}", cols, len(pdf)
+
+
 def dtype_map(pdf) -> dict[str, str]:
     return {c: str(t) for c, t in pdf.dtypes.items()}
 
@@ -126,9 +169,14 @@ def main() -> int:
             records[name] = {"status": "rows-only", "rows": len(spdf)}
             continue
         dpdf = con.execute(oracles[name]).fetchdf()
+        hasher = (
+            canon_hash_fast
+            if max(len(spdf), len(dpdf)) > FAST_ROWS
+            else canon_hash
+        )
         try:
-            sh, scols, srows = canon_hash(spdf)
-            dh, dcols, drows = canon_hash(dpdf)
+            sh, scols, srows = hasher(spdf)
+            dh, dcols, drows = hasher(dpdf)
         except Exception as exc:  # noqa: BLE001 - e.g. unhashable cells
             print(f"{name:28s} CANON-ERR {type(exc).__name__}: {exc}")
             records[name] = {
@@ -150,6 +198,7 @@ def main() -> int:
             "hash_spark": sh,
             "hash_duckdb": dh,
             "hash_match": ok_hash,
+            "hasher": "sum64" if hasher is canon_hash_fast else "repr",
         }
         if status == "FAIL":
             failures += 1

@@ -1,0 +1,116 @@
+"""Synthesize a larger scale factor from /root/testdata/sf0.1 by key-shifted
+replication — the scale-evidence harness the round-5 verdict asked for
+(no sf1 directory is shipped; correctness comparisons stay valid because
+Spark and the DuckDB oracle read the SAME generated files).
+
+Design: N replicas of every fact table with every primary AND foreign key
+shifted by ``replica * (max_key + 1)`` so referential joins keep exactly
+their sf0.1 fan-out; fixed-size dims (region, nation) are copied.
+Documents get a per-replica text suffix (n_chars updated — the fixture
+invariant n_chars == length(text) holds) so the corpus isn't 90% exact
+duplicates; embeddings get a per-replica cyclic dimension rotation —
+norm-preserving with ZERO float arithmetic, so intra-replica geometry is
+bit-identical and cross-replica vectors are distinct. The time axis is
+left untouched: 10x rows in the same span = 10x event density, which is
+how real feeds grow.
+
+Usage: python tools/make_sf.py [--out DIR] [--replicas N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+
+# table -> columns shifted by that table's own stride
+PK = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+# table -> {column: table whose stride applies} (foreign keys)
+FK = {
+    "orders": {"o_custkey": "customer"},
+    "lineitem": {
+        "l_orderkey": "orders",
+        "l_partkey": "part",
+        "l_suppkey": "supplier",
+    },
+}
+COPY = ["region", "nation"]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/root/repo/testdata_sf1")
+    ap.add_argument("--replicas", type=int, default=10)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    tables = {
+        t: pq.read_table(f"{SRC}/{t}.parquet")
+        for t in [*COPY, *PK, "lineitem"]
+    }
+    stride = {}
+    for t, cols in PK.items():
+        # one stride per table: max over its own-key columns, so event_id
+        # and user_id shift by the same amount is NOT wanted — stride is
+        # per (table, column) for multi-key tables
+        stride[t] = {
+            c: int(pa.compute.max(tables[t][c]).as_py()) + 1 for c in cols
+        }
+
+    for t in COPY:
+        pq.write_table(tables[t], f"{args.out}/{t}.parquet")
+        print(t, "copied", tables[t].num_rows)
+
+    for t in [*PK, "lineitem"]:
+        base = tables[t]
+        reps = []
+        for i in range(args.replicas):
+            tab = base
+            shifts: dict[str, int] = {}
+            for c in PK.get(t, {}):
+                shifts[c] = i * stride[t][c]
+            for c, ref in FK.get(t, {}).items():
+                ref_col = PK[ref][0]
+                shifts[c] = i * stride[ref][ref_col]
+            cols = []
+            for name in tab.column_names:
+                col = tab[name]
+                if name in shifts and i > 0:
+                    col = pa.compute.add(col, shifts[name]).cast(col.type)
+                elif t == "documents" and name == "text" and i > 0:
+                    col = pa.compute.binary_join_element_wise(
+                        col.cast(pa.string()), f" #r{i}", ""
+                    )
+                elif t == "documents" and name == "n_chars" and i > 0:
+                    col = pa.compute.add(col, len(f" #r{i}")).cast(col.type)
+                elif t == "embeddings" and name == "embedding" and i > 0:
+                    arrs = col.to_pylist()
+                    k = i % len(arrs[0])
+                    rotated = [
+                        (None if a is None else a[k:] + a[:k]) for a in arrs
+                    ]
+                    col = pa.chunked_array([pa.array(rotated, type=col.type)])
+                cols.append(col)
+            reps.append(pa.table(dict(zip(tab.column_names, cols)), schema=None))
+        out = pa.concat_tables(
+            [r.cast(base.schema.remove_metadata()) for r in reps]
+        )
+        pq.write_table(out, f"{args.out}/{t}.parquet")
+        print(t, "->", out.num_rows, "rows")
+
+
+if __name__ == "__main__":
+    main()
