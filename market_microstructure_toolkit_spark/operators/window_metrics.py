@@ -292,9 +292,29 @@ def add_rolling_corr(
     order_col: str = "ts_ms",
 ) -> DataFrame:
     """Rolling Pearson correlation over the last ``window`` rows (W10,
-    advanced_plots.py:169)."""
+    advanced_plots.py:169).
+
+    Computed from guarded moment aggregates (covar_samp / stddev product)
+    rather than ``F.corr``: under ANSI mode (Spark 4 default) a windowed
+    CORR RAISES DIVIDE_BY_ZERO on any zero-variance window — one
+    constant-mid run of ``window`` ticks kills the whole query, which a
+    dense 100 TB tape WILL contain (first seen on the sf1 sweep). The
+    moment aggregates return NULL/0.0 instead, and the guard maps zero
+    variance to NULL — exactly SQL CORR's contract. Identical value
+    otherwise: cov/(sx*sy) = ck/sqrt(xMk*yMk) up to one fp rounding."""
     w = book_window(keys, order_col).rowsBetween(-(window - 1), 0)
-    return df.withColumn(out_col, F.corr(F.col(x_col), F.col(y_col)).over(w))
+    # null-align the pair: CORR drops a row when EITHER side is null, so
+    # each moment must see exactly the complete pairs (a bare
+    # stddev_samp(x) would also count rows whose y is null)
+    pair = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    x = F.when(pair, F.col(x_col))
+    y = F.when(pair, F.col(y_col))
+    cov = F.covar_samp(x, y).over(w)
+    sx = F.stddev_samp(x).over(w)
+    sy = F.stddev_samp(y).over(w)
+    return df.withColumn(
+        out_col, F.when((sx > 0) & (sy > 0), cov / (sx * sy))
+    )
 
 
 def tail_n(

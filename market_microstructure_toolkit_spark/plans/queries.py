@@ -896,8 +896,10 @@ FROM feat
 @register("book_rolling_corr", _ROLL_CORR_SQL)
 def q_book_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W10: rolling Pearson correlation of LOBSTER OFI vs mid returns over
-    50 rows (advanced_plots.py:169). Rounded 6dp (O(1) values, ~1e-14
-    cross-engine moment-accumulation noise)."""
+    50 rows (advanced_plots.py:169), via the ANSI-safe guarded-moment
+    ``add_rolling_corr`` (windowed F.corr raises on a zero-variance
+    window under ANSI — found by the sf1 sweep). Rounded 6dp (O(1)
+    values, ~1e-14 cross-engine moment-accumulation noise)."""
     book = synthetic_book(spark, sf_dir)
     w = W.book_window(KEYS, ORDER_COLS)
     mid2 = F.col("best_bid") + F.col("best_ask")
@@ -905,10 +907,11 @@ def q_book_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = feat.withColumn(
         "ret_bps", (mid2 / F.lag(mid2).over(w) - F.lit(1.0)) * F.lit(1e4)
     )
-    wf = w.rowsBetween(-49, 0)
-    return feat.select(
-        *IDS,
-        F.round(F.corr("ofi", "ret_bps").over(wf), 6).alias("ofi_ret_corr_50"),
+    corr = W.add_rolling_corr(
+        feat, "ofi", "ret_bps", 50, out_col="__c", keys=KEYS, order_col=ORDER_COLS
+    )
+    return corr.select(
+        *IDS, F.round(F.col("__c"), 6).alias("ofi_ret_corr_50")
     )
 
 

@@ -44,7 +44,9 @@ def canon_hash(pdf) -> tuple[str, list[str], int]:
             if v is None or (isinstance(v, float) and v != v):
                 parts.append("∅" if v is None else "nan")
             elif isinstance(v, (np.floating, float)):
-                fv = float(v)
+                # + 0.0 folds -0.0 into 0.0 (numerically equal; engines
+                # legitimately differ in the sign of a cancelled sum)
+                fv = float(v) + 0.0
                 parts.append("nan" if fv != fv else repr(fv))
             elif isinstance(v, np.integer):
                 parts.append(repr(int(v)))
@@ -86,7 +88,12 @@ def canon_hash_fast(pdf) -> tuple[str, list[str], int]:
         if s.dtype.kind in "iu":
             s = s.astype("int64")
         elif s.dtype.kind == "f":
-            s = s.astype("float64")
+            # normalize -0.0 -> 0.0 (the + 0.0 identity) and collapse
+            # every NaN to ONE bit pattern — the hash is bit-based,
+            # while the slow canon's repr treats all NaNs as "nan"
+            v = s.astype("float64").to_numpy(copy=True)
+            v[np.isnan(v)] = np.float64("nan")
+            s = pd.Series(v + 0.0, index=s.index)
         elif s.dtype == object:
             # unify None/NaN and stringify non-str scalars the way the
             # slow canon's repr does (DuckDB fetchdf yields object cols
@@ -131,6 +138,10 @@ def main() -> int:
             .appName("check-oracle-vanilla")
             .config("spark.ui.showConsoleProgress", "false")
             .config("spark.sql.session.timeZone", "America/New_York")
+            # sizing only, never semantics: the default 1g heap OOMs on
+            # the sf1 sweep's 1M-row collections (the driver's own gate
+            # runs at sf0.01 where 1g is plenty)
+            .config("spark.driver.memory", "8g")
             .getOrCreate()
         )
         spark.sparkContext.setLogLevel("ERROR")
