@@ -21,18 +21,35 @@ values, so float determinism is engineered per query:
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from dataclasses import dataclass
-
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
-
-from market_microstructure_toolkit_spark.functions import arrays as A
-from market_microstructure_toolkit_spark.functions import microstructure as M
-from market_microstructure_toolkit_spark.operators import row_metrics as RM
-from market_microstructure_toolkit_spark.operators import trades as T
-from market_microstructure_toolkit_spark.operators import window_metrics as W
-from market_microstructure_toolkit_spark.plans.book import (
+# Compatibility surface: the registry and shared helpers live in
+# plans/base.py; gate definitions self-register on import of the domain
+# modules below. Importing THIS module (the historical entry point)
+# loads the full registry exactly as before the split.
+from market_microstructure_toolkit_spark.plans.base import (  # noqa: F401
+    IDS,
+    KEYS,
+    REGISTRY,
+    QueryDef,
+    register,
+    _docs,
+    _emb,
+    _memo_tape,
+    _scratch,
+    _split2,
+    _split3,
+    _stamp_batch_order,
+    _tape2,
+)
+from market_microstructure_toolkit_spark.plans import market_queries  # noqa: F401,E402
+from market_microstructure_toolkit_spark.plans import tpch_queries  # noqa: F401,E402
+from market_microstructure_toolkit_spark.plans import events_queries  # noqa: F401,E402
+from market_microstructure_toolkit_spark.plans import corpus_queries  # noqa: F401,E402
+from market_microstructure_toolkit_spark.plans import similarity_queries  # noqa: F401,E402
+from market_microstructure_toolkit_spark.plans import streaming_queries  # noqa: F401,E402
+from market_microstructure_toolkit_spark.plans.similarity_queries import (  # noqa: F401,E402
+    _pq_adc_from,
+)
+from market_microstructure_toolkit_spark.plans.book import (  # noqa: F401,E402
     BOOK_DEPTH,
     ORDER_COLS,
     book_sql,
@@ -40,10678 +57,3 @@ from market_microstructure_toolkit_spark.plans.book import (
     synthetic_trades,
     trades_sql,
 )
-from market_microstructure_toolkit_spark.sources.events import read_events
-
-KEYS = ("exchange_id", "symbol")
-IDS = ["exchange_id", "symbol", "ts_ms", "raw_nonce"]
-
-#: SQL fragments shared by every book oracle.
-_BOOK_CTE = f"WITH book AS ({book_sql()})"
-_W = "PARTITION BY exchange_id, symbol ORDER BY ts_ms, raw_nonce"
-
-
-@dataclass(frozen=True)
-class QueryDef:
-    spark: Callable[[SparkSession, str], DataFrame]
-    sql: str | None  # None -> rows-only check (non-SQL-expressible)
-
-
-REGISTRY: dict[str, QueryDef] = {}
-
-
-def register(name: str, sql: str | None):
-    """Register a gate query; the stored callable is wrapped so required
-    runtime confs (nanos-parquet reads, UTC tz) are applied to WHATEVER
-    SparkSession the harness passes in — gate queries must never depend on
-    the repo's own session factory having built the session."""
-
-    def deco(fn):
-        import functools
-
-        from market_microstructure_toolkit_spark.session import (
-            ensure_session_confs,
-        )
-
-        @functools.wraps(fn)
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            ensure_session_confs(spark)
-            return fn(spark, sf_dir)
-
-        REGISTRY[name] = QueryDef(spark=wrapped, sql=sql)
-        return fn
-
-    return deco
-
-
-def _scratch(prefix: str) -> str:
-    """Scratch dir for replay chunks / checkpoints / roundtrip files.
-
-    Prefers the /dev/shm tmpfs when present: gate replays are ephemeral
-    by construction, so the checkpoint's durability guarantee buys
-    nothing here and the disk round-trip is pure overhead. A production
-    stream points checkpointLocation at durable storage instead.
-    """
-    import os
-    import tempfile
-
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    return tempfile.mkdtemp(prefix=prefix, dir=base)
-
-
-def _stamp_batch_order(*dirs: str) -> None:
-    """Pin the micro-batch replay order: give every file under each dir
-    an explicit mtime, strictly increasing by 2s per dir in argument
-    order. Spark's file stream source orders files by modification time,
-    and the 0.05s-sleep-between-writes this replaces is undefined on
-    filesystems with coarse (>=1s) mtime granularity — for the watermark
-    gates a flipped batch order changes the accepted/dropped sets and
-    breaks the oracle hash."""
-    import os
-    import time
-
-    t0 = time.time()
-    for i, d in enumerate(dirs):
-        ts = t0 + 2.0 * i
-        for root, _, files in os.walk(d):
-            for fn in files:
-                os.utime(os.path.join(root, fn), (ts, ts))
-
-
-#: (sf_dir, kind) -> tape base dir. Replay tapes depend only on the
-#: fixture and sf_dir, so every replay gate streaming the same fixture
-#: shares ONE tape write per process (the round-5 verdict flagged the 13
-#: replays' spin-up as 19% of the cold bench; tape prep was ~half of
-#: each replay's warm cost).
-_TAPE_MEMO: dict[tuple[str, str], str] = {}
-
-
-def _memo_tape(sf_dir: str, kind: str, build) -> str:
-    """Memoized replay tape: ``build(base)`` writes the micro-batch
-    chunk dirs under ``base`` and returns them in batch order (they get
-    mtime-stamped here). Tapes are pure functions of (sf_dir, kind), so
-    one process writes each once; checkpoints must stay PER-RUN (a
-    reused checkpoint replays committed offsets and emits nothing)."""
-    key = (sf_dir, kind)
-    hit = _TAPE_MEMO.get(key)
-    if hit:
-        return hit
-    base = _scratch(prefix=f"mmt_tape_{kind}_")
-    _stamp_batch_order(*build(base))
-    _TAPE_MEMO[key] = base
-    return base
-
-
-def _split2(df: DataFrame, ts_col: str, base: str) -> list[str]:
-    """Write ``df`` as two chunks split at the midpoint of its
-    ``ts_col`` range (chunk a = earlier half for EVERY key, so
-    micro-batch 2 genuinely depends on batch-1 state). ``persist()``
-    bounds the build to one derivation scan instead of three."""
-    df = df.persist()
-    try:
-        rng = df.agg(
-            F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
-        ).collect()[0]
-        split = (rng["lo"] + rng["hi"]) // 2
-        df.filter(F.col(ts_col) <= split).coalesce(1).write.parquet(
-            f"{base}/data/a"
-        )
-        df.filter(F.col(ts_col) > split).coalesce(1).write.parquet(
-            f"{base}/data/b"
-        )
-    finally:
-        df.unpersist()
-    return [f"{base}/data/a", f"{base}/data/b"]
-
-
-def _split3(df: DataFrame, ts_col: str, base: str) -> list[str]:
-    """Three chunks at the thirds of the ``ts_col`` range (the shape the
-    watermark gates need: Spark 4.1 plans batch N's late filter with
-    batch N-1's watermark, so late-data semantics need >= 3 batches)."""
-    df = df.persist()
-    try:
-        rng = df.agg(
-            F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
-        ).collect()[0]
-        lo, hi = rng["lo"], rng["hi"]
-        c1, c2 = lo + (hi - lo) // 3, lo + 2 * ((hi - lo) // 3)
-        df.filter(F.col(ts_col) <= c1).coalesce(1).write.parquet(
-            f"{base}/data/a"
-        )
-        df.filter(
-            (F.col(ts_col) > c1) & (F.col(ts_col) <= c2)
-        ).coalesce(1).write.parquet(f"{base}/data/b")
-        df.filter(F.col(ts_col) > c2).coalesce(1).write.parquet(
-            f"{base}/data/c"
-        )
-    finally:
-        df.unpersist()
-    return [f"{base}/data/a", f"{base}/data/b", f"{base}/data/c"]
-
-
-def _tape2(spark: SparkSession, sf_dir: str, kind: str) -> str:
-    """Two-chunk tape over the book/trades fixture (see _memo_tape)."""
-    df_fn = synthetic_book if kind == "book2" else synthetic_trades
-    return _memo_tape(
-        sf_dir, kind, lambda base: _split2(df_fn(spark, sf_dir), "ts_ms", base)
-    )
-
-
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents scan, spread over cores (hash/shingle stages are
-    expression-heavy; a single-file local input would otherwise pin them
-    to one task — no-op on an already-split cluster input)."""
-    from market_microstructure_toolkit_spark.partitioning import spread
-
-    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
-
-
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from market_microstructure_toolkit_spark.partitioning import spread
-
-    return spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id")
-
-
-# ---------------------------------------------------------------------------
-# Flagship: the mmt-metrics scalar bundle (P2-P9) over the synthetic book
-# ---------------------------------------------------------------------------
-
-_ROW_METRICS_SQL = f"""{_BOOK_CTE}
-SELECT
-  exchange_id, symbol, ts_ms, raw_nonce,
-  best_ask - best_bid AS spread,
-  (best_bid + best_ask) / 2.0 AS mid,
-  CASE WHEN best_bid > 0 AND best_ask > best_bid
-            AND (best_bid + best_ask) / 2.0 > 0
-       THEN 1e4 * (best_ask - best_bid) / ((best_bid + best_ask) / 2.0)
-  END AS relative_spread_bps,
-  CASE WHEN bid1_size + ask1_size > 0
-       THEN (best_ask * bid1_size + best_bid * ask1_size) / (bid1_size + ask1_size)
-  END AS microprice,
-  CASE WHEN (best_bid + best_ask) / 2.0 > 0
-       THEN 1e4 * (CASE WHEN bid1_size + ask1_size > 0
-                        THEN (best_ask * bid1_size + best_bid * ask1_size) / (bid1_size + ask1_size)
-                   END - (best_bid + best_ask) / 2.0) / ((best_bid + best_ask) / 2.0)
-  END AS microprice_imbalance_bps,
-  CASE WHEN COALESCE(bid1_size, 0.0) + COALESCE(ask1_size, 0.0) > 0
-       THEN COALESCE(bid1_size, 0.0) / (COALESCE(bid1_size, 0.0) + COALESCE(ask1_size, 0.0))
-  END AS imbalance_l1,
-  CASE WHEN ({" + ".join(f"COALESCE(bid{i}_size, 0.0)" for i in range(1, BOOK_DEPTH + 1))})
-          + ({" + ".join(f"COALESCE(ask{i}_size, 0.0)" for i in range(1, BOOK_DEPTH + 1))}) > 0
-       THEN ({" + ".join(f"COALESCE(bid{i}_size, 0.0)" for i in range(1, BOOK_DEPTH + 1))})
-          / (({" + ".join(f"COALESCE(bid{i}_size, 0.0)" for i in range(1, BOOK_DEPTH + 1))})
-           + ({" + ".join(f"COALESCE(ask{i}_size, 0.0)" for i in range(1, BOOK_DEPTH + 1))}))
-  END AS imbalance_k,
-  CASE WHEN ({" + ".join(f"(CASE WHEN bid{i}_price IS NOT NULL AND bid{i}_size IS NOT NULL THEN 1 ELSE 0 END)" for i in range(1, BOOK_DEPTH + 1))}) > 0
-       THEN ({" + ".join(f"COALESCE(bid{i}_price * bid{i}_size, 0.0)" for i in range(1, BOOK_DEPTH + 1))})
-  END AS notional_bid_k,
-  CASE WHEN ({" + ".join(f"(CASE WHEN ask{i}_price IS NOT NULL AND ask{i}_size IS NOT NULL THEN 1 ELSE 0 END)" for i in range(1, BOOK_DEPTH + 1))}) > 0
-       THEN ({" + ".join(f"COALESCE(ask{i}_price * ask{i}_size, 0.0)" for i in range(1, BOOK_DEPTH + 1))})
-  END AS notional_ask_k
-FROM book
-"""
-
-
-def _spread_book(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """synthetic_book spread over cores for MAP-ONLY queries (window
-    queries parallelize at their shuffle; shuffle-free projections would
-    otherwise run on the single local input split)."""
-    from market_microstructure_toolkit_spark.partitioning import spread
-
-    return spread(synthetic_book(spark, sf_dir))
-
-
-@register("book_row_metrics", _ROW_METRICS_SQL)
-def q_book_row_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P2/P3/P4/P5/P7/P8/P9 as one shuffle-free projection (SURVEY §2.2)."""
-    book = synthetic_book(spark, sf_dir)
-    return RM.compute_row_metrics(book, BOOK_DEPTH).select(
-        *IDS, *RM.METRIC_COLS
-    )
-
-
-# ---------------------------------------------------------------------------
-# The three OFI variants (W1/W2/W3) + cumulative OFI (W7)
-# ---------------------------------------------------------------------------
-
-_OFI_STRICT_SQL = f"""{_BOOK_CTE},
-lagged AS (
-  SELECT exchange_id, symbol, ts_ms, raw_nonce,
-         bid1_price, ask1_price, bid1_size, ask1_size,
-         LAG(bid1_price) OVER ({_W}) AS pbb,
-         LAG(ask1_price) OVER ({_W}) AS pba,
-         LAG(bid1_size) OVER ({_W}) AS pbq,
-         LAG(ask1_size) OVER ({_W}) AS paq
-  FROM book
-)
-SELECT exchange_id, symbol, ts_ms, raw_nonce,
-  CASE WHEN bid1_price IS NOT NULL AND ask1_price IS NOT NULL
-            AND bid1_size IS NOT NULL AND ask1_size IS NOT NULL
-            AND pbb IS NOT NULL AND pba IS NOT NULL
-            AND pbq IS NOT NULL AND paq IS NOT NULL
-       THEN (CASE WHEN bid1_price > pbb THEN bid1_size - pbq
-                  WHEN bid1_price < pbb THEN -pbq
-                  ELSE 0.0 END)
-          + (CASE WHEN ask1_price < pba THEN ask1_size - paq
-                  WHEN ask1_price > pba THEN -paq
-                  ELSE 0.0 END)
-  END AS ofi_l1
-FROM lagged
-"""
-
-
-@register("book_ofi_strict", _OFI_STRICT_SQL)
-def q_book_ofi_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cont-style strict OFI (W1, metrics.py:293-333)."""
-    book = synthetic_book(spark, sf_dir)
-    out = W.add_ofi_l1(book, mode="strict", keys=KEYS, order_col=ORDER_COLS)
-    return out.select(*IDS, "ofi_l1")
-
-
-_OFI_KYLE_SQL = f"""{_BOOK_CTE},
-lagged AS (
-  SELECT exchange_id, symbol, ts_ms, raw_nonce, best_bid, best_ask,
-         COALESCE(bid1_size, 0.0) AS bq0, COALESCE(ask1_size, 0.0) AS aq0,
-         LAG(best_bid) OVER ({_W}) AS pbb,
-         LAG(best_ask) OVER ({_W}) AS pba,
-         COALESCE(LAG(COALESCE(bid1_size, 0.0)) OVER ({_W}), 0.0) AS pbq0,
-         COALESCE(LAG(COALESCE(ask1_size, 0.0)) OVER ({_W}), 0.0) AS paq0,
-         ROW_NUMBER() OVER ({_W}) AS rn
-  FROM book
-)
-SELECT exchange_id, symbol, ts_ms, raw_nonce,
-  CASE WHEN rn = 1 THEN 0.0
-       ELSE ((CASE WHEN COALESCE(best_bid >= pbb, FALSE) OR pbb IS NULL THEN 1.0 ELSE 0.0 END) * bq0
-           - (CASE WHEN COALESCE(best_bid <= pbb, FALSE) OR pbb IS NULL THEN 1.0 ELSE 0.0 END) * pbq0)
-          - ((CASE WHEN COALESCE(best_ask <= pba, FALSE) OR pba IS NULL THEN 1.0 ELSE 0.0 END) * aq0
-           - (CASE WHEN COALESCE(best_ask >= pba, FALSE) OR pba IS NULL THEN 1.0 ELSE 0.0 END) * paq0)
-  END AS ofi_l1
-FROM lagged
-"""
-
-
-@register("book_ofi_kyle", _OFI_KYLE_SQL)
-def q_book_ofi_kyle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kyle-style ties-included OFI (W2, event_metrics.py:84-105)."""
-    book = synthetic_book(spark, sf_dir)
-    out = W.add_ofi_l1(book, mode="kyle", keys=KEYS, order_col=ORDER_COLS)
-    return out.select(*IDS, "ofi_l1")
-
-
-_OFI_LOBSTER_SQL = f"""{_BOOK_CTE},
-lagged AS (
-  SELECT exchange_id, symbol, ts_ms, raw_nonce, best_bid, best_ask,
-         bid1_size, ask1_size,
-         LAG(best_bid) OVER ({_W}) AS pbb,
-         LAG(best_ask) OVER ({_W}) AS pba,
-         LAG(bid1_size) OVER ({_W}) AS pbq,
-         LAG(ask1_size) OVER ({_W}) AS paq
-  FROM book
-),
-ofi AS (
-  SELECT exchange_id, symbol, ts_ms, raw_nonce,
-    COALESCE(
-      (CASE WHEN COALESCE(best_bid > pbb, FALSE) THEN 1.0 ELSE 0.0 END) * bid1_size
-      - (CASE WHEN COALESCE(best_bid < pbb, FALSE) THEN 1.0 ELSE 0.0 END) * pbq
-      - (CASE WHEN COALESCE(best_ask > pba, FALSE) THEN 1.0 ELSE 0.0 END) * paq
-      + (CASE WHEN COALESCE(best_ask < pba, FALSE) THEN 1.0 ELSE 0.0 END) * ask1_size,
-      0.0) AS ofi_l1
-  FROM lagged
-)
-SELECT exchange_id, symbol, ts_ms, raw_nonce, ofi_l1,
-       SUM(ofi_l1) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ofi_l1_cum
-FROM ofi
-"""
-
-
-@register("book_ofi_lobster_cum", _OFI_LOBSTER_SQL)
-def q_book_ofi_lobster_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LOBSTER-style OFI + running cumulative (W3+W7, plot_cli.py:145-162).
-
-    Sizes are exact binary fractions (multiples of 0.25) so the cumulative
-    sum is order-insensitive-exact — no rounding required for the oracle.
-    """
-    book = synthetic_book(spark, sf_dir)
-    out = W.add_ofi_l1(book, mode="lobster", keys=KEYS, order_col=ORDER_COLS)
-    out = W.add_cumulative(out, "ofi_l1", out_col="ofi_l1_cum", keys=KEYS, order_col=ORDER_COLS)
-    return out.select(*IDS, "ofi_l1", "ofi_l1_cum")
-
-
-# ---------------------------------------------------------------------------
-# Returns + rolling realized variance (W4/W5, bps-scaled for hash stability)
-# ---------------------------------------------------------------------------
-
-_RV_SQL = f"""{_BOOK_CTE},
-mids AS (
-  SELECT exchange_id, symbol, ts_ms, raw_nonce,
-         (best_bid + best_ask) / 2.0 AS mid
-  FROM book
-),
-rets AS (
-  SELECT *,
-         (mid / LAG(mid) OVER ({_W}) - 1.0) * 1e4 AS ret_bps
-  FROM mids
-),
-quant AS (
-  SELECT *, floor(ret_bps * 1024.0 + 0.5) / 1024.0 AS ret_q
-  FROM rets
-)
-SELECT exchange_id, symbol, ts_ms, raw_nonce, mid, ret_bps,
-  CASE WHEN COUNT(ret_q) OVER ({_W} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) = 20
-       THEN SUM(ret_q * ret_q) OVER ({_W} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
-  END AS rv_20
-FROM quant
-"""
-
-
-@register("book_returns_rv", _RV_SQL)
-def q_book_returns_rv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Simple returns (bps) + 20-row realized variance, pandas
-    ``min_periods=window`` semantics (W4/W5, metrics.py:172-193).
-
-    Returns are division-based (bit-identical across engines). For the
-    rolling sum, returns are quantized to multiples of 2^-10 bps first:
-    squares and 20-term sums of such binary fractions stay well under 53
-    mantissa bits, so the window sum is EXACT in any evaluation order —
-    immune to Spark-vs-DuckDB window-aggregation associativity.
-    """
-    book = synthetic_book(spark, sf_dir)
-    mids = book.select(
-        *IDS, ((F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)).alias("mid")
-    )
-    w = W.book_window(KEYS, ORDER_COLS)
-    rets = mids.withColumn(
-        "ret_bps", (F.col("mid") / F.lag("mid").over(w) - F.lit(1.0)) * F.lit(1e4)
-    )
-    rq = F.floor(F.col("ret_bps") * F.lit(1024.0) + F.lit(0.5)) / F.lit(1024.0)
-    rets = rets.withColumn("__ret_q", rq)
-    wf = w.rowsBetween(-19, 0)
-    r = F.col("__ret_q")
-    return rets.withColumn(
-        "rv_20",
-        F.when(F.count(r).over(wf) == 20, F.sum(r * r).over(wf)),
-    ).drop("__ret_q")
-
-
-# ---------------------------------------------------------------------------
-# Depth-K OFIs (W8/W9) — size sums exact; notional rounded (price*size mix)
-# ---------------------------------------------------------------------------
-
-def _sql_size_sum(side: str) -> str:
-    return " + ".join(
-        f"COALESCE({side}{i}_size, 0.0)" for i in range(1, BOOK_DEPTH + 1)
-    )
-
-
-def _sql_notional_sum(side: str) -> str:
-    return " + ".join(
-        f"{side}{i}_price * {side}{i}_size" for i in range(1, BOOK_DEPTH + 1)
-    )
-
-
-_DEPTH_OFI_SQL = f"""{_BOOK_CTE},
-sums AS (
-  SELECT exchange_id, symbol, ts_ms, raw_nonce,
-         {_sql_size_sum("bid")} AS bsz,
-         {_sql_size_sum("ask")} AS asz,
-         {_sql_notional_sum("bid")} AS bnot,
-         {_sql_notional_sum("ask")} AS anot
-  FROM book
-)
-SELECT exchange_id, symbol, ts_ms, raw_nonce,
-  COALESCE(bsz - LAG(bsz) OVER ({_W}), 0.0)
-    - COALESCE(asz - LAG(asz) OVER ({_W}), 0.0) AS ofi_k_size,
-  ROUND(COALESCE(bnot - LAG(bnot) OVER ({_W}), 0.0)
-    - COALESCE(anot - LAG(anot) OVER ({_W}), 0.0), 6) AS ofi_k_notional
-FROM sums
-"""
-
-
-@register("book_depth_ofi", _DEPTH_OFI_SQL)
-def q_book_depth_ofi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Depth-K size & notional OFI (W8/W9, plot_cli.py:168-183)."""
-    book = synthetic_book(spark, sf_dir)
-    out = W.add_depth_ofi(
-        book, BOOK_DEPTH, notional=False, out_col="ofi_k_size", keys=KEYS, order_col=ORDER_COLS
-    )
-    out = W.add_depth_ofi(
-        out, BOOK_DEPTH, notional=True, out_col="ofi_k_notional", keys=KEYS, order_col=ORDER_COLS
-    )
-    return out.select(
-        *IDS, "ofi_k_size", F.round("ofi_k_notional", 6).alias("ofi_k_notional")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Relational coverage (the engine beyond the reference surface): joins,
-# aggregations, top-k — exercised on the driver's TPC-H-ish tables.
-# Money aggregates accumulate in DECIMAL (exact, order-free) then cast back
-# to DOUBLE so Spark's partial-aggregation order can't perturb the hash.
-# ---------------------------------------------------------------------------
-
-_PRICING_SUMMARY_SQL = """
-SELECT
-  l_returnflag,
-  l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) AS DOUBLE) AS sum_disc_price,
-  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(24,8))), 2) AS DOUBLE) AS sum_charge,
-  COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-GROUP BY l_returnflag, l_linestatus
-"""
-
-
-@register("lineitem_pricing_summary", _PRICING_SUMMARY_SQL)
-def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-style pricing summary: filter -> partial-aggregated groupBy.
-
-    Catalyst pushes the shipdate filter to the parquet scan and map-side
-    combines before the single shuffle on (returnflag, linestatus).
-    """
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
-    return (
-        li.filter(
-            F.col("l_shipdate")
-            <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
-        )
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
-            F.round(F.sum(disc_price.cast("decimal(24,8)")), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(charge.cast("decimal(24,8)")), 2).cast("double").alias("sum_charge"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
-
-
-_REVENUE_BY_NATION_SQL = """
-SELECT
-  n.n_name AS nation,
-  r.r_name AS region,
-  CAST(ROUND(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,8))), 2) AS DOUBLE) AS revenue,
-  COUNT(*) AS n_items
-FROM lineitem l
-JOIN orders o ON l.l_orderkey = o.o_orderkey
-JOIN customer c ON o.o_custkey = c.c_custkey
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-JOIN region r ON n.n_regionkey = r.r_regionkey
-GROUP BY n.n_name, r.r_name
-"""
-
-
-@register("revenue_by_nation", _REVENUE_BY_NATION_SQL)
-def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star-schema join: fact ⋈ dims with explicit broadcast of the small
-    dimension tables (customer/nation/region) — only the lineitem⋈orders
-    join shuffles; at cluster scale that one is sort-merge with AQE.
-    """
-    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
-    li, orders = rd("lineitem"), rd("orders")
-    cust, nation, region = rd("customer"), rd("nation"), rd("region")
-    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
-        .agg(
-            F.round(F.sum(revenue.cast("decimal(24,8)")), 2).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-    )
-
-
-_TOP_ORDERS_SQL = """
-SELECT o_custkey, o_orderkey, o_totalprice, rn
-FROM (
-  SELECT o_custkey, o_orderkey, o_totalprice,
-         ROW_NUMBER() OVER (PARTITION BY o_custkey
-                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
-  FROM orders
-)
-WHERE rn <= 3
-"""
-
-
-@register("top_orders_per_customer", _TOP_ORDERS_SQL)
-def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group top-k (the W13 tail-N pattern on a relational table):
-    rank-and-filter, no global sort."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
-    )
-
-
-# ---------------------------------------------------------------------------
-# LLM-data-pipeline operators over documents / embeddings
-# ---------------------------------------------------------------------------
-
-_DEDUP_EXACT_SQL = """
-SELECT content_hash,
-       COUNT(*) AS n_copies,
-       MIN(doc_id) AS canonical_doc_id
-FROM (SELECT doc_id, md5(text) AS content_hash FROM documents)
-GROUP BY content_hash
-HAVING COUNT(*) >= 1
-"""
-
-
-@register("dedup_exact", _DEDUP_EXACT_SQL)
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: content-hash groupBy keeping the lowest doc_id as
-    canonical. At 100 TB this is the standard single-shuffle dedup; the
-    hash-group keys distribute uniformly so no skew handling needed."""
-    docs = _docs(spark, sf_dir)
-    return (
-        docs.select(F.col("doc_id"), F.md5(F.col("text")).alias("content_hash"))
-        .groupBy("content_hash")
-        .agg(
-            F.count(F.lit(1)).alias("n_copies"),
-            F.min("doc_id").alias("canonical_doc_id"),
-        )
-    )
-
-
-_TEXT_STATS_SQL = """
-SELECT
-  doc_id,
-  lang,
-  n_chars,
-  length(text) AS text_len,
-  len(string_split(text, ' ')) AS n_tokens,
-  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
-  CASE WHEN len(string_split(text, ' ')) > 0
-       THEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
-            / CAST(len(string_split(text, ' ')) AS DOUBLE)
-  END AS avg_token_len
-FROM documents
-"""
-
-
-@register("doc_text_stats", _TEXT_STATS_SQL)
-def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text quality stats: length, whitespace token count, avg token
-    length — pure JVM string expressions, no UDF."""
-    docs = _docs(spark, sf_dir)
-    text = F.col("text")
-    n_tokens = F.size(F.split(text, " ", -1))
-    nonspace = F.length(F.regexp_replace(text, " ", ""))
-    return docs.select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        F.length(text).alias("text_len"),
-        n_tokens.cast("long").alias("n_tokens"),
-        (F.length(text) - nonspace).cast("long").alias("n_spaces"),
-        F.when(
-            n_tokens > 0, nonspace.cast("double") / n_tokens.cast("double")
-        ).alias("avg_token_len"),
-    )
-
-
-_SIMILARITY_SQL = """
-WITH q AS (
-  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
-),
-scored AS (
-  SELECT e.vec_id, e.label,
-         ROUND(
-           list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
-           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
-            * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))),
-           6) AS cos_sim
-  FROM embeddings e, q
-  WHERE e.vec_id <> 0
-)
-SELECT vec_id, label, cos_sim
-FROM (
-  SELECT *, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rk
-  FROM scored
-)
-WHERE rk <= 25
-"""
-
-
-@register("similarity_topk", _SIMILARITY_SQL)
-def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k against a query vector (vec_id=0): the
-    exact-ANN baseline. The query vector broadcasts; scoring is a
-    shuffle-free map (zip_with + aggregate); top-k is a single reduce.
-    Cosine rounded at 6dp (64-term dot products reorder at ~1e-15)."""
-    emb = _emb(spark, sf_dir)
-    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    emb_d = emb.select("vec_id", "label", vec_d.alias("v"))
-    qv = F.broadcast(
-        emb_d.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    )
-    scored = (
-        emb_d.filter(F.col("vec_id") != 0)
-        .crossJoin(qv)
-        .select(
-            "vec_id",
-            "label",
-            F.round(
-                A.dot("v", "qv") / (A.l2_norm("v") * A.l2_norm("qv")), 6
-            ).alias("cos_sim"),
-        )
-    )
-    # TakeOrderedAndProject: distributed partial top-k, no global window.
-    return (
-        scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-        .limit(25)
-        .select("vec_id", "label", "cos_sim")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Depth analytics (A3/A4/W11), reset-RV (W6), rolling corr (W10),
-# tail/slice sampling (W13/W14), as-of join (J1), event metrics
-# ---------------------------------------------------------------------------
-
-_LEVEL_STATS_SQL = f"""{_BOOK_CTE},
-long AS (
-  {" UNION ALL ".join(
-    f"SELECT exchange_id, symbol, '{side}' AS side, {i} AS level, "
-    f"{side}{i}_price AS price, {side}{i}_size AS size FROM book"
-    for side in ("bid", "ask") for i in range(1, BOOK_DEPTH + 1)
-  )}
-),
-stats AS (
-  SELECT exchange_id, symbol, side, level,
-         CAST(SUM(CAST(size AS DECIMAL(18,6))) AS DOUBLE) / COUNT(size) AS avg_size,
-         CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) / COUNT(price) AS avg_price,
-         COUNT(size) AS n_obs
-  FROM long
-  GROUP BY exchange_id, symbol, side, level
-)
-SELECT exchange_id, symbol, side, level, avg_size, avg_price, n_obs,
-       avg_size - LAG(avg_size) OVER (
-         PARTITION BY exchange_id, symbol, side ORDER BY level) AS size_slope
-FROM stats
-"""
-
-
-@register("book_level_stats", _LEVEL_STATS_SQL)
-def q_book_level_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 avg size/price per level + W11 slope along the level axis
-    (advanced_plots.py:193-269). One melt projection, one partial-agg
-    shuffle. DECIMAL accumulation keeps averages order-free-exact."""
-    from market_microstructure_toolkit_spark.operators import depth as D
-
-    book = synthetic_book(spark, sf_dir)
-    long = D.melt_levels(book, BOOK_DEPTH)
-    stats = long.groupBy("exchange_id", "symbol", "side", "level").agg(
-        (
-            F.sum(F.col("size").cast("decimal(18,6)")).cast("double")
-            / F.count("size")
-        ).alias("avg_size"),
-        (
-            F.sum(F.col("price").cast("decimal(18,6)")).cast("double")
-            / F.count("price")
-        ).alias("avg_price"),
-        F.count("size").alias("n_obs"),
-    )
-    w = Window.partitionBy("exchange_id", "symbol", "side").orderBy("level")
-    return stats.withColumn(
-        "size_slope", F.col("avg_size") - F.lag("avg_size").over(w)
-    )
-
-
-_SPREAD_HIST_SQL = f"""{_BOOK_CTE},
-vals AS (
-  SELECT CASE WHEN best_bid > 0 AND best_ask > best_bid
-              AND (best_bid + best_ask) / 2.0 > 0
-         THEN 1e4 * (best_ask - best_bid) / ((best_bid + best_ask) / 2.0)
-         END AS spread_bps
-  FROM book
-)
-SELECT
-  LEAST(GREATEST(CAST(floor((spread_bps - 0.0) / 10.0 * 60) AS BIGINT), 0), 59) AS bucket,
-  COUNT(*) AS n
-FROM vals
-WHERE spread_bps IS NOT NULL
-GROUP BY 1
-"""
-
-
-@register("book_spread_histogram", _SPREAD_HIST_SQL)
-def q_book_spread_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: 60-bin fixed-range histogram of relative spread bps
-    (advanced_plots.py:122-130) — bucketing + count, fully partial-agg."""
-    from market_microstructure_toolkit_spark.operators import depth as D
-
-    book = synthetic_book(spark, sf_dir)
-    vals = book.select(
-        M.relative_spread_bps("best_bid", "best_ask").alias("spread_bps")
-    )
-    return D.histogram(vals, "spread_bps", 0.0, 10.0, 60)
-
-
-_RV_RESET_SQL = f"""{_BOOK_CTE},
-mids AS (
-  SELECT exchange_id, symbol, ts_ms, raw_nonce,
-         CASE WHEN raw_nonce % 37 <> 0
-              THEN (best_bid + best_ask) / 2.0 END AS mid
-  FROM book
-),
-rets AS (
-  SELECT *,
-    floor((mid / LAG(mid) OVER ({_W}) - 1.0) * 1e4 * 1024.0 + 0.5) / 1024.0 AS ret_q
-  FROM mids
-),
-grp AS (
-  SELECT *,
-    SUM(CASE WHEN ret_q IS NULL THEN 1 ELSE 0 END)
-      OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gap_grp
-  FROM rets
-)
-SELECT exchange_id, symbol, ts_ms, raw_nonce, mid,
-  CASE WHEN COUNT(ret_q) OVER (PARTITION BY exchange_id, symbol, gap_grp
-                               ORDER BY ts_ms, raw_nonce
-                               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) = 20
-       THEN SUM(ret_q * ret_q) OVER (PARTITION BY exchange_id, symbol, gap_grp
-                                     ORDER BY ts_ms, raw_nonce
-                                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
-  END AS rv_reset_20
-FROM grp
-"""
-
-
-@register("book_rv_reset", _RV_RESET_SQL)
-def q_book_rv_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W6 reset-on-gap RV (metrics.py:196-232) via the two-stacked-windows
-    plan: running null-count assigns a gap-group id, then the rolling
-    sum/count runs inside (keys, gap_grp) so frames never span a gap.
-    Gaps injected every 37th event; returns quantized (exact sums)."""
-    book = synthetic_book(spark, sf_dir)
-    mid = F.when(
-        F.col("raw_nonce") % 37 != 0,
-        (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0),
-    )
-    mids = book.select(*IDS, mid.alias("mid"))
-    w = W.book_window(KEYS, ORDER_COLS)
-    rq = (
-        F.floor(
-            (F.col("mid") / F.lag("mid").over(w) - F.lit(1.0))
-            * F.lit(1e4)
-            * F.lit(1024.0)
-            + F.lit(0.5)
-        )
-        / F.lit(1024.0)
-    )
-    rets = mids.withColumn("ret_q", rq)
-    grp = rets.withColumn(
-        "gap_grp",
-        F.sum(F.when(F.col("ret_q").isNull(), 1).otherwise(0)).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    wg = Window.partitionBy(*KEYS, "gap_grp").orderBy(*ORDER_COLS).rowsBetween(-19, 0)
-    r = F.col("ret_q")
-    return grp.withColumn(
-        "rv_reset_20",
-        F.when(F.count(r).over(wg) == 20, F.sum(r * r).over(wg)),
-    ).select(*IDS, "mid", "rv_reset_20")
-
-
-_ROLL_CORR_SQL = f"""{_BOOK_CTE},
-lagged AS (
-  SELECT exchange_id, symbol, ts_ms, raw_nonce, best_bid, best_ask,
-         bid1_size, ask1_size,
-         LAG(best_bid) OVER ({_W}) AS pbb,
-         LAG(best_ask) OVER ({_W}) AS pba,
-         LAG(bid1_size) OVER ({_W}) AS pbq,
-         LAG(ask1_size) OVER ({_W}) AS paq,
-         ((best_bid + best_ask) / LAG(best_bid + best_ask) OVER ({_W}) - 1.0) * 1e4 AS ret_bps
-  FROM book
-),
-feat AS (
-  SELECT exchange_id, symbol, ts_ms, raw_nonce, ret_bps,
-    COALESCE(
-      (CASE WHEN COALESCE(best_bid > pbb, FALSE) THEN 1.0 ELSE 0.0 END) * bid1_size
-      - (CASE WHEN COALESCE(best_bid < pbb, FALSE) THEN 1.0 ELSE 0.0 END) * pbq
-      - (CASE WHEN COALESCE(best_ask > pba, FALSE) THEN 1.0 ELSE 0.0 END) * paq
-      + (CASE WHEN COALESCE(best_ask < pba, FALSE) THEN 1.0 ELSE 0.0 END) * ask1_size,
-      0.0) AS ofi
-  FROM lagged
-)
-SELECT exchange_id, symbol, ts_ms, raw_nonce,
-  ROUND(CORR(ofi, ret_bps) OVER ({_W} ROWS BETWEEN 49 PRECEDING AND CURRENT ROW), 6) AS ofi_ret_corr_50
-FROM feat
-"""
-
-
-@register("book_rolling_corr", _ROLL_CORR_SQL)
-def q_book_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W10: rolling Pearson correlation of LOBSTER OFI vs mid returns over
-    50 rows (advanced_plots.py:169), via the ANSI-safe guarded-moment
-    ``add_rolling_corr`` (windowed F.corr raises on a zero-variance
-    window under ANSI — found by the sf1 sweep). Rounded 6dp (O(1)
-    values, ~1e-14 cross-engine moment-accumulation noise)."""
-    book = synthetic_book(spark, sf_dir)
-    w = W.book_window(KEYS, ORDER_COLS)
-    mid2 = F.col("best_bid") + F.col("best_ask")
-    feat = W.add_ofi_l1(book, mode="lobster", out_col="ofi", keys=KEYS, order_col=ORDER_COLS)
-    feat = feat.withColumn(
-        "ret_bps", (mid2 / F.lag(mid2).over(w) - F.lit(1.0)) * F.lit(1e4)
-    )
-    corr = W.add_rolling_corr(
-        feat, "ofi", "ret_bps", 50, out_col="__c", keys=KEYS, order_col=ORDER_COLS
-    )
-    return corr.select(
-        *IDS, F.round(F.col("__c"), 6).alias("ofi_ret_corr_50")
-    )
-
-
-_MID_ANOMALY_SQL = f"""{_BOOK_CTE},
-mids AS (
-  SELECT exchange_id, symbol, ts_ms, raw_nonce,
-         (best_bid + best_ask) / 2.0 AS mid
-  FROM book
-),
-feat AS (
-  SELECT exchange_id, symbol, ts_ms, raw_nonce, mid,
-    AVG(mid) OVER ({_W} ROWS BETWEEN 49 PRECEDING AND 1 PRECEDING) AS mu,
-    STDDEV_SAMP(mid) OVER ({_W} ROWS BETWEEN 49 PRECEDING AND 1 PRECEDING)
-      AS sd,
-    COUNT(*) OVER ({_W} ROWS BETWEEN 49 PRECEDING AND 1 PRECEDING) AS n_prev
-  FROM mids
-)
-SELECT exchange_id, symbol, ts_ms, raw_nonce,
-       ROUND(CASE WHEN n_prev >= 20 AND sd > 1e-12
-                  THEN (mid - mu) / sd END, 6) AS zscore,
-       CASE WHEN n_prev >= 20 AND sd > 1e-12
-             AND ABS(ROUND((mid - mu) / sd, 6)) > 3.0 THEN 1 ELSE 0
-       END AS is_anomaly
-FROM feat
-"""
-
-
-@register("book_mid_anomaly", _MID_ANOMALY_SQL)
-def q_book_mid_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling z-score anomaly detector on the mid price: each tick
-    scored against the TRAILING 49-row window (excluding itself — the
-    monitor must not let the spike inflate its own baseline), flagged at
-    |z| > 3 once 20 priors exist. One instrument-keyed window serves
-    mean, std, and count; 6-dp rounding absorbs cross-engine moment
-    accumulation noise — and the flag thresholds the ROUNDED |z| on both
-    engines, so a tick sitting within stddev last-ulp disagreement of
-    the 3.0 boundary cannot flip is_anomaly between Spark and DuckDB."""
-    book = synthetic_book(spark, sf_dir)
-    w = W.book_window(KEYS, ORDER_COLS).rowsBetween(-49, -1)
-    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
-    feat = book.select(
-        *IDS,
-        mid.alias("mid"),
-        F.avg(mid).over(w).alias("mu"),
-        F.stddev_samp(mid).over(w).alias("sd"),
-        F.count(F.lit(1)).over(w).alias("n_prev"),
-    )
-    ok = (F.col("n_prev") >= 20) & (F.col("sd") > 1e-12)
-    z = (F.col("mid") - F.col("mu")) / F.col("sd")
-    return feat.select(
-        *IDS,
-        F.round(F.when(ok, z), 6).alias("zscore"),
-        F.when(ok & (F.abs(F.round(z, 6)) > 3.0), F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("is_anomaly"),
-    )
-
-
-_RETENTION_SQL = """
-WITH days AS (
-  SELECT user_id, CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day
-  FROM events GROUP BY user_id, CAST(epoch_ms(ts) // 86400000 AS BIGINT)
-),
-cohorts AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id)
-SELECT c.cohort_day,
-       CAST(d.day - c.cohort_day AS BIGINT) AS day_offset,
-       COUNT(*) AS n_active_users
-FROM days d JOIN cohorts c USING (user_id)
-GROUP BY c.cohort_day, d.day - c.cohort_day
-"""
-
-
-@register("events_retention", _RETENTION_SQL)
-def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention matrix: users grouped by first-active day, counted
-    on each later active day offset — the standard activation/retention
-    rollup of log analytics. Day-distinct activity first (one shuffle on
-    (user, day), map-side combined), cohorts as a min-aggregate reusing
-    the user keying, then an equi-join back — all shuffles on user_id, so
-    the stages co-partition at scale. Integer outputs: engine-exact."""
-    ev = read_events(spark, sf_dir)
-    day = (F.expr("ts DIV 1000000") / F.lit(86400000)).cast("long")
-    days = ev.select("user_id", day.alias("day")).distinct()
-    cohorts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    return (
-        days.join(cohorts, "user_id")
-        .groupBy(
-            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
-        )
-        .agg(F.count(F.lit(1)).alias("n_active_users"))
-    )
-
-
-_TAIL_SQL = f"""{_BOOK_CTE}
-SELECT exchange_id, symbol, ts_ms, raw_nonce, best_bid, best_ask
-FROM (
-  SELECT exchange_id, symbol, ts_ms, raw_nonce, best_bid, best_ask,
-         ROW_NUMBER() OVER (PARTITION BY exchange_id, symbol
-                            ORDER BY ts_ms DESC, raw_nonce DESC) AS rn
-  FROM book
-)
-WHERE rn <= 100
-"""
-
-
-@register("book_tail", _TAIL_SQL)
-def q_book_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W13 tail-N: most recent 100 rows per instrument without a global
-    sort (advanced_plots.py:310-312)."""
-    book = synthetic_book(spark, sf_dir)
-    w = Window.partitionBy(*KEYS).orderBy(
-        F.col("ts_ms").desc(), F.col("raw_nonce").desc()
-    )
-    return (
-        book.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 100)
-        .select(*IDS, "best_bid", "best_ask")
-    )
-
-
-_SLICE_SAMPLE_SQL = f"""{_BOOK_CTE},
-numbered AS (
-  SELECT exchange_id, symbol, ts_ms, raw_nonce, best_bid, best_ask,
-         ROW_NUMBER() OVER ({_W}) - 1 AS idx,
-         COUNT(*) OVER (PARTITION BY exchange_id, symbol) AS n
-  FROM book
-)
-SELECT exchange_id, symbol, ts_ms, raw_nonce, idx, best_bid, best_ask
-FROM numbered
-WHERE EXISTS (
-  SELECT 1 FROM generate_series(0, 19) t(i)
-  WHERE CAST(floor(i * (n - 1) / 19.0 + 0.5) AS BIGINT) = idx
-)
-"""
-
-
-@register("book_slice_sample", _SLICE_SAMPLE_SQL)
-def q_book_slice_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W14 evenly-spaced positional sampling (impact.py:196-224): pick 20
-    linspace rows per instrument series. floor(x+0.5) rounding keeps both
-    engines identical (no banker's-rounding divergence)."""
-    book = synthetic_book(spark, sf_dir)
-    w = W.book_window(KEYS, ORDER_COLS)
-    wp = Window.partitionBy(*KEYS)
-    numbered = book.select(
-        *IDS,
-        "best_bid",
-        "best_ask",
-        (F.row_number().over(w) - 1).alias("idx"),
-        F.count(F.lit(1)).over(wp).alias("n"),
-    )
-    picks = F.transform(
-        F.sequence(F.lit(0), F.lit(19)),
-        lambda i: F.floor(
-            i.cast("double") * (F.col("n") - 1) / F.lit(19.0) + F.lit(0.5)
-        ),
-    )
-    return numbered.filter(F.array_contains(picks, F.col("idx"))).select(
-        *IDS, "idx", "best_bid", "best_ask"
-    )
-
-
-_ASOF_SQL = f"""{_BOOK_CTE},
-targets AS (
-  SELECT exchange_id, symbol, raw_nonce AS target_id, ts_ms + 1500 AS target_ts
-  FROM (
-    SELECT exchange_id, symbol, ts_ms, raw_nonce,
-           ROW_NUMBER() OVER ({_W}) AS rn
-    FROM book
-  )
-  WHERE rn % 50 = 1
-),
-cand AS (
-  SELECT t.target_id, t.target_ts, b.exchange_id, b.symbol, b.ts_ms,
-         b.raw_nonce, b.best_bid, b.best_ask,
-         abs(b.ts_ms - t.target_ts) AS abs_delta
-  FROM targets t
-  JOIN book b
-    ON b.exchange_id = t.exchange_id AND b.symbol = t.symbol
-   AND abs(b.ts_ms - t.target_ts) <= 3600000
-)
-SELECT exchange_id, symbol, target_id, target_ts, ts_ms, raw_nonce,
-       abs_delta, best_bid, best_ask
-FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY exchange_id, symbol, target_id
-                               ORDER BY abs_delta, ts_ms, raw_nonce) AS rk
-  FROM cand
-)
-WHERE rk = 1
-"""
-
-
-@register("book_asof_join", _ASOF_SQL)
-def q_book_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 nearest-timestamp as-of join (impact_twap.py:174-188): every
-    50th row (+1.5s) is a slice target matched to its nearest snapshot
-    within 1h; broadcast targets + banded range join + rank-1."""
-    from market_microstructure_toolkit_spark.operators.asof import asof_nearest
-
-    book = synthetic_book(spark, sf_dir).select(
-        *IDS, "best_bid", "best_ask"
-    )
-    w = W.book_window(KEYS, ORDER_COLS)
-    targets = (
-        book.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") % 50 == 1)
-        .select(
-            "exchange_id",
-            "symbol",
-            F.col("raw_nonce").alias("target_id"),
-            (F.col("ts_ms") + 1500).alias("target_ts"),
-        )
-    )
-    out = asof_nearest(book, targets, tolerance_ms=3_600_000, keys=KEYS)
-    return out.select(
-        "exchange_id", "symbol", "target_id", "target_ts",
-        "ts_ms", "raw_nonce", "abs_delta", "best_bid", "best_ask",
-    )
-
-
-_EVENT_METRICS_SQL = f"""{_BOOK_CTE}
-SELECT exchange_id, symbol, ts_ms, raw_nonce,
-  (best_bid + best_ask) / 2.0 AS mid,
-  CASE WHEN best_bid > 0 AND best_ask > 0
-       THEN (best_ask - best_bid) / ((best_bid + best_ask) / 2.0) * 1e4
-  END AS spread_bps,
-  CASE WHEN COALESCE(bid1_size, 0.0) + COALESCE(ask1_size, 0.0) > 0
-       THEN (best_ask * COALESCE(bid1_size, 0.0) + best_bid * COALESCE(ask1_size, 0.0))
-            / (COALESCE(bid1_size, 0.0) + COALESCE(ask1_size, 0.0))
-       ELSE (best_bid + best_ask) / 2.0
-  END AS microprice
-FROM book
-"""
-
-
-@register("book_event_metrics", _EVENT_METRICS_SQL)
-def q_book_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The mmt-event-metrics L1 bundle (event_metrics.py:66-82): event-
-    variant spread_bps (crossed books keep their negative value) and the
-    microprice-falls-back-to-mid semantic. OFI-kyle / ret / rv components
-    of that surface are covered by book_ofi_kyle and book_returns_rv."""
-    book = synthetic_book(spark, sf_dir)
-    bb, ba = F.col("best_bid"), F.col("best_ask")
-    m = M.mid(bb, ba)
-    return book.select(
-        *IDS,
-        m.alias("mid"),
-        F.when((bb > 0) & (ba > 0), (ba - bb) / m * F.lit(1e4)).alias("spread_bps"),
-        M.microprice(bb, ba, F.col("bid1_size"), F.col("ask1_size"),
-                     fallback_to_mid=True).alias("microprice"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Execution simulation (X1-X6): distributed book walk + simulator surfaces
-# ---------------------------------------------------------------------------
-
-def _walk_exprs(
-    qty_sql: str, depth: int, prefix: str = "", blank: str = "skip",
-    side: str = "ask",
-) -> dict[str, str]:
-    """Closed-form greedy ladder fill as SQL expression strings (X2).
-
-    take_i = least(greatest(qty - cum_{i-1}, 0), avail_i) with cum the
-    running sum of valid-level sizes — the same closed form the Spark
-    ``walk_book`` aggregate computes. ``blank='skip'`` zeroes invalid
-    levels and continues (impact.py:74-108); ``blank='stop'`` truncates
-    at the first invalid level (impact_twap.py:65-98) by requiring the
-    whole prefix to be valid. Sizes are exact quarters so fills are
-    exact; cost adds 0.0 for skipped levels (exact identity). ``qty_sql``
-    may be any scalar SQL expression (literal, column, or subquery) —
-    each take references it verbatim.
-    """
-    p = prefix
-    lvl_valid = [
-        f"({p}{side}{i}_price IS NOT NULL AND {p}{side}{i}_size IS NOT NULL"
-        f" AND {p}{side}{i}_size > 0)"
-        for i in range(1, depth + 1)
-    ]
-    if blank == "stop":
-        # prefix-AND: level i only usable when levels 1..i are all valid
-        valid = []
-        for i in range(depth):
-            valid.append(lvl_valid[i] if i == 0 else f"({valid[i-1]} AND {lvl_valid[i]})")
-    else:
-        valid = lvl_valid
-    avail = [
-        f"CASE WHEN {valid[i - 1]} THEN {p}{side}{i}_size ELSE 0.0 END"
-        for i in range(1, depth + 1)
-    ]
-    cum = ["0.0"]
-    for i in range(1, depth):
-        cum.append(f"({cum[-1]} + {avail[i - 1]})")
-    take = [
-        f"LEAST(GREATEST(({qty_sql}) - {cum[i - 1]}, 0.0), {avail[i - 1]})"
-        for i in range(1, depth + 1)
-    ]
-    filled = " + ".join(take)
-    cost = " + ".join(
-        f"CASE WHEN {valid[i - 1]} THEN ({take[i - 1]}) * {p}{side}{i}_price ELSE 0.0 END"
-        for i in range(1, depth + 1)
-    )
-    touched = " + ".join(
-        f"CASE WHEN ({take[i - 1]}) > 0 THEN 1 ELSE 0 END"
-        for i in range(1, depth + 1)
-    )
-    return {"filled": filled, "cost": cost, "touched": touched}
-
-
-def _walk_sql(qty: float, depth: int) -> str:
-    """X2 walk of every snapshot's ask ladder (skip-blank) as one scan."""
-    w = _walk_exprs(repr(qty), depth)
-    return (
-        f"SELECT exchange_id, symbol, ts_ms, raw_nonce,\n"
-        f"  {w['filled']} AS filled_qty,\n"
-        f"  CASE WHEN ({w['filled']}) > 0 THEN ({w['cost']}) / ({w['filled']}) END"
-        f" AS fill_vwap,\n"
-        f"  {w['touched']} AS levels_touched\n"
-        f"FROM book"
-    )
-
-
-_WALK_SQL = f"{_BOOK_CTE}\n{_walk_sql(3.0, BOOK_DEPTH)}"
-
-
-@register("book_walk_fill", _WALK_SQL)
-def q_book_walk_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1+X2 distributed: walk EVERY snapshot's ask ladder for qty 3.0 —
-    one ``F.aggregate`` per row, shuffle-free, codegen'd (impact.py:111-145
-    semantics, skip-blank ladder). This is the scale path: millions of
-    book walks run as a map."""
-    from market_microstructure_toolkit_spark.functions.arrays import (
-        ladder_from_wide,
-        valid_levels,
-        walk_book,
-    )
-
-    book = synthetic_book(spark, sf_dir)
-    fill = walk_book(valid_levels(ladder_from_wide("ask", BOOK_DEPTH)), 3.0)
-    return book.withColumn("__f", fill).select(
-        *IDS,
-        F.col("__f.filled").alias("filled_qty"),
-        F.when(F.col("__f.filled") > 0, F.col("__f.cost") / F.col("__f.filled")).alias(
-            "fill_vwap"
-        ),
-        F.col("__f.levels_touched").alias("levels_touched"),
-    )
-
-
-def _twap_naive_sql() -> str:
-    """X3 oracle: linspace picks (round-half-even, matching Python's
-    ``round``) -> closed-form skip-blank walk at qty total/len(picks).
-
-    Arithmetic mirrors simulate_twap_naive op-for-op: step is computed
-    FIRST ((n-1)/(slices-1)) then multiplied by i, and slice_qty divides
-    by the DISTINCT pick count — both in IEEE doubles, so values are
-    bit-identical to the Spark side.
-    """
-    w = _walk_exprs("sq", BOOK_DEPTH)
-    return f"""{_BOOK_CTE},
-s0 AS (SELECT * FROM book WHERE symbol = 'S0'),
-nn AS (SELECT COUNT(*) AS n FROM s0),
-picks AS (
-  SELECT DISTINCT CAST(round_even(i * ((n - 1) / CAST(19 AS DOUBLE)), 0) AS BIGINT) AS pos
-  FROM generate_series(0, 19) t(i), nn
-),
-np AS (SELECT COUNT(*) AS k FROM picks),
-numbered AS (
-  SELECT *, row_number() OVER (ORDER BY ts_ms, raw_nonce) - 1 AS pos FROM s0
-),
-picked AS (
-  SELECT r.*, (40.0 / CAST(np.k AS DOUBLE)) AS sq FROM numbered r JOIN picks USING (pos), np
-)
-SELECT CAST(row_number() OVER (ORDER BY pos) AS INTEGER) AS slice,
-  ts_ms,
-  CAST(NULL AS VARCHAR) AS iso,
-  {w['filled']} AS filled_qty,
-  sq AS slice_target_qty,
-  CASE WHEN ({w['filled']}) > 0 THEN ({w['cost']}) / ({w['filled']}) END AS slice_vwap,
-  {w['touched']} AS levels_touched
-FROM picked"""
-
-
-@register("twap_naive_sim", _twap_naive_sql())
-def q_twap_naive_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 naive TWAP per-slice table on one instrument's series; also
-    cross-validated against the reference's shipped golden oracle in
-    tests/test_impact.py."""
-    from market_microstructure_toolkit_spark.operators.impact import simulate_twap_naive
-
-    book = synthetic_book(spark, sf_dir).filter(F.col("symbol") == "S0")
-    _, per_slice = simulate_twap_naive(book, "buy", total_qty=40.0, slices=20, depth=BOOK_DEPTH)
-    return per_slice
-
-
-def _twap_multi_sql() -> str:
-    """Grouped X3 oracle: the single-series naive-TWAP oracle with every
-    per-group stage keyed by (exchange_id, symbol) — per-series row
-    counts, per-series linspace picks, per-series numbered join. The
-    arithmetic per series is the single-series oracle verbatim, so each
-    symbol's slice rows equal the ``twap_naive_sim`` oracle run on that
-    symbol's filter."""
-    w = _walk_exprs("sq", BOOK_DEPTH)
-    return f"""{_BOOK_CTE},
-nn AS (
-  SELECT exchange_id, symbol, COUNT(*) AS n FROM book
-  GROUP BY exchange_id, symbol
-),
-picks AS (
-  SELECT DISTINCT exchange_id, symbol,
-    CAST(round_even(i * ((n - 1) / CAST(19 AS DOUBLE)), 0) AS BIGINT) AS pos
-  FROM nn, generate_series(0, 19) t(i)
-),
-np AS (
-  SELECT exchange_id, symbol, COUNT(*) AS k FROM picks
-  GROUP BY exchange_id, symbol
-),
-numbered AS (
-  SELECT *, row_number() OVER (
-    PARTITION BY exchange_id, symbol ORDER BY ts_ms, raw_nonce
-  ) - 1 AS pos
-  FROM book
-),
-picked AS (
-  SELECT r.*, (40.0 / CAST(np.k AS DOUBLE)) AS sq
-  FROM numbered r
-  JOIN picks USING (exchange_id, symbol, pos)
-  JOIN np USING (exchange_id, symbol)
-)
-SELECT exchange_id, symbol,
-  CAST(row_number() OVER (
-    PARTITION BY exchange_id, symbol ORDER BY pos
-  ) AS INTEGER) AS slice,
-  ts_ms,
-  CAST(NULL AS VARCHAR) AS iso,
-  {w['filled']} AS filled_qty,
-  sq AS slice_target_qty,
-  CASE WHEN ({w['filled']}) > 0 THEN ({w['cost']}) / ({w['filled']}) END AS slice_vwap,
-  {w['touched']} AS levels_touched
-FROM picked"""
-
-
-@register("twap_multi_instrument", _twap_multi_sql())
-def q_twap_multi_instrument(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 naive TWAP fanned out over all four synthetic symbols in one
-    pass (round-3 verdict item #5): per-instrument schedules built from
-    one groupBy-count, broadcast back, and walked distributively — every
-    stage partitions by instrument, so parallelism grows with instrument
-    count instead of looping the single-series simulator driver-side.
-    Each symbol's slice rows are identical to ``twap_naive_sim`` on that
-    symbol (pinned in tests/test_impact.py)."""
-    from market_microstructure_toolkit_spark.operators.impact import (
-        simulate_twap_naive_grouped,
-    )
-
-    book = synthetic_book(spark, sf_dir)
-    _, per_slice = simulate_twap_naive_grouped(
-        book, "buy", total_qty=40.0, slices=20, depth=BOOK_DEPTH
-    )
-    return per_slice
-
-
-def _vwap_carry_sql() -> str:
-    """X6 oracle: the full carry recurrence as a recursive CTE.
-
-    Mirrors simulate_vwap_real op-for-op for the gate config (buy,
-    target 100.0, 24 slices, depth 5, topk_sum proxy): bucket picks via
-    round-half-even of s*slices/n, proxy weights as exact quarter sums,
-    per-slice size 100.0*(w/total), a SEQUENTIAL left-to-right size sum
-    for the drift correction (double addition is order-sensitive), the
-    first-argmax drift target, and slice k's desired = size_k +
-    carry_{k-1} with the closed-form skip-blank walk. 24 recursion steps
-    — config-sized, like the driver-side loop it checks.
-    """
-    depth = BOOK_DEPTH
-    valid = [
-        f"(r.ask{i}_price IS NOT NULL AND r.ask{i}_size IS NOT NULL"
-        f" AND r.ask{i}_size > 0)"
-        for i in range(1, depth + 1)
-    ]
-    proxy = " + ".join(
-        f"CASE WHEN {v} THEN r.ask{i}_size ELSE 0.0 END"
-        for i, v in enumerate(valid, start=1)
-    )
-    w = _walk_exprs("r.sz + rec.carry", depth, prefix="r.")
-    ask_cols = ", ".join(
-        f"ask{i}_price, ask{i}_size" for i in range(1, depth + 1)
-    )
-    return f"""{_BOOK_CTE.replace("WITH ", "WITH RECURSIVE ")},
-s0 AS (SELECT * FROM book WHERE symbol = 'S0'),
-nn AS (SELECT COUNT(*) AS n FROM s0),
-numbered AS (
-  SELECT *, row_number() OVER (ORDER BY ts_ms, raw_nonce) - 1 AS pos FROM s0
-),
-sl AS (
-  SELECT s, LEAST(GREATEST(CAST(round_even(s * 24 / CAST(n AS DOUBLE), 0) AS BIGINT), 0), n - 1) AS pos
-  FROM generate_series(0, 23) t(s), nn
-),
-picked AS (SELECT sl.s, r.* FROM sl JOIN numbered r ON r.pos = sl.pos),
-prox AS (
-  SELECT s, GREATEST(0.0, {proxy.replace('r.', '')}) AS w,
-         (best_bid + best_ask) / 2.0 AS mid, ts_ms, {ask_cols}
-  FROM picked
-),
-tot AS (SELECT SUM(w) AS total FROM prox),
-sz0 AS (
-  SELECT s, CASE WHEN total <= 0 THEN 100.0 / 24 ELSE 100.0 * (w / total) END AS sz
-  FROM prox, tot
-),
-ssum(s, acc) AS (
-  SELECT 0, (SELECT sz FROM sz0 WHERE s = 0)
-  UNION ALL
-  SELECT ssum.s + 1, ssum.acc + (SELECT sz FROM sz0 WHERE sz0.s = ssum.s + 1)
-  FROM ssum WHERE ssum.s < 23
-),
-errv AS (SELECT 100.0 - acc AS err FROM ssum WHERE s = 23),
-jmax AS (SELECT s AS j FROM sz0 ORDER BY sz DESC, s LIMIT 1),
-rows_ AS (
-  SELECT p.s + 1 AS sn, p.mid, p.ts_ms, {ask_cols},
-         z.sz + CASE WHEN abs(e.err) > 1e-9 AND p.s = m.j THEN e.err ELSE 0.0 END AS sz
-  FROM prox p JOIN sz0 z ON z.s = p.s, errv e, jmax m
-),
-rec(s, carry, slice_target, desired, filled, cost, touched, mid, ts_ms) AS (
-  SELECT CAST(0 AS INTEGER), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
-         CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
-         0, CAST(0.0 AS DOUBLE), CAST(0 AS BIGINT)
-  UNION ALL
-  SELECT CAST(r.sn AS INTEGER),
-         GREATEST(0.0, (r.sz + rec.carry) - ({w['filled']})),
-         r.sz,
-         r.sz + rec.carry,
-         {w['filled']},
-         {w['cost']},
-         {w['touched']},
-         r.mid, r.ts_ms
-  FROM rec JOIN rows_ r ON r.sn = rec.s + 1
-)
-SELECT s AS slice, ts_ms, '' AS iso,
-  slice_target AS slice_target_qty,
-  desired AS desired_qty_incl_carry,
-  filled AS filled_qty,
-  CASE WHEN filled > 0 THEN cost / filled ELSE CAST('nan' AS DOUBLE) END AS slice_vwap,
-  CAST(touched AS INTEGER) AS levels_touched,
-  mid,
-  CASE WHEN mid <> 0 AND filled > 0
-       THEN (((cost / filled) - mid) / mid) * 1e4 END AS slippage_bps_vs_mid,
-  carry AS carry_to_next
-FROM rec WHERE s >= 1"""
-
-
-@register("vwap_carry_sim", _vwap_carry_sql())
-def q_vwap_carry_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X6 carry VWAP per-slice table; golden-validated in tests. Carry
-    recurrence runs driver-side over <= slices rows; the oracle replays
-    the same recurrence as a 24-step recursive CTE."""
-    from market_microstructure_toolkit_spark.operators.impact import (
-        VwapConfig,
-        simulate_vwap_real,
-    )
-
-    book = synthetic_book(spark, sf_dir).filter(F.col("symbol") == "S0")
-    cfg = VwapConfig(side="buy", target_qty=100.0, slices=24, depth_k=BOOK_DEPTH,
-                     fee_bps=5.0, proxy="topk_sum")
-    _, per_slice = simulate_vwap_real(book, cfg)
-    return per_slice
-
-
-# ---------------------------------------------------------------------------
-# Data-pipeline tier: dedup family, text analysis, LSH similarity,
-# multimodal plumbing (BASELINE.json north star operators)
-# ---------------------------------------------------------------------------
-
-_MINHASH_SQL = """
-WITH grams AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, len(w) - 1),
-                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gs
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-  WHERE len(w) >= 3
-),
-sigs AS (
-  SELECT doc_id,
-         list_aggregate(list_transform(gs, g -> md5(g || '#0')), 'min') AS mh0,
-         list_aggregate(list_transform(gs, g -> md5(g || '#1')), 'min') AS mh1,
-         list_aggregate(list_transform(gs, g -> md5(g || '#2')), 'min') AS mh2,
-         list_aggregate(list_transform(gs, g -> md5(g || '#3')), 'min') AS mh3,
-         list_aggregate(list_transform(gs, g -> md5(g || '#4')), 'min') AS mh4,
-         list_aggregate(list_transform(gs, g -> md5(g || '#5')), 'min') AS mh5,
-         list_aggregate(list_transform(gs, g -> md5(g || '#6')), 'min') AS mh6,
-         list_aggregate(list_transform(gs, g -> md5(g || '#7')), 'min') AS mh7
-  FROM grams
-),
-keyed AS (
-  SELECT doc_id, band, key FROM (
-    SELECT doc_id, 0 AS band, concat_ws('|', mh0, mh1) AS key FROM sigs WHERE mh0 IS NOT NULL
-    UNION ALL
-    SELECT doc_id, 1, concat_ws('|', mh2, mh3) FROM sigs WHERE mh0 IS NOT NULL
-    UNION ALL
-    SELECT doc_id, 2, concat_ws('|', mh4, mh5) FROM sigs WHERE mh0 IS NOT NULL
-    UNION ALL
-    SELECT doc_id, 3, concat_ws('|', mh6, mh7) FROM sigs WHERE mh0 IS NOT NULL
-  )
-  -- hot-bucket guard (max_bucket_size=64) + singleton pruning, mirroring
-  -- minhash_lsh_candidates
-  QUALIFY COUNT(*) OVER (PARTITION BY band, key) BETWEEN 2 AND 64
-)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM keyed a JOIN keyed b
-  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-"""
-
-
-@register("dedup_minhash_lsh", _MINHASH_SQL)
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: 3-word shingles -> 8 md5 min-hashes
-    -> 4 banded keys -> bucket self-join. The lexicographic-min-of-hex trick
-    keeps the hash family engine-portable. Shuffle is keyed on band values;
-    pairwise work is per-bucket, not global n^2."""
-    from market_microstructure_toolkit_spark.operators.dedup import (
-        minhash_lsh_candidates,
-    )
-
-    docs = _docs(spark, sf_dir)
-    return minhash_lsh_candidates(docs, k=8, rows_per_band=2, shingle_n=3)
-
-
-_NGRAM_JACCARD_SQL = """
-WITH grams0 AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
-                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-  WHERE len(w) >= 3
-),
-rare AS (SELECT g FROM grams0 GROUP BY g HAVING COUNT(*) <= 10),
-grams AS (SELECT g0.doc_id, g0.g FROM grams0 g0 JOIN rare USING (g)),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-)
-SELECT id_a, id_b,
-       CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.05
-"""
-
-
-@register("dedup_ngram_jaccard", _NGRAM_JACCARD_SQL)
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard over an inverted shingle index (explode +
-    shingle self-join + integer set algebra — engine-exact values). The
-    max_doc_freq=10 hot-shingle guard bounds the self-join fan-out
-    (boilerplate shingle in d docs -> d^2/2 rows) and is mirrored in the
-    oracle's `rare` CTE."""
-    from market_microstructure_toolkit_spark.operators.dedup import ngram_jaccard_pairs
-
-    docs = _docs(spark, sf_dir)
-    return ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.05, max_doc_freq=10)
-
-
-_DECONTAM_SQL = """
-WITH bench AS (
-  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(w) - 1),
-                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
-  FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 50 = 0)
-  WHERE len(w) >= 3
-),
-corp AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
-                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        WHERE doc_id % 50 != 0)
-  WHERE len(w) >= 3
-)
-SELECT c.doc_id, COUNT(*) AS n_shared
-FROM corp c JOIN bench USING (g)
-GROUP BY c.doc_id
-HAVING COUNT(*) >= 2
-"""
-
-
-@register("decontaminate", _DECONTAM_SQL)
-def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination over the corpus: every 50th document
-    plays the held-out eval set; corpus docs sharing >= 2 distinct
-    3-gram shingles with ANY benchmark doc are flagged (doc_id,
-    n_shared). The benchmark's distinct-shingle vocabulary is broadcast,
-    so the pass is map-side semi-join + partial-aggregated count — the
-    shape that decontaminates a 100 TB corpus without a corpus-keyed
-    self-join."""
-    from market_microstructure_toolkit_spark.operators.dedup import (
-        contamination_flags,
-    )
-
-    docs = _docs(spark, sf_dir)
-    bench = docs.filter(F.col("doc_id") % 50 == 0)
-    corpus = docs.filter(F.col("doc_id") % 50 != 0)
-    return contamination_flags(corpus, bench, shingle_n=3, min_shared=2)
-
-
-_PACK_SQL = """
-WITH toks AS (
-  SELECT doc_id, doc_id % 8 AS shard,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
-  FROM documents
-),
-cum AS (
-  SELECT doc_id, shard, tok,
-         CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS e
-  FROM toks
-),
-spans AS (
-  SELECT shard, doc_id, tok, e - tok AS s, e,
-         unnest(range((e - tok) // 256, (e - 1) // 256 + 1)) AS seq_id
-  FROM cum
-)
-SELECT shard, seq_id, COUNT(*) AS n_docs,
-       CAST(SUM(LEAST(e, (seq_id + 1) * 256) - GREATEST(s, seq_id * 256))
-            AS BIGINT) AS seq_tokens
-FROM spans
-GROUP BY shard, seq_id
-"""
-
-
-@register("pack_sequences", _PACK_SQL)
-def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chunk sequence packing over the corpus: 8 shards,
-    256-token sequences, documents spanning chunk boundaries split by
-    exact interval arithmetic. Output is the per-sequence occupancy
-    report (shard, seq_id, n_docs, seq_tokens) a packing job emits —
-    every sequence but each shard's last must hold exactly 256 tokens.
-    The cumsum window is PARTITIONED by shard (n independent sorts, not
-    one global sort), the stats groupBy keys on (shard, seq): both
-    survive a 100 TB corpus by raising n_shards."""
-    from market_microstructure_toolkit_spark.operators.packing import pack_stats
-
-    return pack_stats(_docs(spark, sf_dir), budget=256, n_shards=8)
-
-
-_REBALANCE_SQL = """
-WITH counts AS (SELECT lang, COUNT(*) AS n_group FROM documents GROUP BY lang),
-cap AS (SELECT MIN(n_group) AS cap FROM counts),
-flags AS (
-  SELECT d.lang,
-         CASE WHEN c.n_group <= cap.cap THEN TRUE
-              ELSE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
-                   < printf('%08x',
-                            CAST(floor(CAST(cap.cap AS DOUBLE) / c.n_group
-                                       * 4294967296.0) AS BIGINT))
-         END AS kept
-  FROM documents d JOIN counts c USING (lang) CROSS JOIN cap
-)
-SELECT lang, COUNT(*) AS n_before,
-       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_after
-FROM flags
-GROUP BY lang
-"""
-
-
-@register("corpus_rebalance", _REBALANCE_SQL)
-def q_corpus_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-mix rebalancing report: every language downsampled
-    toward the smallest one's count (the corpus is en-heavy) via the
-    deterministic md5-threshold keep flag. Counts broadcast back onto
-    the corpus, so the flagging pass itself is map-side — the shape that
-    rebalances a 100 TB crawl without shuffling it."""
-    from market_microstructure_toolkit_spark.operators.text_analysis import (
-        rebalance_keep_flag,
-    )
-
-    flagged = rebalance_keep_flag(_docs(spark, sf_dir), group_col="lang")
-    return flagged.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_before"),
-        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_after"),
-    )
-
-
-_SIMHASH_SQL = (
-    "WITH votes AS (\n"
-    "  SELECT doc_id,\n"
-    + ",\n".join(
-        f"    SUM(CASE WHEN substr(md5(t), {b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v{b}"
-        for b in range(16)
-    )
-    + "\n  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)\n"
-    "  GROUP BY doc_id\n"
-    ")\n"
-    "SELECT doc_id,\n  "
-    + " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
-    + " AS simhash16\nFROM votes"
-)
-
-
-@register("dedup_simhash", _SIMHASH_SQL)
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash fingerprints (per-bit majority over token md5 bits);
-    bucketing on the fingerprint gives Hamming-near candidates."""
-    from market_microstructure_toolkit_spark.operators.dedup import simhash16
-
-    docs = _docs(spark, sf_dir)
-    return docs.select("doc_id", simhash16("text").alias("simhash16"))
-
-
-def _lang_hits_sql(lang: str, markers: tuple[str, ...]) -> str:
-    lst = ", ".join(f"'{m}'" for m in markers)
-    return (
-        f"len(list_filter(string_split(text, ' '), "
-        f"t -> list_contains([{lst}], t))) AS h_{lang}"
-    )
-
-
-def _lang_id_sql() -> str:
-    from market_microstructure_toolkit_spark.operators.text_analysis import LANG_MARKERS
-
-    langs = sorted(LANG_MARKERS)
-    hits = ",\n  ".join(_lang_hits_sql(g, LANG_MARKERS[g]) for g in langs)
-    m = "GREATEST(" + ", ".join(f"h_{g}" for g in langs) + ")"
-    pred = "CASE WHEN " + m + " < 1 THEN 'und' " + " ".join(
-        f"WHEN h_{g} = {m} THEN '{g}'" for g in langs
-    ) + " END"
-    return (
-        f"WITH hits AS (\n  SELECT doc_id, lang,\n  {hits}\n  FROM documents\n)\n"
-        f"SELECT doc_id, lang AS labeled_lang, {pred} AS predicted_lang FROM hits"
-    )
-
-
-@register("doc_lang_id", _lang_id_sql())
-def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID (marker-lexicon argmax, alphabetical
-    tie-break) next to the corpus's labeled lang."""
-    from market_microstructure_toolkit_spark.operators.text_analysis import lang_id_expr
-
-    docs = _docs(spark, sf_dir)
-    return docs.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        lang_id_expr("text").alias("predicted_lang"),
-    )
-
-
-_QUALITY_SQL = """
-WITH feat AS (
-  SELECT doc_id,
-    len(string_split(text, ' ')) AS n_tok,
-    length(text) AS n_chars,
-    length(regexp_replace(text, ' ', '', 'g')) AS nonspace,
-    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
-    length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
-    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
-    len(list_filter(string_split(text, ' '),
-        t -> list_contains(['the','a','an','and','or','of','to','in','is','it',
-                            'that','for','on','with','as','was','at','by','be'],
-                           lower(t)))) AS sw_hits
-  FROM documents
-)
-SELECT doc_id,
-  CAST(n_tok AS BIGINT) AS n_tokens,
-  CASE WHEN n_tok > 0 THEN CAST(nonspace AS DOUBLE) / n_tok END AS avg_token_len,
-  CASE WHEN n_chars > 0 THEN CAST(alpha AS DOUBLE) / n_chars END AS alpha_ratio,
-  CASE WHEN n_chars > 0 THEN CAST(digits AS DOUBLE) / n_chars END AS digit_ratio,
-  CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars END AS punct_ratio,
-  CASE WHEN n_tok > 0 THEN CAST(sw_hits AS DOUBLE) / n_tok END AS stopword_ratio,
-  LEAST(CAST(n_tok AS DOUBLE) / 20.0, 1.0) * 0.4
-    + COALESCE(CASE WHEN n_chars > 0 THEN CAST(alpha AS DOUBLE) / n_chars END, 0.0) * 0.4
-    + (1.0 - LEAST(COALESCE(CASE WHEN n_chars > 0 THEN CAST(digits AS DOUBLE) / n_chars END, 0.0) * 5, 1.0)) * 0.1
-    + (1.0 - LEAST(COALESCE(CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars END, 0.0) * 10, 1.0)) * 0.1
-    AS quality_score
-FROM feat
-"""
-
-
-@register("doc_quality", _QUALITY_SQL)
-def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-signal bundle + composite score (pure per-row string/ratio
-    expressions; engine-exact)."""
-    from market_microstructure_toolkit_spark.operators.text_analysis import (
-        quality_features,
-    )
-
-    docs = _docs(spark, sf_dir)
-    return quality_features(docs).select(
-        "doc_id", "n_tokens", "avg_token_len", "alpha_ratio",
-        "digit_ratio", "punct_ratio", "stopword_ratio", "quality_score",
-    )
-
-
-_SOURCE_CAP_SQL = """
-WITH feat AS (
-  SELECT doc_id, source,
-    len(string_split(text, ' ')) AS n_tok,
-    length(text) AS n_chars,
-    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
-    length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
-    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct
-  FROM documents
-),
-scored AS (
-  SELECT doc_id, source,
-    LEAST(CAST(n_tok AS DOUBLE) / 20.0, 1.0) * 0.4
-    + COALESCE(CASE WHEN n_chars > 0 THEN CAST(alpha AS DOUBLE) / n_chars END, 0.0) * 0.4
-    + (1.0 - LEAST(COALESCE(CASE WHEN n_chars > 0 THEN CAST(digits AS DOUBLE) / n_chars END, 0.0) * 5, 1.0)) * 0.1
-    + (1.0 - LEAST(COALESCE(CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars END, 0.0) * 10, 1.0)) * 0.1
-    AS quality_score
-  FROM feat
-),
-ranked AS (
-  SELECT *, ROW_NUMBER() OVER (
-    PARTITION BY source ORDER BY quality_score DESC, doc_id
-  ) AS rk
-  FROM scored
-)
-SELECT doc_id, source, quality_score, CAST(rk AS INTEGER) AS source_rank
-FROM ranked WHERE rk <= 40
-"""
-
-
-@register("source_cap_sample", _SOURCE_CAP_SQL)
-def q_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source (domain) cap: keep each source's top-40 docs by quality
-    score — the standard crawl-mix guard against one domain dominating a
-    training corpus. One window keyed on source (shuffle spreads over
-    domains, which number in the millions at crawl scale); the rank
-    orders on the engine-exact per-row score with doc_id tiebreak, so no
-    rounding is needed for cross-engine determinism."""
-    from market_microstructure_toolkit_spark.operators.text_analysis import (
-        quality_features,
-    )
-
-    docs = _docs(spark, sf_dir)
-    w = Window.partitionBy("source").orderBy(
-        F.col("quality_score").desc(), "doc_id"
-    )
-    return (
-        quality_features(docs)
-        .withColumn("source_rank", F.row_number().over(w))
-        .filter(F.col("source_rank") <= 40)
-        .select("doc_id", "source", "quality_score", "source_rank")
-    )
-
-
-_FINGERPRINT_SQL = """
-SELECT fp AS fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc_id
-FROM (
-  SELECT doc_id,
-         md5(substring(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 64)) AS fp
-  FROM documents
-)
-GROUP BY fp
-"""
-
-
-@register("doc_fingerprint", _FINGERPRINT_SQL)
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalized-prefix fingerprint groups (near-exact-dup keying that
-    survives trailing edits)."""
-    from market_microstructure_toolkit_spark.operators.text_analysis import (
-        fingerprint_expr,
-    )
-
-    docs = _docs(spark, sf_dir)
-    return (
-        docs.select("doc_id", fingerprint_expr("text").alias("fingerprint"))
-        .groupBy("fingerprint")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("doc_id").alias("canonical_doc_id"),
-        )
-    )
-
-
-def _lsh_band_sql(band: int, bits: int = 8) -> str:
-    off = band * bits
-    bucket = "\n    + ".join(
-        f"(CASE WHEN embedding[{off + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(bits)
-    )
-    return (
-        f"  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {band} AS band,\n"
-        f"    {bucket} AS bucket\n  FROM embeddings"
-    )
-
-
-_LSH_PAIRS_SQL = (
-    "WITH keyed AS (\n"
-    + "\n  UNION ALL\n".join(_lsh_band_sql(j) for j in range(4))
-    + """
-),
-ok AS (SELECT band, bucket FROM keyed GROUP BY band, bucket
-       HAVING COUNT(*) <= 1000),
-k2 AS (SELECT keyed.vec_id, keyed.v, keyed.band, keyed.bucket
-       FROM keyed JOIN ok USING (band, bucket)),
-pairs AS (
-  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM k2 a JOIN k2 b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-)
-SELECT p.id_a, p.id_b,
-       ROUND(list_dot_product(ea.v, eb.v)
-             / (sqrt(list_dot_product(ea.v, ea.v))
-                * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos_sim
-FROM pairs p
-JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) ea
-  ON ea.vec_id = p.id_a
-JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) eb
-  ON eb.vec_id = p.id_b
-"""
-)
-
-
-@register("similarity_lsh_pairs", _LSH_PAIRS_SQL)
-def q_similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded sign-LSH ANN candidates: 4 bands x 8 sign bits over distinct
-    coordinate blocks, exact-cosine only WITHIN (band, bucket) groups,
-    pairs dedup'd across bands — |bucket|^2-instead-of-n^2 with 1024
-    shuffle keys instead of 256 global buckets, plus the max_bucket
-    hot-bucket guard (an IVF coarse quantizer slots into the same plan
-    shape)."""
-    from market_microstructure_toolkit_spark.operators.similarity import (
-        lsh_banded_pairs,
-    )
-
-    emb = _emb(spark, sf_dir)
-    out = lsh_banded_pairs(
-        emb, bits_per_band=8, n_bands=4, min_cosine=-2.0, max_bucket=1000
-    )
-    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
-
-
-_FRAME_SAMPLE_SQL = """
-SELECT doc_id AS asset_id,
-       unnest(range(0, doc_id % 10000 + 1000, 1000)) AS sample_ts_ms
-FROM documents
-WHERE doc_id % 3 = 2
-"""
-
-
-@register("multimodal_frame_sample", _FRAME_SAMPLE_SQL)
-def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plan: sequence+explode fan-out of sample
-    timestamps per video asset (decode itself is the stubbed Pandas-UDF
-    stage, exercised rows-only in multimodal_features)."""
-    from market_microstructure_toolkit_spark.operators.multimodal import (
-        frame_sample_plan,
-        synthetic_assets,
-    )
-
-    docs = _docs(spark, sf_dir)
-    assets = synthetic_assets(spark, docs)
-    return frame_sample_plan(assets, every_ms=1000)
-
-
-_MM_FEATURES_SQL = """
-WITH assets AS (
-  SELECT doc_id AS asset_id,
-         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-              ELSE 'video' END AS modality,
-         octet_length(encode(text)) AS n_bytes,
-         text
-  FROM documents
-),
-bytes AS (
-  -- corpus is ASCII (verified), so per-character codepoints == utf-8 bytes
-  SELECT asset_id,
-         unnest(list_transform(range(1, length(text) + 1),
-                               i -> ord(substr(text, i, 1)) % 8)) AS b
-  FROM assets
-),
-hist AS (
-  SELECT asset_id, b AS feature_idx, COUNT(*) AS cnt
-  FROM bytes GROUP BY asset_id, b
-)
-SELECT a.asset_id, a.modality, a.n_bytes,
-       idx.feature_idx,
-       COALESCE(h.cnt, 0) / CAST(GREATEST(a.n_bytes, 1) AS DOUBLE) AS value
-FROM assets a
-CROSS JOIN (SELECT unnest(range(0, 8)) AS feature_idx) idx
-LEFT JOIN hist h ON h.asset_id = a.asset_id AND h.feature_idx = idx.feature_idx
-"""
-
-
-@register("multimodal_features", _MM_FEATURES_SQL)
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas feature extraction over binary payloads
-    (decode stubbed as a deterministic byte histogram — no media libs in
-    the container). Output is EXPLODED to (asset_id, feature_idx, value)
-    scalars: array cells are not canonicalizable by the gate's
-    pandas-based comparator, and the long shape gives the oracle an exact
-    SQL formulation (byte histogram of the utf-8 payload)."""
-    from market_microstructure_toolkit_spark.operators.multimodal import (
-        extract_features,
-        synthetic_assets,
-    )
-
-    docs = _docs(spark, sf_dir)
-    feats = extract_features(synthetic_assets(spark, docs))
-    return feats.select(
-        "asset_id", "modality", "n_bytes",
-        F.posexplode("features").alias("feature_idx", "value"),
-    ).withColumn("feature_idx", F.col("feature_idx").cast("long"))
-
-
-# ---------------------------------------------------------------------------
-# Streaming tier surfaced in the correctness gate: the stateful OFI
-# operator replayed over a file stream must equal the batch window query,
-# so it shares the batch oracle SQL verbatim.
-# ---------------------------------------------------------------------------
-
-@register("streaming_ofi_replay", _OFI_STRICT_SQL)
-def q_streaming_ofi_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1 strict OFI computed by the STREAMING tier: the synthetic book is
-    replayed as a two-micro-batch file stream through the keyed
-    applyInPandasWithState operator (state = previous L1 quote per
-    instrument, carried across the batch boundary), availableNow trigger,
-    memory sink. Hash-matching the batch oracle proves batch/stream
-    parity (SURVEY §2.9)."""
-    import time
-    import uuid
-
-    from market_microstructure_toolkit_spark.plans.book import BOOK_DEPTH
-    from market_microstructure_toolkit_spark.streaming.book_stream import (
-        read_book_stream,
-        stateful_ofi,
-    )
-
-    tape_base = _tape2(spark, sf_dir, "book2")
-    base = _scratch(prefix="mmt_stream_replay_")  # per-run checkpoint
-    stream = read_book_stream(
-        spark, f"{tape_base}/data/*/", BOOK_DEPTH, max_files_per_trigger=1
-    )
-    name = f"ofi_replay_{uuid.uuid4().hex[:8]}"
-    # state-store partitions = shuffle partitions; there are only a few
-    # instrument keys, so 32 state partitions just spawn idle Python
-    # workers per micro-batch. Streaming ignores AQE — set it explicitly.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            stateful_ofi(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{base}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
-
-
-# ---------------------------------------------------------------------------
-# P10 — per-row OLS book slope (metrics.py:256-290)
-# ---------------------------------------------------------------------------
-
-def _slope_sql_side(side: str) -> str:
-    levels = ", ".join(
-        f"{{'p': {side}{i}_price, 's': {side}{i}_size}}"
-        for i in range(1, BOOK_DEPTH + 1)
-    )
-    return f"""
-    list_filter([{levels}], e -> e.p IS NOT NULL AND e.s IS NOT NULL) AS lv_{side}"""
-
-
-def _slope_sql_expr(side: str) -> str:
-    lv = f"lv_{side}"
-    return f"""
-  CASE WHEN len({lv}) >= 2 AND
-            len({lv}) * sxx_{side} - sx_{side} * sx_{side} != 0
-       THEN ROUND((len({lv}) * sxy_{side} - sx_{side} * sy_{side})
-                  / (len({lv}) * sxx_{side} - sx_{side} * sx_{side}), 6)
-  END AS slope_{side}"""
-
-
-def _slope_sums(side: str) -> str:
-    lv = f"lv_{side}"
-    return f"""
-    list_sum(list_transform({lv}, e -> abs(e.p - {lv}[1].p))) AS sx_{side},
-    list_sum(list_transform(range(1, len({lv}) + 1),
-             i -> list_sum(list_transform({lv}[1:i], e -> e.s)))) AS sy_{side},
-    list_sum(list_transform({lv}, e -> abs(e.p - {lv}[1].p) * abs(e.p - {lv}[1].p))) AS sxx_{side},
-    list_sum(list_transform(range(1, len({lv}) + 1),
-             i -> abs({lv}[i].p - {lv}[1].p)
-                  * list_sum(list_transform({lv}[1:i], e -> e.s)))) AS sxy_{side}"""
-
-
-_BOOK_SLOPE_SQL = f"""{_BOOK_CTE},
-ladders AS (
-  SELECT exchange_id, symbol, ts_ms, raw_nonce,{_slope_sql_side("bid")},{_slope_sql_side("ask")}
-  FROM book
-),
-sums AS (
-  SELECT exchange_id, symbol, ts_ms, raw_nonce, lv_bid, lv_ask,{_slope_sums("bid")},{_slope_sums("ask")}
-  FROM ladders
-)
-SELECT exchange_id, symbol, ts_ms, raw_nonce,{_slope_sql_expr("bid")},{_slope_sql_expr("ask")}
-FROM sums
-"""
-
-
-@register("book_slope", _BOOK_SLOPE_SQL)
-def q_book_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P10 per-row OLS book slope both sides: x = |p_i - p_1|,
-    y = cumulative size over VALID levels, slope = OLS through the mean —
-    one single-pass fold per side, materialized ONCE per row behind an
-    explode(array(...)) Generate barrier (higher-order aggregates are
-    interpreted; naive multi-extraction re-runs the fold per field).
-    Rounded 6dp (sums of <=K doubles reorder at ~1e-13)."""
-    book = _spread_book(spark, sf_dir)
-    state = F.explode(
-        F.array(
-            F.struct(
-                M.book_slope_state("bid", BOOK_DEPTH).alias("b"),
-                M.book_slope_state("ask", BOOK_DEPTH).alias("a"),
-            )
-        )
-    )
-    return book.select(*IDS, state.alias("_st")).select(
-        *IDS,
-        F.round(M.book_slope_from_state(F.col("_st.b")), 6).alias("slope_bid"),
-        F.round(M.book_slope_from_state(F.col("_st.a")), 6).alias("slope_ask"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Token counting (whitespace + BPE-ish), embedding NN dedup, IVF ANN,
-# rollup aggregates
-# ---------------------------------------------------------------------------
-
-_TOKEN_COUNTS_SQL = r"""
-SELECT doc_id,
-  len(string_split(text, ' ')) AS n_tokens_ws,
-  len(list_filter(
-        regexp_split_to_array(
-          regexp_replace(text, '([0-9]+|[^a-zA-Z0-9 ])', ' \1 ', 'g'),
-          '\s+'),
-        p -> p != '')) AS n_tokens_bpe_ish
-FROM documents
-"""
-
-
-@register("doc_token_counts", _TOKEN_COUNTS_SQL)
-def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting two ways: whitespace tokens and the BPE-ish regex
-    segmentation (digits runs and punctuation isolated as pieces) — pure
-    JVM string expressions, shuffle-free."""
-    from market_microstructure_toolkit_spark.operators.dedup import tokens
-    from market_microstructure_toolkit_spark.operators.text_analysis import (
-        token_count_bpe_ish,
-    )
-
-    docs = _docs(spark, sf_dir)
-    return docs.select(
-        "doc_id",
-        F.size(tokens("text")).cast("long").alias("n_tokens_ws"),
-        token_count_bpe_ish("text").cast("long").alias("n_tokens_bpe_ish"),
-    )
-
-
-#: Shared oracle CTE chain mirroring ``lsh_banded_pairs(bits_per_band=8,
-#: n_bands=4, max_bucket=1000)``: per-band sign buckets over coordinate
-#: slices [band*8+1, band*8+8], hot (band, bucket) groups dropped by the
-#: count window, in-group ordered pairs scored by exact cosine once, the
-#: any-band union dedup'd via GROUP BY (id_a, id_b) + MIN — the same
-#: dedup the Spark side's groupBy/min performs.
-_BANDED_PAIR_CTES = """keyed AS (
-  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, b.band,
-    (CASE WHEN e.embedding[b.band * 8 + 1] > 0 THEN 1 ELSE 0 END)
-    + (CASE WHEN e.embedding[b.band * 8 + 2] > 0 THEN 2 ELSE 0 END)
-    + (CASE WHEN e.embedding[b.band * 8 + 3] > 0 THEN 4 ELSE 0 END)
-    + (CASE WHEN e.embedding[b.band * 8 + 4] > 0 THEN 8 ELSE 0 END)
-    + (CASE WHEN e.embedding[b.band * 8 + 5] > 0 THEN 16 ELSE 0 END)
-    + (CASE WHEN e.embedding[b.band * 8 + 6] > 0 THEN 32 ELSE 0 END)
-    + (CASE WHEN e.embedding[b.band * 8 + 7] > 0 THEN 64 ELSE 0 END)
-    + (CASE WHEN e.embedding[b.band * 8 + 8] > 0 THEN 128 ELSE 0 END) AS bucket
-  FROM embeddings e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
-),
-capped AS (
-  SELECT vec_id, v, band, bucket FROM (
-    SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bn FROM keyed
-  ) WHERE bn <= 1000
-),
-bandpairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         list_dot_product(a.v, b.v)
-         / (sqrt(list_dot_product(a.v, a.v))
-            * sqrt(list_dot_product(b.v, b.v))) AS cos
-  FROM capped a JOIN capped b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-),
-pairs AS (
-  SELECT id_a, id_b, MIN(cos) AS cos_sim FROM bandpairs GROUP BY id_a, id_b
-)"""
-
-
-_EMB_NN_SQL = (
-    "WITH "
-    + _BANDED_PAIR_CTES
-    + """,
-mirrored AS (
-  SELECT id_a AS vec_id, id_b AS nn_id, ROUND(cos_sim, 6) AS cos_sim
-  FROM pairs
-  UNION ALL
-  SELECT id_b AS vec_id, id_a AS nn_id, ROUND(cos_sim, 6) AS cos_sim
-  FROM pairs
-)
-SELECT vec_id, nn_id, cos_sim FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                               ORDER BY cos_sim DESC, nn_id) AS rn
-  FROM mirrored
-) WHERE rn = 1
-"""
-)
-
-
-@register("dedup_embedding_nn", _EMB_NN_SQL)
-def q_dedup_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup primitive: each vector's single nearest
-    LSH-candidate neighbor (candidate canonical pairing). Candidates come
-    from the guarded banded generator (4 bands x 8 bits -> 1024 shuffle
-    keys, hot buckets capped) — the only pair path in the repo; the final
-    per-key window rank keeps state at one row per vector, shuffle keyed
-    on vec_id."""
-    from market_microstructure_toolkit_spark.operators.similarity import (
-        lsh_banded_pairs,
-    )
-
-    emb = _emb(spark, sf_dir)
-    pairs = lsh_banded_pairs(
-        emb, bits_per_band=8, n_bands=4, min_cosine=-2.0, max_bucket=1000
-    )
-    # both directions from ONE evaluation of the bucket self-join — a
-    # union of two selects over `pairs` would run the join twice
-    sim = F.round("cos_sim", 6)
-    both = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("id_a").alias("vec_id"),
-                    F.col("id_b").alias("nn_id"),
-                    sim.alias("cos_sim"),
-                ),
-                F.struct(
-                    F.col("id_b").alias("vec_id"),
-                    F.col("id_a").alias("nn_id"),
-                    sim.alias("cos_sim"),
-                ),
-            )
-        ).alias("e")
-    ).select("e.*")
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_sim").desc(), F.col("nn_id")
-    )
-    return (
-        both.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "nn_id", "cos_sim")
-    )
-
-
-def _ivf_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vector-to-centroid squared-L2 distances for the IVF coarse
-    quantizer (centroids = vectors 1..8, broadcast — a trained k-means
-    would slot in identically). Shared input for single- and multi-probe
-    IVF: the argmin over it assigns cells, the vec_id=0 slice ranks
-    probe candidates for the query."""
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    cents = emb.filter(F.col("vec_id").between(1, 8)).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    dist = F.aggregate(
-        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "label", "v", "cid", dist.alias("dist")
-    )
-
-
-def _ivf_assigned(dists: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: argmin per vector over the 8
-    centroid distances (ties break on cid for determinism)."""
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-    return (
-        dists.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "v", "cid")
-    )
-
-
-_IVF_SQL = """
-WITH emb AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-),
-cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id BETWEEN 1 AND 8),
-dists AS (
-  SELECT e.vec_id, e.label, e.v, c.cid,
-         list_sum(list_transform(range(1, 65),
-                  i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS dist
-  FROM emb e CROSS JOIN cents c
-),
-assigned AS (
-  SELECT vec_id, label, v, cid FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-    FROM dists
-  ) WHERE rn = 1
-),
-q AS (SELECT v AS qv, cid AS qcid FROM assigned WHERE vec_id = 0)
-SELECT a.vec_id, a.label,
-       ROUND(list_dot_product(a.v, q.qv)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))),
-             6) AS cos_sim
-FROM assigned a, q
-WHERE a.cid = q.qcid AND a.vec_id != 0
-ORDER BY cos_sim DESC, a.vec_id
-LIMIT 10
-"""
-
-
-@register("similarity_ivf", _IVF_SQL)
-def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: 8 fixed coarse-quantizer centroids (vectors 1..8 —
-    a trained k-means would slot in identically), every vector assigned to
-    its nearest centroid (broadcast centroids, argmin by L2), then the
-    query probes ONLY its own cell and reranks by exact cosine. At scale
-    the scan per query drops from n to n/cells; assignment is one
-    broadcast-join map stage."""
-    from market_microstructure_toolkit_spark.functions import arrays as AR
-
-    assigned = _ivf_assigned(_ivf_dists(spark, sf_dir))
-    q = F.broadcast(
-        assigned.filter(F.col("vec_id") == 0).select(
-            F.col("v").alias("qv"), F.col("cid").alias("qcid")
-        )
-    )
-    return (
-        assigned.join(q, F.col("cid") == F.col("qcid"))
-        .filter(F.col("vec_id") != 0)
-        .select(
-            "vec_id", "label",
-            F.round(AR.cosine("v", "qv"), 6).alias("cos_sim"),
-        )
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-        .limit(10)
-    )
-
-
-_IVF_MP_SQL = """
-WITH emb AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-),
-cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id BETWEEN 1 AND 8),
-dists AS (
-  SELECT e.vec_id, e.label, e.v, c.cid,
-         list_sum(list_transform(range(1, 65),
-                  i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS dist
-  FROM emb e CROSS JOIN cents c
-),
-assigned AS (
-  SELECT vec_id, label, v, cid FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-    FROM dists
-  ) WHERE rn = 1
-),
-probes AS (SELECT cid FROM dists WHERE vec_id = 0 ORDER BY dist, cid LIMIT 3),
-q AS (SELECT v AS qv FROM emb WHERE vec_id = 0)
-SELECT a.vec_id, a.label,
-       ROUND(list_dot_product(a.v, q.qv)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))),
-             6) AS cos_sim
-FROM assigned a JOIN probes p ON a.cid = p.cid CROSS JOIN q
-WHERE a.vec_id != 0
-ORDER BY cos_sim DESC, a.vec_id
-LIMIT 10
-"""
-
-
-@register("similarity_ivf_multiprobe", _IVF_MP_SQL)
-def q_similarity_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe IVF ANN: the query visits its 3 nearest cells (not
-    just its own) before the exact-cosine rerank — the standard recall
-    remedy the single-probe docstring names. Scan cost rises from
-    n/cells to 3n/cells, still far from the full scan; the probe list is
-    a broadcast of 3 rows, so the plan stays assign -> bucket-join ->
-    rerank with no extra shuffle. Recall vs single probe is measured by
-    ``similarity_ann_recall_multiprobe``."""
-    from market_microstructure_toolkit_spark.functions import arrays as AR
-
-    dists = _ivf_dists(spark, sf_dir)
-    assigned = _ivf_assigned(dists)
-    probes = F.broadcast(
-        dists.filter(F.col("vec_id") == 0)
-        .orderBy("dist", "cid")
-        .limit(3)
-        .select("cid")
-    )
-    q = F.broadcast(
-        assigned.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    )
-    return (
-        assigned.join(probes, "cid")
-        .filter(F.col("vec_id") != 0)
-        .crossJoin(q)
-        .select(
-            "vec_id", "label",
-            F.round(AR.cosine("v", "qv"), 6).alias("cos_sim"),
-        )
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-        .limit(10)
-    )
-
-
-_ROLLUP_SQL = """
-SELECT r_name AS region, n_name AS nation,
-  SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
-      * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) / 10000.0 AS revenue,
-  COUNT(*) AS n_items
-FROM lineitem
-JOIN orders   ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation   ON c_nationkey = n_nationkey
-JOIN region   ON n_regionkey = r_regionkey
-GROUP BY ROLLUP (r_name, n_name)
-"""
-
-
-@register("revenue_rollup", _ROLLUP_SQL)
-def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP revenue at (region, nation) / (region) / () grain in one
-    pass — Spark's native grouping-sets path (partial aggregation per
-    grain, no extra scans). Money math runs in exact integer cents
-    (2dp x 2dp values), summed order-free in BIGINT, divided once at the
-    end — engine-identical at every grain, unlike per-row double->decimal
-    casts whose rounding differs between engines."""
-    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
-    li, orders = rd("lineitem"), rd("orders")
-    cust, nation, region = rd("customer"), rd("nation"), rd("region")
-    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("long")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy(
-            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
-        )
-        .agg(
-            F.sum(cents * (F.lit(100) - disc_pct)).alias("_rev_i"),
-            F.count(F.lit(1)).alias("_n"),
-        )
-        # two-phase rollup: the Expand x3 multiplier runs over the 25-row
-        # partial aggregate, not the full fact table (integer sums
-        # re-aggregate exactly across grains)
-        .rollup("region", "nation")
-        .agg(
-            (F.sum("_rev_i") / F.lit(10000.0)).alias("revenue"),
-            F.sum("_n").alias("n_items"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Log-analytics tier over the events table: sessionization, time-bucketed
-# stats, JSON prop extraction — plus OHLC resampling of the book series
-# ---------------------------------------------------------------------------
-
-_SESSIONIZE_SQL = """
-WITH ordered AS (
-  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
-         LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           AS prev_ms
-  FROM events
-),
-flagged AS (
-  SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
-                 THEN 1 ELSE 0 END AS new_session
-  FROM ordered
-),
-sessions AS (
-  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
-                                        ORDER BY ts_ms, event_id) AS BIGINT)
-              AS session_no
-  FROM flagged
-)
-SELECT user_id, session_no,
-       MIN(ts_ms) AS session_start_ms,
-       MAX(ts_ms) AS session_end_ms,
-       COUNT(*) AS n_events
-FROM sessions
-GROUP BY user_id, session_no
-"""
-
-
-@register("events_sessionize", _SESSIONIZE_SQL)
-def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Classic log sessionization: per-user 30-minute-gap cut via
-    lag + running sum of boundaries, then per-session aggregates. One
-    shuffle keyed on user_id serves both the window and the groupBy."""
-    ev = read_events(spark, sf_dir)
-    ts_ms = F.expr("ts DIV 1000000")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = ev.select(
-        "user_id", "event_id", ts_ms.alias("ts_ms"),
-        F.lag(ts_ms).over(w).alias("prev_ms"),
-    ).withColumn(
-        "new_session",
-        F.when(
-            F.col("prev_ms").isNull()
-            | (F.col("ts_ms") - F.col("prev_ms") > 1800000),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    ws = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
-    return (
-        flagged.withColumn("session_no", F.sum("new_session").over(ws))
-        .groupBy("user_id", "session_no")
-        .agg(
-            F.min("ts_ms").alias("session_start_ms"),
-            F.max("ts_ms").alias("session_end_ms"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-    )
-
-
-_HOURLY_SQL = """
-SELECT event_type,
-       epoch_ms(date_trunc('hour', ts)) AS hour_ms,
-       COUNT(*) AS n_events,
-       COUNT(DISTINCT user_id) AS n_users,
-       SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
-FROM events
-GROUP BY event_type, epoch_ms(date_trunc('hour', ts))
-"""
-
-
-@register("events_hourly_stats", _HOURLY_SQL)
-def q_events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-bucketed log rollup: counts, exact distinct users, and
-    integer-cents-exact value sums per (event_type, hour). Partial
-    aggregation map-side; distinct expands to a two-phase aggregate."""
-    ev = read_events(spark, sf_dir)
-    hour_ms = (F.expr("ts DIV 1000000") / F.lit(3600000)).cast("long") * F.lit(
-        3600000
-    )
-    cents = F.round(F.col("value") * 100, 0).cast("long")
-    return ev.groupBy(
-        "event_type", hour_ms.alias("hour_ms")
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.count_distinct("user_id").alias("n_users"),
-        (F.sum(cents) / F.lit(100.0)).alias("sum_value"),
-    )
-
-
-_JSON_PROPS_SQL = """
-SELECT event_id, event_type,
-       CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k
-FROM events
-"""
-
-
-@register("events_json_props", _JSON_PROPS_SQL)
-def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON property extraction from the props column (the reference's
-    only JSON surface is --params CLI parsing; at scale this is
-    get_json_object, a codegen'd expression — no Python)."""
-    ev = read_events(spark, sf_dir)
-    return ev.select(
-        "event_id", "event_type",
-        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
-    )
-
-
-_OHLC_SQL = f"""{_BOOK_CTE},
-mids AS (
-  SELECT exchange_id, symbol, ts_ms, raw_nonce,
-         (best_bid + best_ask) / 2.0 AS mid,
-         COALESCE(bid1_size, 0.0) + COALESCE(ask1_size, 0.0) AS l1_vol,
-         ts_ms // 1000 * 1000 AS bucket_ms
-  FROM book
-),
-ranked AS (
-  SELECT *,
-    ROW_NUMBER() OVER (PARTITION BY exchange_id, symbol, bucket_ms
-                       ORDER BY ts_ms, raw_nonce) AS rn_a,
-    ROW_NUMBER() OVER (PARTITION BY exchange_id, symbol, bucket_ms
-                       ORDER BY ts_ms DESC, raw_nonce DESC) AS rn_d
-  FROM mids
-)
-SELECT exchange_id, symbol, bucket_ms,
-       MAX(CASE WHEN rn_a = 1 THEN mid END) AS open_mid,
-       MAX(mid) AS high_mid,
-       MIN(mid) AS low_mid,
-       MAX(CASE WHEN rn_d = 1 THEN mid END) AS close_mid,
-       COUNT(*) AS n_snapshots,
-       SUM(l1_vol) AS l1_volume
-FROM ranked
-GROUP BY exchange_id, symbol, bucket_ms
-"""
-
-
-_VOL_EST_SQL = f"""WITH ohlc AS ({_OHLC_SQL})
-SELECT exchange_id, symbol, bucket_ms,
-  ROUND((LN(high_mid / low_mid) * LN(high_mid / low_mid))
-        / (4.0 * LN(2.0)), 6) AS parkinson_var,
-  ROUND(0.5 * LN(high_mid / low_mid) * LN(high_mid / low_mid)
-        - (2.0 * LN(2.0) - 1.0)
-          * LN(close_mid / open_mid) * LN(close_mid / open_mid),
-        6) AS garman_klass_var,
-  ROUND(LN(high_mid / close_mid) * LN(high_mid / open_mid)
-        + LN(low_mid / close_mid) * LN(low_mid / open_mid),
-        6) AS rogers_satchell_var,
-  n_snapshots
-FROM ohlc
-"""
-
-
-@register("book_vol_estimators", _VOL_EST_SQL)
-def q_book_vol_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range-based volatility estimators per OHLC bucket — Parkinson
-    (1980), Garman-Klass (1980), Rogers-Satchell (1991) variances from
-    the 1-second mid OHLC rollup. The OHLC inputs come from order-free
-    aggregates (max/min/rank-picked open+close), so only the final
-    per-row log arithmetic can differ cross-engine (libm last-ulp);
-    6-dp rounding absorbs it. Plan shape: reuses the single
-    instrument+bucket shuffle of the OHLC rollup, everything after is a
-    map — the continuous-aggregate pattern a hypertable would
-    materialize incrementally."""
-    ohlc = q_book_resample_ohlc(spark, sf_dir)
-    o, h, l, c = "open_mid", "high_mid", "low_mid", "close_mid"
-    return ohlc.select(
-        *KEYS,
-        "bucket_ms",
-        F.round(M.parkinson_var(h, l), 6).alias("parkinson_var"),
-        F.round(M.garman_klass_var(o, h, l, c), 6).alias("garman_klass_var"),
-        F.round(M.rogers_satchell_var(o, h, l, c), 6).alias(
-            "rogers_satchell_var"
-        ),
-        "n_snapshots",
-    )
-
-
-_ROLL_AMIHUD_SQL = f"""{_BOOK_CTE},
-mids AS (
-  SELECT exchange_id, symbol, ts_ms, raw_nonce,
-         (best_bid + best_ask) / 2.0 AS mid,
-         COALESCE(bid1_size, 0.0) + COALESCE(ask1_size, 0.0) AS l1_vol
-  FROM book
-),
-staged AS (
-  SELECT exchange_id, symbol, ts_ms, raw_nonce, l1_vol,
-    mid - LAG(mid) OVER ({_W}) AS d,
-    LN(mid / LAG(mid) OVER ({_W})) AS logret
-  FROM mids
-),
-diffs AS (
-  SELECT exchange_id, symbol, d,
-    LAG(d) OVER ({_W}) AS d_prev,
-    logret, l1_vol
-  FROM staged
-)
-SELECT exchange_id, symbol,
-  ROUND(2.0 * SQRT(GREATEST(-COVAR_SAMP(d, d_prev), 0.0)), 6)
-    AS roll_spread_est,
-  ROUND(AVG(CASE WHEN l1_vol > 0 THEN ABS(logret) / l1_vol END) * 1e6, 6)
-    AS amihud_illiq_x1e6,
-  COUNT(*) AS n_ticks
-FROM diffs
-GROUP BY exchange_id, symbol
-"""
-
-
-@register("book_roll_amihud", _ROLL_AMIHUD_SQL)
-def q_book_roll_amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Classic liquidity estimators per instrument: Roll (1984) implied
-    spread — 2·sqrt(max(0, −Cov(Δmid_t, Δmid_{t−1}))) — and Amihud
-    (2002) illiquidity, mean |log return| per unit of L1 volume (×1e6
-    for readable magnitudes). One instrument-keyed window computes the
-    lagged differences, then a partial-aggregating groupBy on the same
-    keys — two shuffle-light stages that co-partition at any scale. The
-    covariance/mean reductions are order-sensitive float sums, so both
-    outputs round at 6 dp (repo determinism idiom)."""
-    book = synthetic_book(spark, sf_dir)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
-    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
-    l1_vol = F.coalesce(F.col("bid1_size"), F.lit(0.0)) + F.coalesce(
-        F.col("ask1_size"), F.lit(0.0)
-    )
-    staged = book.select(
-        *KEYS, *ORDER_COLS, mid.alias("mid"), l1_vol.alias("l1_vol")
-    ).withColumn("d", F.col("mid") - F.lag("mid").over(w))
-    diffs = staged.select(
-        *KEYS,
-        "d",
-        F.lag("d").over(w).alias("d_prev"),
-        F.log(F.col("mid") / F.lag("mid").over(w)).alias("logret"),
-        "l1_vol",
-    )
-    return diffs.groupBy(*KEYS).agg(
-        F.round(
-            F.lit(2.0)
-            * F.sqrt(F.greatest(-F.covar_samp("d", "d_prev"), F.lit(0.0))),
-            6,
-        ).alias("roll_spread_est"),
-        F.round(
-            F.avg(
-                F.when(F.col("l1_vol") > 0, F.abs(F.col("logret")) / F.col("l1_vol"))
-            )
-            * F.lit(1e6),
-            6,
-        ).alias("amihud_illiq_x1e6"),
-        F.count(F.lit(1)).alias("n_ticks"),
-    )
-
-
-@register("book_resample_ohlc", _OHLC_SQL)
-def q_book_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hypertable-style downsample: 1-second OHLC of mid + L1 volume per
-    instrument (the continuous-aggregate shape). First/last via ranked
-    rows in the SAME instrument-keyed shuffle as the bucket groupBy; L1
-    sizes are 0.25-multiples so volume sums are exact in any order."""
-    book = synthetic_book(spark, sf_dir)
-    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
-    l1_vol = F.coalesce(F.col("bid1_size"), F.lit(0.0)) + F.coalesce(
-        F.col("ask1_size"), F.lit(0.0)
-    )
-    mids = book.select(
-        *KEYS, "ts_ms", "raw_nonce", mid.alias("mid"), l1_vol.alias("l1_vol"),
-        ((F.col("ts_ms") / 1000).cast("long") * 1000).alias("bucket_ms"),
-    )
-    wa = Window.partitionBy(*KEYS, "bucket_ms").orderBy("ts_ms", "raw_nonce")
-    wd = Window.partitionBy(*KEYS, "bucket_ms").orderBy(
-        F.col("ts_ms").desc(), F.col("raw_nonce").desc()
-    )
-    return (
-        mids.withColumn("rn_a", F.row_number().over(wa))
-        .withColumn("rn_d", F.row_number().over(wd))
-        .groupBy(*KEYS, "bucket_ms")
-        .agg(
-            F.max(F.when(F.col("rn_a") == 1, F.col("mid"))).alias("open_mid"),
-            F.max("mid").alias("high_mid"),
-            F.min("mid").alias("low_mid"),
-            F.max(F.when(F.col("rn_d") == 1, F.col("mid"))).alias("close_mid"),
-            F.count(F.lit(1)).alias("n_snapshots"),
-            F.sum("l1_vol").alias("l1_volume"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Star-join breadth over supplier/part (the remaining driver tables):
-# Q9-style brand profit by supplier nation and Q3-style shipping priority
-# ---------------------------------------------------------------------------
-
-_BRAND_REVENUE_SQL = """
-SELECT n_name AS supp_nation, p_brand,
-  SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
-      * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) / 10000.0 AS revenue,
-  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
-  COUNT(*) AS n_items
-FROM lineitem
-JOIN part     ON l_partkey = p_partkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation   ON s_nationkey = n_nationkey
-WHERE p_size <= 10
-GROUP BY n_name, p_brand
-"""
-
-
-@register("brand_revenue_by_supp_nation", _BRAND_REVENUE_SQL)
-def q_brand_revenue_by_supp_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q9-shaped star join through part AND supplier dimensions with a
-    selective part filter: the p_size predicate prunes the broadcast
-    build side BEFORE the join, so the fact scan only keeps matching
-    rows; money stays in exact integer cents."""
-    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
-    li = rd("lineitem")
-    part = rd("part").filter(F.col("p_size") <= 10)
-    supp, nation = rd("supplier"), rd("nation")
-    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("long")
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .groupBy(F.col("n_name").alias("supp_nation"), "p_brand")
-        .agg(
-            (F.sum(cents * (F.lit(100) - disc_pct)) / F.lit(10000.0)).alias(
-                "revenue"
-            ),
-            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-    )
-
-
-_SHIP_PRIORITY_SQL = """
-SELECT l_orderkey,
-  SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
-      * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) / 10000.0 AS revenue,
-  epoch_ms(o_orderdate) AS o_orderdate_ms,
-  o_orderpriority
-FROM customer
-JOIN orders   ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
-WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
-GROUP BY l_orderkey, epoch_ms(o_orderdate), o_orderpriority
-ORDER BY revenue DESC, l_orderkey
-LIMIT 10
-"""
-
-
-@register("shipping_priority_top10", _SHIP_PRIORITY_SQL)
-def q_shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q3-shaped: date predicates pushed to both scans, join, aggregate,
-    distributed top-10 (TakeOrderedAndProject — no global sort). Exact
-    cents revenue makes the cross-engine ordering deterministic."""
-    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
-    cutoff = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
-    cust = rd("customer")
-    orders = rd("orders").filter(F.col("o_orderdate") < cutoff)
-    li = rd("lineitem").filter(F.col("l_shipdate") > cutoff)
-    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("long")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
-        .groupBy(
-            "l_orderkey",
-            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
-                "o_orderdate_ms"
-            ),
-            "o_orderpriority",
-        )
-        .agg(
-            (F.sum(cents * (F.lit(100) - disc_pct)) / F.lit(10000.0)).alias(
-                "revenue"
-            )
-        )
-        .select("l_orderkey", "revenue", "o_orderdate_ms", "o_orderpriority")
-        .orderBy(F.col("revenue").desc(), "l_orderkey")
-        .limit(10)
-    )
-
-
-# ---------------------------------------------------------------------------
-# X4/X5 surfaced in the gate (rows-only: stochastic schedule + one-shot
-# walk summaries are awkward as portable SQL; semantics are pinned by the
-# reference-golden unit tests in tests/test_impact.py)
-# ---------------------------------------------------------------------------
-
-def _vwap_now_sql() -> str:
-    """X4 oracle: walk the FIRST snapshot (full (ts_ms, raw_nonce) order)
-    for the whole qty; slippage in the naive X3/X4 convention
-    (1e4*(vwap/mid - 1) on the buy side)."""
-    w = _walk_exprs("25.0", BOOK_DEPTH)
-    return f"""{_BOOK_CTE},
-s0 AS (SELECT * FROM book WHERE symbol = 'S0'),
-frst AS (SELECT * FROM s0 ORDER BY ts_ms, raw_nonce LIMIT 1),
-lst AS (
-  SELECT (best_bid + best_ask) / 2.0 AS mid_close
-  FROM s0 ORDER BY ts_ms DESC, raw_nonce DESC LIMIT 1
-),
-w AS (
-  SELECT (best_bid + best_ask) / 2.0 AS mid_open,
-         {w['filled']} AS filled,
-         {w['cost']} AS cost,
-         {w['touched']} AS touched
-  FROM frst
-)
-SELECT 'buy' AS side,
-  25.0 AS target_qty,
-  filled AS filled_qty,
-  CASE WHEN filled > 0 THEN cost / filled END AS vwap,
-  cost AS notional,
-  CASE WHEN filled > 0 AND mid_open <> 0
-       THEN 1e4 * ((cost / filled) / mid_open - 1.0) END AS slippage_bps_vs_mid_open,
-  CASE WHEN filled > 0 AND mid_close <> 0
-       THEN 1e4 * ((cost / filled) / mid_close - 1.0) END AS slippage_bps_vs_mid_close,
-  CAST(1 AS INTEGER) AS slices,
-  CAST(touched AS INTEGER) AS levels_touched
-FROM w, lst"""
-
-
-@register("vwap_now_sim", _vwap_now_sql())
-def q_vwap_now_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4: one-shot walk of the first snapshot (impact.py:324-396) —
-    orderBy(ts).limit(1) -> array-fold walk -> one-row summary. One
-    instrument: a recording is the simulator's unit of work."""
-    from market_microstructure_toolkit_spark.operators.impact import (
-        simulate_vwap_onbook,
-    )
-
-    book = synthetic_book(spark, sf_dir).filter(F.col("symbol") == "S0")
-    return simulate_vwap_onbook(book, "buy", 25.0, BOOK_DEPTH)
-
-
-def _twap_real_equal_sql() -> str:
-    """X5 oracle (equal schedule, no jitter): the deterministic half of the
-    realistic TWAP — round-half-even schedule positions ((i*(n-1))/15,
-    product before division like the Spark side), last-duplicate-wins
-    nearest-row match (max raw_nonce among rows sharing the target ts),
-    stop-at-first-blank walk, and buy-side fee uplift (1.0 + 2.0/1e4
-    written as the expression so the double matches the driver-computed
-    literal). The stochastic-schedule gate (twap_real_sim) exercises the
-    seeded-RNG path and stays rows-only: a Mersenne Twister draw is not
-    SQL-expressible; its goldens live in tests/test_impact.py.
-    """
-    w = _walk_exprs("CAST(2.5 AS DOUBLE)", BOOK_DEPTH, blank="stop")
-    return f"""{_BOOK_CTE},
-s0 AS (SELECT * FROM book WHERE symbol = 'S0'),
-nn AS (SELECT COUNT(*) AS n FROM s0),
-numbered AS (
-  SELECT *, row_number() OVER (ORDER BY ts_ms, raw_nonce) - 1 AS pos FROM s0
-),
-sl AS (
-  SELECT s, CAST(round_even((s - 1) * (n - 1) / CAST(15 AS DOUBLE), 0) AS BIGINT) AS pos
-  FROM generate_series(1, 16) t(s), nn
-),
-tsz AS (SELECT sl.s, r.ts_ms AS target_ts FROM sl JOIN numbered r USING (pos)),
-matched AS (
-  SELECT t.s AS slice, r.*
-  FROM tsz t JOIN numbered r ON r.ts_ms = t.target_ts
-  QUALIFY row_number() OVER (PARTITION BY t.s ORDER BY r.raw_nonce DESC) = 1
-)
-SELECT CAST(slice AS INTEGER) AS slice,
-  CAST(ts_ms AS BIGINT) AS ts_ms,
-  '' AS iso,
-  {w['filled']} AS filled_qty,
-  CAST(2.5 AS DOUBLE) AS slice_target_qty,
-  CASE WHEN ({w['filled']}) > 0
-       THEN GREATEST(({w['cost']}) * (1.0 + 2.0 / 1e4), 0.0) / ({w['filled']})
-       ELSE CAST('nan' AS DOUBLE) END AS slice_vwap,
-  {w['touched']} AS levels_touched
-FROM matched"""
-
-
-@register("twap_real_equal_sim", _twap_real_equal_sql())
-def q_twap_real_equal_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5 realistic TWAP, equal schedule + zero jitter: the deterministic
-    path (schedule positions, nearest-row as-of with last-duplicate ties,
-    stop-at-first-blank walk, fees) is fully SQL-oracled; the seeded
-    stochastic path keeps its own rows-only gate below."""
-    from market_microstructure_toolkit_spark.operators.impact import (
-        TwapConfig,
-        simulate_twap_real,
-    )
-
-    book = synthetic_book(spark, sf_dir).filter(F.col("symbol") == "S0")
-    cfg = TwapConfig(
-        side="buy", target_qty=40.0, slices=16, fee_bps=2.0,
-        jitter_ms=0, schedule="equal", depth_cap=BOOK_DEPTH,
-    )
-    _, per_slice = simulate_twap_real(book, cfg)
-    return per_slice
-
-
-def _twap_real_stoch_sql() -> str:
-    """X5 oracle, stochastic schedule + jitter: the seeded draws are
-    CONFIG constants, not data — Mersenne Twister output for seed 13
-    depends on nothing but the seed, so the gamma slice sizes and the
-    uniform jitter offsets are computed here once (the same
-    ``random.Random`` calls the simulator makes) and embedded as SQL
-    literals via ``repr`` (shortest-roundtrip, parses to the identical
-    double). Everything data-dependent stays SQL: round-half-even
-    schedule positions, truncate-toward-zero jittered targets
-    (``int(t + u)`` == ``trunc`` for positive ts), nearest-row match
-    ordered (abs delta, later ts, last-written nonce), stop-at-blank
-    walk, buy-fee uplift."""
-    import random
-
-    slices, seed, target, half = 16, 13, 40.0, 250.0
-    rng = random.Random(seed)
-    draws = [rng.gammavariate(3.0, 1.0) for _ in range(slices)]
-    total = sum(draws)
-    sizes = [target * (d / total) for d in draws]
-    rng = random.Random(seed)
-    jitters = [rng.uniform(-half, half) for _ in range(slices)]
-    # String-quoted literals: DuckDB parses a bare numeric literal as
-    # DECIMAL before widening, dropping the 17th significant digit; the
-    # VARCHAR->DOUBLE cast is an exact shortest-roundtrip parse.
-    vals = ",\n    ".join(
-        f"({k + 1}, CAST('{sizes[k]!r}' AS DOUBLE), CAST('{jitters[k]!r}' AS DOUBLE))"
-        for k in range(slices)
-    )
-    w = _walk_exprs("slice_target_qty", BOOK_DEPTH, blank="stop")
-    return f"""{_BOOK_CTE},
-s0 AS (SELECT * FROM book WHERE symbol = 'S0'),
-nn AS (SELECT COUNT(*) AS n FROM s0),
-numbered AS (
-  SELECT *, row_number() OVER (ORDER BY ts_ms, raw_nonce) - 1 AS pos FROM s0
-),
-sched(s, qty, u) AS (VALUES
-    {vals}
-),
-sl AS (
-  SELECT s, qty, u,
-         CAST(round_even((s - 1) * (n - 1) / CAST({slices - 1} AS DOUBLE), 0) AS BIGINT) AS pos
-  FROM sched, nn
-),
-tsz AS (
-  SELECT sl.s, sl.qty,
-         CAST(trunc(CAST(r.ts_ms AS DOUBLE) + sl.u) AS BIGINT) AS target_ts
-  FROM sl JOIN numbered r USING (pos)
-),
-matched AS (
-  SELECT t.s AS slice, t.qty AS slice_target_qty, r.*
-  FROM tsz t CROSS JOIN s0 r
-  QUALIFY row_number() OVER (
-    PARTITION BY t.s
-    ORDER BY abs(r.ts_ms - t.target_ts), r.ts_ms DESC, r.raw_nonce DESC
-  ) = 1
-)
-SELECT CAST(slice AS INTEGER) AS slice,
-  CAST(ts_ms AS BIGINT) AS ts_ms,
-  '' AS iso,
-  {w['filled']} AS filled_qty,
-  slice_target_qty,
-  CASE WHEN ({w['filled']}) > 0
-       THEN GREATEST(({w['cost']}) * (1.0 + 2.0 / 1e4), 0.0) / ({w['filled']})
-       ELSE CAST('nan' AS DOUBLE) END AS slice_vwap,
-  {w['touched']} AS levels_touched
-FROM matched"""
-
-
-@register("twap_real_sim", _twap_real_stoch_sql())
-def q_twap_real_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5: realistic TWAP per-slice table — seeded Dirichlet slice sizes,
-    jittered schedule (driver-side RNG for reproducibility,
-    impact_twap.py:112-171), broadcast as-of row match, fees. One
-    instrument: a recording is the simulator's unit of work (ts_ms ties
-    across merged symbols would otherwise make the nearest-row match
-    depend on which symbol's book wins the tie). The oracle embeds the
-    seed-13 draws as literals (see ``_twap_real_stoch_sql``), so this
-    gate is fully hash-checked despite the stochastic schedule."""
-    from market_microstructure_toolkit_spark.operators.impact import (
-        TwapConfig,
-        simulate_twap_real,
-    )
-
-    book = synthetic_book(spark, sf_dir).filter(F.col("symbol") == "S0")
-    cfg = TwapConfig(
-        side="buy", target_qty=40.0, slices=16, fee_bps=2.0,
-        jitter_ms=500, schedule="stochastic", seed=13, depth_cap=BOOK_DEPTH,
-    )
-    _, per_slice = simulate_twap_real(book, cfg)
-    return per_slice
-
-
-_STREAM_WINDOW_SQL = f"""{_BOOK_CTE}
-SELECT exchange_id, symbol,
-       ts_ms // 86400000 * 86400000 AS window_start_ms,
-       COUNT(*) AS n_snapshots,
-       ROUND(AVG((best_bid + best_ask) / 2.0), 6) AS avg_mid,
-       MIN(best_ask - best_bid) AS min_spread,
-       MAX(best_ask - best_bid) AS max_spread
-FROM book
-GROUP BY exchange_id, symbol, ts_ms // 86400000 * 86400000
-"""
-
-
-@register("streaming_windowed_metrics", _STREAM_WINDOW_SQL)
-def q_streaming_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-time tumbling-window L1 metrics computed by the STREAMING
-    tier in complete output mode (every window re-emitted at the final
-    trigger == the batch answer), replayed over a 2-micro-batch file
-    stream. Hash-matching plain GROUP BY SQL proves the streaming window
-    assignment. avg rounded 6dp (double mean reassociates ~1e-13)."""
-    import time
-    import uuid
-
-    from market_microstructure_toolkit_spark.plans.book import BOOK_DEPTH
-    from market_microstructure_toolkit_spark.streaming.book_stream import (
-        read_book_stream,
-        with_event_time,
-    )
-
-    tape_base = _tape2(spark, sf_dir, "book2")
-    base = _scratch(prefix="mmt_stream_win_")  # per-run checkpoint
-    stream = with_event_time(
-        read_book_stream(
-            spark, f"{tape_base}/data/*/", BOOK_DEPTH, max_files_per_trigger=1
-        )
-    )
-    spread = F.col("best_ask") - F.col("best_bid")
-    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
-    agg = (
-        stream.groupBy(*KEYS, F.window("ts", "1 day").alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_snapshots"),
-            F.round(F.avg(mid), 6).alias("avg_mid"),
-            F.min(spread).alias("min_spread"),
-            F.max(spread).alias("max_spread"),
-        )
-        .select(
-            *KEYS,
-            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
-            "n_snapshots", "avg_mid", "min_spread", "max_spread",
-        )
-    )
-    name = f"win_replay_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", f"{base}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
-
-
-_DEDUP_APPLY_SQL = """
-WITH hashed AS (
-  SELECT doc_id, lang, md5(text) AS h FROM documents
-),
-canon AS (
-  SELECT h, MIN(doc_id) AS keep_id FROM hashed GROUP BY h
-)
-SELECT d.doc_id, d.lang
-FROM hashed d JOIN canon c ON d.h = c.h AND d.doc_id = c.keep_id
-"""
-
-
-@register("documents_dedup_apply", _DEDUP_APPLY_SQL)
-def q_documents_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end exact dedup APPLICATION: keep only each content group's
-    canonical (min doc_id) row — hash, min-by-group, semi-join back. At
-    scale this is one shuffle on the content hash; the join back is on
-    the same key so it reuses the exchange."""
-    docs = _docs(spark, sf_dir)
-    hashed = docs.select("doc_id", "lang", F.md5("text").alias("h"))
-    # rename the grouped side's key: `hashed.h == canon.h` resolves both
-    # legs to the SAME attribute in a self-derived join, collapses to
-    # TRUE, and silently re-keys the join on keep_id alone (losing the
-    # h-exchange reuse this plan is built around)
-    canon = (
-        hashed.groupBy("h")
-        .agg(F.min("doc_id").alias("keep_id"))
-        .withColumnRenamed("h", "canon_h")
-    )
-    return (
-        hashed.join(
-            canon,
-            (F.col("h") == F.col("canon_h"))
-            & (F.col("doc_id") == F.col("keep_id")),
-        )
-        .select("doc_id", "lang")
-    )
-
-
-_VOCAB_SQL = """
-SELECT t AS token, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
-FROM (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
-)
-WHERE t != ''
-GROUP BY t
-ORDER BY freq DESC, token
-LIMIT 100
-"""
-
-
-@register("corpus_vocab_top100", _VOCAB_SQL)
-def q_corpus_vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary: top-100 tokens by frequency with document
-    frequency (the vocab/stopword-discovery pass of a training-data
-    pipeline). explode -> two-phase count aggregate (map-side combine) ->
-    distributed top-k; integer counts make cross-engine order exact."""
-    from market_microstructure_toolkit_spark.operators.dedup import tokens
-
-    docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        "doc_id", F.explode(tokens("text")).alias("token")
-    ).filter(F.col("token") != "")
-    return (
-        toks.groupBy("token")
-        .agg(
-            F.count(F.lit(1)).alias("freq"),
-            F.count_distinct("doc_id").alias("doc_freq"),
-        )
-        .orderBy(F.col("freq").desc(), "token")
-        .limit(100)
-    )
-
-
-_MM_RESIZE_SQL = """
-SELECT doc_id AS asset_id,
-       'application/octet-stream' AS mime,
-       LEAST(octet_length(encode(text)),
-             GREATEST(1, octet_length(encode(text)) * 50176
-                         // GREATEST(1, (doc_id % 640 + 1) * (doc_id % 480 + 1))))
-         AS n_bytes,
-       CAST(224 AS BIGINT) AS width,
-       CAST(224 AS BIGINT) AS height
-FROM documents
-WHERE doc_id % 3 = 0
-"""
-
-
-@register("multimodal_resize", _MM_RESIZE_SQL)
-def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize stage over binary payloads (stubbed pixel transform —
-    no codec in the env; Spark-side filter/schema/Arrow-batch plumbing is
-    real and unit-tested). The gate output carries length(payload) instead
-    of the raw binary so the deterministic stub (area-ratio truncation,
-    50176 = 224*224) is exactly SQL-oracle-able."""
-    from market_microstructure_toolkit_spark.operators.multimodal import (
-        resize_images,
-        synthetic_assets,
-    )
-
-    docs = _docs(spark, sf_dir)
-    resized = resize_images(synthetic_assets(spark, docs), 224, 224)
-    return resized.select(
-        "asset_id", "mime",
-        F.length("payload").cast("long").alias("n_bytes"),
-        "width", "height",
-    )
-
-
-_WINNOW_SQL = """
-WITH hashes AS (
-  SELECT doc_id,
-         list_transform(range(1, greatest(length(text) - 7, 0) + 1),
-                        i -> substring(md5(substring(text, i, 8)), 1, 12)) AS hs
-  FROM documents
-),
-fps AS (
-  SELECT doc_id,
-         unnest(list_distinct(
-           list_transform(range(1, greatest(len(hs) - 5, 0) + 1),
-                          i -> list_aggregate(hs[i:i+5], 'min')))) AS fp
-  FROM hashes
-  WHERE len(hs) >= 6
-),
-rare AS (
-  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 10
-),
-kept AS (
-  SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fps
-FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
-GROUP BY a.doc_id, b.doc_id
-HAVING COUNT(*) >= 2
-"""
-
-
-@register("dedup_winnow", _WINNOW_SQL)
-def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing (rolling-hash) fingerprint dedup: char-8-gram md5 ->
-    window-of-6 minima -> distinct fingerprints -> inverted-index
-    self-join, pairs sharing >= 2 rare fingerprints (doc-freq <= 10; boilerplate fingerprints are dropped pre-join — the hot-key guard). Any shared substring of
-    >= 13 chars guarantees a shared fingerprint (MOSS bound k + w - 1)."""
-    from market_microstructure_toolkit_spark.operators.dedup import (
-        winnow_candidates,
-    )
-
-    docs = _docs(spark, sf_dir)
-    return winnow_candidates(docs, k=8, w=6, min_shared=2, max_doc_freq=10)
-
-
-_FUNNEL_SQL = """
-WITH m AS (
-  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
-),
-v AS (
-  SELECT user_id, MIN(ms) AS t1 FROM m WHERE event_type = 'view'
-  GROUP BY user_id
-),
-c AS (
-  SELECT m.user_id, MIN(ms) AS t2
-  FROM m JOIN v ON m.user_id = v.user_id
-  WHERE m.event_type = 'click' AND m.ms > v.t1
-  GROUP BY m.user_id
-),
-p AS (
-  SELECT m.user_id, MIN(ms) AS t3
-  FROM m JOIN c ON m.user_id = c.user_id
-  WHERE m.event_type = 'purchase' AND m.ms > c.t2
-  GROUP BY m.user_id
-)
-SELECT (SELECT COUNT(*) FROM v) AS n_view,
-       (SELECT COUNT(*) FROM c) AS n_click_after_view,
-       (SELECT COUNT(*) FROM p) AS n_purchase_after_click
-"""
-
-
-@register("events_funnel", _FUNNEL_SQL)
-def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strict-ordering conversion funnel view -> click -> purchase: a
-    user advances a stage only with an event strictly AFTER their
-    previous stage's first event. Each stage is one groupBy(user_id)
-    min + a join back to the events — all three stages co-partition on
-    user_id, so at scale the shuffles align and the stage frontiers
-    (one row per converted user) stay small relative to the log."""
-    ev = read_events(spark, sf_dir)
-    m = ev.select("user_id", "event_type", F.expr("ts DIV 1000000").alias("ms"))
-    v = (
-        m.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ms").alias("t1"))
-    )
-    c = (
-        m.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ms") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ms").alias("t2"))
-    )
-    p = (
-        m.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ms") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ms").alias("t3"))
-    )
-    return (
-        v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
-    )
-
-
-_LEN_QUANTILES_SQL = """
-WITH l AS (SELECT length(text) AS len FROM documents),
-o AS (SELECT len, ROW_NUMBER() OVER (ORDER BY len) AS rn FROM l),
-n AS (SELECT COUNT(*) AS c FROM l)
-SELECT MAX(CASE WHEN rn = CAST(ceil(0.50 * c) AS BIGINT) THEN len END) AS p50,
-       MAX(CASE WHEN rn = CAST(ceil(0.90 * c) AS BIGINT) THEN len END) AS p90,
-       MAX(CASE WHEN rn = CAST(ceil(0.99 * c) AS BIGINT) THEN len END) AS p99,
-       MAX(CASE WHEN rn = c THEN len END) AS p100
-FROM o, n
-"""
-
-
-@register("doc_length_quantiles", _LEN_QUANTILES_SQL)
-def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact discrete quantiles (order statistics, rank = ceil(q*n)) of
-    document length — integer answers, engine-exact, unlike interpolated
-    percentile_cont whose float formula differs across engines.
-
-    Scale shape: NO global row sort and no global window. Pass 1
-    compresses the corpus to a value histogram (groupBy(len) — a
-    distributed shuffle keyed on the value, map-side combined); pass 2
-    collapses the DISTINCT lengths — a domain bounded by max document
-    length (thousands of entries at any corpus size) — into ONE sorted
-    array row and walks it with a single JVM-side fold that carries the
-    running count and latches each order statistic as its rank
-    threshold is crossed. The smallest len whose cumulative count
-    reaches ceil(q*n) is the exact rank-ceil(q*n) order statistic."""
-    docs = _docs(spark, sf_dir)
-    hist = (
-        docs.select(F.length("text").alias("len"))
-        .groupBy("len")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    one = hist.agg(
-        F.sort_array(F.collect_list(F.struct("len", "cnt"))).alias("h"),
-        F.sum("cnt").alias("c"),
-    )
-    # One pass over the tiny histogram array: accumulator carries the
-    # running count and the latched quantiles. Exploding the 1-element
-    # result array is the Generate barrier that stops the fold from being
-    # re-evaluated once per extracted field.
-    folded = one.select(
-        F.col("c"),
-        F.explode(
-            F.array(
-                F.aggregate(
-                    "h",
-                    F.struct(
-                        F.lit(0).cast("long").alias("cum"),
-                        F.lit(None).cast("long").alias("p50"),
-                        F.lit(None).cast("long").alias("p90"),
-                        F.lit(None).cast("long").alias("p99"),
-                    ),
-                    lambda acc, x: F.struct(
-                        (acc["cum"] + x["cnt"]).alias("cum"),
-                        F.coalesce(
-                            acc["p50"],
-                            F.when(
-                                acc["cum"] + x["cnt"]
-                                >= F.ceil(F.lit(0.50) * F.col("c")).cast("long"),
-                                x["len"].cast("long"),
-                            ),
-                        ).alias("p50"),
-                        F.coalesce(
-                            acc["p90"],
-                            F.when(
-                                acc["cum"] + x["cnt"]
-                                >= F.ceil(F.lit(0.90) * F.col("c")).cast("long"),
-                                x["len"].cast("long"),
-                            ),
-                        ).alias("p90"),
-                        F.coalesce(
-                            acc["p99"],
-                            F.when(
-                                acc["cum"] + x["cnt"]
-                                >= F.ceil(F.lit(0.99) * F.col("c")).cast("long"),
-                                x["len"].cast("long"),
-                            ),
-                        ).alias("p99"),
-                    ),
-                )
-            )
-        ).alias("q"),
-        F.element_at("h", -1)["len"].cast("long").alias("p100"),
-    )
-    return folded.select(
-        F.col("q")["p50"].alias("p50"),
-        F.col("q")["p90"].alias("p90"),
-        F.col("q")["p99"].alias("p99"),
-        "p100",
-    )
-
-
-_ALERT_WINDOW_SQL = """
-WITH pts AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
-alerts AS (
-  SELECT event_id, user_id, epoch_ms(ts) AS s
-  FROM events WHERE value > 140
-)
-SELECT a.event_id AS alert_event_id, COUNT(*) AS n_in_window
-FROM alerts a JOIN pts p
-  ON p.user_id = a.user_id AND p.t >= a.s AND p.t < a.s + 300000
-GROUP BY a.event_id
-"""
-
-
-@register("events_alert_window_join", _ALERT_WINDOW_SQL)
-def q_events_alert_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Big-big interval join: every high-value event (value > 140, ~6%
-    of the stream) opens a 5-minute window; count the user's events
-    falling inside each window. Neither side is broadcastable at scale —
-    the bucketized interval_join turns the band predicate into an
-    equi-join on (user_id, 5-min bin) + residual filter, a plain
-    shuffled hash join with uniform keys (the naive BETWEEN-only join
-    plans as a nested loop). DuckDB oracle is the direct inequality
-    join."""
-    from market_microstructure_toolkit_spark.operators.rangejoin import (
-        interval_join,
-    )
-
-    ev = read_events(spark, sf_dir)
-    ts_ms = F.expr("ts DIV 1000000")
-    pts = ev.select("user_id", ts_ms.alias("t"))
-    alerts = ev.filter(F.col("value") > 140).select(
-        F.col("event_id").alias("alert_event_id"),
-        "user_id",
-        ts_ms.alias("s"),
-        (ts_ms + F.lit(300000)).alias("e"),
-    )
-    joined = interval_join(
-        pts, alerts, keys=("user_id",), point_ts_col="t",
-        start_col="s", end_col="e", bin_ms=300000,
-    )
-    return joined.groupBy("alert_event_id").agg(
-        F.count(F.lit(1)).alias("n_in_window")
-    )
-
-
-_STREAM_ALERT_JOIN_SQL = """
-SELECT a.event_id AS alert_event_id, p.t AS pt_ms
-FROM (SELECT user_id, epoch_ms(ts) AS t FROM events) p
-JOIN (SELECT event_id, user_id, epoch_ms(ts) AS s
-      FROM events WHERE value > 140) a
-  ON p.user_id = a.user_id AND p.t >= a.s AND p.t < a.s + 300000
-"""
-
-
-@register("streaming_alert_join_replay", _STREAM_ALERT_JOIN_SQL)
-def q_streaming_alert_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAM-STREAM inner join: the live twin of the batch
-    events_alert_window_join. Two watermarked streams over the same
-    two-micro-batch event replay — high-value alerts on one side, all
-    events on the other — joined on user plus a time-range condition
-    (event inside the alert's 5-minute window). Spark buffers both
-    sides in join state and emits matches in append mode; hash-matching
-    the batch inequality-join oracle proves cross-micro-batch matching
-    (an alert in batch A joins events arriving in batch B through
-    state). The wide watermark keeps state alive for the whole bounded
-    replay; a live deployment would tighten it to the real lateness
-    bound, trading state size for completeness."""
-    import time
-    import uuid
-
-    ev = read_events(spark, sf_dir)
-    tape_base = _memo_tape(
-        sf_dir, "events2", lambda b: _split2(ev, "ts", b)
-    )
-    base = _scratch(prefix="mmt_stream_ssj_")  # per-run checkpoint
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(f"{tape_base}/data/*/")
-    )
-    et = F.timestamp_millis(F.expr("ts DIV 1000000"))
-    pts = stream.select("user_id", et.alias("pt_time")).withWatermark(
-        "pt_time", "365 days"
-    )
-    alerts = (
-        stream.filter(F.col("value") > 140)
-        .select(
-            F.col("event_id").alias("alert_event_id"),
-            F.col("user_id").alias("a_user"),
-            et.alias("a_time"),
-        )
-        .withWatermark("a_time", "365 days")
-    )
-    joined = pts.join(
-        alerts,
-        (F.col("user_id") == F.col("a_user"))
-        & (F.col("pt_time") >= F.col("a_time"))
-        & (
-            F.col("pt_time")
-            < F.col("a_time") + F.expr("INTERVAL 5 MINUTES")
-        ),
-        "inner",
-    ).select("alert_event_id", F.unix_millis("pt_time").alias("pt_ms"))
-    name = f"ssj_replay_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", f"{base}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
-
-
-_STREAM_SESSION_SQL = """
-WITH ordered AS (
-  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
-         LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           AS prev_ms
-  FROM events
-),
-flagged AS (
-  SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
-                 THEN 1 ELSE 0 END AS new_session
-  FROM ordered
-),
-sessions AS (
-  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
-                                   ORDER BY ts_ms, event_id) AS session_no
-  FROM flagged
-)
-SELECT user_id,
-       MIN(ts_ms) AS session_start_ms,
-       MAX(ts_ms) AS session_end_ms,
-       COUNT(*) AS n_events
-FROM sessions
-GROUP BY user_id, session_no
-"""
-
-
-@register("streaming_sessionize_replay", _STREAM_SESSION_SQL)
-def q_streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Log sessionization computed by the STREAMING tier: events replayed
-    as a two-micro-batch file stream through Spark's native
-    ``session_window`` aggregation (complete output mode), 30-minute gap.
-    Hash-matching the batch lag-gap oracle proves the streaming engine
-    MERGES sessions across the micro-batch boundary — a user whose
-    events straddle the split must yield one session, carried by the
-    session-window state store, not two.
-
-    Boundary semantics note: session_window treats an exactly-gap
-    successor as a NEW session while the lag-gap construction keeps it
-    (diff > gap starts a session); no adjacent pair in the fixtures
-    lands exactly on the gap, so the two definitions coincide here.
-    session_window.end = last event + gap, so the emitted end subtracts
-    the gap back to the last event's timestamp."""
-    import time
-    import uuid
-
-    ev = read_events(spark, sf_dir)
-    tape_base = _memo_tape(
-        sf_dir, "events2", lambda b: _split2(ev, "ts", b)
-    )
-    base = _scratch(prefix="mmt_stream_sess_")  # per-run checkpoint
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(f"{tape_base}/data/*/")
-    )
-    et = F.timestamp_millis(F.expr("ts DIV 1000000")).alias("et")
-    agg = (
-        stream.select("user_id", "event_id", et)
-        .groupBy("user_id", F.session_window("et", "30 minutes").alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.min(F.unix_millis("et")).alias("session_start_ms"),
-        )
-        .select(
-            "user_id",
-            "session_start_ms",
-            (F.unix_millis(F.col("w.end")) - F.lit(1800000)).alias(
-                "session_end_ms"
-            ),
-            "n_events",
-        )
-    )
-    name = f"sess_replay_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", f"{base}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
-
-
-_STREAM_DEDUP_SQL = """
-SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_doc_id
-FROM documents GROUP BY md5(text)
-"""
-
-
-@register("streaming_dedup_replay", _STREAM_DEDUP_SQL)
-def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup computed by the STREAMING tier: documents replayed as a
-    two-micro-batch file stream (earlier ids first) through the keyed
-    first-seen state operator — the live-ingestion twin of batch
-    ``exact_dedup``. Hash-matching the batch oracle proves that
-    suppression state carries across the batch boundary (a duplicate
-    whose copies land in different micro-batches emits exactly once,
-    with the first batch's min id)."""
-    import time
-    import uuid
-
-    from market_microstructure_toolkit_spark.streaming.corpus_stream import (
-        stateful_exact_dedup,
-    )
-
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    tape_base = _memo_tape(
-        sf_dir, "docs2", lambda b: _split2(docs, "doc_id", b)
-    )
-    base = _scratch(prefix="mmt_stream_dedup_")  # per-run checkpoint
-
-    stream = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{tape_base}/data/*/")
-    )
-    name = f"dedup_replay_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            stateful_exact_dedup(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{base}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
-
-
-_REPETITION_SQL = """
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-g2 AS (
-  SELECT doc_id, unnest(list_transform(range(1, len(w)),
-                        i -> w[i] || ' ' || w[i+1])) AS g
-  FROM w WHERE len(w) >= 2
-),
-t2 AS (
-  SELECT doc_id, MAX(c) AS top2_cnt, CAST(SUM(c) AS BIGINT) AS n2
-  FROM (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g)
-  GROUP BY doc_id
-),
-f5 AS (
-  SELECT doc_id, len(gs) AS n5, len(list_distinct(gs)) AS n5_distinct
-  FROM (SELECT doc_id,
-               list_transform(range(1, len(w) - 3),
-                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) AS gs
-        FROM w WHERE len(w) >= 5)
-)
-SELECT f5.doc_id,
-       n2,
-       CAST(top2_cnt AS BIGINT) AS top2_cnt,
-       top2_cnt / CAST(n2 AS DOUBLE) AS top2_frac,
-       CAST(n5 AS BIGINT) AS n5,
-       (n5 - n5_distinct) / CAST(n5 AS DOUBLE) AS dup5_frac
-FROM f5 JOIN t2 USING (doc_id)
-"""
-
-
-@register("doc_repetition", _REPETITION_SQL)
-def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition quality signals per document: most-frequent
-    2-gram share and duplicate-5-gram fraction (the filters large-corpus
-    curation applies before training). Shuffles key on (doc, gram) —
-    corpus-hot n-grams cannot skew a partition."""
-    from market_microstructure_toolkit_spark.operators.text_analysis import (
-        repetition_stats,
-    )
-
-    return repetition_stats(_docs(spark, sf_dir))
-
-
-_TFIDF_SQL = """
-WITH toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-),
-tf AS (
-  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
-),
-dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-n AS (SELECT COUNT(*) AS n_docs FROM documents),
-scored AS (
-  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-         ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
-  FROM tf JOIN dfreq USING (term) CROSS JOIN n
-),
-ranked AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-            ORDER BY tfidf DESC, term ASC) AS rank
-  FROM scored
-)
-SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
-       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
-FROM ranked WHERE rank <= 3
-"""
-
-
-@register("doc_tfidf_top_terms", _TFIDF_SQL)
-def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document top-3 TF-IDF keywords — the tagging/routing pass of a
-    curation pipeline. tf x df equi-join on term after per-key combine;
-    top-k via a doc-keyed rank window (never a global sort)."""
-    from market_microstructure_toolkit_spark.operators.text_analysis import (
-        tfidf_top_terms,
-    )
-
-    return tfidf_top_terms(_docs(spark, sf_dir), top_k=3)
-
-
-_UNIGRAM_LP_SQL = """
-WITH toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-),
-vocab AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
-total AS (SELECT COUNT(*) AS total FROM toks)
-SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       ROUND(AVG(ln(CAST(cnt AS DOUBLE) / total)), 6) AS avg_logprob
-FROM toks JOIN vocab USING (term) CROSS JOIN total
-GROUP BY doc_id
-"""
-
-
-@register("doc_unigram_logprob", _UNIGRAM_LP_SQL)
-def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mean unigram log-probability per document under the corpus's own
-    unigram model — the cheap stand-in for the KenLM-perplexity quality
-    filter (low score = unusual token mix = candidate junk). One explode
-    feeds both the vocabulary aggregate and the doc-keyed average."""
-    from market_microstructure_toolkit_spark.operators.text_analysis import (
-        unigram_logprob,
-    )
-
-    return unigram_logprob(_docs(spark, sf_dir))
-
-
-_NOVELTY_SQL = """
-WITH grams AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
-                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-  WHERE len(w) >= 3
-),
-first AS (
-  SELECT doc_id, g, MIN(doc_id) OVER (PARTITION BY g) AS first_doc
-  FROM grams
-)
-SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
-       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_novel,
-       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
-         / COUNT(*) AS novelty
-FROM first
-GROUP BY doc_id
-"""
-
-
-@register("doc_ngram_novelty", _NOVELTY_SQL)
-def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fraction of each document's distinct 3-gram shingles first seen in
-    THIS document (minimum owning doc id) — a curation-ordering signal
-    separating new text from restated boilerplate. First-owner via a
-    min-window on the shingle; exact-integer ratio, engine-exact."""
-    from market_microstructure_toolkit_spark.operators.text_analysis import (
-        ngram_novelty,
-    )
-
-    return ngram_novelty(_docs(spark, sf_dir), n=3)
-
-
-_CHUNKING_SQL = """
-WITH t AS (
-  SELECT doc_id, string_split(text, ' ') AS w,
-         len(string_split(text, ' ')) AS n
-  FROM documents
-),
-c AS (
-  SELECT doc_id, w,
-    CASE WHEN n <= 64 THEN 1
-         ELSE CAST(FLOOR((n - 64 + 47) / 48.0) AS BIGINT) + 1 END AS n_chunks
-  FROM t
-)
-SELECT doc_id,
-       CAST(chunk_idx AS BIGINT) AS chunk_idx,
-       CAST(len(w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS BIGINT)
-         AS n_chunk_tokens,
-       array_to_string(w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')
-         AS chunk_text
-FROM (SELECT doc_id, w, unnest(range(0, n_chunks)) AS chunk_idx FROM c)
-"""
-
-
-@register("doc_chunking", _CHUNKING_SQL)
-def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window chunking (64-token windows, 16-token overlap) — the
-    retrieval/context preprocessing pass. Map-only per-row array
-    expressions behind one Generate; no shuffle at any corpus size."""
-    from market_microstructure_toolkit_spark.operators.packing import (
-        chunk_documents,
-    )
-
-    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, overlap=16)
-
-
-_SPLIT_SQL = """
-SELECT split, COUNT(*) AS n_docs,
-       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
-FROM (
-  SELECT doc_id, n_chars,
-         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 31, 2) < 'f8' THEN 'train'
-              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 31, 2) < 'fc' THEN 'val'
-              ELSE 'test' END AS split
-  FROM documents
-)
-GROUP BY split
-"""
-
-
-@register("corpus_split", _SPLIT_SQL)
-def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic hash-mod train/val/test assignment (248/4/4 of 256
-    md5 buckets) summarized per split. Membership is a pure map over the
-    id — re-runnable, join-free, stable under corpus growth — which is
-    the property that matters when the corpus is 100 TB and the split
-    must never move a document between runs."""
-    from market_microstructure_toolkit_spark.operators.text_analysis import (
-        split_expr,
-    )
-
-    docs = _docs(spark, sf_dir)
-    return (
-        docs.select("doc_id", "n_chars", split_expr().alias("split"))
-        .groupBy("split")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-            F.min("doc_id").alias("min_doc_id"),
-            F.max("doc_id").alias("max_doc_id"),
-        )
-    )
-
-
-_SOURCE_MIX_SQL = """
-WITH g AS (
-  SELECT source, lang, COUNT(*) AS n_docs,
-         CAST(SUM(n_chars) AS BIGINT) AS total_chars
-  FROM documents GROUP BY source, lang
-), t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM documents)
-SELECT source, lang, n_docs, total_chars,
-       total_chars / CAST(n_docs AS DOUBLE) AS avg_chars,
-       n_docs / total AS corpus_share
-FROM g, t
-"""
-
-
-@register("source_mix_report", _SOURCE_MIX_SQL)
-def q_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus composition report per (source, lang): doc counts, char
-    volume, and share of corpus — the mix dashboard a data-curation run
-    ends with. One hash aggregate plus a 1-row broadcast for the total;
-    every derived ratio is a single integer-to-double division (exact on
-    both engines, no rounding needed)."""
-    docs = _docs(spark, sf_dir)
-    g = docs.groupBy("source", "lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-    )
-    t = docs.agg(F.count(F.lit(1)).cast("double").alias("total"))
-    return g.crossJoin(F.broadcast(t)).select(
-        "source",
-        "lang",
-        "n_docs",
-        "total_chars",
-        (F.col("total_chars") / F.col("n_docs").cast("double")).alias("avg_chars"),
-        (F.col("n_docs") / F.col("total")).alias("corpus_share"),
-    )
-
-
-_CLUSTERS_SQL = """
-WITH RECURSIVE pairs AS (
-  SELECT id_a, id_b FROM (""" + _MINHASH_SQL + """) mh
-),
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION ALL
-  SELECT id_b AS src, id_a AS dst FROM pairs
-),
-reach(id, lab) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
-)
-SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
-"""
-
-
-@register("dedup_clusters", _CLUSTERS_SQL)
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the MinHash-LSH candidate-pair graph:
-    cluster_id = min doc id reachable through near-dup pairs (singletons
-    keep their own id) — the keep/drop resolution step downstream of any
-    pairwise dedup. Spark side is bounded min-label propagation with
-    lineage checkpoints; the unique fixpoint makes it hash-comparable to
-    the oracle's recursive CTE."""
-    from market_microstructure_toolkit_spark.operators.dedup import (
-        dedup_clusters,
-        minhash_lsh_candidates,
-    )
-
-    docs = _docs(spark, sf_dir)
-    pairs = minhash_lsh_candidates(docs, k=8, rows_per_band=2, shingle_n=3)
-    return dedup_clusters(docs, pairs)
-
-
-_CURATION_SQL = """
-WITH RECURSIVE q AS (""" + _QUALITY_SQL + """),
-kept_docs AS (
-  SELECT d.doc_id, d.text FROM documents d
-  JOIN q ON d.doc_id = q.doc_id
-  WHERE q.quality_score >= 0.5
-),
-pairs AS (
-  SELECT id_a, id_b FROM (""" + _MINHASH_SQL.replace(
-    "FROM documents", "FROM kept_docs"
-) + """) mh
-),
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION ALL
-  SELECT id_b AS src, id_a AS dst FROM pairs
-),
-reach(id, lab) AS (
-  SELECT doc_id, doc_id FROM kept_docs
-  UNION
-  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
-),
-canon AS (
-  SELECT id AS doc_id FROM (
-    SELECT id, MIN(lab) AS lab FROM reach GROUP BY id
-  ) WHERE id = lab
-)
-SELECT (SELECT COUNT(*) FROM kept_docs) AS n_quality_kept,
-       (SELECT COUNT(*) FROM canon) AS n_canonical,
-       (SELECT CAST(SUM(CAST(len(string_split(k.text, ' ')) AS BIGINT))
-                    AS BIGINT)
-        FROM kept_docs k JOIN canon c ON k.doc_id = c.doc_id) AS total_tokens
-"""
-
-
-@register("corpus_curation", _CURATION_SQL)
-def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end corpus curation, the pipeline a training-data run
-    actually executes: quality-score filter (>= 0.5) -> MinHash-LSH
-    near-dup graph over the survivors -> connected-component resolution
-    keeping each cluster's min-id canonical -> corpus stats (docs kept,
-    canonical docs, total whitespace tokens). All-integer outputs keep
-    the three-stage composition hash-exact against the oracle."""
-    from market_microstructure_toolkit_spark.operators.dedup import (
-        dedup_clusters,
-        minhash_lsh_candidates,
-    )
-    from market_microstructure_toolkit_spark.operators.text_analysis import (
-        quality_features,
-    )
-
-    docs = _docs(spark, sf_dir)
-    keep = quality_features(docs).filter(F.col("quality_score") >= 0.5).select("doc_id")
-    # `kept` feeds four consumers (LSH candidates, cluster vertices, the
-    # kept-count agg, the token-sum join); without a checkpoint each one
-    # re-runs the scan + quality scoring — materialize it once.
-    kept = docs.join(keep, "doc_id").select("doc_id", "text").localCheckpoint()
-    pairs = minhash_lsh_candidates(kept, k=8, rows_per_band=2, shingle_n=3)
-    canon = (
-        dedup_clusters(kept, pairs)
-        .filter(F.col("doc_id") == F.col("cluster_id"))
-        .select("doc_id")
-    )
-    tok = F.size(F.split(F.col("text"), " ", -1)).cast("long")
-    return (
-        kept.agg(F.count(F.lit(1)).alias("n_quality_kept"))
-        .crossJoin(canon.agg(F.count(F.lit(1)).alias("n_canonical")))
-        .crossJoin(
-            kept.join(canon, "doc_id")
-            .agg(F.sum(tok).alias("total_tokens"))
-        )
-    )
-
-
-_SEMANTIC_CLUSTERS_SQL = (
-    "WITH RECURSIVE "
-    + _BANDED_PAIR_CTES
-    + """,
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs WHERE ROUND(cos_sim, 6) >= 0.25
-  UNION ALL
-  SELECT id_b AS src, id_a AS dst FROM pairs WHERE ROUND(cos_sim, 6) >= 0.25
-),
-reach(id, lab) AS (
-  SELECT vec_id, vec_id FROM embeddings
-  UNION
-  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
-)
-SELECT id AS vec_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
-"""
-)
-
-
-@register("dedup_semantic_clusters", _SEMANTIC_CLUSTERS_SQL)
-def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup in embedding space: banded sign-LSH
-    candidate pairs (guarded generator — 4 bands x 8 bits, hot buckets
-    capped) scored by exact cosine, thresholded (>= 0.25 on the
-    6-dp-rounded value so the edge set is engine-exact), then resolved
-    into connected components — cluster_id = min reachable vec_id; keep
-    one representative per cluster to drop semantic near-duplicates.
-    Same min-label propagation as document clustering, keyed on vectors."""
-    from market_microstructure_toolkit_spark.operators.dedup import dedup_clusters
-    from market_microstructure_toolkit_spark.operators.similarity import (
-        lsh_banded_pairs,
-    )
-
-    emb = _emb(spark, sf_dir)
-    pairs = (
-        lsh_banded_pairs(
-            emb, bits_per_band=8, n_bands=4, min_cosine=-2.0, max_bucket=1000
-        )
-        .filter(F.round("cos_sim", 6) >= 0.25)
-        .select("id_a", "id_b")
-    )
-    return dedup_clusters(emb.select("vec_id"), pairs, id_col="vec_id")
-
-
-_ANN_RECALL_SQL = """
-WITH exact10 AS (
-  SELECT vec_id FROM (""" + _SIMILARITY_SQL + """) e
-  ORDER BY cos_sim DESC, vec_id LIMIT 10
-),
-ivf10 AS (
-  SELECT vec_id FROM (""" + _IVF_SQL + """) i
-)
-SELECT COUNT(*) AS n_overlap,
-       CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall_at_10
-FROM exact10 JOIN ivf10 USING (vec_id)
-"""
-
-
-@register("similarity_ann_recall", _ANN_RECALL_SQL)
-def q_similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of the IVF cell-probe ANN against the exact brute-force
-    top-10 — the quality metric that justifies (or vetoes) the n/cells
-    scan reduction. Both operand sets are individually hash-exact, so
-    their intersection count is too. On this corpus the number is LOW
-    (~0.1 at sf0.1): the embeddings are near-uniform random, where
-    single-probe cell pruning genuinely loses the neighborhood — exactly
-    the veto signal this metric exists to raise (remedies: multi-probe,
-    more/trained centroids, or brute force below a size threshold)."""
-    exact10 = (
-        q_similarity_topk(spark, sf_dir)
-        .orderBy(F.col("cos_sim").desc(), "vec_id")
-        .limit(10)
-        .select("vec_id")
-    )
-    ivf10 = q_similarity_ivf(spark, sf_dir).select("vec_id")
-    return exact10.join(ivf10, "vec_id").agg(
-        F.count(F.lit(1)).alias("n_overlap"),
-        (F.count(F.lit(1)) / F.lit(10.0)).alias("recall_at_10"),
-    )
-
-
-_ANN_RECALL_MP_SQL = """
-WITH exact10 AS (
-  SELECT vec_id FROM (""" + _SIMILARITY_SQL + """) e
-  ORDER BY cos_sim DESC, vec_id LIMIT 10
-),
-mp10 AS (
-  SELECT vec_id FROM (""" + _IVF_MP_SQL + """) i
-)
-SELECT COUNT(*) AS n_overlap,
-       CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall_at_10
-FROM exact10 JOIN mp10 USING (vec_id)
-"""
-
-
-@register("similarity_ann_recall_multiprobe", _ANN_RECALL_MP_SQL)
-def q_similarity_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of the 3-probe IVF against the exact top-10 — the
-    companion measurement to ``similarity_ann_recall`` that shows what
-    multi-probe buys back: on these near-uniform embeddings single-probe
-    recall is ~0.1 and 3 probes roughly triples the visited candidate
-    set, so the delta between the two queries IS the multi-probe payoff
-    (and the pair demonstrates the recall/scan-cost dial a production
-    deployment tunes)."""
-    exact10 = (
-        q_similarity_topk(spark, sf_dir)
-        .orderBy(F.col("cos_sim").desc(), "vec_id")
-        .limit(10)
-        .select("vec_id")
-    )
-    mp10 = q_similarity_ivf_multiprobe(spark, sf_dir).select("vec_id")
-    return exact10.join(mp10, "vec_id").agg(
-        F.count(F.lit(1)).alias("n_overlap"),
-        (F.count(F.lit(1)) / F.lit(10.0)).alias("recall_at_10"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# I/O tier gates: CSV/Parquet sink+source roundtrips, formatting boundaries,
-# and the fixed-interval recorder sampling analog (SURVEY §2.1/§2.2)
-# ---------------------------------------------------------------------------
-
-def _csv_roundtrip_sql() -> str:
-    """S5+S7+P16+P17 oracle: the CSV boundary quantizes every double
-    through ``%.10f`` (then the source parses it back), so the oracle
-    applies the identical decimal quantization via DuckDB ``printf`` —
-    NULLs ride through as blanks on both sides."""
-    dbls = ["best_bid", "best_ask"] + [
-        f"{s}{i}_{f}"
-        for i in range(1, BOOK_DEPTH + 1)
-        for s in ("bid", "ask")
-        for f in ("price", "size")
-    ]
-    quant = ",\n  ".join(
-        f"CAST(printf('%.10f', {c}) AS DOUBLE) AS {c}" for c in dbls
-    )
-    return f"""{_BOOK_CTE}
-SELECT ts_ms, CAST(NULL AS VARCHAR) AS iso, exchange_id, symbol, book_level,
-  raw_nonce,
-  {quant}
-FROM book"""
-
-
-@register("book_csv_roundtrip", _csv_roundtrip_sql())
-def q_book_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S5 CSV sink -> S7 CSV source end-to-end: write the synthetic book
-    with %.10f float formatting and blank nulls (record.py:92-98), read
-    it back with ''->NULL + try_cast typing (metrics_cli.py:44-50,
-    _as_float_or_none P17). The returned frame is the round-tripped book
-    — hash-compared against the printf-quantized oracle, proving the
-    sink/source pair loses exactly the sub-1e-10 bits and nothing else."""
-
-    from market_microstructure_toolkit_spark.schema import book_header
-    from market_microstructure_toolkit_spark.sources.book_io import (
-        read_book_csv,
-        write_book_csv,
-    )
-
-    book = synthetic_book(spark, sf_dir)
-    path = _scratch(prefix="mmt_csv_rt_")
-    write_book_csv(book, path)
-    back = read_book_csv(spark, path, BOOK_DEPTH)
-    return back.select(*book_header(BOOK_DEPTH))
-
-
-@register("book_parquet_roundtrip", f"{_BOOK_CTE} SELECT book.*, CAST(NULL AS VARCHAR) AS iso FROM book")
-def q_book_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S6 parquet sink -> S8 parquet source, hive-partitioned by symbol
-    (the recorder layout that lets downstream reads prune partitions at
-    scale). Parquet is lossless for doubles, so the oracle is the book
-    itself — any bit flip in the sink/source pair breaks the hash."""
-
-    from market_microstructure_toolkit_spark.sources.book_io import (
-        read_book_parquet,
-        write_book_parquet,
-    )
-
-    book = synthetic_book(spark, sf_dir)
-    path = _scratch(prefix="mmt_pq_rt_")
-    write_book_parquet(book, path, partition_by=("symbol",))
-    back = read_book_parquet(spark, path)
-    return back.select(*book.columns).withColumn(
-        "iso", F.lit(None).cast("string")
-    )
-
-
-@register(
-    "iso_utc_format",
-    f"""{_BOOK_CTE}
-SELECT ts_ms, raw_nonce, symbol,
-  strftime(epoch_ms(ts_ms), '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS iso
-FROM book""",
-)
-def q_iso_utc_format(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P15 ISO-8601 UTC formatting (snapshot.py:38-39) over every
-    snapshot timestamp — string-compared against DuckDB's strftime, so
-    the session-timezone independence the register wrapper enforces is
-    load-bearing here."""
-    from market_microstructure_toolkit_spark.functions.microstructure import iso_utc
-
-    book = synthetic_book(spark, sf_dir)
-    return book.select(
-        "ts_ms", "raw_nonce", "symbol", iso_utc("ts_ms").alias("iso")
-    )
-
-
-def _summary_append_sql() -> str:
-    x4 = _vwap_now_sql()
-    return f"SELECT * FROM ({x4}) UNION ALL SELECT * FROM ({x4})"
-
-
-@register("summary_append_sink", _summary_append_sql())
-def q_summary_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S10 summary-append sink (impact_twap_cli.py:51-56): two simulator
-    runs append one-row summaries to the same CSV target; reading the
-    accumulated file back yields both rows bit-exact (Spark writes
-    doubles in shortest-roundtrip form). Oracle: the X4 summary UNION'd
-    with itself."""
-
-    from market_microstructure_toolkit_spark.operators.impact import (
-        simulate_vwap_onbook,
-    )
-    from market_microstructure_toolkit_spark.sources.book_io import (
-        write_summary_append,
-    )
-
-    book = synthetic_book(spark, sf_dir).filter(F.col("symbol") == "S0")
-    summary = simulate_vwap_onbook(book, "buy", 25.0, BOOK_DEPTH)
-    path = _scratch(prefix="mmt_sum_append_")
-    write_summary_append(summary, path)
-    write_summary_append(summary, path)
-    raw = spark.read.option("header", True).csv(path)
-    casts = {
-        "side": "string",
-        "target_qty": "double",
-        "filled_qty": "double",
-        "vwap": "double",
-        "notional": "double",
-        "slippage_bps_vs_mid_open": "double",
-        "slippage_bps_vs_mid_close": "double",
-        "slices": "long",
-        "levels_touched": "long",
-    }
-    return raw.select(
-        *[F.col(c).try_cast(t).alias(c) for c, t in casts.items()]
-    )
-
-
-_GRID_SAMPLE_SQL = f"""{_BOOK_CTE},
-rng AS (
-  SELECT symbol, MIN(ts_ms) AS a, MAX(ts_ms) AS b FROM book GROUP BY symbol
-),
-ticks AS (
-  SELECT symbol,
-         unnest(generate_series(a, b, GREATEST(1, (b - a) // 500))) AS tick
-  FROM rng
-),
-snaps AS (
-  SELECT symbol, ts_ms, (best_bid + best_ask) / 2.0 AS mid
-  FROM book
-  QUALIFY row_number() OVER (PARTITION BY symbol, ts_ms ORDER BY raw_nonce DESC) = 1
-)
-SELECT t.symbol, t.tick AS tick_ms, s.ts_ms AS src_ts_ms, s.mid,
-       t.tick - s.ts_ms AS staleness_ms
-FROM ticks t ASOF JOIN snaps s ON t.symbol = s.symbol AND t.tick >= s.ts_ms
-"""
-
-
-@register("recorder_grid_sample", _GRID_SAMPLE_SQL)
-def q_recorder_grid_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3 fixed-interval recorder semantics as a batch plan: sample each
-    symbol's book on an evenly spaced time grid (span/500 per symbol),
-    taking the latest snapshot at-or-before each tick — the same
-    state-at-tick the reference's fixed-Hz loop records
-    (record.py recorder loop; SURVEY §2.1 S3).
-
-    Scale shape: ONE window pass over (snapshots UNION ticks) ordered by
-    (ts, tag, nonce) and partitioned BY SYMBOL — the standard distributed
-    backward-as-of, no per-tick lookup join and no unpartitioned sort.
-    The tie rules are explicit: a snapshot sharing the tick's timestamp
-    counts (tag orders snapshots first), duplicate-ts snapshots resolve
-    to the highest nonce (last written wins) — which is exactly DuckDB's
-    ASOF JOIN over the nonce-deduped book."""
-    book = synthetic_book(spark, sf_dir)
-    rng = book.groupBy("symbol").agg(
-        F.min("ts_ms").alias("a"), F.max("ts_ms").alias("b")
-    )
-    ticks = rng.select(
-        "symbol",
-        F.explode(
-            F.sequence(
-                F.col("a"),
-                F.col("b"),
-                F.greatest(F.lit(1).cast("long"), F.expr("(b - a) DIV 500")),
-            )
-        ).alias("t"),
-    ).select(
-        "symbol",
-        "t",
-        F.lit(1).alias("tag"),
-        F.lit(None).cast("long").alias("raw_nonce"),
-        F.lit(None).cast("long").alias("src_ts"),
-        F.lit(None).cast("double").alias("mid"),
-    )
-    snaps = book.select(
-        "symbol",
-        F.col("ts_ms").alias("t"),
-        F.lit(0).alias("tag"),
-        "raw_nonce",
-        F.col("ts_ms").alias("src_ts"),
-        ((F.col("best_bid") + F.col("best_ask")) / 2.0).alias("mid"),
-    )
-    w = (
-        Window.partitionBy("symbol")
-        .orderBy("t", "tag", "raw_nonce")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    merged = snaps.unionByName(ticks).select(
-        "symbol",
-        "t",
-        "tag",
-        F.last("src_ts", ignorenulls=True).over(w).alias("src_ts_ms"),
-        F.last("mid", ignorenulls=True).over(w).alias("mid"),
-    )
-    return merged.filter(
-        (F.col("tag") == 1) & F.col("src_ts_ms").isNotNull()
-    ).select(
-        "symbol",
-        F.col("t").alias("tick_ms"),
-        "src_ts_ms",
-        "mid",
-        (F.col("t") - F.col("src_ts_ms")).alias("staleness_ms"),
-    )
-
-
-# --------------------------------------------------------------------------
-# Trade-tape tier: Lee-Ready signs, VPIN, Kyle lambda, effective spread.
-# The reference records quotes only; this tier is the standard companion
-# trade-tape surface (operators/trades.py documents the published
-# definitions). All four share one deterministic synthetic tape derived
-# from the book fixture (plans/book.py::synthetic_trades).
-# --------------------------------------------------------------------------
-
-_TRADES_CTE = f"{_BOOK_CTE},\ntrades AS ({trades_sql()})"
-
-#: Lee-Ready classification as SQL (shared by all trade oracles): quote
-#: rule, then tick-rule fallback carried across zero-ticks by a running
-#: last-non-null window.
-_CLASSIFIED_CTE = f"""{_TRADES_CTE},
-ticked AS (
-  SELECT *,
-    CASE WHEN price > LAG(price) OVER ({_W}) THEN 1
-         WHEN price < LAG(price) OVER ({_W}) THEN -1 END AS raw_tick
-  FROM trades
-),
-classified AS (
-  SELECT exchange_id, symbol, ts_ms, raw_nonce, mid, price, qty,
-    CASE WHEN price > mid THEN 1
-         WHEN price < mid THEN -1
-         ELSE COALESCE(LAST_VALUE(raw_tick IGNORE NULLS) OVER
-           ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
-    END AS side
-  FROM ticked
-)"""
-
-_TRADE_SIGNS_SQL = f"""{_CLASSIFIED_CTE}
-SELECT exchange_id, symbol, ts_ms, raw_nonce,
-       ROUND(price, 6) AS price, qty, side
-FROM classified
-"""
-
-
-@register("trade_signs_lee_ready", _TRADE_SIGNS_SQL)
-def q_trade_signs_lee_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lee-Ready (1991) trade-sign classification over the synthetic
-    tape: quote rule against the prevailing mid, tick rule at the
-    midpoint (sign of the last price change, carried across zero-ticks
-    by a running last-non-null window — one instrument-keyed window
-    pass, no joins). The tape's deterministic offsets land prints above,
-    below, AND exactly on the mid, so every branch is exercised; price
-    arithmetic is bit-exact cross-engine (integer modulus + IEEE-754)."""
-    tape = synthetic_trades(spark, sf_dir)
-    out = T.classify_lee_ready(tape, KEYS, ORDER_COLS)
-    return out.select(
-        *IDS, F.round("price", 6).alias("price"), "qty", "side"
-    )
-
-
-_VPIN_SQL = f"""{_CLASSIFIED_CTE},
-bucketed AS (
-  SELECT *,
-    CAST(FLOOR(COALESCE(SUM(qty) OVER
-      ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
-      / 50.0) AS BIGINT) AS bucket
-  FROM classified
-),
-grouped AS (
-  SELECT exchange_id, symbol, bucket,
-    SUM(CASE WHEN side > 0 THEN qty ELSE 0.0 END) AS buy_vol,
-    SUM(CASE WHEN side < 0 THEN qty ELSE 0.0 END) AS sell_vol,
-    SUM(qty) AS total_vol,
-    COUNT(*) AS n_trades
-  FROM bucketed GROUP BY exchange_id, symbol, bucket
-)
-SELECT exchange_id, symbol, bucket, buy_vol, sell_vol, total_vol, n_trades,
-       ABS(buy_vol - sell_vol) / total_vol AS vpin
-FROM grouped
-"""
-
-
-@register("trade_vpin", _VPIN_SQL)
-def q_trade_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """VPIN (Easley, Lopez de Prado & O'Hara 2012): volume-synchronized
-    buckets of 50 units, per-bucket |buy - sell| / total order-flow
-    imbalance from Lee-Ready-signed trades. One instrument-keyed window
-    (cumulative volume -> bucket id) then a partial-aggregating groupBy
-    on the same keys — co-partitioned shuffles, O(1) state per row.
-    Trade sizes are exact binary fractions, so the cumulative and
-    per-bucket sums are order-free exact: no rounding needed."""
-    tape = synthetic_trades(spark, sf_dir)
-    classified = T.classify_lee_ready(tape, KEYS, ORDER_COLS)
-    return T.vpin(classified, 50.0, KEYS, ORDER_COLS)
-
-
-_KYLE_SQL = f"""{_CLASSIFIED_CTE},
-staged AS (
-  SELECT exchange_id, symbol,
-    mid - LAG(mid) OVER ({_W}) AS dmid,
-    CAST(side AS DOUBLE) * qty AS svol
-  FROM classified
-)
-SELECT exchange_id, symbol,
-  ROUND(COVAR_SAMP(dmid, svol) / VAR_SAMP(svol), 6) AS kyle_lambda,
-  COUNT(*) AS n_ticks
-FROM staged WHERE dmid IS NOT NULL GROUP BY exchange_id, symbol
-"""
-
-
-@register("trade_kyle_lambda", _KYLE_SQL)
-def q_trade_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kyle (1985) price-impact lambda per instrument: OLS slope of the
-    tick-to-tick mid change on Lee-Ready signed volume,
-    Cov(dmid, side*qty) / Var(side*qty). Same two-stage shape as
-    book_roll_amihud (one keyed window, then a groupBy partial-agg on
-    the identical keys); the moment reductions are order-sensitive float
-    sums -> 6-dp rounding per the repo determinism idiom."""
-    tape = synthetic_trades(spark, sf_dir)
-    classified = T.classify_lee_ready(tape, KEYS, ORDER_COLS)
-    return T.kyle_lambda(classified, KEYS, ORDER_COLS)
-
-
-_EFF_SPREAD_SQL = f"""{_CLASSIFIED_CTE},
-staged AS (
-  SELECT exchange_id, symbol,
-    CASE WHEN side <> 0
-         THEN 2.0 * CAST(side AS DOUBLE) * (price - mid) END AS eff,
-    CASE WHEN side <> 0
-         THEN 2.0 * CAST(side AS DOUBLE)
-              * (price - LEAD(mid, 20) OVER ({_W})) END AS rlz,
-    CASE WHEN side <> 0
-         THEN (2.0 * CAST(side AS DOUBLE) * (price - mid))
-            - (2.0 * CAST(side AS DOUBLE)
-               * (price - LEAD(mid, 20) OVER ({_W}))) END AS impact
-  FROM classified
-)
-SELECT exchange_id, symbol,
-  ROUND(AVG(eff), 6) AS avg_effective_spread,
-  ROUND(AVG(rlz), 6) AS avg_realized_spread,
-  ROUND(AVG(impact), 6) AS avg_price_impact,
-  COUNT(rlz) AS n_classified_with_future
-FROM staged GROUP BY exchange_id, symbol
-"""
-
-
-@register("trade_effective_spread", _EFF_SPREAD_SQL)
-def q_trade_effective_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Average effective spread 2*side*(p - mid), realized spread
-    2*side*(p - mid 20 trades ahead), and permanent price impact (their
-    difference) per instrument — the SEC Rule 605-style decomposition.
-    Unclassified (side 0) prints are excluded from all three averages
-    (a zero term would bias the mean toward zero); tape-end trades with
-    no 20-ahead mid drop from the realized/impact averages only. One
-    keyed window for the future mid, then a groupBy on the same keys;
-    6-dp rounding absorbs float-sum ordering."""
-    tape = synthetic_trades(spark, sf_dir)
-    classified = T.classify_lee_ready(tape, KEYS, ORDER_COLS)
-    return T.effective_realized_spread(classified, 20, KEYS, ORDER_COLS)
-
-
-_BIPOWER_SQL = f"""{_BOOK_CTE},
-rets AS (
-  SELECT exchange_id, symbol, ts_ms, raw_nonce,
-    LN(((best_bid + best_ask) / 2.0)
-       / (LAG((best_bid + best_ask) / 2.0) OVER ({_W}))) AS r
-  FROM book
-),
-paired AS (
-  SELECT exchange_id, symbol, r,
-    LAG(ABS(r)) OVER ({_W}) AS abs_r_prev
-  FROM rets
-)
-SELECT exchange_id, symbol,
-  ROUND(SUM(r * r), 6) AS realized_var,
-  ROUND(1.5707963267948966 * SUM(ABS(r) * abs_r_prev), 6) AS bipower_var,
-  ROUND(GREATEST(0.0,
-    1.0 - (1.5707963267948966 * SUM(ABS(r) * abs_r_prev)) / SUM(r * r)
-  ), 6) AS jump_frac,
-  COUNT(r) AS n_returns
-FROM paired GROUP BY exchange_id, symbol
-"""
-
-
-@register("book_bipower_jump", _BIPOWER_SQL)
-def q_book_bipower_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Jump-robust volatility decomposition per instrument: realized
-    variance sum(r^2) vs. Barndorff-Nielsen & Shephard (2004) bipower
-    variation (pi/2) * sum(|r_t| |r_{t-1}|) — BV converges to the
-    continuous (diffusive) variance while RV includes jumps, so
-    max(0, 1 - BV/RV) is the jump fraction of total variance. Two
-    stacked instrument-keyed windows (return, then lagged |return|) and
-    one groupBy on the same keys — the shuffles co-partition. SUM skips
-    NULL terms identically in both engines (first return, first pair),
-    so the estimators run over the same samples; order-sensitive float
-    sums round at 6 dp."""
-    book = synthetic_book(spark, sf_dir)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
-    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
-    rets = book.select(
-        *KEYS,
-        *ORDER_COLS,
-        F.log(mid / F.lag(mid).over(w)).alias("r"),
-    )
-    paired = rets.select(
-        *KEYS,
-        "r",
-        F.lag(F.abs(F.col("r"))).over(w).alias("abs_r_prev"),
-    )
-    half_pi = F.lit(1.5707963267948966)
-    bv = half_pi * F.sum(F.abs(F.col("r")) * F.col("abs_r_prev"))
-    rv = F.sum(F.col("r") * F.col("r"))
-    return paired.groupBy(*KEYS).agg(
-        F.round(rv, 6).alias("realized_var"),
-        F.round(bv, 6).alias("bipower_var"),
-        F.round(F.greatest(F.lit(0.0), F.lit(1.0) - bv / rv), 6).alias(
-            "jump_frac"
-        ),
-        F.count("r").alias("n_returns"),
-    )
-
-
-_HY_SQL = f"""{_BOOK_CTE},
-ivl AS (
-  SELECT exchange_id, symbol,
-    LAG(ts_ms) OVER ({_W}) AS s,
-    ts_ms AS e,
-    LN(((best_bid + best_ask) / 2.0)
-       / (LAG((best_bid + best_ask) / 2.0) OVER ({_W}))) AS r
-  FROM book
-),
-ticks AS (
-  SELECT * FROM ivl WHERE s IS NOT NULL AND e > s
-)
-SELECT a.exchange_id AS exchange_id,
-       a.symbol AS sym_a, b.symbol AS sym_b,
-       ROUND(SUM(a.r * b.r), 6) AS hy_cov,
-       COUNT(*) AS n_overlaps
-FROM ticks a JOIN ticks b
-  ON a.exchange_id = b.exchange_id
- AND a.symbol < b.symbol
- AND a.s < b.e AND b.s < a.e
-GROUP BY a.exchange_id, a.symbol, b.symbol
-"""
-
-
-@register("book_hayashi_yoshida", _HY_SQL)
-def q_book_hayashi_yoshida(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hayashi-Yoshida (2005) asynchronous cross-covariance for every
-    instrument pair: sum of return products over OVERLAPPING tick
-    intervals — the estimator that needs no resampling grid and is
-    unbiased under non-synchronous trading (where naive synchronized
-    covariance suffers the Epps effect).
-
-    Scale shape: tick intervals are SORTED streams (strictly increasing
-    starts and ends per instrument), so the overlap join runs as the
-    merge-based
-    operators/rangejoin.py::sorted_interval_overlap_pairs — each A
-    interval's overlapping B intervals form one contiguous index range
-    [lo, hi], both bounds computed by merged ordered counting passes,
-    and the pair fan-out is EXACTLY the true overlap count. No bin-width
-    parameter exists to mistune: the bucketized interval_overlap_join
-    needs a bin simultaneously >= most interval widths and <= the local
-    tick spacing, which a bursty tape (hairline intervals in packs
-    between huge gaps — the 10x/100x ts-shifted probe corpus) makes
-    impossible at ANY width (measured: quantile-tuned bins OOM at 100x
-    density; this shape runs). A naive `a.s < b.e AND b.s < a.e` join
-    would plan as a nested loop — the plan that dies at scale. The
-    symbol-pair roles come from a broadcast pair list (config-sized).
-    Zero-width intervals (duplicate ts_ms) match nothing on the
-    half-open overlap and drop on both engines; the return-product sum
-    rounds at 6 dp (order-sensitive float reduction)."""
-    from market_microstructure_toolkit_spark.operators.rangejoin import (
-        sorted_interval_overlap_pairs,
-    )
-
-    book = synthetic_book(spark, sf_dir)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
-    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
-    ivl = book.select(
-        *KEYS,
-        F.lag("ts_ms").over(w).alias("s"),
-        F.col("ts_ms").alias("e"),
-        F.log(mid / F.lag(mid).over(w)).alias("r"),
-    ).filter(F.col("s").isNotNull() & (F.col("e") > F.col("s")))
-    syms = sorted(
-        r["symbol"] for r in ivl.select("symbol").distinct().collect()
-    )
-    pair_list = [(x, y) for x in syms for y in syms if x < y]
-    pair_df = spark.createDataFrame(pair_list, "sym_a string, sym_b string")
-    a = ivl.join(
-        F.broadcast(pair_df), ivl.symbol == pair_df.sym_a
-    ).select(
-        "exchange_id",
-        "sym_a",
-        "sym_b",
-        F.col("s").alias("s_a"),
-        F.col("e").alias("e_a"),
-        F.col("r").alias("r_a"),
-    )
-    b = ivl.join(
-        F.broadcast(pair_df), ivl.symbol == pair_df.sym_b
-    ).select(
-        "exchange_id",
-        "sym_a",
-        "sym_b",
-        F.col("s").alias("s_b"),
-        F.col("e").alias("e_b"),
-        F.col("r").alias("r_b"),
-    )
-    pairs = sorted_interval_overlap_pairs(
-        a,
-        b,
-        ("exchange_id", "sym_a", "sym_b"),
-        "s_a",
-        "e_a",
-        "s_b",
-        "e_b",
-    )
-    return pairs.groupBy("exchange_id", "sym_a", "sym_b").agg(
-        F.round(F.sum(F.col("r_a") * F.col("r_b")), 6).alias("hy_cov"),
-        F.count(F.lit(1)).alias("n_overlaps"),
-    )
-
-
-@register(
-    "documents_jsonl_roundtrip",
-    "SELECT doc_id, text, lang, source, n_chars FROM documents",
-)
-def q_documents_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSONL sink -> source end-to-end for the documents corpus (the
-    training-data interchange format): write the table as JSON-lines,
-    read it back under the PINNED explicit schema (no inference scan —
-    at 100 TB schema inference is a full extra pass), return the
-    round-tripped frame. The schema is strings + 64-bit ints, so JSONL
-    is lossless (embedded newlines/quotes escape per JSON) and the
-    oracle is the table itself — any drop, mangle, or type drift breaks
-    the hash."""
-    from market_microstructure_toolkit_spark.sources.docs_io import (
-        read_documents_jsonl,
-        write_documents_jsonl,
-    )
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    path = _scratch(prefix="mmt_jsonl_rt_")
-    write_documents_jsonl(docs, path)
-    return read_documents_jsonl(spark, path).select(
-        "doc_id", "text", "lang", "source", "n_chars"
-    )
-
-
-_PSEUDONYMIZE_SQL = """
-SELECT c_custkey,
-  md5(CAST(c_name AS VARCHAR) || ':gate-salt') AS pseudonym,
-  regexp_replace(c_name, '\\d+', '<NUM>', 'g') AS redacted_name,
-  CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band,
-  c_mktsegment
-FROM customer
-"""
-
-
-@register("customer_pseudonymize", _PSEUDONYMIZE_SQL)
-def q_customer_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII hygiene over the customer dimension (operators/pii.py): the
-    stable natural key becomes a salted md5 surrogate (deterministic, so
-    joins across pseudonymized tables still line up), digit runs in the
-    display name are regex-redacted, and the account balance is
-    generalized to k-anonymity-style 1000-unit bands. Pure map-side
-    expression work — codegen, no shuffle, no UDFs; the fixture's names
-    carry real digit runs, so the redaction provably fires (pinned by a
-    unit test counting distinct redacted forms)."""
-    from market_microstructure_toolkit_spark.operators.pii import (
-        generalize_band,
-        pseudonymize,
-    )
-
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    out = pseudonymize(cust, "c_name", salt="gate-salt")
-    return out.select(
-        "c_custkey",
-        "pseudonym",
-        F.regexp_replace(F.col("c_name"), r"\d+", "<NUM>").alias(
-            "redacted_name"
-        ),
-        generalize_band("c_acctbal", 1000.0).alias("acctbal_band"),
-        "c_mktsegment",
-    )
-
-
-# --------------------------------------------------------------------------
-# Approximate-sketch tier: at 100 TB, exact DISTINCT and exact
-# percentiles are shuffle-the-world operations; the production path is a
-# mergeable sketch (HyperLogLog++ / Greenwald-Khanna) whose partial
-# states combine map-side. Sketch VALUES differ across engines, so the
-# raw estimate can't be hash-gated — instead each gate emits the exact
-# answer (engine-comparable) plus a DETERMINISTIC BOOLEAN "the sketch's
-# error is within its published contract", which the oracle asserts as
-# TRUE. A sketch regression flips the boolean and breaks the hash, so
-# these are full value-bearing gates (round-4 verdict ask #4); the
-# per-quantile rank-error mechanics are additionally pinned by
-# tests/test_sketches.py.
-# --------------------------------------------------------------------------
-
-
-_APPROX_DISTINCT_SQL = """
-SELECT event_type,
-       COUNT(DISTINCT user_id) AS exact_users,
-       COUNT(*) AS n_events,
-       TRUE AS approx_ok
-FROM events
-GROUP BY event_type
-"""
-
-
-@register("events_approx_distinct", _APPROX_DISTINCT_SQL)
-def q_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct users per event type via HyperLogLog++
-    (approx_count_distinct, rsd 2%) checked against the exact count in
-    the same aggregate. The sketch aggregates map-side into a fixed
-    ~1.5 KB register set per group and merges at the reducer — the
-    count-distinct you can actually afford over 100 TB (exact distinct
-    shuffles every (type, user) pair). The gate emits the exact count
-    plus ``approx_ok`` = relative error <= 10% (5 sigma of the 2% rsd,
-    absorbing small-cardinality wobble); the oracle asserts TRUE, so an
-    HLL regression breaks the hash."""
-    ev = read_events(spark, sf_dir)
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", 0.02).alias("__approx"),
-            F.countDistinct("user_id").alias("exact_users"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-        .select(
-            "event_type",
-            "exact_users",
-            "n_events",
-            (
-                F.abs(F.col("__approx") - F.col("exact_users"))
-                <= F.col("exact_users") * F.lit(0.10)
-            ).alias("approx_ok"),
-        )
-    )
-
-
-_APPROX_QUANTILES_SQL = """
-SELECT event_type,
-       COUNT(*) AS n_events,
-       ROUND(quantile_cont(value, 0.5), 6) AS q50_exact,
-       ROUND(quantile_cont(value, 0.9), 6) AS q90_exact,
-       ROUND(quantile_cont(value, 0.99), 6) AS q99_exact,
-       TRUE AS approx_ok
-FROM events
-GROUP BY event_type
-"""
-
-
-@register("events_approx_quantiles", _APPROX_QUANTILES_SQL)
-def q_events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """p50/p90/p99 of the event value per type via the Greenwald-Khanna
-    sketch (percentile_approx, accuracy 10000 -> worst-case rank error
-    1e-4), verified IN the gate: each approx quantile is joined back to
-    the events to measure its true empirical rank, and ``approx_ok`` =
-    every rank is within n*1e-4 + 1 of its target — the actual GK
-    guarantee (rank error, not value error). The exact interpolated
-    percentiles ride along as engine-comparable values (round 6dp,
-    matching DuckDB quantile_cont). The rank probe is 3 rows per group
-    broadcast against the events — one extra pass, no extra shuffle of
-    the data."""
-    ev = read_events(spark, sf_dir).select("event_type", "value")
-    qs = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
-    agg = ev.groupBy("event_type").agg(
-        F.percentile_approx("value", qs, 10000).alias("__approx_q"),
-        F.round(F.element_at(F.percentile("value", qs), 1), 6).alias("q50_exact"),
-        F.round(F.element_at(F.percentile("value", qs), 2), 6).alias("q90_exact"),
-        F.round(F.element_at(F.percentile("value", qs), 3), 6).alias("q99_exact"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-    probes = agg.select(
-        "event_type", F.posexplode("__approx_q").alias("__i", "__av")
-    )
-    ranks = (
-        ev.join(F.broadcast(probes), "event_type")
-        .groupBy("event_type", "__i", "__av")
-        .agg(
-            F.sum((F.col("value") <= F.col("__av")).cast("long")).alias("__rank")
-        )
-    )
-    target = F.element_at(qs, F.col("__i") + 1)
-    return (
-        agg.join(ranks, "event_type")
-        .withColumn(
-            "__ok",
-            F.abs(F.col("__rank") - target * F.col("n_events"))
-            <= F.col("n_events") * F.lit(1e-4) + F.lit(1.0),
-        )
-        .groupBy(
-            "event_type", "n_events", "q50_exact", "q90_exact", "q99_exact"
-        )
-        .agg(F.min("__ok").alias("approx_ok"))
-        .select(
-            "event_type",
-            "n_events",
-            "q50_exact",
-            "q90_exact",
-            "q99_exact",
-            "approx_ok",
-        )
-    )
-
-
-@register("streaming_trade_signs_replay", _TRADE_SIGNS_SQL)
-def q_streaming_trade_signs_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lee-Ready trade signs computed by the STREAMING tier: the
-    synthetic tape replayed as a two-micro-batch file stream (earlier
-    timestamps first) through the keyed stateful classifier
-    (streaming/trade_stream.py). Hash-matching the batch oracle proves
-    the tick-rule lookback — last price + last non-zero tick sign, two
-    scalars of per-instrument state — carries across the micro-batch
-    boundary: a midpoint print whose deciding tick happened in the
-    PREVIOUS batch still classifies correctly."""
-    import time
-    import uuid
-
-    from market_microstructure_toolkit_spark.streaming.trade_stream import (
-        stateful_lee_ready,
-    )
-
-    tape_base = _tape2(spark, sf_dir, "trades2")
-    base = _scratch(prefix="mmt_stream_signs_")  # per-run checkpoint
-    stream = (
-        spark.readStream.schema(
-            "exchange_id string, symbol string, ts_ms long, raw_nonce long,"
-            " mid double, price double, qty double"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{tape_base}/data/*/")
-    )
-    name = f"trade_signs_replay_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            stateful_lee_ready(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{base}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name).select(
-        *IDS, F.round("price", 6).alias("price"), "qty", "side"
-    )
-
-
-_MRR_SQL = f"""{_CLASSIFIED_CTE},
-staged AS (
-  SELECT exchange_id, symbol,
-    price - LAG(price) OVER ({_W}) AS dp,
-    CAST(side AS DOUBLE) AS x,
-    CAST(LAG(side) OVER ({_W}) AS DOUBLE) AS xl
-  FROM classified
-),
-sample AS (
-  SELECT * FROM staged WHERE dp IS NOT NULL AND xl IS NOT NULL
-),
-moments AS (
-  SELECT exchange_id, symbol,
-    VAR_SAMP(x) AS sxx, VAR_SAMP(xl) AS sll, COVAR_SAMP(x, xl) AS sxl,
-    COVAR_SAMP(dp, x) AS syx, COVAR_SAMP(dp, xl) AS syl,
-    CORR(x, xl) AS rho,
-    COUNT(*) AS n_obs
-  FROM sample GROUP BY exchange_id, symbol
-)
-SELECT exchange_id, symbol,
-  ROUND((syx * sll - syl * sxl) / (sxx * sll - sxl * sxl), 6) AS coef_x,
-  ROUND((syl * sxx - syx * sxl) / (sxx * sll - sxl * sxl), 6) AS coef_xlag,
-  ROUND(rho, 6) AS sign_autocorr,
-  ROUND((((syx * sll - syl * sxl) / (sxx * sll - sxl * sxl))
-       + ((syl * sxx - syx * sxl) / (sxx * sll - sxl * sxl))) / (1.0 - rho),
-       6) AS theta_adverse_selection,
-  n_obs
-FROM moments
-"""
-
-
-@register("trade_mrr_decomposition", _MRR_SQL)
-def q_trade_mrr_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Madhavan-Richardson-Roomans (1997) structural spread
-    decomposition per instrument, fitted WITHOUT any ML library: the
-    two-regressor OLS  dp_t = a*x_t + b*x_{t-1} + e  (x = Lee-Ready
-    sign) is solved in closed form from its normal equations, every term
-    a plain covariance/variance aggregate — Cramer's rule over
-    {Var(x), Var(x_lag), Cov(x,x_lag), Cov(dp,x), Cov(dp,x_lag)}. With
-    sign autocorrelation rho, MRR's adverse-selection component is
-    theta = (a + b) / (1 - rho). One instrument-keyed window for the
-    lags, one groupBy for the moments — two co-partitioned stages, the
-    same shape at 4 symbols or 4 million. Moment sums are
-    order-sensitive -> 6-dp rounding; both engines restrict to the
-    common non-null sample (first two prints per instrument drop)."""
-    tape = synthetic_trades(spark, sf_dir)
-    classified = T.classify_lee_ready(tape, KEYS, ORDER_COLS)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
-    staged = classified.select(
-        *KEYS,
-        (F.col("price") - F.lag("price").over(w)).alias("dp"),
-        F.col("side").cast("double").alias("x"),
-        F.lag(F.col("side").cast("double")).over(w).alias("xl"),
-    ).filter(F.col("dp").isNotNull() & F.col("xl").isNotNull())
-    m = staged.groupBy(*KEYS).agg(
-        F.var_samp("x").alias("sxx"),
-        F.var_samp("xl").alias("sll"),
-        F.covar_samp("x", "xl").alias("sxl"),
-        F.covar_samp("dp", "x").alias("syx"),
-        F.covar_samp("dp", "xl").alias("syl"),
-        F.corr("x", "xl").alias("rho"),
-        F.count(F.lit(1)).alias("n_obs"),
-    )
-    det = F.col("sxx") * F.col("sll") - F.col("sxl") * F.col("sxl")
-    a = (F.col("syx") * F.col("sll") - F.col("syl") * F.col("sxl")) / det
-    b = (F.col("syl") * F.col("sxx") - F.col("syx") * F.col("sxl")) / det
-    return m.select(
-        *KEYS,
-        F.round(a, 6).alias("coef_x"),
-        F.round(b, 6).alias("coef_xlag"),
-        F.round("rho", 6).alias("sign_autocorr"),
-        F.round((a + b) / (F.lit(1.0) - F.col("rho")), 6).alias(
-            "theta_adverse_selection"
-        ),
-        "n_obs",
-    )
-
-
-_L1_EVENTS_SQL = f"""{_BOOK_CTE},
-lagged AS (
-  SELECT exchange_id, symbol,
-    best_bid, best_ask, bid1_size, ask1_size,
-    LAG(best_bid) OVER ({_W}) AS pb,
-    LAG(best_ask) OVER ({_W}) AS pa,
-    LAG(bid1_size) OVER ({_W}) AS pbs,
-    LAG(ask1_size) OVER ({_W}) AS pas
-  FROM book
-),
-events_cls AS (
-  SELECT exchange_id, symbol,
-    CASE WHEN pb IS NULL THEN 'first'
-         WHEN best_bid > pb THEN 'bid_improve'
-         WHEN best_bid < pb THEN 'bid_worsen'
-         WHEN bid1_size IS NOT NULL AND pbs IS NOT NULL
-              AND bid1_size > pbs THEN 'bid_deepen'
-         WHEN bid1_size IS NOT NULL AND pbs IS NOT NULL
-              AND bid1_size < pbs THEN 'bid_thin'
-         ELSE 'bid_unchanged' END AS bid_event,
-    CASE WHEN pa IS NULL THEN 'first'
-         WHEN best_ask < pa THEN 'ask_improve'
-         WHEN best_ask > pa THEN 'ask_worsen'
-         WHEN ask1_size IS NOT NULL AND pas IS NOT NULL
-              AND ask1_size > pas THEN 'ask_deepen'
-         WHEN ask1_size IS NOT NULL AND pas IS NOT NULL
-              AND ask1_size < pas THEN 'ask_thin'
-         ELSE 'ask_unchanged' END AS ask_event
-  FROM lagged
-)
-SELECT exchange_id, symbol, bid_event, ask_event,
-       COUNT(*) AS n_ticks
-FROM events_cls GROUP BY exchange_id, symbol, bid_event, ask_event
-"""
-
-
-@register("book_l1_event_inference", _L1_EVENTS_SQL)
-def q_book_l1_event_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-book event-type inference from consecutive L1 snapshots —
-    the LOBSTER-style classification a snapshot recorder needs because
-    it never sees the raw add/cancel/trade feed: per side, each tick is
-    an improve (better price), worsen (worse price), deepen/thin (same
-    price, more/less size), or unchanged, summarized as a per-instrument
-    event-mix table. Price moves dominate size moves in the hierarchy
-    (a price change re-anchors the queue, so same-level size comparison
-    is only meaningful at an unchanged price). Pure lag-compare on ONE
-    instrument-keyed window + a groupBy on the same keys; comparisons
-    are exact (bit-identical derivation both engines), so no rounding is
-    needed anywhere."""
-    book = synthetic_book(spark, sf_dir)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
-    lagged = book.select(
-        *KEYS,
-        "best_bid",
-        "best_ask",
-        "bid1_size",
-        "ask1_size",
-        F.lag("best_bid").over(w).alias("pb"),
-        F.lag("best_ask").over(w).alias("pa"),
-        F.lag("bid1_size").over(w).alias("pbs"),
-        F.lag("ask1_size").over(w).alias("pas"),
-    )
-
-    def side_event(price, pprice, size, psize, better, prefix):
-        sz_ok = F.col(size).isNotNull() & F.col(psize).isNotNull()
-        return (
-            F.when(F.col(pprice).isNull(), F.lit("first"))
-            .when(better, F.lit(f"{prefix}_improve"))
-            .when(
-                (F.col(price) != F.col(pprice)), F.lit(f"{prefix}_worsen")
-            )
-            .when(sz_ok & (F.col(size) > F.col(psize)), F.lit(f"{prefix}_deepen"))
-            .when(sz_ok & (F.col(size) < F.col(psize)), F.lit(f"{prefix}_thin"))
-            .otherwise(F.lit(f"{prefix}_unchanged"))
-        )
-
-    cls = lagged.select(
-        *KEYS,
-        side_event(
-            "best_bid", "pb", "bid1_size", "pbs",
-            F.col("best_bid") > F.col("pb"), "bid",
-        ).alias("bid_event"),
-        side_event(
-            "best_ask", "pa", "ask1_size", "pas",
-            F.col("best_ask") < F.col("pa"), "ask",
-        ).alias("ask_event"),
-    )
-    return cls.groupBy(*KEYS, "bid_event", "ask_event").agg(
-        F.count(F.lit(1)).alias("n_ticks")
-    )
-
-
-_SALTED_JOIN_SQL = """
-SELECT e.user_id,
-       c.c_mktsegment,
-       COUNT(*) AS n_events,
-       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-FROM events e JOIN customer c ON e.user_id = c.c_custkey
-GROUP BY e.user_id, c.c_mktsegment
-"""
-
-
-@register("events_salted_join", _SALTED_JOIN_SQL)
-def q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correctness gate for the explicit-salting skew join
-    (partitioning.salted_join): events joined to the customer dimension
-    on user_id THROUGH the salted path — big side salted by a
-    deterministic row hash, dim side replicated n_salts times, join key
-    widened to (key, salt) — then aggregated per (user, segment). The
-    oracle is the PLAIN join: hash-equality proves salting is
-    semantics-preserving (no dup, no drop), which is the property that
-    lets an operator swap it in under a hot key without changing
-    results. Salting is for the case AQE's skew split can't fix (one
-    key bigger than a task); on this uniform fixture it costs one extra
-    narrow stage. Value sums use the repo's DECIMAL money idiom
-    (order-free exact, rounded at 2 dp before the double cast)."""
-    from market_microstructure_toolkit_spark.partitioning import salted_join
-
-    ev = read_events(spark, sf_dir).select("user_id", "value")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        F.col("c_custkey").alias("user_id"), "c_mktsegment"
-    )
-    joined = salted_join(ev, cust, on="user_id", n_salts=8)
-    return joined.groupBy("user_id", "c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("total_value"),
-    )
-
-
-def _vwap_multi_sql() -> str:
-    """Grouped X4 oracle: per instrument, walk that series' first
-    snapshot for the whole qty; slippage vs that series' own first/last
-    mids (naive X3/X4 convention), one row per instrument."""
-    w = _walk_exprs("25.0", BOOK_DEPTH)
-    return f"""{_BOOK_CTE},
-frst AS (
-  SELECT * FROM book
-  QUALIFY row_number() OVER (PARTITION BY exchange_id, symbol
-                             ORDER BY ts_ms, raw_nonce) = 1
-),
-lst AS (
-  SELECT exchange_id, symbol, (best_bid + best_ask) / 2.0 AS mid_close
-  FROM book
-  QUALIFY row_number() OVER (PARTITION BY exchange_id, symbol
-                             ORDER BY ts_ms DESC, raw_nonce DESC) = 1
-),
-w AS (
-  SELECT exchange_id, symbol,
-         (best_bid + best_ask) / 2.0 AS mid_open,
-         {w['filled']} AS filled,
-         {w['cost']} AS cost,
-         {w['touched']} AS touched
-  FROM frst
-)
-SELECT w.exchange_id, w.symbol,
-  'buy' AS side,
-  25.0 AS target_qty,
-  COALESCE(filled, 0.0) AS filled_qty,
-  CASE WHEN filled > 0 THEN cost / filled END AS vwap,
-  COALESCE(cost, 0.0) AS notional,
-  CASE WHEN filled > 0 AND mid_open <> 0
-       THEN 1e4 * ((cost / filled) / mid_open - 1.0)
-  END AS slippage_bps_vs_mid_open,
-  CASE WHEN filled > 0 AND mid_close <> 0
-       THEN 1e4 * ((cost / filled) / mid_close - 1.0)
-  END AS slippage_bps_vs_mid_close,
-  CAST(1 AS INTEGER) AS slices,
-  CAST(COALESCE(touched, 0) AS INTEGER) AS levels_touched
-FROM w JOIN lst USING (exchange_id, symbol)"""
-
-
-@register("vwap_multi_instrument", _vwap_multi_sql())
-def q_vwap_multi_instrument(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped X4 fan-out: the one-shot VWAP walk over EVERY instrument
-    in one pass (operators/impact.py::simulate_vwap_onbook_grouped) —
-    two instrument-keyed row_number windows (first/last rows), the
-    array-fold book walk on the G first rows, a G-vs-G key join for the
-    closing mid. Fully distributed: no driver collect, parallelism grows
-    with instrument count. Per-series rows are identical to the
-    single-series simulator's (pinned in tests/test_impact.py)."""
-    from market_microstructure_toolkit_spark.operators.impact import (
-        simulate_vwap_onbook_grouped,
-    )
-
-    book = synthetic_book(spark, sf_dir)
-    return simulate_vwap_onbook_grouped(book, "buy", 25.0, BOOK_DEPTH)
-
-
-_CROSS_ASOF_SQL = f"""{_BOOK_CTE},
-s0 AS (
-  SELECT exchange_id, ts_ms, raw_nonce,
-         (best_bid + best_ask) / 2.0 AS ref_mid
-  FROM book WHERE symbol = 'S0'
-),
-s1 AS (
-  SELECT exchange_id, ts_ms, raw_nonce,
-         (best_bid + best_ask) / 2.0 AS own_mid
-  FROM book WHERE symbol = 'S1'
-),
-merged AS (
-  SELECT exchange_id, ts_ms, 0 AS tag, raw_nonce AS ord,
-         ts_ms AS src_ts, ref_mid,
-         CAST(NULL AS BIGINT) AS tgt_nonce, CAST(NULL AS DOUBLE) AS own_mid
-  FROM s0
-  UNION ALL
-  SELECT exchange_id, ts_ms, 1, NULL, NULL, NULL, raw_nonce, own_mid
-  FROM s1
-),
-filled AS (
-  SELECT exchange_id, ts_ms, tag, tgt_nonce, own_mid,
-    LAST_VALUE(src_ts IGNORE NULLS) OVER
-      (PARTITION BY exchange_id ORDER BY ts_ms, tag, ord
-       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS src_ts_ms,
-    LAST_VALUE(ref_mid IGNORE NULLS) OVER
-      (PARTITION BY exchange_id ORDER BY ts_ms, tag, ord
-       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ref_mid
-  FROM merged
-)
-SELECT exchange_id, tgt_nonce AS raw_nonce, ts_ms, src_ts_ms,
-       ts_ms - src_ts_ms AS staleness_ms,
-       own_mid, ref_mid,
-       own_mid / ref_mid AS mid_ratio
-FROM filled WHERE tag = 1 AND src_ts_ms IS NOT NULL
-"""
-
-
-@register("book_cross_asset_align", _CROSS_ASOF_SQL)
-def q_book_cross_asset_align(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-asset backward as-of WITHOUT broadcasting either side: each
-    S1 tick carries the last S0 mid at-or-before it (the alignment a
-    pairs/lead-lag model starts from). `asof_nearest` broadcasts its
-    target side — right for schedule-sized targets, wrong when BOTH
-    sides are full tapes — so this rides
-    operators/asof.py::asof_backward_union: tag both streams, UNION, one
-    exchange-keyed ordered window carrying the last non-null snapshot
-    values forward. One shuffle total, no join operator in the plan at
-    all; tie rules (same-ts snapshot counts; duplicate-ts snapshots
-    resolve to highest nonce) match DuckDB's window twin exactly. Mids
-    ride bit-exact; the ratio is one division — no rounding anywhere."""
-    from market_microstructure_toolkit_spark.operators.asof import (
-        asof_backward_union,
-    )
-
-    book = synthetic_book(spark, sf_dir)
-    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
-    s0 = book.filter(F.col("symbol") == "S0").select(
-        "exchange_id", "ts_ms", "raw_nonce", mid.alias("ref_mid")
-    )
-    s1 = book.filter(F.col("symbol") == "S1").select(
-        "exchange_id",
-        "ts_ms",
-        F.col("raw_nonce").alias("tgt_nonce"),
-        mid.alias("own_mid"),
-    )
-    aligned = asof_backward_union(
-        s0,
-        s1,
-        keys=("exchange_id",),
-        ts_col="ts_ms",
-        value_cols=("ref_mid",),
-        target_ts_col="ts_ms",
-        snapshot_order_col="raw_nonce",
-        target_payload_cols=("tgt_nonce", "own_mid"),
-    )
-    return aligned.filter(F.col("src_ts_ms").isNotNull()).select(
-        "exchange_id",
-        F.col("tgt_nonce").alias("raw_nonce"),
-        "ts_ms",
-        "src_ts_ms",
-        (F.col("ts_ms") - F.col("src_ts_ms")).alias("staleness_ms"),
-        "own_mid",
-        "ref_mid",
-        (F.col("own_mid") / F.col("ref_mid")).alias("mid_ratio"),
-    )
-
-
-@register("streaming_vpin_replay", _VPIN_SQL)
-def q_streaming_vpin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """VPIN computed by the STREAMING tier: the tape replayed as a
-    two-micro-batch file stream through BOTH keyed stateful operators
-    chained — Lee-Ready signs (tick-rule state), then volume-synchronized
-    bucket assignment (cumulative-volume state) — and aggregated to the
-    per-bucket imbalance (one applyInPandasWithState per stream is a
-    Structured Streaming limit, hence the fused operator). Hash-matching
-    the batch oracle proves the
-    volume clock survives the micro-batch boundary: a bucket that opens
-    at the end of batch 1 and fills at the start of batch 2 carries ONE
-    id and one imbalance, because its boundary comes from carried
-    cumulative volume rather than per-batch sums. Chaining two
-    applyInPandasWithState stages re-shuffles on the same instrument
-    keys — two O(instruments) state stores, no extra data movement
-    pattern beyond the second keyed exchange."""
-    import time
-    import uuid
-
-    from market_microstructure_toolkit_spark.streaming.trade_stream import (
-        stateful_signed_buckets,
-    )
-
-    tape_base = _tape2(spark, sf_dir, "trades2")
-    base = _scratch(prefix="mmt_stream_vpin_")  # per-run checkpoint
-    stream = (
-        spark.readStream.schema(
-            "exchange_id string, symbol string, ts_ms long, raw_nonce long,"
-            " mid double, price double, qty double"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{tape_base}/data/*/")
-    )
-    name = f"vpin_replay_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            stateful_signed_buckets(stream, 50.0)
-            .writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{base}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    rows = spark.table(name)
-    qty, side = F.col("qty"), F.col("side")
-    return rows.groupBy(*KEYS, "bucket").agg(
-        F.sum(F.when(side > 0, qty).otherwise(F.lit(0.0))).alias("buy_vol"),
-        F.sum(F.when(side < 0, qty).otherwise(F.lit(0.0))).alias("sell_vol"),
-        F.sum(qty).alias("total_vol"),
-        F.count(F.lit(1)).alias("n_trades"),
-    ).withColumn(
-        "vpin",
-        F.abs(F.col("buy_vol") - F.col("sell_vol")) / F.col("total_vol"),
-    )
-
-
-@register("streaming_vpin_two_stage_replay", _VPIN_SQL)
-def q_streaming_vpin_two_stage_replay(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """VPIN with the two stateful operators UN-fused: stage 1 streams
-    the tape through ``stateful_lee_ready`` alone (tick-rule state) and
-    lands each micro-batch in a handoff directory via ``foreachBatch``;
-    stage 2 streams the handoff through ``stateful_volume_buckets``
-    alone (volume-clock state). This is the production shape when the
-    two operators live in separate jobs joined by a topic/landing zone —
-    and the only way to chain two ``applyInPandasWithState`` operators,
-    which Structured Streaming limits to one per stream (the in-plan
-    chain needs ``transformWithStateInPandas``, blocked in this
-    environment by the missing google.protobuf dependency — see
-    ``streaming/trade_stream_tws.py``). Hash-matching the SAME batch
-    oracle as the fused ``streaming_vpin_replay`` proves fused and
-    un-fused compositions agree, with BOTH state tuples still crossing
-    a micro-batch boundary (the handoff keeps stage 1's two-batch
-    structure, mtime-stamped)."""
-    import uuid
-
-    from market_microstructure_toolkit_spark.streaming.trade_stream import (
-        stateful_lee_ready,
-        stateful_volume_buckets,
-    )
-
-    tape_base = _tape2(spark, sf_dir, "trades2")
-    base = _scratch(prefix="mmt_stream_vpin2_")
-    schema = (
-        "exchange_id string, symbol string, ts_ms long, raw_nonce long,"
-        " mid double, price double, qty double"
-    )
-    stream1 = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{tape_base}/data/*/")
-    )
-
-    def land(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.coalesce(1).write.parquet(f"{base}/signed/b{batch_id}")
-
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q1 = (
-            stateful_lee_ready(stream1)
-            .writeStream.foreachBatch(land)
-            .option("checkpointLocation", f"{base}/ckpt1")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q1.awaitTermination(300)
-        import os
-
-        chunk_dirs = sorted(
-            f"{base}/signed/{d}"
-            for d in os.listdir(f"{base}/signed")
-            if d.startswith("b")
-        )
-        _stamp_batch_order(*chunk_dirs)
-        stream2 = (
-            spark.readStream.schema(schema + ", side int")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{base}/signed/*/")
-        )
-        name = f"vpin2_replay_{uuid.uuid4().hex[:8]}"
-        q2 = (
-            stateful_volume_buckets(stream2, 50.0)
-            .writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{base}/ckpt2")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q2.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    rows = spark.table(name)
-    qty, side = F.col("qty"), F.col("side")
-    return rows.groupBy(*KEYS, "bucket").agg(
-        F.sum(F.when(side > 0, qty).otherwise(F.lit(0.0))).alias("buy_vol"),
-        F.sum(F.when(side < 0, qty).otherwise(F.lit(0.0))).alias("sell_vol"),
-        F.sum(qty).alias("total_vol"),
-        F.count(F.lit(1)).alias("n_trades"),
-    ).withColumn(
-        "vpin",
-        F.abs(F.col("buy_vol") - F.col("sell_vol")) / F.col("total_vol"),
-    )
-
-
-_ACF_SQL = f"""{_BOOK_CTE},
-rets AS (
-  SELECT exchange_id, symbol, ts_ms, raw_nonce,
-    LN(((best_bid + best_ask) / 2.0)
-       / (LAG((best_bid + best_ask) / 2.0) OVER ({_W}))) AS r
-  FROM book
-),
-lagged AS (
-  SELECT exchange_id, symbol, r,
-    LAG(r, 1) OVER ({_W}) AS r1,
-    LAG(r, 2) OVER ({_W}) AS r2,
-    LAG(r, 3) OVER ({_W}) AS r3,
-    LAG(r, 4) OVER ({_W}) AS r4,
-    LAG(r, 5) OVER ({_W}) AS r5
-  FROM rets
-)
-SELECT exchange_id, symbol, lag,
-       ROUND(acf, 6) AS acf, n_pairs
-FROM (
-  SELECT exchange_id, symbol, 1 AS lag, CORR(r, r1) AS acf,
-         COUNT(CASE WHEN r IS NOT NULL AND r1 IS NOT NULL THEN 1 END) AS n_pairs
-  FROM lagged GROUP BY exchange_id, symbol
-  UNION ALL
-  SELECT exchange_id, symbol, 2, CORR(r, r2),
-         COUNT(CASE WHEN r IS NOT NULL AND r2 IS NOT NULL THEN 1 END)
-  FROM lagged GROUP BY exchange_id, symbol
-  UNION ALL
-  SELECT exchange_id, symbol, 3, CORR(r, r3),
-         COUNT(CASE WHEN r IS NOT NULL AND r3 IS NOT NULL THEN 1 END)
-  FROM lagged GROUP BY exchange_id, symbol
-  UNION ALL
-  SELECT exchange_id, symbol, 4, CORR(r, r4),
-         COUNT(CASE WHEN r IS NOT NULL AND r4 IS NOT NULL THEN 1 END)
-  FROM lagged GROUP BY exchange_id, symbol
-  UNION ALL
-  SELECT exchange_id, symbol, 5, CORR(r, r5),
-         COUNT(CASE WHEN r IS NOT NULL AND r5 IS NOT NULL THEN 1 END)
-  FROM lagged GROUP BY exchange_id, symbol
-)
-"""
-
-
-@register("book_return_acf", _ACF_SQL)
-def q_book_return_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Return autocorrelation function, lags 1-5, per instrument — the
-    classic microstructure diagnostic (bid-ask bounce shows up as
-    negative lag-1 ACF; Roll's estimator is built on exactly that
-    moment). ONE window pass materializes all five lagged columns (the
-    five lags share the instrument-keyed sort), then one groupBy
-    computes five CORR aggregates that unpivot to (lag, acf) rows via
-    an in-plan stack — no re-scan per lag, no second shuffle. CORR is an
-    order-sensitive moment -> 6-dp rounding."""
-    book = synthetic_book(spark, sf_dir)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
-    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
-    rets = book.select(
-        *KEYS, *ORDER_COLS, F.log(mid / F.lag(mid).over(w)).alias("r")
-    )
-    lagged = rets.select(
-        *KEYS,
-        "r",
-        *[F.lag("r", k).over(w).alias(f"r{k}") for k in range(1, 6)],
-    )
-    agg = lagged.groupBy(*KEYS).agg(
-        *[F.corr("r", f"r{k}").alias(f"acf{k}") for k in range(1, 6)],
-        *[
-            F.count(
-                F.when(F.col("r").isNotNull() & F.col(f"r{k}").isNotNull(), 1)
-            ).alias(f"n{k}")
-            for k in range(1, 6)
-        ],
-    )
-    stacked = agg.select(
-        *KEYS,
-        F.expr(
-            "stack(5, "
-            + ", ".join(f"{k}, acf{k}, n{k}" for k in range(1, 6))
-            + ") AS (lag, acf, n_pairs)"
-        ),
-    )
-    return stacked.select(
-        *KEYS,
-        "lag",
-        F.round("acf", 6).alias("acf"),
-        "n_pairs",
-    )
-
-
-_SEASONALITY_SQL = f"""{_BOOK_CTE},
-rets AS (
-  SELECT exchange_id, symbol, ts_ms,
-    LN(((best_bid + best_ask) / 2.0)
-       / (LAG((best_bid + best_ask) / 2.0) OVER ({_W}))) AS r
-  FROM book
-)
-SELECT exchange_id, symbol,
-       CAST((ts_ms // 3600000) % 24 AS BIGINT) AS hour_utc,
-       ROUND(AVG(ABS(r)) * 1e4, 6) AS avg_abs_ret_bps,
-       COUNT(r) AS n_returns
-FROM rets GROUP BY exchange_id, symbol, (ts_ms // 3600000) % 24
-"""
-
-
-@register("book_intraday_seasonality", _SEASONALITY_SQL)
-def q_book_intraday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Intraday volatility seasonality: mean |log return| (bps) per
-    instrument per UTC hour-of-day, aggregated across all days — the
-    U-shaped activity profile every execution scheduler calibrates
-    against. One keyed window for returns, then a partial-aggregating
-    groupBy on (instrument, hour): 24 uniform buckets per instrument,
-    no skew. AVG is order-sensitive -> 6-dp rounding."""
-    book = synthetic_book(spark, sf_dir)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
-    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
-    rets = book.select(
-        *KEYS,
-        "ts_ms",
-        F.log(mid / F.lag(mid).over(w)).alias("r"),
-    )
-    hour = ((F.col("ts_ms") / F.lit(3600000)).cast("long") % 24).alias(
-        "hour_utc"
-    )
-    return rets.groupBy(*KEYS, hour).agg(
-        F.round(F.avg(F.abs(F.col("r"))) * F.lit(1e4), 6).alias(
-            "avg_abs_ret_bps"
-        ),
-        F.count("r").alias("n_returns"),
-    )
-
-
-_RCOV_SQL = f"""{_BOOK_CTE},
-rng AS (
-  SELECT exchange_id, MIN(ts_ms) AS a, MAX(ts_ms) AS b
-  FROM book GROUP BY exchange_id
-),
-grid AS (
-  SELECT exchange_id,
-         unnest(range(a, b + 1, GREATEST((b - a) // 500, 1))) AS t
-  FROM rng
-),
-syms AS (SELECT DISTINCT exchange_id, symbol FROM book),
-symgrid AS (
-  SELECT s.exchange_id, s.symbol, g.t
-  FROM grid g JOIN syms s USING (exchange_id)
-),
-merged AS (
-  SELECT exchange_id, symbol, ts_ms AS t, 0 AS tag, raw_nonce AS ord,
-         (best_bid + best_ask) / 2.0 AS mid
-  FROM book
-  UNION ALL
-  SELECT exchange_id, symbol, t, 1, NULL, NULL FROM symgrid
-),
-filled AS (
-  SELECT exchange_id, symbol, t, tag,
-    LAST_VALUE(mid IGNORE NULLS) OVER
-      (PARTITION BY exchange_id, symbol ORDER BY t, tag, ord
-       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mid
-  FROM merged
-),
-samples AS (
-  SELECT exchange_id, symbol, t, mid
-  FROM filled WHERE tag = 1 AND mid IS NOT NULL
-),
-srets AS (
-  SELECT exchange_id, symbol, t,
-    LN(mid / LAG(mid) OVER (PARTITION BY exchange_id, symbol ORDER BY t))
-      AS r
-  FROM samples
-)
-SELECT a.exchange_id AS exchange_id,
-       a.symbol AS sym_a, b.symbol AS sym_b,
-       ROUND(COVAR_SAMP(a.r, b.r), 10) AS rcov,
-       COUNT(CASE WHEN a.r IS NOT NULL AND b.r IS NOT NULL THEN 1 END)
-         AS n_grid_returns
-FROM srets a JOIN srets b
-  ON a.exchange_id = b.exchange_id AND a.t = b.t
- AND a.symbol <= b.symbol
-GROUP BY a.exchange_id, a.symbol, b.symbol
-"""
-
-
-@register("book_realized_cov_matrix", _RCOV_SQL)
-def q_book_realized_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synchronized realized covariance matrix: every instrument's mid
-    sampled onto ONE common 500-point time grid per exchange (backward
-    as-of via the tag+union+running-last shape — no join, no broadcast
-    of data), grid log-returns per instrument, then the full
-    upper-triangle covariance matrix (variances on the diagonal) from
-    one equi-join on (exchange, grid tick). This is the estimator the
-    Hayashi-Yoshida gate deliberately avoids (resampling loses the
-    asynchronous information — Epps effect) and the pair shows both
-    sides of that trade; a portfolio risk pipeline wants exactly this
-    grid form. Scale: the grid is config-sized per exchange (500 ticks x
-    instruments), the sampling pass is one keyed window over
-    snapshots+ticks, and the pair join fans out |instruments| per grid
-    row. COVAR over ~500 aligned returns rounds at 10 dp (values sit
-    near 1e-8; 6 dp would round them all to zero and gate nothing)."""
-    book = synthetic_book(spark, sf_dir)
-    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
-    rng = book.groupBy("exchange_id").agg(
-        F.min("ts_ms").alias("a"), F.max("ts_ms").alias("b")
-    )
-    grid = rng.select(
-        "exchange_id",
-        F.explode(
-            F.sequence(
-                F.col("a"),
-                F.col("b"),
-                F.greatest(F.lit(1).cast("long"), F.expr("(b - a) DIV 500")),
-            )
-        ).alias("t"),
-    )
-    # config-sized driver pull (instrument list), then a map-side
-    # literal-array explode — a distinct-subquery join here would plan
-    # as a keyless BNLJ after Catalyst constant-folds the single
-    # exchange key away
-    syms = sorted(
-        r["symbol"]
-        for r in book.select("symbol").distinct().collect()
-    )
-    symgrid = grid.select(
-        "exchange_id",
-        F.explode(F.array(*[F.lit(s) for s in syms])).alias("symbol"),
-        "t",
-    )
-    snaps = book.select(
-        "exchange_id",
-        "symbol",
-        F.col("ts_ms").alias("t"),
-        F.lit(0).alias("tag"),
-        F.col("raw_nonce").alias("ord"),
-        mid.alias("mid"),
-    )
-    ticks = symgrid.select(
-        "exchange_id",
-        "symbol",
-        "t",
-        F.lit(1).alias("tag"),
-        F.lit(None).cast("long").alias("ord"),
-        F.lit(None).cast("double").alias("mid"),
-    )
-    w = (
-        Window.partitionBy("exchange_id", "symbol")
-        .orderBy("t", "tag", "ord")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = snaps.unionByName(ticks).select(
-        "exchange_id",
-        "symbol",
-        "t",
-        "tag",
-        F.last("mid", ignorenulls=True).over(w).alias("mid"),
-    )
-    samples = filled.filter(
-        (F.col("tag") == 1) & F.col("mid").isNotNull()
-    ).select("exchange_id", "symbol", "t", "mid")
-    ws = Window.partitionBy("exchange_id", "symbol").orderBy("t")
-    srets = samples.select(
-        "exchange_id",
-        "symbol",
-        "t",
-        F.log(F.col("mid") / F.lag("mid").over(ws)).alias("r"),
-    )
-    a = srets.select(
-        "exchange_id",
-        F.col("symbol").alias("sym_a"),
-        "t",
-        F.col("r").alias("r_a"),
-    )
-    b = srets.select(
-        "exchange_id",
-        F.col("symbol").alias("sym_b"),
-        "t",
-        F.col("r").alias("r_b"),
-    )
-    pairs = a.join(b, ["exchange_id", "t"]).filter(
-        F.col("sym_a") <= F.col("sym_b")
-    )
-    return pairs.groupBy("exchange_id", "sym_a", "sym_b").agg(
-        F.round(F.covar_samp("r_a", "r_b"), 10).alias("rcov"),
-        F.count(
-            F.when(F.col("r_a").isNotNull() & F.col("r_b").isNotNull(), 1)
-        ).alias("n_grid_returns"),
-    )
-
-
-@register(
-    "book_orc_roundtrip",
-    f"{_BOOK_CTE} SELECT book.*, CAST(NULL AS VARCHAR) AS iso FROM book",
-)
-def q_book_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORC sink -> ORC source, hive-partitioned by symbol — the second
-    columnar format behind the S6/S8 writer surface (book_io.write_book_orc).
-    ORC is lossless for the book's doubles/longs/strings, so the oracle is
-    the book itself: any bit flip in the format pair breaks the hash. The
-    partition column round-trips through the directory encoding, proving
-    partition-pruned reads work for an ORC-standardized warehouse too."""
-    from market_microstructure_toolkit_spark.sources.book_io import (
-        read_book_orc,
-        write_book_orc,
-    )
-
-    book = synthetic_book(spark, sf_dir)
-    path = _scratch(prefix="mmt_orc_rt_")
-    write_book_orc(book, path, partition_by=("symbol",))
-    back = read_book_orc(spark, path)
-    return back.select(*book.columns).withColumn(
-        "iso", F.lit(None).cast("string")
-    )
-
-
-_TSRV_K = 5
-_TSRV_SQL = f"""{_BOOK_CTE},
-rets AS (
-  SELECT exchange_id, symbol,
-    LN(((best_bid + best_ask) / 2.0)
-       / (LAG((best_bid + best_ask) / 2.0) OVER ({_W}))) AS r1,
-    LN(((best_bid + best_ask) / 2.0)
-       / (LAG((best_bid + best_ask) / 2.0, {_TSRV_K}) OVER ({_W}))) AS rk
-  FROM book
-)
-SELECT exchange_id, symbol,
-  ROUND(SUM(r1 * r1), 6) AS rv_all,
-  ROUND(SUM(rk * rk) / {_TSRV_K}.0, 6) AS rv_k_avg,
-  ROUND(
-    (SUM(rk * rk) / {_TSRV_K}.0
-     - ((COUNT(r1) - {_TSRV_K} + 1.0) / {_TSRV_K}.0 / COUNT(r1)) * SUM(r1 * r1))
-    / (1.0 - (COUNT(r1) - {_TSRV_K} + 1.0) / {_TSRV_K}.0 / COUNT(r1)),
-  6) AS tsrv,
-  COUNT(r1) AS n_returns
-FROM rets GROUP BY exchange_id, symbol
-"""
-
-
-@register("book_tsrv", _TSRV_SQL)
-def q_book_tsrv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-scale realized variance per instrument (Zhang, Mykland &
-    Ait-Sahalia 2005): tick-by-tick RV is dominated by microstructure
-    noise (2n x noise variance), so TSRV debiases it with the K-spaced
-    scale — the average of the K offset subsample RVs is SUM(r_K^2)/K in
-    one pass via LAG(mid, K) — minus (nbar/n) x RV_all, rescaled by the
-    small-sample factor 1/(1 - nbar/n). The reported ``tsrv`` is the
-    noise-corrected integrated variance to quote beside the raw
-    ``rv_all`` (their gap estimates the noise floor itself). One keyed
-    window computes both lags (1 and K) in a single pass, then one
-    groupBy on the same keys — co-partitioned shuffles, no extra pass
-    for the subsample grids. Order-sensitive float sums round at 6 dp
-    (bipower idiom)."""
-    book = synthetic_book(spark, sf_dir)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
-    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
-    k = _TSRV_K
-    rets = book.select(
-        *KEYS,
-        F.log(mid / F.lag(mid).over(w)).alias("r1"),
-        F.log(mid / F.lag(mid, k).over(w)).alias("rk"),
-    )
-    n = F.count("r1")
-    rv_all = F.sum(F.col("r1") * F.col("r1"))
-    rv_k_avg = F.sum(F.col("rk") * F.col("rk")) / F.lit(float(k))
-    nbar_over_n = (n - k + F.lit(1.0)) / F.lit(float(k)) / n
-    return rets.groupBy(*KEYS).agg(
-        F.round(rv_all, 6).alias("rv_all"),
-        F.round(rv_k_avg, 6).alias("rv_k_avg"),
-        F.round(
-            (rv_k_avg - nbar_over_n * rv_all) / (F.lit(1.0) - nbar_over_n), 6
-        ).alias("tsrv"),
-        n.alias("n_returns"),
-    )
-
-
-_BUCKETED_JOIN_SQL = """
-SELECT o_orderpriority,
-  COUNT(*) AS n_items,
-  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))), 2) AS DOUBLE) AS revenue
-FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-GROUP BY o_orderpriority
-"""
-
-
-@register("orders_bucketed_join", _BUCKETED_JOIN_SQL)
-def q_orders_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact-to-fact join through pre-bucketed tables
-    (partitioning.write_bucketed): orders and lineitem are each written
-    hash-clustered into 8 buckets on their order key, then joined by
-    reading the bucketed tables back — the join plans as a SortMergeJoin
-    with NO Exchange on either side (asserted in
-    tests/test_properties_and_plans.py), because the shuffle was paid
-    once at write time. At 100 TB this is the difference between
-    re-shuffling two fact tables on every query and a metadata-only
-    co-located merge; the oracle is the PLAIN join on the raw parquet,
-    so hash-equality also proves bucketing is semantics-preserving.
-    Money sums use the DECIMAL idiom (order-free exact, 2 dp)."""
-    import uuid
-
-    from market_microstructure_toolkit_spark.partitioning import write_bucketed
-
-    base = _scratch(prefix="mmt_bucketed_")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
-    )
-    # uuid-suffixed catalog names: sessions sharing a metastore must not
-    # clobber each other's (or a user's same-named) tables
-    tag = uuid.uuid4().hex[:12]
-    t_orders, t_li = f"mmt_bucket_orders_{tag}", f"mmt_bucket_lineitem_{tag}"
-    write_bucketed(orders, t_orders, f"{base}/orders", "o_orderkey")
-    write_bucketed(li, t_li, f"{base}/lineitem", "l_orderkey")
-    bo = spark.table(t_orders)
-    bl = spark.table(t_li)
-    joined = bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"])
-    return joined.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.round(
-            F.sum(
-                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
-                .cast("decimal(24,8)")
-            ),
-            2,
-        )
-        .cast("double")
-        .alias("revenue"),
-    )
-
-
-_CDC_SQL = """
-WITH upd AS (
-  SELECT doc_id, text || ' [rev2]' AS text, lang, source,
-         n_chars + 7 AS n_chars, 'U' AS op
-  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0
-),
-dels AS (
-  SELECT doc_id, text, lang, source, n_chars, 'D' AS op
-  FROM documents WHERE doc_id % 13 = 0
-),
-ins AS (
-  SELECT doc_id + 10000000 AS doc_id, text, lang,
-         'cdc_backfill' AS source, n_chars, 'U' AS op
-  FROM documents WHERE doc_id % 11 = 0
-),
-changes AS (
-  SELECT * FROM upd UNION ALL SELECT * FROM dels UNION ALL SELECT * FROM ins
-),
-unioned AS (
-  SELECT doc_id, text, lang, source, n_chars, 0 AS ver, 'U' AS op
-  FROM documents
-  UNION ALL
-  SELECT doc_id, text, lang, source, n_chars, 1 AS ver, op FROM changes
-)
-SELECT doc_id, text, lang, source, n_chars
-FROM unioned
-QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY ver DESC, op ASC) = 1
-        AND op <> 'D'
-"""
-
-
-@register("documents_cdc_apply", _CDC_SQL)
-def q_documents_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental corpus merge (operators/cdc.apply_cdc): a derived
-    change batch — revisions for doc_id%7, deletes for doc_id%13,
-    backfilled inserts for doc_id%11 — applied onto the documents
-    snapshot with latest-version-wins semantics (the Delta MERGE INTO /
-    Hudi compaction shape on bare parquet). One union + one keyed
-    window, no join; the oracle replays the same merge relationally in
-    DuckDB, so the hash pins upsert, delete, insert, AND the
-    delete-beats-upsert tie rule at once."""
-    from market_microstructure_toolkit_spark.operators.cdc import apply_cdc
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    did = F.col("doc_id")
-    upd = docs.filter((did % 7 == 0) & (did % 13 != 0)).select(
-        "doc_id",
-        F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"),
-        "lang",
-        "source",
-        (F.col("n_chars") + 7).alias("n_chars"),
-        F.lit("U").alias("op"),
-    )
-    dels = docs.filter(did % 13 == 0).withColumn("op", F.lit("D"))
-    ins = docs.filter(did % 11 == 0).select(
-        (did + 10_000_000).alias("doc_id"),
-        "text",
-        "lang",
-        F.lit("cdc_backfill").alias("source"),
-        "n_chars",
-        F.lit("U").alias("op"),
-    )
-    changes = upd.unionByName(dels).unionByName(ins)
-    return apply_cdc(docs, changes, "doc_id")
-
-
-@register(
-    "documents_compaction",
-    "SELECT doc_id, text, lang, source, n_chars FROM documents",
-)
-def q_documents_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Small-files compaction (partitioning.compact_files): the corpus
-    is first shattered into 64 tiny parquet files (the streaming-ingest
-    pathology), then rewritten with the file count sized from actual
-    input bytes at a 4 MiB target. The gate returns the compacted
-    table's full content against the identity oracle — compaction must
-    be byte-lossless — and the file-count reduction itself is pinned in
-    pytest (an environment-dependent number that doesn't belong in a
-    cross-engine hash)."""
-    from market_microstructure_toolkit_spark.partitioning import compact_files
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    base = _scratch(prefix="mmt_compact_")
-    src, dst = f"{base}/small", f"{base}/compacted"
-    docs.repartition(64).write.mode("overwrite").parquet(src)
-    compact_files(spark, src, dst, target_bytes=4 * 1024 * 1024)
-    return spark.read.parquet(dst).select(
-        "doc_id", "text", "lang", "source", "n_chars"
-    )
-
-
-def _twap_almgren_sql() -> str:
-    """Almgren-Chriss oracle: the front-loaded slice sizes are CONFIG
-    constants (closed-form sinh/cosh of kappa and N, no data
-    dependence), so — like the seeded stochastic draws — they are
-    computed once driver-side (operators.impact.almgren_sizes) and
-    embedded as string-quoted literals (shortest-roundtrip doubles parse
-    identically in both engines). Everything data-dependent reuses the
-    deterministic X5 machinery: round-half-even schedule positions,
-    last-duplicate-wins row match, stop-at-first-blank walk, buy-fee
-    uplift."""
-    from market_microstructure_toolkit_spark.operators.impact import (
-        almgren_sizes,
-    )
-
-    slices, target, kappa = 16, 40.0, 0.35
-    sizes = almgren_sizes(target, slices, kappa)
-    vals = ",\n    ".join(
-        f"({k + 1}, CAST('{sizes[k]!r}' AS DOUBLE))" for k in range(slices)
-    )
-    w = _walk_exprs("slice_target_qty", BOOK_DEPTH, blank="stop")
-    return f"""{_BOOK_CTE},
-s0 AS (SELECT * FROM book WHERE symbol = 'S0'),
-nn AS (SELECT COUNT(*) AS n FROM s0),
-numbered AS (
-  SELECT *, row_number() OVER (ORDER BY ts_ms, raw_nonce) - 1 AS pos FROM s0
-),
-sched(s, qty) AS (VALUES
-    {vals}
-),
-sl AS (
-  SELECT s, qty,
-         CAST(round_even((s - 1) * (n - 1) / CAST({slices - 1} AS DOUBLE), 0) AS BIGINT) AS pos
-  FROM sched, nn
-),
-tsz AS (SELECT sl.s, sl.qty, r.ts_ms AS target_ts FROM sl JOIN numbered r USING (pos)),
-matched AS (
-  SELECT t.s AS slice, t.qty AS slice_target_qty, r.*
-  FROM tsz t JOIN numbered r ON r.ts_ms = t.target_ts
-  QUALIFY row_number() OVER (PARTITION BY t.s ORDER BY r.raw_nonce DESC) = 1
-)
-SELECT CAST(slice AS INTEGER) AS slice,
-  CAST(ts_ms AS BIGINT) AS ts_ms,
-  '' AS iso,
-  {w['filled']} AS filled_qty,
-  slice_target_qty,
-  CASE WHEN ({w['filled']}) > 0
-       THEN GREATEST(({w['cost']}) * (1.0 + 2.0 / 1e4), 0.0) / ({w['filled']})
-       ELSE CAST('nan' AS DOUBLE) END AS slice_vwap,
-  {w['touched']} AS levels_touched
-FROM matched"""
-
-
-@register("twap_almgren_sim", _twap_almgren_sql())
-def q_twap_almgren_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Almgren-Chriss optimal execution (2001) through the realistic
-    TWAP simulator: schedule='almgren' front-loads the slice sizes along
-    the closed-form sinh trajectory (kappa=0.35 urgency; kappa->0
-    recovers the equal-slice TWAP — unit-pinned in test_impact), then
-    the existing deterministic X5 path executes them (schedule
-    positions, nearest-row match, stop-at-blank walk, fees). Same
-    distributed shape as twap_real_equal_sim: per-slice walks fan out,
-    only the O(slices) schedule is driver-side."""
-    from market_microstructure_toolkit_spark.operators.impact import (
-        TwapConfig,
-        simulate_twap_real,
-    )
-
-    book = synthetic_book(spark, sf_dir).filter(F.col("symbol") == "S0")
-    cfg = TwapConfig(
-        side="buy", target_qty=40.0, slices=16, fee_bps=2.0,
-        jitter_ms=0, schedule="almgren", kappa=0.35, depth_cap=BOOK_DEPTH,
-    )
-    _, per_slice = simulate_twap_real(book, cfg)
-    return per_slice
-
-
-_SCD2_SQL = """
-WITH ev AS (
-  SELECT event_id, epoch_ms(ts) AS ms, user_id, event_type, value FROM events
-),
-bounds AS (SELECT MIN(ms) AS a, MAX(ms) AS b FROM ev),
-dim AS (
-  SELECT c_custkey AS user_id, c_mktsegment AS segment,
-         a AS valid_from, (a + b) // 2 AS valid_to
-  FROM customer, bounds
-  UNION ALL
-  SELECT c_custkey, c_mktsegment || '_v2', (a + b) // 2, b + 1
-  FROM customer, bounds
-)
-SELECT segment, event_type,
-  COUNT(*) AS n_events,
-  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
-FROM ev JOIN dim
-  ON ev.user_id = dim.user_id
- AND ev.ms >= dim.valid_from AND ev.ms < dim.valid_to
-GROUP BY segment, event_type
-"""
-
-
-@register("events_scd2_join", _SCD2_SQL)
-def q_events_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD Type-2 temporal dimension join (operators/rangejoin.scd2_join):
-    the customer dimension is versioned in two validity windows split at
-    the event-time midpoint (integer-exact in both engines), and every
-    event picks the version active at its timestamp — broadcast dim,
-    equi-key BroadcastHashJoin with the validity range as an in-stage
-    filter, ZERO shuffle of the fact side (plan-pinned in
-    test_maintenance). The oracle replays the version pick relationally,
-    so the hash pins the half-open [from, to) boundary semantics — an
-    event exactly at the split must land in v2, not both."""
-    from market_microstructure_toolkit_spark.operators.rangejoin import scd2_join
-
-    ev = read_events(spark, sf_dir).select(
-        "event_id",
-        F.expr("ts DIV 1000000").alias("ms"),
-        "user_id",
-        "event_type",
-        "value",
-    )
-    bounds = ev.agg(F.min("ms").alias("a"), F.max("ms").alias("b"))
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        F.col("c_custkey").alias("user_id"),
-        F.col("c_mktsegment").alias("segment"),
-    )
-    # bounds is one row: broadcast-graft it onto the dim (scalar CTE idiom)
-    versioned = cust.crossJoin(F.broadcast(bounds))
-    mid = ((F.col("a") + F.col("b")) / 2).cast("long")
-    v1 = versioned.select(
-        "user_id",
-        "segment",
-        F.col("a").alias("valid_from"),
-        mid.alias("valid_to"),
-    )
-    v2 = versioned.select(
-        "user_id",
-        F.concat(F.col("segment"), F.lit("_v2")).alias("segment"),
-        mid.alias("valid_from"),
-        (F.col("b") + 1).alias("valid_to"),
-    )
-    dim = v1.unionByName(v2)
-    joined = scd2_join(ev, dim, key="user_id", ts_col="ms")
-    return joined.groupBy("segment", "event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
-        .cast("double")
-        .alias("total_value"),
-    )
-
-
-_INCR_AGG_SQL = """
-WITH ev AS (
-  SELECT event_id, epoch_ms(ts) // 86400000 AS day, event_type, value
-  FROM events
-)
-SELECT event_type, day,
-  COUNT(*) AS n_events,
-  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
-  MIN(value) AS min_value,
-  MAX(value) AS max_value,
-  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) / COUNT(*)
-    AS avg_value
-FROM ev GROUP BY event_type, day
-"""
-
-
-@register("events_incremental_agg", _INCR_AGG_SQL)
-def q_events_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partial-aggregate merge — the algebraic-aggregation contract that
-    makes incremental pipelines correct: the event stream arrives as two
-    disjoint batches (split by event_id parity here; by day in
-    production), each batch reduces to per-(type, day) PARTIAL states
-    (count, decimal sum, min, max), and the nightly merge combines
-    states (sum counts/sums, min of mins, max of maxes) WITHOUT touching
-    raw history — avg is derived from merged sum/count at the end, never
-    averaged across batches. The oracle aggregates the full stream
-    directly, so hash-equality proves state-merge == recompute, the
-    property that lets a 100 TB pipeline re-aggregate only the new day.
-    Decimal accumulation keeps the sums order-free-exact across the
-    batch split."""
-    ev = read_events(spark, sf_dir).select(
-        "event_id",
-        (F.expr("ts DIV 1000000") / F.lit(86400000)).cast("long").alias("day"),
-        "event_type",
-        "value",
-    )
-
-    def partial(batch: DataFrame) -> DataFrame:
-        return batch.groupBy("event_type", "day").agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("vsum"),
-            F.min("value").alias("vmin"),
-            F.max("value").alias("vmax"),
-        )
-
-    p1 = partial(ev.filter(F.col("event_id") % 2 == 0))
-    p2 = partial(ev.filter(F.col("event_id") % 2 == 1))
-    merged = (
-        p1.unionByName(p2)
-        .groupBy("event_type", "day")
-        .agg(
-            F.sum("cnt").alias("n_events"),
-            F.sum("vsum").alias("vsum"),
-            F.min("vmin").alias("min_value"),
-            F.max("vmax").alias("max_value"),
-        )
-    )
-    total = F.round(F.col("vsum"), 2).cast("double")
-    return merged.select(
-        "event_type",
-        "day",
-        "n_events",
-        total.alias("total_value"),
-        "min_value",
-        "max_value",
-        (total / F.col("n_events")).alias("avg_value"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Product quantization (Jégou et al. 2011): 8 subspaces x 16 centroids,
-# asymmetric-distance (ADC) scan. The memory-compression half of the ANN
-# story the IVF gates left open: each 64-dim float vector compresses to
-# 8 one-byte codes, and query scans sum 8 table lookups instead of 64
-# multiply-adds.
-# ---------------------------------------------------------------------------
-
-_PQ_M, _PQ_SUB, _PQ_C = 8, 8, 16
-
-_PQ_CTES = f"""emb AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-),
-cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id BETWEEN 1 AND {_PQ_C}),
-mm AS (SELECT UNNEST(range(1, {_PQ_M} + 1)) AS m),
-d AS (
-  SELECT e.vec_id, e.label, mm.m, c.cid,
-    list_sum(list_transform(range(1, {_PQ_SUB} + 1),
-      i -> (e.v[(mm.m - 1) * {_PQ_SUB} + i] - c.cv[(mm.m - 1) * {_PQ_SUB} + i])
-         * (e.v[(mm.m - 1) * {_PQ_SUB} + i] - c.cv[(mm.m - 1) * {_PQ_SUB} + i])))
-      AS dist
-  FROM emb e CROSS JOIN mm CROSS JOIN cents c
-),
-codes AS (
-  SELECT vec_id, label, m, cid FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
-    FROM d
-  ) WHERE rn = 1
-),
-dq AS (
-  SELECT m, cid, floor(dist * 1048576.0 + 0.5) / 1048576.0 AS qd
-  FROM d WHERE vec_id = 0
-),
-adc AS (
-  SELECT c.vec_id, c.label, SUM(q.qd) AS adc_dist
-  FROM codes c JOIN dq q USING (m, cid)
-  WHERE c.vec_id != 0
-  GROUP BY c.vec_id, c.label
-)"""
-
-_PQ_SQL = f"""WITH {_PQ_CTES}
-SELECT vec_id, label, adc_dist FROM adc
-ORDER BY adc_dist, vec_id
-LIMIT 10
-"""
-
-
-def _pq_adc_from(emb: DataFrame) -> DataFrame:
-    """Shared PQ pipeline over any (vec_id, label, v: array<double>)
-    frame: encode every vector to {_PQ_M} subspace codes (argmin over
-    broadcast centroids), then ADC-score against the vec_id=0 query via
-    the 8x16 broadcast distance table."""
-    m_col = F.explode(F.sequence(F.lit(1), F.lit(_PQ_M))).alias("m")
-    sub = f"slice(v, (m - 1) * {_PQ_SUB} + 1, {_PQ_SUB})"
-    csub = f"slice(cv, (m - 1) * {_PQ_SUB} + 1, {_PQ_SUB})"
-    cents = emb.filter(F.col("vec_id").between(1, _PQ_C)).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    cents_sub = cents.select(
-        "cid", F.explode(F.sequence(F.lit(1), F.lit(_PQ_M))).alias("m"), "cv"
-    ).select("cid", "m", F.expr(csub).alias("scv"))
-    subs = emb.select("vec_id", "label", m_col, "v").select(
-        "vec_id", "label", "m", F.expr(sub).alias("sv")
-    )
-    fold = F.aggregate(
-        F.zip_with("sv", "scv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    d = subs.join(F.broadcast(cents_sub), "m").select(
-        "vec_id", "label", "m", "cid", fold.alias("dist")
-    )
-    w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
-    codes = (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "m", "cid")
-    )
-    # quantize the query's table entries to 2^-20 multiples: the 8-term
-    # ADC sum is then EXACT in any aggregation order (returns_rv idiom),
-    # so the ranking needs no rounding at all
-    dq = d.filter(F.col("vec_id") == 0).select(
-        "m", "cid",
-        (F.floor(F.col("dist") * F.lit(1048576.0) + F.lit(0.5))
-         / F.lit(1048576.0)).alias("qd"),
-    )
-    return (
-        codes.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(dq), ["m", "cid"])
-        .groupBy("vec_id", "label")
-        .agg(F.sum("qd").alias("adc_dist"))
-    )
-
-
-def _pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    return _pq_adc_from(emb)
-
-
-@register("similarity_pq_adc", _PQ_SQL)
-def q_similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ compression + asymmetric-distance top-10 (Jégou, Douze &
-    Schmid 2011): vectors encode once to M={_PQ_M} one-byte codes (argmin
-    vs 16 broadcast centroids per subspace — sampled codebook, the repo's
-    IVF convention; trained k-means slots in identically), and the query
-    scans by summing 8 lookups from its broadcast 8x16 distance table.
-    At 100 TB this is the layout that keeps the index in memory: 64
-    float32 dims -> 8 bytes per vector (32x), with encode a broadcast
-    map stage and the scan a shuffle-free lookup-sum + TakeOrdered. The
-    query's table entries are quantized to 2^-20 so the 8-term ADC sum
-    is exact in any order — rankings hash-stable with no rounding."""
-    return (
-        _pq_adc(spark, sf_dir)
-        .orderBy("adc_dist", "vec_id")
-        .limit(10)
-    )
-
-
-_PQ_RECALL_SQL = f"""WITH {_PQ_CTES},
-top_adc AS (
-  SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT 10
-),
-cand AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT 100),
-exact AS (
-  SELECT e.vec_id,
-    list_sum(list_transform(range(1, 65),
-      i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i]))) AS dist
-  FROM emb e, (SELECT v AS qv FROM emb WHERE vec_id = 0) q
-  WHERE e.vec_id != 0
-),
-top_exact AS (SELECT vec_id FROM exact ORDER BY dist, vec_id LIMIT 10),
-top_rerank AS (
-  SELECT c.vec_id FROM cand c JOIN exact e USING (vec_id)
-  ORDER BY e.dist, c.vec_id LIMIT 10
-)
-SELECT
-  (SELECT COUNT(*) FROM top_adc JOIN top_exact USING (vec_id)) / 10.0
-    AS recall_at_10,
-  (SELECT COUNT(*) FROM top_rerank JOIN top_exact USING (vec_id)) / 10.0
-    AS recall_at_10_reranked
-"""
-
-
-@register("similarity_pq_recall", _PQ_RECALL_SQL)
-def q_similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of the PQ scan vs the exact L2 top-10, BOTH ways the
-    index is queried — ADC-only and ADC+top-100-exact-rerank — in one
-    row (0.1 -> 0.3 on the sf0.1 fixture; ann_recall convention:
-    measure, don't claim). A sampled 16-centroid codebook on
-    near-uniform vectors loses real recall — iid vectors are the
-    concentration-of-measure worst case; the further remedies are a
-    trained codebook, more centroids, OPQ rotation, deeper candidate
-    lists."""
-    adc = _pq_adc(spark, sf_dir)
-    top_adc = adc.orderBy("adc_dist", "vec_id").limit(10).select("vec_id")
-    cand = adc.orderBy("adc_dist", "vec_id").limit(100).select("vec_id")
-    emb = _emb(spark, sf_dir).select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    q = F.broadcast(
-        emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    )
-    fold = F.aggregate(
-        F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    exact = (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(q)
-        .select("vec_id", fold.alias("dist"))
-    )
-    top_exact = exact.orderBy("dist", "vec_id").limit(10).select("vec_id")
-    top_rerank = (
-        cand.join(exact, "vec_id")
-        .orderBy("dist", "vec_id")
-        .limit(10)
-        .select("vec_id")
-    )
-    r_adc = top_adc.join(top_exact, "vec_id").agg(
-        (F.count(F.lit(1)) / F.lit(10.0)).alias("recall_at_10")
-    )
-    r_rr = top_rerank.join(top_exact, "vec_id").agg(
-        (F.count(F.lit(1)) / F.lit(10.0)).alias("recall_at_10_reranked")
-    )
-    return r_adc.crossJoin(r_rr)
-
-
-_PQ_RERANK_SQL = f"""WITH {_PQ_CTES},
-cand AS (
-  SELECT vec_id, label FROM adc ORDER BY adc_dist, vec_id LIMIT 100
-),
-rr AS (
-  SELECT c.vec_id, c.label,
-    list_sum(list_transform(range(1, 65),
-      i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i]))) AS l2_dist
-  FROM cand c
-  JOIN emb e USING (vec_id),
-       (SELECT v AS qv FROM emb WHERE vec_id = 0) q
-)
-SELECT vec_id, label, ROUND(l2_dist, 6) AS l2_dist
-FROM rr ORDER BY l2_dist, vec_id LIMIT 10
-"""
-
-
-@register("similarity_pq_rerank", _PQ_RERANK_SQL)
-def q_similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ADC + exact rerank — the production PQ query shape: the compressed
-    scan prunes the corpus to 100 candidates (table lookups only, no
-    float vectors touched), then ONLY those 100 fetch their exact
-    vectors for a true-L2 rerank. At 100 TB the exact side reads 100
-    rows instead of n — the scan cost stays in the compressed domain
-    while the rerank recovers what survives the prune: measured
-    recall@10 goes 0.1 (ADC-only) -> 0.3 on the sf0.1 fixture. The
-    fixture is PQ's concentration-of-measure worst case — iid
-    near-uniform vectors have no cluster structure, so ADC ordering is
-    close to noise and only 3 of the true top-10 land in the top-100
-    candidates; real embedding corpora cluster, which is exactly what
-    the codebook quantizes. Output rounds the rerank distance at 6 dp
-    (order-sensitive 64-term fold)."""
-    adc = _pq_adc(spark, sf_dir)
-    cand = adc.orderBy("adc_dist", "vec_id").limit(100).select("vec_id", "label")
-    emb = _emb(spark, sf_dir).select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    q = F.broadcast(
-        emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    )
-    fold = F.aggregate(
-        F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    rr = (
-        cand.join(emb, "vec_id")
-        .crossJoin(q)
-        .select("vec_id", "label", fold.alias("l2_dist"))
-    )
-    return (
-        rr.select("vec_id", "label", F.round("l2_dist", 6).alias("l2_dist"))
-        .orderBy("l2_dist", "vec_id")
-        .limit(10)
-    )
-
-
-@register("streaming_cdc_replay", _CDC_SQL)
-def q_streaming_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The CDC merge computed by the STREAMING tier: the base snapshot
-    (ver 0) arrives as micro-batch one and the derived change batch
-    (ver 1: revisions, deletes, backfills — same derivation as
-    documents_cdc_apply) as micro-batch two, through the keyed
-    latest-version state operator (corpus_stream.stateful_cdc_apply).
-    Each batch emits the post-batch winner per touched key; the
-    materialized view keeps each key's final emission and drops delete
-    winners. Hash-matching the BATCH oracle proves upsert/delete state
-    carries across the micro-batch boundary — the live ingestion twin
-    of the one-shot merge."""
-    import time
-    import uuid
-
-    from market_microstructure_toolkit_spark.streaming.corpus_stream import (
-        stateful_cdc_apply,
-    )
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    did = F.col("doc_id")
-    payload = ["doc_id", "text", "lang", "source", "n_chars"]
-    base = docs.select(
-        *payload, F.lit(0).cast("long").alias("ver"), F.lit("U").alias("op")
-    )
-    upd = docs.filter((did % 7 == 0) & (did % 13 != 0)).select(
-        "doc_id",
-        F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"),
-        "lang",
-        "source",
-        (F.col("n_chars") + 7).alias("n_chars"),
-        F.lit(1).cast("long").alias("ver"),
-        F.lit("U").alias("op"),
-    )
-    dels = docs.filter(did % 13 == 0).select(
-        *payload, F.lit(1).cast("long").alias("ver"), F.lit("D").alias("op")
-    )
-    ins = docs.filter(did % 11 == 0).select(
-        (did + 10_000_000).alias("doc_id"),
-        "text",
-        "lang",
-        F.lit("cdc_backfill").alias("source"),
-        "n_chars",
-        F.lit(1).cast("long").alias("ver"),
-        F.lit("U").alias("op"),
-    )
-    changes = upd.unionByName(dels).unionByName(ins)
-
-    def build(b: str) -> list[str]:
-        base.coalesce(1).write.parquet(f"{b}/data/a")
-        changes.coalesce(1).write.parquet(f"{b}/data/b")
-        return [f"{b}/data/a", f"{b}/data/b"]
-
-    tape_base = _memo_tape(sf_dir, "cdc2", build)
-    base_dir = _scratch(prefix="mmt_stream_cdc_")  # per-run checkpoint
-
-    stream = (
-        spark.readStream.schema(
-            "doc_id long, text string, lang string, source string, "
-            "n_chars long, ver long, op string"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{tape_base}/data/*/")
-    )
-    name = f"cdc_replay_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            stateful_cdc_apply(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{base_dir}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    emitted = spark.table(name)
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("ver").desc(), F.col("op").asc()
-    )
-    return (
-        emitted.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") == 1) & (F.col("op") != "D"))
-        .select(*payload)
-    )
-
-
-_CHUNK_DEDUP_SQL = """
-WITH tok AS (
-  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
-),
-chunks AS (
-  SELECT doc_id, u.i AS idx,
-         array_to_string(ts[(u.i * 10 + 1):(u.i * 10 + 10)], ' ') AS chunk
-  FROM tok, UNNEST(range(0, CAST(ceil(len(ts) / 10.0) AS BIGINT))) u(i)
-),
-keep AS (
-  SELECT doc_id, idx, chunk FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
-    FROM chunks
-  ) WHERE rn = 1
-),
-totals AS (SELECT doc_id, COUNT(*) AS n_chunks_total FROM chunks GROUP BY doc_id)
-SELECT k.doc_id,
-       COUNT(*) AS n_chunks_kept,
-       t.n_chunks_total,
-       array_to_string(list(k.chunk ORDER BY k.idx), ' ') AS text_clean
-FROM keep k JOIN totals t USING (doc_id)
-GROUP BY k.doc_id, t.n_chunks_total
-"""
-
-
-@register("documents_chunk_dedup", _CHUNK_DEDUP_SQL)
-def q_documents_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-corpus chunk-level dedup — the C4/RefinedWeb "remove
-    duplicated lines across the corpus" pass, on 10-token chunks (the
-    fixture has no newlines; a newline split is the same plan with a
-    different delimiter): every chunk keeps only its FIRST occurrence
-    corpus-wide (min (doc_id, idx)), and each document is reassembled
-    from its surviving chunks in order. One shuffle keyed by chunk text
-    (content-uniform keys — boilerplate chunks are exactly the hot keys
-    the first-occurrence window prunes to one row each), then one
-    doc-keyed regroup; documents whose every chunk was seen earlier
-    drop out entirely. The oracle replays the pass relationally, so the
-    hash pins the tie order AND the reassembly."""
-    docs = _docs(spark, sf_dir)
-    n10 = F.ceil(F.size(F.split(F.col("text"), " ", -1)) / F.lit(10.0))
-    chunked = docs.select(
-        "doc_id",
-        F.split(F.col("text"), " ", -1).alias("ts"),
-        F.explode(F.sequence(F.lit(0), (n10 - 1).cast("long"))).alias("idx"),
-    ).select(
-        "doc_id",
-        "idx",
-        F.array_join(
-            F.expr("slice(ts, idx * 10 + 1, 10)"), " "
-        ).alias("chunk"),
-    )
-    wk = Window.partitionBy("chunk").orderBy("doc_id", "idx")
-    keep = (
-        chunked.withColumn("rn", F.row_number().over(wk))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "idx", "chunk")
-    )
-    totals = chunked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_chunks_total")
-    )
-    rebuilt = keep.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_chunks_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("idx", "chunk"))
-                ),
-                lambda s: s["chunk"],
-            ),
-            " ",
-        ).alias("text_clean"),
-    )
-    return rebuilt.join(totals, "doc_id").select(
-        "doc_id", "n_chunks_kept", "n_chunks_total", "text_clean"
-    )
-
-
-_ANTI_JOIN_SQL = """
-SELECT c_mktsegment,
-       COUNT(*) AS n_customers_no_urgent
-FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey
-                    AND o.o_orderpriority = '1-URGENT')
-GROUP BY c_mktsegment
-"""
-
-
-@register("customers_no_urgent_orders", _ANTI_JOIN_SQL)
-def q_customers_no_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS (customers with no urgent order) as a LEFT ANTI join — the relational shape Spark turns
-    into one pass with NO second scan of the probe side: the orders key
-    set builds once (broadcast at dim scale; shuffled hash at fact
-    scale, AQE picks), and customers stream through it. The oracle's
-    correlated NOT EXISTS is semantically identical, so hash-equality
-    pins null/absence handling of the anti join."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        "c_custkey", "c_mktsegment"
-    )
-    okeys = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .filter(F.col("o_orderpriority") == "1-URGENT")
-        .select(F.col("o_custkey").alias("c_custkey"))
-    )
-    return (
-        cust.join(okeys, "c_custkey", "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n_customers_no_urgent"))
-    )
-
-
-def _zval_sql(x: str, y: str, bits: int = 8) -> str:
-    """Bit-interleave SQL: z = sum_i ((x>>i & 1) << 2i | (y>>i & 1) << 2i+1)."""
-    terms = []
-    for i in range(bits):
-        terms.append(f"((({x} >> {i}) & 1) * {1 << (2 * i)})")
-        terms.append(f"((({y} >> {i}) & 1) * {1 << (2 * i + 1)})")
-    return " + ".join(terms)
-
-
-_ZORDER_N_FILES = 16
-_ZORDER_SQL = f"""
-WITH ev AS (
-  SELECT event_id,
-         user_id % 256 AS xb,
-         (epoch_ms(ts) // 60000) % 256 AS yb
-  FROM events
-),
-z AS (
-  SELECT event_id, xb, yb, {_zval_sql('xb', 'yb')} AS zval FROM ev
-),
-filed AS (
-  SELECT *,
-    CAST((ROW_NUMBER() OVER (ORDER BY zval, event_id) - 1)
-         // CAST(CEIL((SELECT COUNT(*) FROM z) / {_ZORDER_N_FILES}.0) AS BIGINT) AS BIGINT)
-      AS file_id
-  FROM z
-)
-SELECT file_id,
-  COUNT(*) AS n_rows,
-  MIN(xb) AS min_user_bucket, MAX(xb) AS max_user_bucket,
-  MIN(yb) AS min_time_bucket, MAX(yb) AS max_time_bucket
-FROM filed GROUP BY file_id
-"""
-
-
-@register("events_zorder_layout", _ZORDER_SQL)
-def q_events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order (Morton-curve) data layout: events sorted by the bit
-    interleave of (user bucket, minute bucket) — both folded to 8-bit
-    ranks so the dims contribute EQUAL bit weight (unbalanced widths
-    degenerate z-order toward a single-dim sort) — and cut into
-    {_ZORDER_N_FILES} equal files; the gate emits each file's per-column
-    min/max — the footer statistics a lake scan prunes on. Interleaving
-    keeps BOTH dimensions' per-file ranges narrow simultaneously (a
-    plain sort on one column makes the other's ranges full-width), so
-    point/range filters on either column skip most files — Delta
-    OPTIMIZE ZORDER BY does exactly this rewrite. The z-value is a pure
-    projection (32 bit-terms, whole-stage codegen); the sort is the
-    rewrite cost, paid once at layout time like bucketing's shuffle.
-    The exact file cut uses NO global window: the 16-bit z-domain means
-    per-z-value counts are a bounded (<= 65536-row) metadata pull, the
-    driver prefix-sums them into broadcast offsets, and each row's
-    global rank is offset(zval) + its rank WITHIN its z-value (a keyed
-    window) — the same bounded-metadata planning pass Delta's OPTIMIZE
-    runs, exact where repartitionByRange's sampled cuts are not."""
-    ev = read_events(spark, sf_dir).select(
-        "event_id",
-        (F.col("user_id") % 256).alias("xb"),
-        ((F.expr("ts DIV 1000000") / F.lit(60000)).cast("long") % 256).alias(
-            "yb"
-        ),
-    )
-    zval = None
-    for i in range(8):
-        tx = F.shiftleft(F.shiftright(F.col("xb"), i).bitwiseAND(F.lit(1)), 2 * i)
-        ty = F.shiftleft(
-            F.shiftright(F.col("yb"), i).bitwiseAND(F.lit(1)), 2 * i + 1
-        )
-        zval = tx + ty if zval is None else zval + tx + ty
-    z = ev.withColumn("zval", zval.cast("long"))
-    # bounded metadata pull: at most 2^16 distinct z-values regardless
-    # of data size
-    bins = sorted(
-        (r["zval"], r["cnt"])
-        for r in z.groupBy("zval").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    )
-    n = sum(c for _, c in bins)
-    per_file = -(-n // _ZORDER_N_FILES)  # ceil
-    offsets, acc = [], 0
-    for zv, c in bins:
-        offsets.append((zv, acc))
-        acc += c
-    off = F.broadcast(
-        spark.createDataFrame(offsets, "zval long, __off long")
-    )
-    wz = Window.partitionBy("zval").orderBy("event_id")
-    filed = z.join(off, "zval").withColumn(
-        "file_id",
-        (
-            (F.col("__off") + F.row_number().over(wz) - 1) / F.lit(per_file)
-        ).cast("long"),
-    )
-    return filed.groupBy("file_id").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.min("xb").alias("min_user_bucket"),
-        F.max("xb").alias("max_user_bucket"),
-        F.min("yb").alias("min_time_bucket"),
-        F.max("yb").alias("max_time_bucket"),
-    )
-
-
-_DOLLAR_BAR_THRESHOLD = 25_000.0
-
-_DOLLAR_BARS_SQL = f"""{_BOOK_CTE},
-trades AS ({trades_sql()}),
-q AS (
-  SELECT exchange_id, symbol, ts_ms, raw_nonce, price, qty,
-         floor(price * qty * 1024.0 + 0.5) / 1024.0 AS notional_q
-  FROM trades
-),
-cum AS (
-  SELECT *,
-    SUM(notional_q) OVER ({_W}
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - notional_q AS prefix
-  FROM q
-),
-bars AS (
-  SELECT *, CAST(floor(prefix / {_DOLLAR_BAR_THRESHOLD}) AS BIGINT) AS bar_id
-  FROM cum
-),
-ranked AS (
-  SELECT *,
-    ROW_NUMBER() OVER (PARTITION BY exchange_id, symbol, bar_id
-                       ORDER BY ts_ms, raw_nonce) AS rn_a,
-    ROW_NUMBER() OVER (PARTITION BY exchange_id, symbol, bar_id
-                       ORDER BY ts_ms DESC, raw_nonce DESC) AS rn_d
-  FROM bars
-)
-SELECT exchange_id, symbol, bar_id,
-       MAX(CASE WHEN rn_a = 1 THEN price END) AS open_px,
-       MAX(price) AS high_px,
-       MIN(price) AS low_px,
-       MAX(CASE WHEN rn_d = 1 THEN price END) AS close_px,
-       SUM(qty) AS volume,
-       SUM(notional_q) AS notional,
-       COUNT(*) AS n_trades
-FROM ranked
-GROUP BY exchange_id, symbol, bar_id
-"""
-
-
-@register("trade_dollar_bars", _DOLLAR_BARS_SQL)
-def q_trade_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dollar bars (Lopez de Prado 2018): resample the trade tape on a
-    NOTIONAL clock — a new bar every $25k traded (~26 bars per instrument at sf0.01) — instead of wall time,
-    so bars carry comparable information content through bursts and
-    lulls (the same argument VPIN makes for its volume clock). Per-trade
-    notional quantizes to 2^-10 multiples, making the running prefix
-    sum EXACT in any order (returns_rv idiom) — bar boundaries are then
-    engine-identical with no rounding, and bar notionals/volumes are
-    order-free exact sums.
-
-    The notional clock runs on the SEGMENTED two-phase prefix scan
-    (window_metrics.add_cumulative_segmented), not a single keyed
-    running window: a keyed window is sequential per instrument, and
-    the 100x probe measured exactly that wall (2.5M rows per instrument
-    on one core each, 7.9x wall at 100x input). Quantized summands make
-    the segmented sum bit-identical to the single-window form, so the
-    oracle (plain SUM() OVER) is unchanged. Then one grouped OHLC
-    rollup, co-partitioned on the instrument keys."""
-    from market_microstructure_toolkit_spark.operators.window_metrics import (
-        add_cumulative_segmented,
-    )
-
-    trades = synthetic_trades(spark, sf_dir)
-    nq = (
-        F.floor(F.col("price") * F.col("qty") * F.lit(1024.0) + F.lit(0.5))
-        / F.lit(1024.0)
-    )
-    q = trades.withColumn("notional_q", nq)
-    cum = add_cumulative_segmented(
-        q,
-        "notional_q",
-        out_col="__cum",
-        keys=KEYS,
-        order_col=list(ORDER_COLS),
-    )
-    bars = cum.withColumn(
-        "bar_id",
-        F.floor(
-            (F.col("__cum") - F.col("notional_q"))
-            / F.lit(_DOLLAR_BAR_THRESHOLD)
-        ).cast("long"),
-    ).drop("__cum")
-    wa = Window.partitionBy(*KEYS, "bar_id").orderBy(*ORDER_COLS)
-    wd = Window.partitionBy(*KEYS, "bar_id").orderBy(
-        *[F.col(c).desc() for c in ORDER_COLS]
-    )
-    ranked = bars.withColumn("rn_a", F.row_number().over(wa)).withColumn(
-        "rn_d", F.row_number().over(wd)
-    )
-    return ranked.groupBy(*KEYS, "bar_id").agg(
-        F.max(F.when(F.col("rn_a") == 1, F.col("price"))).alias("open_px"),
-        F.max("price").alias("high_px"),
-        F.min("price").alias("low_px"),
-        F.max(F.when(F.col("rn_d") == 1, F.col("price"))).alias("close_px"),
-        F.sum("qty").alias("volume"),
-        F.sum("notional_q").alias("notional"),
-        F.count(F.lit(1)).alias("n_trades"),
-    )
-
-
-_SIG_MAX_K = 10
-
-
-def _rv_signature_sql() -> str:
-    lags = ",\n    ".join(
-        f"LN(((best_bid + best_ask) / 2.0)"
-        f" / (LAG((best_bid + best_ask) / 2.0, {k}) OVER ({_W}))) AS r{k}"
-        for k in range(1, _SIG_MAX_K + 1)
-    )
-    sums = ",\n    ".join(
-        f"SUM(r{k} * r{k}) AS s{k}, COUNT(r{k}) AS n{k}"
-        for k in range(1, _SIG_MAX_K + 1)
-    )
-    arms = "\nUNION ALL\n".join(
-        f"SELECT exchange_id, symbol, {k} AS lag_k,"
-        f" ROUND(s{k} / {k}.0, 6) AS rv_subsampled, n{k} AS n_returns FROM agg"
-        for k in range(1, _SIG_MAX_K + 1)
-    )
-    return f"""{_BOOK_CTE},
-rets AS (
-  SELECT exchange_id, symbol,
-    {lags}
-  FROM book
-),
-agg AS (
-  SELECT exchange_id, symbol,
-    {sums}
-  FROM rets GROUP BY exchange_id, symbol
-)
-{arms}"""
-
-
-@register("book_rv_signature", _rv_signature_sql())
-def q_book_rv_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Volatility signature plot (Andersen, Bollerslev, Diebold & Labys
-    2000): subsample-averaged realized variance SUM(r_k^2)/k at sampling
-    intervals k = 1..10 ticks, per instrument. On a noise-free price the
-    curve is flat; microstructure noise bends it upward as k -> 1 (RV
-    picks up 2n x noise variance), so where the curve flattens is the
-    sampling frequency at which RV becomes trustworthy — the diagnostic
-    that motivates TSRV's two-scale correction. All 10 lagged returns
-    ride ONE keyed window pass (no per-k rescan), one groupBy computes
-    the 10 sums, and the k-arms unpivot in-plan from the single agg row
-    per instrument. Order-sensitive sums round at 6 dp."""
-    book = synthetic_book(spark, sf_dir)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
-    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
-    rets = book.select(
-        *KEYS,
-        *[
-            F.log(mid / F.lag(mid, k).over(w)).alias(f"r{k}")
-            for k in range(1, _SIG_MAX_K + 1)
-        ],
-    )
-    agg = rets.groupBy(*KEYS).agg(
-        *[
-            a
-            for k in range(1, _SIG_MAX_K + 1)
-            for a in (
-                F.sum(F.col(f"r{k}") * F.col(f"r{k}")).alias(f"s{k}"),
-                F.count(f"r{k}").alias(f"n{k}"),
-            )
-        ]
-    )
-    armed = agg.select(
-        *KEYS,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("lag_k"),
-                        F.round(F.col(f"s{k}") / F.lit(float(k)), 6).alias(
-                            "rv_subsampled"
-                        ),
-                        F.col(f"n{k}").alias("n_returns"),
-                    )
-                    for k in range(1, _SIG_MAX_K + 1)
-                ]
-            )
-        ).alias("a"),
-    )
-    return armed.select(*KEYS, "a.lag_k", "a.rv_subsampled", "a.n_returns")
-
-
-_CS_SQL = f"""WITH ohlc AS ({_OHLC_SQL}),
-paired AS (
-  SELECT exchange_id, symbol,
-    LN(high_mid / low_mid) * LN(high_mid / low_mid)
-      + LN(LAG(high_mid) OVER (PARTITION BY exchange_id, symbol ORDER BY bucket_ms)
-            / LAG(low_mid) OVER (PARTITION BY exchange_id, symbol ORDER BY bucket_ms))
-        * LN(LAG(high_mid) OVER (PARTITION BY exchange_id, symbol ORDER BY bucket_ms)
-            / LAG(low_mid) OVER (PARTITION BY exchange_id, symbol ORDER BY bucket_ms))
-      AS beta,
-    LN(GREATEST(high_mid, LAG(high_mid) OVER (PARTITION BY exchange_id, symbol ORDER BY bucket_ms))
-       / LEAST(low_mid, LAG(low_mid) OVER (PARTITION BY exchange_id, symbol ORDER BY bucket_ms)))
-      * LN(GREATEST(high_mid, LAG(high_mid) OVER (PARTITION BY exchange_id, symbol ORDER BY bucket_ms))
-       / LEAST(low_mid, LAG(low_mid) OVER (PARTITION BY exchange_id, symbol ORDER BY bucket_ms)))
-      AS gamma
-  FROM ohlc
-),
-alphas AS (
-  SELECT exchange_id, symbol,
-    (SQRT(2.0 * beta) - SQRT(beta)) / (3.0 - 2.0 * SQRT(2.0))
-      - SQRT(gamma / (3.0 - 2.0 * SQRT(2.0))) AS alpha
-  FROM paired WHERE beta IS NOT NULL
-)
-SELECT exchange_id, symbol,
-  ROUND(AVG(GREATEST(2.0 * (EXP(alpha) - 1.0) / (1.0 + EXP(alpha)), 0.0)), 6)
-    AS cs_spread_est,
-  COUNT(*) AS n_pairs
-FROM alphas GROUP BY exchange_id, symbol
-"""
-
-
-@register("book_corwin_schultz", _CS_SQL)
-def q_book_corwin_schultz(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corwin-Schultz (2012) high-low spread estimator per instrument —
-    the OHLC-only companion to Roll (book_roll_amihud): consecutive
-    1-second buckets give beta (sum of squared single-bucket log
-    ranges) and gamma (squared two-bucket log range); the closed-form
-    alpha maps to a per-pair spread 2(e^a - 1)/(1 + e^a), negatives
-    floored to zero before averaging (the paper's convention). Input is
-    the same OHLC rollup the range-vol estimators use (order-free
-    aggregates), one more keyed LAG window, one groupBy on the same
-    keys. The only order-sensitive reduction is the final AVG — rounded
-    at 6 dp."""
-    book = synthetic_book(spark, sf_dir)
-    mids = book.select(
-        *IDS,
-        ((F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)).alias("mid"),
-        (F.expr("ts_ms DIV 1000") * F.lit(1000)).alias("bucket_ms"),
-    )
-    ohlc = mids.groupBy(*KEYS, "bucket_ms").agg(
-        F.max("mid").alias("h"), F.min("mid").alias("l")
-    )
-    w = Window.partitionBy(*KEYS).orderBy("bucket_ms")
-    hp, lp = F.lag("h").over(w), F.lag("l").over(w)
-    lr = F.log(F.col("h") / F.col("l"))
-    lrp = F.log(hp / lp)
-    beta = lr * lr + lrp * lrp
-    g = F.log(F.greatest(F.col("h"), hp) / F.least(F.col("l"), lp))
-    gamma = g * g
-    k = F.lit(3.0) - F.lit(2.0) * F.sqrt(F.lit(2.0))
-    paired = ohlc.select(
-        *KEYS, beta.alias("beta"), gamma.alias("gamma")
-    ).filter(F.col("beta").isNotNull())
-    alpha = (
-        (F.sqrt(F.lit(2.0) * F.col("beta")) - F.sqrt(F.col("beta"))) / k
-        - F.sqrt(F.col("gamma") / k)
-    )
-    s = F.lit(2.0) * (F.exp(alpha) - F.lit(1.0)) / (F.lit(1.0) + F.exp(alpha))
-    return paired.groupBy(*KEYS).agg(
-        F.round(F.avg(F.greatest(s, F.lit(0.0))), 6).alias("cs_spread_est"),
-        F.count(F.lit(1)).alias("n_pairs"),
-    )
-
-
-_MARKOV_SQL = """
-WITH seq AS (
-  SELECT user_id, event_type,
-         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           AS prev_type
-  FROM events
-),
-trans AS (
-  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
-  FROM seq WHERE prev_type IS NOT NULL
-  GROUP BY prev_type, event_type
-)
-SELECT prev_type, next_type, n,
-       n / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
-FROM trans
-"""
-
-
-@register("events_markov_transitions", _MARKOV_SQL)
-def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix over per-user event
-    sequences — the behavioral fingerprint funnels and retention don't
-    capture (what follows what, not just whether a stage was reached).
-    One user-keyed LAG window, one grouped count, and the row
-    normalization is a window over the |types|^2-row aggregate — the
-    cheap side of the shuffle. Probabilities are integer-ratio exact
-    (n / total), so no rounding is needed."""
-    ev = read_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        "user_id",
-        "event_type",
-        F.lag("event_type").over(w).alias("prev_type"),
-    ).filter(F.col("prev_type").isNotNull())
-    trans = seq.groupBy(
-        F.col("prev_type"), F.col("event_type").alias("next_type")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    wr = Window.partitionBy("prev_type")
-    return trans.select(
-        "prev_type",
-        "next_type",
-        "n",
-        (F.col("n") / F.sum("n").over(wr).cast("double")).alias("p"),
-    )
-
-
-_EMB_LABEL_SQL = """
-WITH emb AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-),
-dims AS (
-  SELECT vec_id, label, u.i AS dim, v[u.i] AS x
-  FROM emb, UNNEST(range(1, 65)) u(i)
-),
-cent AS (
-  SELECT label, dim, AVG(x) AS c FROM dims GROUP BY label, dim
-),
-scored AS (
-  SELECT d.vec_id, d.label,
-         SUM(d.x * c.c) AS dot,
-         SQRT(SUM(d.x * d.x)) AS nv,
-         SQRT(SUM(c.c * c.c)) AS nc
-  FROM dims d JOIN cent c USING (label, dim)
-  GROUP BY d.vec_id, d.label
-)
-SELECT label,
-       COUNT(*) AS n_vectors,
-       ROUND(AVG(dot / (nv * nc)), 6) AS mean_cos_to_centroid,
-       ROUND(MIN(dot / (nv * nc)), 6) AS min_cos_to_centroid
-FROM scored GROUP BY label
-"""
-
-
-@register("embedding_label_centroids", _EMB_LABEL_SQL)
-def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label embedding cohesion report — the sanity check a
-    labeled-embedding corpus needs before the labels are trusted for
-    training splits or stratified sampling: each label's centroid
-    (element-wise mean over an exploded (label, dim) aggregate — no
-    driver-side vectors) and each member's cosine to it, reduced to
-    mean/min per label. Dim-exploded rows are 64x the vector count but
-    map-side partial-aggregated on (label, dim) before the shuffle;
-    the per-vector rescore is one co-keyed join. AVG ordering is the
-    only cross-engine freedom — both cosine reductions round at 6 dp.
-    On the iid fixture cohesion is near zero by construction; the gate
-    pins the MACHINERY (a real corpus shows real separation)."""
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    dims = emb.select(
-        "vec_id",
-        "label",
-        F.posexplode("v").alias("dim0", "x"),
-    ).select("vec_id", "label", (F.col("dim0") + 1).alias("dim"), "x")
-    cent = dims.groupBy("label", "dim").agg(F.avg("x").alias("c"))
-    scored = (
-        dims.join(cent, ["label", "dim"])
-        .groupBy("vec_id", "label")
-        .agg(
-            F.sum(F.col("x") * F.col("c")).alias("dot"),
-            F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nv"),
-            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"),
-        )
-    )
-    cos = F.col("dot") / (F.col("nv") * F.col("nc"))
-    return scored.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_vectors"),
-        F.round(F.avg(cos), 6).alias("mean_cos_to_centroid"),
-        F.round(F.min(cos), 6).alias("min_cos_to_centroid"),
-    )
-
-
-_CUBE_SQL = """
-WITH ev AS (
-  SELECT event_type, epoch_ms(ts) // 86400000 AS day, value FROM events
-)
-SELECT event_type, day,
-  GROUPING(event_type) * 2 + GROUPING(day) AS grouping_id,
-  COUNT(*) AS n_events,
-  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
-FROM ev
-GROUP BY CUBE (event_type, day)
-"""
-
-
-@register("events_cube_report", _CUBE_SQL)
-def q_events_cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full CUBE over (event_type, day) — all four grouping sets
-    (detail, per-type, per-day, grand total) in ONE aggregation pass
-    with map-side partials, the complement to revenue_rollup's
-    hierarchy. grouping_id disambiguates a NULL key from a rolled-up
-    level (the classic CUBE correctness trap); decimal accumulation
-    keeps every level's sum order-free exact, so the subtotal rows
-    hash-check against their own detail rows' arithmetic."""
-    ev = read_events(spark, sf_dir).select(
-        "event_type",
-        (F.expr("ts DIV 1000000") / F.lit(86400000)).cast("long").alias("day"),
-        "value",
-    )
-    return ev.cube("event_type", "day").agg(
-        (F.grouping("event_type") * 2 + F.grouping("day")).alias("grouping_id"),
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
-        .cast("double")
-        .alias("total_value"),
-    ).select("event_type", "day", "grouping_id", "n_events", "total_value")
-
-
-_VAMP_Q = 10.0
-
-
-def _vamp_sql() -> str:
-    wa = _walk_exprs(repr(_VAMP_Q), BOOK_DEPTH, side="ask")
-    wb = _walk_exprs(repr(_VAMP_Q), BOOK_DEPTH, side="bid")
-    return f"""{_BOOK_CTE}
-SELECT exchange_id, symbol, ts_ms, raw_nonce,
-  CASE WHEN ({wa['filled']}) = {_VAMP_Q!r} AND ({wb['filled']}) = {_VAMP_Q!r}
-       THEN (({wa['cost']}) / {_VAMP_Q!r} + ({wb['cost']}) / {_VAMP_Q!r}) / 2.0
-  END AS vamp,
-  CASE WHEN ({wa['filled']}) = {_VAMP_Q!r} AND ({wb['filled']}) = {_VAMP_Q!r}
-       THEN (({wa['cost']}) / {_VAMP_Q!r}) - (({wb['cost']}) / {_VAMP_Q!r})
-  END AS exec_spread_q,
-  (best_bid + best_ask) / 2.0 AS mid
-FROM book"""
-
-
-@register("book_vamp", _vamp_sql())
-def q_book_vamp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Volume-adjusted mid price at size Q=10 per snapshot — the fair
-    transfer price for an actual clip, not the L1 midpoint: walk the ask
-    ladder for a Q-size buy and the bid ladder for a Q-size sell (the
-    same X2 greedy fold, once per side), average the two execution
-    VWAPs. ``exec_spread_q`` (buy VWAP - sell VWAP) is the
-    effective round-trip cost at size — the spread a taker of Q
-    actually pays, vs the L1 quoted spread. NULL when either side's
-    visible depth can't absorb Q (fills are exact-quarter sums, so the
-    full-fill equality is exact). Map-only: two in-row array folds, no
-    shuffle, whole-stage codegen."""
-    from market_microstructure_toolkit_spark.functions.arrays import (
-        ladder_from_wide,
-        valid_levels,
-        walk_book,
-    )
-
-    book = synthetic_book(spark, sf_dir)
-    q = F.lit(_VAMP_Q)
-    wa = walk_book(valid_levels(ladder_from_wide("ask", BOOK_DEPTH)), q)
-    wb = walk_book(valid_levels(ladder_from_wide("bid", BOOK_DEPTH)), q)
-    out = book.withColumn("__a", wa).withColumn("__b", wb)
-    full = (F.col("__a.filled") == q) & (F.col("__b.filled") == q)
-    buy_vwap = F.col("__a.cost") / q
-    sell_vwap = F.col("__b.cost") / q
-    return out.select(
-        *IDS,
-        F.when(full, (buy_vwap + sell_vwap) / F.lit(2.0)).alias("vamp"),
-        F.when(full, buy_vwap - sell_vwap).alias("exec_spread_q"),
-        ((F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)).alias("mid"),
-    )
-
-
-_BPE_SQL = """
-WITH words AS (
-  SELECT w, COUNT(*) AS freq
-  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
-  WHERE len(w) >= 2
-  GROUP BY w
-),
-pairs AS (
-  SELECT substr(w, u.i, 2) AS pair, freq
-  FROM words, UNNEST(range(1, len(w))) u(i)
-)
-SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
-FROM pairs GROUP BY pair
-ORDER BY n DESC, pair
-LIMIT 20
-"""
-
-
-@register("bpe_pair_counts", _BPE_SQL)
-def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The BPE-training inner loop, distributed: corpus word
-    frequencies (one hash aggregate — the vocabulary is tiny next to
-    the corpus), then every adjacent character pair of every DISTINCT
-    word weighted by its corpus frequency, reduced to the top-20 merge
-    candidates. This is exactly the statistic each merge round of
-    byte-pair-encoding tokenizer training recomputes; at 100 TB the
-    crucial shape is counting pairs over the DEDUPLICATED vocabulary
-    (|vocab| words) instead of the raw token stream (|corpus| tokens) —
-    the aggregate does the compression before the expensive explode.
-    Integer counts, TakeOrdered top-k: no float or window concerns."""
-    docs = _docs(spark, sf_dir)
-    words = (
-        docs.select(F.explode(F.split(F.col("text"), " ", -1)).alias("w"))
-        .filter(F.length("w") >= 2)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    pairs = words.select(
-        F.explode(
-            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
-        ).alias("pair"),
-        "freq",
-    )
-    return (
-        pairs.groupBy("pair")
-        .agg(F.sum("freq").alias("n"))
-        .orderBy(F.col("n").desc(), "pair")
-        .limit(20)
-    )
-
-
-_OFI_R2_SQL = f"""{_BOOK_CTE},
-feat AS (
-  SELECT exchange_id, symbol,
-    CASE
-      WHEN best_bid > LAG(best_bid) OVER ({_W}) THEN COALESCE(bid1_size, 0.0)
-      WHEN best_bid = LAG(best_bid) OVER ({_W})
-        THEN COALESCE(bid1_size, 0.0)
-             - LAG(COALESCE(bid1_size, 0.0)) OVER ({_W})
-      ELSE -LAG(COALESCE(bid1_size, 0.0)) OVER ({_W})
-    END
-    - CASE
-      WHEN best_ask < LAG(best_ask) OVER ({_W}) THEN COALESCE(ask1_size, 0.0)
-      WHEN best_ask = LAG(best_ask) OVER ({_W})
-        THEN COALESCE(ask1_size, 0.0)
-             - LAG(COALESCE(ask1_size, 0.0)) OVER ({_W})
-      ELSE -LAG(COALESCE(ask1_size, 0.0)) OVER ({_W})
-    END AS ofi,
-    LEAD((best_bid + best_ask) / 2.0) OVER ({_W})
-      - (best_bid + best_ask) / 2.0 AS fwd_ret
-  FROM book
-),
-clean AS (SELECT * FROM feat WHERE ofi IS NOT NULL AND fwd_ret IS NOT NULL)
-SELECT exchange_id, symbol,
-  ROUND(COVAR_SAMP(ofi, fwd_ret) / VAR_SAMP(ofi), 8) AS beta,
-  ROUND(POWER(CORR(ofi, fwd_ret), 2), 6) AS r2,
-  COUNT(*) AS n_obs
-FROM clean GROUP BY exchange_id, symbol
-"""
-
-
-@register("book_ofi_predictive_r2", _OFI_R2_SQL)
-def q_book_ofi_predictive_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Cont-Kukanov-Stoikov (2014) headline result as a gate: OFI's
-    contemporaneous-to-next-tick price impact, per instrument — OLS
-    slope beta = Cov(OFI, fwd mid change)/Var(OFI) and predictive R^2 =
-    Corr^2, both closed-form from covariance aggregates (no iterative
-    fit, same shape as Kyle lambda). One keyed window computes the
-    strict OFI and the LEAD forward return in a single pass; the
-    groupBy co-partitions. Covariance reductions are order-sensitive —
-    beta rounds at 8 dp (slopes are small: size units per mid tick),
-    R^2 at 6 dp."""
-    book = synthetic_book(spark, sf_dir)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
-    bid, ask = F.col("best_bid"), F.col("best_ask")
-    bsz = F.coalesce(F.col("bid1_size"), F.lit(0.0))
-    asz = F.coalesce(F.col("ask1_size"), F.lit(0.0))
-    bid_p, ask_p = F.lag(bid).over(w), F.lag(ask).over(w)
-    bsz_p, asz_p = F.lag(bsz).over(w), F.lag(asz).over(w)
-    ofi = (
-        F.when(bid > bid_p, bsz)
-        .when(bid == bid_p, bsz - bsz_p)
-        .otherwise(-bsz_p)
-    ) - (
-        F.when(ask < ask_p, asz)
-        .when(ask == ask_p, asz - asz_p)
-        .otherwise(-asz_p)
-    )
-    mid = (bid + ask) / F.lit(2.0)
-    fwd = F.lead(mid).over(w) - mid
-    feat = book.select(
-        *KEYS, ofi.alias("ofi"), fwd.alias("fwd_ret")
-    ).filter(F.col("ofi").isNotNull() & F.col("fwd_ret").isNotNull())
-    return feat.groupBy(*KEYS).agg(
-        F.round(
-            F.covar_samp("ofi", "fwd_ret") / F.var_samp("ofi"), 8
-        ).alias("beta"),
-        F.round(F.pow(F.corr("ofi", "fwd_ret"), 2), 6).alias("r2"),
-        F.count(F.lit(1)).alias("n_obs"),
-    )
-
-
-_IMB_COND_SQL = f"""{_BOOK_CTE},
-feat AS (
-  SELECT exchange_id, symbol,
-    (COALESCE(bid1_size, 0.0) - COALESCE(ask1_size, 0.0))
-      / NULLIF(COALESCE(bid1_size, 0.0) + COALESCE(ask1_size, 0.0), 0.0)
-      AS imb,
-    1e4 * (LEAD((best_bid + best_ask) / 2.0) OVER ({_W})
-           / ((best_bid + best_ask) / 2.0) - 1.0) AS fwd_bps
-  FROM book
-),
-binned AS (
-  SELECT exchange_id, symbol,
-    LEAST(GREATEST(CAST(FLOOR((imb + 1.0) * 5.0) AS BIGINT), 0), 9) AS imb_bin,
-    fwd_bps
-  FROM feat WHERE imb IS NOT NULL AND fwd_bps IS NOT NULL
-)
-SELECT exchange_id, symbol, imb_bin,
-  ROUND(AVG(fwd_bps), 6) AS mean_fwd_bps,
-  COUNT(*) AS n_obs
-FROM binned GROUP BY exchange_id, symbol, imb_bin
-"""
-
-
-@register("book_imbalance_cond_returns", _IMB_COND_SQL)
-def q_book_imbalance_cond_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Signal-monotonicity report for the L1 imbalance: mean next-tick
-    mid return (bps) conditioned on the imbalance, binned into 10 FIXED
-    [-1, 1] buckets — fixed-width bins, not ntile, so no per-instrument
-    rank window is needed and bin edges mean the same thing across
-    instruments and dates (the property a signal dashboard needs). A
-    monotone mean-return profile across bins is the empirical evidence
-    the imbalance signal works; one keyed window (LEAD), one grouped
-    AVG, rounded at 6 dp."""
-    book = synthetic_book(spark, sf_dir)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
-    bsz = F.coalesce(F.col("bid1_size"), F.lit(0.0))
-    asz = F.coalesce(F.col("ask1_size"), F.lit(0.0))
-    imb = (bsz - asz) / F.nullif(bsz + asz, F.lit(0.0))
-    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
-    fwd = F.lit(1e4) * (F.lead(mid).over(w) / mid - F.lit(1.0))
-    feat = book.select(
-        *KEYS, imb.alias("imb"), fwd.alias("fwd_bps")
-    ).filter(F.col("imb").isNotNull() & F.col("fwd_bps").isNotNull())
-    bin_ = F.least(
-        F.greatest(
-            F.floor((F.col("imb") + F.lit(1.0)) * F.lit(5.0)).cast("long"),
-            F.lit(0).cast("long"),
-        ),
-        F.lit(9).cast("long"),
-    )
-    return (
-        feat.withColumn("imb_bin", bin_)
-        .groupBy(*KEYS, "imb_bin")
-        .agg(
-            F.round(F.avg("fwd_bps"), 6).alias("mean_fwd_bps"),
-            F.count(F.lit(1)).alias("n_obs"),
-        )
-    )
-
-
-def _late_data_sql() -> str:
-    """Replicates Spark's MEASURED append-mode watermark semantics
-    relationally (probed on this engine version, see gate docstring):
-    the late-input filter of micro-batch N uses the watermark as of
-    batch N-1 — max(event time through batch N-2) - delay — while
-    eviction/emission in batch N uses max(through N-1) - delay; both
-    compare window_end <= watermark. With batches A, B, C: C's late
-    re-deliveries are dropped iff window_end <= max(A) - delay (the
-    watermark standing when C's filter was planned), and the final
-    flush emits windows with window_end <= max(all) - delay. Batch
-    split and late set are deterministic (position quarters,
-    raw_nonce % 17)."""
-    return f"""{_BOOK_CTE},
-s0 AS (SELECT ts_ms, raw_nonce FROM book WHERE symbol = 'S0'),
-cuts AS (
-  SELECT (MIN(ts_ms) + MAX(ts_ms)) // 2 AS t1,
-         ((MIN(ts_ms) + MAX(ts_ms)) // 2 + MAX(ts_ms)) // 2 AS t2
-  FROM s0
-),
-a AS (SELECT s0.* FROM s0, cuts WHERE ts_ms <= t1),
-b AS (SELECT s0.* FROM s0, cuts WHERE ts_ms > t1 AND ts_ms <= t2),
-d AS (SELECT s0.* FROM s0, cuts WHERE ts_ms > t2),
-late AS (
-  SELECT a.* FROM a, (SELECT MAX(ts_ms) AS ma FROM a) m
-  WHERE raw_nonce % 17 = 0 OR ts_ms > m.ma - 3000
-),
-wm_c AS (SELECT MAX(ts_ms) - 2000 AS w FROM a),
-wmf AS (SELECT MAX(ts_ms) - 2000 AS w FROM s0),
-accepted AS (
-  SELECT ts_ms FROM a
-  UNION ALL SELECT ts_ms FROM b
-  UNION ALL SELECT ts_ms FROM d
-  UNION ALL
-  SELECT l.ts_ms FROM late l, wm_c
-  WHERE (l.ts_ms // 1000 * 1000 + 1000) > wm_c.w
-)
-SELECT ts_ms // 1000 * 1000 AS window_start_ms,
-       COUNT(*) AS n_rows
-FROM accepted, wmf
-WHERE (ts_ms // 1000 * 1000 + 1000) <= wmf.w
-GROUP BY ts_ms // 1000 * 1000
-"""
-
-
-@register("streaming_late_data_replay", _late_data_sql())
-def q_streaming_late_data_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Append-mode event-time windows WITH WATERMARK — the late-data
-    semantic the complete-mode windowed gate can't pin. Three
-    micro-batches split at event-time value cuts (midpoint and third
-    quartile of the S0 tape's ts range — value-based like the
-    sessionize replay, no global rank window): A, then B (its only job
-    is advancing the watermark a full batch), then C PLUS a
-    deterministic re-delivery of A rows (raw_nonce % 17 across all of
-    A, plus rows within 3 s of A's final tick so the accept branch
-    always has witnesses too). Probed on this engine version: the late-input filter of batch
-    N is planned with the watermark as of batch N-1 (so a 2-batch
-    design never drops anything — the re-delivery must arrive two
-    batches after its data), eviction uses batch N's watermark, and
-    both compare window_end <= watermark. C's re-deliveries into
-    windows finalized under max(A) - 2 s must be DROPPED
-    (numRowsDroppedByWatermark in the progress log), any landing in a
-    still-open window COUNTED ONCE, and only windows closed under the
-    final watermark emitted. The oracle replicates all three measured
-    rules relationally — the contract a billing or surveillance
-    pipeline on this engine depends on."""
-    import time
-    import uuid
-
-    def build(bdir: str) -> list[str]:
-        s0 = (
-            synthetic_book(spark, sf_dir)
-            .filter(F.col("symbol") == "S0")
-            .select("ts_ms", "raw_nonce")
-            .persist()
-        )
-        try:
-            rng = s0.agg(
-                F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")
-            ).collect()[0]
-            t1 = (rng["lo"] + rng["hi"]) // 2
-            t2 = (t1 + rng["hi"]) // 2
-            a = s0.filter(F.col("ts_ms") <= t1)
-            b = s0.filter((F.col("ts_ms") > t1) & (F.col("ts_ms") <= t2))
-            d = s0.filter(F.col("ts_ms") > t2)
-            # nonce-sampled rows spread over A (deep-late -> dropped)
-            # PLUS rows within 3 s of A's LAST tick (that tick's window
-            # end = max(A) rounded up exceeds the wm max(A) - 2 s, so it
-            # is still open -> the re-delivery must be COUNTED) — both
-            # branches of the drop rule get witnesses at every scale
-            # factor, even on this ~17-min-spaced tape where a band near
-            # the t1 cut holds no rows at all
-            max_a = a.agg(F.max("ts_ms").alias("m")).collect()[0]["m"]
-            late = a.filter(
-                (F.col("raw_nonce") % 17 == 0)
-                | (F.col("ts_ms") > max_a - 3000)
-            )
-            a.coalesce(1).write.parquet(f"{bdir}/data/a")
-            b.coalesce(1).write.parquet(f"{bdir}/data/b")
-            d.unionByName(late).coalesce(1).write.parquet(f"{bdir}/data/c")
-        finally:
-            s0.unpersist()
-        return [f"{bdir}/data/a", f"{bdir}/data/b", f"{bdir}/data/c"]
-
-    tape_base = _memo_tape(sf_dir, "late3", build)
-    base = _scratch(prefix="mmt_stream_late_")  # per-run checkpoint
-
-    stream = (
-        spark.readStream.schema("ts_ms long, raw_nonce long")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(f"{tape_base}/data/*/")
-    )
-    agg = (
-        stream.select(F.timestamp_millis(F.col("ts_ms")).alias("et"))
-        .withWatermark("et", "2 seconds")
-        .groupBy(F.window("et", "1 second").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .select(
-            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
-            "n_rows",
-        )
-    )
-    name = f"late_replay_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", f"{base}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
-
-
-_CUMSUM_SEG_SQL = f"""{_BOOK_CTE},
-ofi AS (
-  SELECT exchange_id, symbol, ts_ms, raw_nonce,
-    CASE WHEN bid1_price IS NULL OR ask1_price IS NULL
-           OR bid1_size IS NULL OR ask1_size IS NULL
-           OR LAG(bid1_price) OVER ({_W}) IS NULL
-           OR LAG(ask1_price) OVER ({_W}) IS NULL
-           OR LAG(bid1_size) OVER ({_W}) IS NULL
-           OR LAG(ask1_size) OVER ({_W}) IS NULL
-    THEN NULL
-    ELSE
-      (CASE WHEN bid1_price > LAG(bid1_price) OVER ({_W})
-              THEN bid1_size - LAG(bid1_size) OVER ({_W})
-            WHEN bid1_price < LAG(bid1_price) OVER ({_W})
-              THEN -LAG(bid1_size) OVER ({_W})
-            ELSE 0.0 END)
-      + (CASE WHEN ask1_price < LAG(ask1_price) OVER ({_W})
-              THEN ask1_size - LAG(ask1_size) OVER ({_W})
-            WHEN ask1_price > LAG(ask1_price) OVER ({_W})
-              THEN -LAG(ask1_size) OVER ({_W})
-            ELSE 0.0 END)
-    END AS ofi_l1
-  FROM book
-)
-SELECT exchange_id, symbol, ts_ms, raw_nonce, ofi_l1,
-       SUM(ofi_l1) OVER ({_W}
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ofi_l1_cum
-FROM ofi
-"""
-
-
-@register("book_cumsum_segmented", _CUMSUM_SEG_SQL)
-def q_book_cumsum_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W7's running total through the SEGMENTED prefix-sum path
-    (window_metrics.add_cumulative_segmented) — the two-phase parallel
-    scan that breaks the one-core-per-key serialization of long
-    single-instrument histories (the bottleneck the 100x dollar-bars
-    probe measured): 64 range segments per key compute local prefix
-    sums in parallel, segment offsets come from a config-sized
-    aggregate, final = local + offset. The oracle is the PLAIN
-    ``SUM() OVER`` — hash-equality proves the decomposition is exact
-    (OFI summands are exact binary fractions, so regrouping cannot
-    perturb the total)."""
-    from market_microstructure_toolkit_spark.operators.window_metrics import (
-        add_cumulative_segmented,
-        add_ofi_l1,
-    )
-
-    book = synthetic_book(spark, sf_dir)
-    ofi = add_ofi_l1(book, mode="strict", order_col=ORDER_COLS).select(
-        *IDS, "ofi_l1"
-    )
-    out = add_cumulative_segmented(
-        ofi, "ofi_l1", out_col="ofi_l1_cum", keys=KEYS, order_col=list(ORDER_COLS)
-    )
-    return out.select(*IDS, "ofi_l1", "ofi_l1_cum")
-
-
-_LEN_QUANTILES_SRC_SQL = """
-WITH l AS (SELECT source, length(text) AS len FROM documents),
-o AS (SELECT source, len,
-             ROW_NUMBER() OVER (PARTITION BY source ORDER BY len) AS rn,
-             COUNT(*) OVER (PARTITION BY source) AS c
-      FROM l)
-SELECT source,
-  MAX(CASE WHEN rn = CAST(ceil(0.50 * c) AS BIGINT) THEN len END) AS p50,
-  MAX(CASE WHEN rn = CAST(ceil(0.90 * c) AS BIGINT) THEN len END) AS p90,
-  MAX(CASE WHEN rn = CAST(ceil(0.99 * c) AS BIGINT) THEN len END) AS p99,
-  MAX(CASE WHEN rn = c THEN len END) AS p100,
-  MAX(c) AS n_docs
-FROM o GROUP BY source
-"""
-
-
-@register("doc_length_quantiles_by_source", _LEN_QUANTILES_SRC_SQL)
-def q_doc_length_quantiles_by_source(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Exact per-GROUP order statistics — doc_length_quantiles' sorted-
-    domain fold generalized under a key, proving the no-global-sort
-    shape survives grouping: pass 1 is a (source, len) histogram (one
-    shuffle, map-side combined); pass 2 collapses each source's
-    distinct-length domain into one sorted array row and walks it with
-    the same rank-latching fold, now per group. The per-group state is
-    bounded by the length domain (not the row count), so a source with
-    a billion docs folds the same few-thousand-entry array as one with
-    a million. The oracle uses the relational rank form per source;
-    integer answers, engine-exact."""
-    docs = _docs(spark, sf_dir)
-    hist = (
-        docs.select("source", F.length("text").alias("len"))
-        .groupBy("source", "len")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    one = hist.groupBy("source").agg(
-        F.sort_array(F.collect_list(F.struct("len", "cnt"))).alias("h"),
-        F.sum("cnt").alias("c"),
-    )
-    folded = one.select(
-        "source",
-        F.col("c"),
-        F.explode(
-            F.array(
-                F.aggregate(
-                    "h",
-                    F.struct(
-                        F.lit(0).cast("long").alias("cum"),
-                        F.lit(None).cast("long").alias("p50"),
-                        F.lit(None).cast("long").alias("p90"),
-                        F.lit(None).cast("long").alias("p99"),
-                    ),
-                    lambda acc, x: F.struct(
-                        (acc["cum"] + x["cnt"]).alias("cum"),
-                        F.coalesce(
-                            acc["p50"],
-                            F.when(
-                                acc["cum"] + x["cnt"]
-                                >= F.ceil(F.lit(0.50) * F.col("c")).cast("long"),
-                                x["len"].cast("long"),
-                            ),
-                        ).alias("p50"),
-                        F.coalesce(
-                            acc["p90"],
-                            F.when(
-                                acc["cum"] + x["cnt"]
-                                >= F.ceil(F.lit(0.90) * F.col("c")).cast("long"),
-                                x["len"].cast("long"),
-                            ),
-                        ).alias("p90"),
-                        F.coalesce(
-                            acc["p99"],
-                            F.when(
-                                acc["cum"] + x["cnt"]
-                                >= F.ceil(F.lit(0.99) * F.col("c")).cast("long"),
-                                x["len"].cast("long"),
-                            ),
-                        ).alias("p99"),
-                    ),
-                )
-            )
-        ).alias("q"),
-        F.element_at("h", -1)["len"].cast("long").alias("p100"),
-    )
-    return folded.select(
-        "source",
-        F.col("q")["p50"].alias("p50"),
-        F.col("q")["p90"].alias("p90"),
-        F.col("q")["p99"].alias("p99"),
-        "p100",
-        F.col("c").alias("n_docs"),
-    )
-
-
-_VOLUME_BAR_THRESHOLD = 500.0
-
-_VOLUME_BARS_SQL = f"""{_BOOK_CTE},
-trades AS ({trades_sql()}),
-cum AS (
-  SELECT exchange_id, symbol, ts_ms, raw_nonce, price, qty,
-    SUM(qty) OVER ({_W}
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - qty AS prefix
-  FROM trades
-),
-bars AS (
-  SELECT *, CAST(floor(prefix / {_VOLUME_BAR_THRESHOLD}) AS BIGINT) AS bar_id
-  FROM cum
-),
-ranked AS (
-  SELECT *,
-    ROW_NUMBER() OVER (PARTITION BY exchange_id, symbol, bar_id
-                       ORDER BY ts_ms, raw_nonce) AS rn_a,
-    ROW_NUMBER() OVER (PARTITION BY exchange_id, symbol, bar_id
-                       ORDER BY ts_ms DESC, raw_nonce DESC) AS rn_d
-  FROM bars
-)
-SELECT exchange_id, symbol, bar_id,
-       MAX(CASE WHEN rn_a = 1 THEN price END) AS open_px,
-       MAX(price) AS high_px,
-       MIN(price) AS low_px,
-       MAX(CASE WHEN rn_d = 1 THEN price END) AS close_px,
-       SUM(qty) AS volume,
-       COUNT(*) AS n_trades,
-       MIN(ts_ms) AS start_ms,
-       MAX(ts_ms) AS end_ms
-FROM ranked
-GROUP BY exchange_id, symbol, bar_id
-"""
-
-
-@register("trade_volume_bars", _VOLUME_BARS_SQL)
-def q_trade_volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Volume bars — the second of de Prado's event-based bar clocks
-    beside trade_dollar_bars (and the same clock VPIN buckets on): a
-    new bar every 500 units traded. The tape's quantities are exact
-    binary fractions, so the running prefix sum needs NO quantization —
-    bar boundaries and per-bar volumes are engine-exact as-is. The
-    start/end timestamps expose the information-clock property: bar
-    duration compresses in active periods and stretches in quiet ones.
-    Same co-partitioned one-window + grouped-OHLC shape as the dollar
-    bars; the per-key sequential prefix sum has the segmented-scan
-    remedy (add_cumulative_segmented) if one instrument's tape becomes
-    the task bottleneck."""
-    trades = synthetic_trades(spark, sf_dir)
-    w = (
-        Window.partitionBy(*KEYS)
-        .orderBy(*ORDER_COLS)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    bars = trades.withColumn(
-        "bar_id",
-        F.floor(
-            (F.sum("qty").over(w) - F.col("qty"))
-            / F.lit(_VOLUME_BAR_THRESHOLD)
-        ).cast("long"),
-    )
-    wa = Window.partitionBy(*KEYS, "bar_id").orderBy(*ORDER_COLS)
-    wd = Window.partitionBy(*KEYS, "bar_id").orderBy(
-        *[F.col(c).desc() for c in ORDER_COLS]
-    )
-    ranked = bars.withColumn("rn_a", F.row_number().over(wa)).withColumn(
-        "rn_d", F.row_number().over(wd)
-    )
-    return ranked.groupBy(*KEYS, "bar_id").agg(
-        F.max(F.when(F.col("rn_a") == 1, F.col("price"))).alias("open_px"),
-        F.max("price").alias("high_px"),
-        F.min("price").alias("low_px"),
-        F.max(F.when(F.col("rn_d") == 1, F.col("price"))).alias("close_px"),
-        F.sum("qty").alias("volume"),
-        F.count(F.lit(1)).alias("n_trades"),
-        F.min("ts_ms").alias("start_ms"),
-        F.max("ts_ms").alias("end_ms"),
-    )
-
-
-# --------------------------------------------------------------------------
-# Round-5 lifecycle additions: hive-partition pruning, schema evolution,
-# watermark-bounded streaming dedup, Merkle-style table diff.
-# --------------------------------------------------------------------------
-
-# exact-binary quantization of the double value column (2^-20 multiples):
-# sums of ~1e5 O(100) values stay exact integers*2^-20 < 2^53, so group
-# sums are engine- and order-identical with NO rounding at all
-# Spark SQL parses bare decimal literals as DECIMAL (a bigint/DECIMAL
-# division would come out DECIMAL, not DOUBLE) — use e-notation on the
-# Spark side to force DOUBLE arithmetic end to end
-_VALQ_SPARK = "floor(value * 1048576e0 + 5e-1) / 1048576e0"
-_VALQ_SQL = "floor(value * 1048576.0 + 0.5) / 1048576.0"
-
-_PARTITION_PRUNE_SQL = f"""
-SELECT event_type,
-       CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
-       COUNT(*) AS n_events,
-       SUM({_VALQ_SQL}) AS sum_value
-FROM events
-WHERE event_type = (SELECT MIN(event_type) FROM events)
-GROUP BY event_type, CAST(epoch_ms(ts) // 86400000 AS BIGINT)
-"""
-
-
-@register("events_partition_pruned_scan", _PARTITION_PRUNE_SQL)
-def q_events_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hive-style partition pruning end-to-end: the events are rewritten
-    partitionBy(event_type) (the ingest-time layout a 100 TB event lake
-    uses for its dominant filter column), then a single-type daily
-    rollup reads the partitioned copy back. The filter on the partition
-    column never touches data files of other types — Spark resolves it
-    against directory metadata (PartitionFilters in the scan node,
-    plan-pinned by tests/test_properties_and_plans.py), so the scan cost
-    is proportional to the SELECTED partition, not the table. The
-    oracle runs the same rollup on the raw unpartitioned file —
-    hash-equality proves the partitioned layout is lossless. The target
-    type is the lexicographic MIN event_type (deterministic, no
-    hardcoded fixture string); the value sum uses the exact-binary
-    quantization idiom, so no rounding is needed."""
-    ev = read_events(spark, sf_dir)
-    base = _scratch(prefix="mmt_hivepart_")
-    ev.write.partitionBy("event_type").parquet(f"{base}/events")
-    part = spark.read.parquet(f"{base}/events")
-    target = ev.agg(F.min("event_type").alias("m")).collect()[0]["m"]
-    day = (F.expr("ts DIV 1000000") / F.lit(86400000)).cast("long")
-    return (
-        part.filter(F.col("event_type") == target)
-        .groupBy("event_type", day.alias("day"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.expr(_VALQ_SPARK)).alias("sum_value"),
-        )
-    )
-
-
-_SCHEMA_EVO_SQL = """
-WITH mid AS (
-  SELECT CAST((MIN(doc_id) + MAX(doc_id)) // 2 AS BIGINT) AS m FROM documents
-),
-v1 AS (
-  SELECT doc_id, lang, CAST(NULL AS DOUBLE) AS quality_score
-  FROM documents, mid WHERE doc_id <= m
-),
-v2 AS (
-  SELECT doc_id, lang, (n_chars % 1000) / 16.0 AS quality_score
-  FROM documents, mid WHERE doc_id > m
-),
-u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
-SELECT lang,
-       COUNT(*) AS n_docs,
-       COUNT(quality_score) AS n_with_quality,
-       SUM(quality_score) AS sum_quality
-FROM u GROUP BY lang
-"""
-
-
-@register("documents_schema_evolution", _SCHEMA_EVO_SQL)
-def q_documents_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema evolution across parquet generations: the corpus's older
-    half is written with the v1 schema, the newer half with v2 (adds a
-    quality_score double — the column a curation pass bolts on
-    mid-corpus), and the lake is read back as ONE table via
-    ``mergeSchema`` — v1 rows surface the new column as NULL, exactly
-    the additive-column evolution contract Delta/Iceberg formalize and
-    plain parquet already supports at read time. The rollup counts and
-    sums the evolved column per language; the oracle builds the same
-    union with an explicit NULL cast. quality_score is (n_chars %
-    1000)/16 — an exact binary fraction, so the sums need no rounding.
-
-    Scale shape: mergeSchema reconciles FOOTERS (schema metadata), not
-    data; the scan stays one pass with column pruning intact on both
-    generations."""
-    docs = _docs(spark, sf_dir)
-    rng = docs.agg(
-        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
-    ).collect()[0]
-    mid = (rng["lo"] + rng["hi"]) // 2
-    base = _scratch(prefix="mmt_schemaevo_")
-    docs.filter(F.col("doc_id") <= mid).select("doc_id", "lang").write.parquet(
-        f"{base}/gen/v1"
-    )
-    docs.filter(F.col("doc_id") > mid).select(
-        "doc_id",
-        "lang",
-        ((F.col("n_chars") % 1000) / F.lit(16.0)).alias("quality_score"),
-    ).write.parquet(f"{base}/gen/v2")
-    merged = spark.read.option("mergeSchema", "true").parquet(
-        f"{base}/gen/v1", f"{base}/gen/v2"
-    )
-    return merged.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.count("quality_score").alias("n_with_quality"),
-        F.sum("quality_score").alias("sum_quality"),
-    )
-
-
-_WM_DEDUP_SQL = """
-SELECT event_id, user_id, event_type FROM events
-"""
-
-
-@register("streaming_dedup_watermark_replay", _WM_DEDUP_SQL)
-def q_streaming_dedup_watermark_replay(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Built-in watermark-bounded streaming dedup
-    (``dropDuplicatesWithinWatermark``) — the production alternative to
-    the custom keyed-state dedup of ``streaming_dedup_replay`` when
-    duplicates arrive within a bounded event-time horizon (re-delivered
-    webhooks, at-least-once buses): state is EVICTED once the watermark
-    passes, so it holds only the horizon's keys, not every key ever
-    seen — the property that keeps a year-long stream's state from
-    growing without bound.
-
-    Replay: the tape in 3 event-time batches; every 7th event of batch
-    k is re-injected into batch k+1, so the duplicate and its original
-    are always in DIFFERENT micro-batches — suppression across the
-    batch boundary is state, not batch-local distinct. The watermark
-    delay exceeds the tape's whole span, so no state evicts before its
-    duplicate arrives and the streaming answer equals the batch
-    DISTINCT — which is the oracle (fixture event_ids are unique, so
-    the oracle is simply the events projection). Spark 4.1 watermark
-    semantics (batch-lagged late filter) are irrelevant here by
-    construction: nothing is ever late under the over-long delay."""
-    import uuid
-
-    ev = read_events(spark, sf_dir).select(
-        "event_id", "user_id", "event_type", "ts"
-    )
-
-    def build(b: str) -> list[str]:
-        evp = ev.persist()
-        try:
-            rng = evp.agg(
-                F.min("ts").alias("lo"), F.max("ts").alias("hi")
-            ).collect()[0]
-            lo, hi = rng["lo"], rng["hi"]
-            c1, c2 = lo + (hi - lo) // 3, lo + 2 * ((hi - lo) // 3)
-            b1 = evp.filter(F.col("ts") <= c1)
-            b2 = evp.filter((F.col("ts") > c1) & (F.col("ts") <= c2))
-            b3 = evp.filter(F.col("ts") > c2)
-            b1.coalesce(1).write.parquet(f"{b}/data/a")
-            b2.unionByName(
-                b1.filter(F.col("event_id") % 7 == 0)
-            ).coalesce(1).write.parquet(f"{b}/data/b")
-            b3.unionByName(
-                b2.filter(F.col("event_id") % 7 == 0)
-            ).coalesce(1).write.parquet(f"{b}/data/c")
-        finally:
-            evp.unpersist()
-        return [f"{b}/data/a", f"{b}/data/b", f"{b}/data/c"]
-
-    tape_base = _memo_tape(sf_dir, "events3_inject", build)
-    base = _scratch(prefix="mmt_stream_wmdedup_")  # per-run checkpoint
-
-    stream = (
-        spark.readStream.schema(
-            "event_id long, user_id long, event_type string, ts long"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{tape_base}/data/*/")
-        .withColumn("event_time", F.expr("timestamp_micros(ts DIV 1000)"))
-        .withWatermark("event_time", "3650 days")
-        .dropDuplicatesWithinWatermark(["event_id"])
-        .select("event_id", "user_id", "event_type")
-    )
-    name = f"wm_dedup_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            stream.writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{base}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
-
-
-# v2 of the corpus, derived deterministically from v1: every 97th doc
-# deleted, every 89th doc's text amended, every 101st re-inserted under a
-# shifted id. Shared between the Spark builder and the oracle CTE.
-_TDIFF_V2_SQL = """
-v2 AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 89 = 0 THEN text || ' [rev2]' ELSE text END AS text,
-         lang, source, n_chars
-  FROM documents WHERE doc_id % 97 <> 0
-  UNION ALL
-  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
-         text, lang, source, n_chars
-  FROM documents WHERE doc_id % 101 = 0
-)
-"""
-
-_TABLE_DIFF_SQL = f"""
-WITH {_TDIFF_V2_SQL}
-SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
-       CASE WHEN b.doc_id IS NULL THEN 'only_v1'
-            WHEN a.doc_id IS NULL THEN 'only_v2'
-            ELSE 'changed' END AS status
-FROM documents a FULL JOIN v2 b USING (doc_id)
-WHERE a.doc_id IS NULL OR b.doc_id IS NULL
-   OR a.text IS DISTINCT FROM b.text OR a.lang IS DISTINCT FROM b.lang
-   OR a.source IS DISTINCT FROM b.source
-   OR a.n_chars IS DISTINCT FROM b.n_chars
-"""
-
-
-@register("documents_table_diff", _TABLE_DIFF_SQL)
-def q_documents_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merkle-style table reconciliation: find the row-level delta
-    between two corpus versions WITHOUT a full-table compare. Phase 1
-    fingerprints each version per bucket (doc_id % 256): row count plus
-    the exact SUM of a 40-bit integer slice of md5(row) — engine-
-    portable (Spark ``conv(hex,16,10)``, DuckDB ``CAST('0x'||hex)``)
-    and order-free exact (256 * 1e6 rows * 2^40 < int64). Phase 2
-    compares the two 256-row fingerprint tables (driver-size metadata)
-    and keeps only differing buckets; phase 3 full-outer-joins the ROW
-    DATA of those buckets alone to emit per-doc statuses. At 100 TB
-    with a bucketed layout, an unchanged table costs two metadata-light
-    scans and zero detail reads; a 0.1%-changed table reads ~0.1% of
-    buckets in phase 3. The oracle diffs the versions directly with a
-    full outer join — hash-equality proves bucket pruning loses
-    nothing. v2 is derived in-plan (delete/modify/insert by doc_id
-    modulus), identically in the SQL CTE."""
-    docs = _docs(spark, sf_dir)
-    max_id = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
-    v2 = (
-        docs.filter(F.col("doc_id") % 97 != 0)
-        .withColumn(
-            "text",
-            F.when(
-                F.col("doc_id") % 89 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
-            ).otherwise(F.col("text")),
-        )
-        .unionByName(
-            docs.filter(F.col("doc_id") % 101 == 0).withColumn(
-                "doc_id", F.col("doc_id") + F.lit(max_id + 1)
-            )
-        )
-    )
-    from market_microstructure_toolkit_spark.operators.reconcile import (
-        table_diff,
-    )
-
-    return table_diff(
-        docs,
-        v2,
-        "doc_id",
-        compare_cols=["text", "lang", "source", "n_chars"],
-        n_buckets=256,
-    )
-
-
-# --------------------------------------------------------------------------
-# Round-5 batch 2: robust cleaning, forward as-of spread decomposition,
-# temperature-mixture sampling, LSH calibration.
-# --------------------------------------------------------------------------
-
-_WINSOR_SQL = f"""{_BOOK_CTE},
-trades AS ({trades_sql()}),
-spiked AS (
-  SELECT exchange_id, symbol, ts_ms, raw_nonce, mid,
-         price * (CASE WHEN raw_nonce % 211 = 0 THEN 1.05 ELSE 1.0 END) - mid
-           AS dev
-  FROM trades
-),
-med AS (
-  SELECT exchange_id, symbol, quantile_cont(dev, 0.5) AS med
-  FROM spiked GROUP BY exchange_id, symbol
-),
-mad AS (
-  SELECT s.exchange_id, s.symbol, quantile_cont(abs(s.dev - m.med), 0.5) AS mad
-  FROM spiked s JOIN med m USING (exchange_id, symbol)
-  GROUP BY s.exchange_id, s.symbol
-)
-SELECT s.exchange_id, s.symbol, s.ts_ms, s.raw_nonce,
-       ROUND(s.mid + s.dev, 6) AS price_raw,
-       abs(s.dev - m.med) > 5.0 * d.mad AS is_outlier,
-       ROUND(s.mid + (CASE WHEN s.dev > m.med + 5.0 * d.mad THEN m.med + 5.0 * d.mad
-                           WHEN s.dev < m.med - 5.0 * d.mad THEN m.med - 5.0 * d.mad
-                           ELSE s.dev END), 6) AS price_winsorized
-FROM spiked s
-JOIN med m USING (exchange_id, symbol)
-JOIN mad d USING (exchange_id, symbol)
-"""
-
-
-@register("trade_outlier_winsorize", _WINSOR_SQL)
-def q_trade_outlier_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust tape cleaning (Brownlees-Gallo 2006 family): flag and clip
-    prints whose DEVIATION FROM THE PREVAILING MID is further than
-    5 MADs from the per-instrument median deviation. Filtering the
-    deviation, not the raw price, is what makes the rule work on a
-    trending tape — the raw-price median would flag the legitimate
-    tails of the day's price range while a fat-fingered print near the
-    median price slipped through. The fixture plants a +5% spike on
-    every 211th print (~5 units vs quarter-spread deviations of
-    ~±0.05), so the flag provably fires on exactly those (unit-pinned).
-    Median and MAD are exact interpolated percentiles — two grouped
-    aggregates whose 4-row results broadcast back onto the tape, so
-    the tape is never shuffled (at 100 TB the percentile aggregates
-    are the only wide stages, and they partial-aggregate).
-    IEEE-identical arithmetic both engines; only the emitted prices are
-    rounded (6 dp)."""
-    trades = synthetic_trades(spark, sf_dir)
-    spiked = trades.select(
-        *KEYS,
-        "ts_ms",
-        "raw_nonce",
-        "mid",
-        (
-            F.col("price")
-            * F.when(F.col("raw_nonce") % 211 == 0, F.lit(1.05)).otherwise(
-                F.lit(1.0)
-            )
-            - F.col("mid")
-        ).alias("dev"),
-    )
-    med = spiked.groupBy(*KEYS).agg(
-        F.percentile("dev", F.lit(0.5)).alias("med")
-    )
-    mad = (
-        spiked.join(F.broadcast(med), list(KEYS))
-        .groupBy(*KEYS)
-        .agg(
-            F.percentile(F.abs(F.col("dev") - F.col("med")), F.lit(0.5)).alias(
-                "mad"
-            )
-        )
-    )
-    lo = F.col("med") - F.lit(5.0) * F.col("mad")
-    hi = F.col("med") + F.lit(5.0) * F.col("mad")
-    return (
-        spiked.join(F.broadcast(med), list(KEYS))
-        .join(F.broadcast(mad), list(KEYS))
-        .select(
-            *KEYS,
-            "ts_ms",
-            "raw_nonce",
-            F.round(F.col("mid") + F.col("dev"), 6).alias("price_raw"),
-            (
-                F.abs(F.col("dev") - F.col("med")) > F.lit(5.0) * F.col("mad")
-            ).alias("is_outlier"),
-            F.round(
-                F.col("mid")
-                + F.when(F.col("dev") > hi, hi)
-                .when(F.col("dev") < lo, lo)
-                .otherwise(F.col("dev")),
-                6,
-            ).alias("price_winsorized"),
-        )
-    )
-
-
-_RSPREAD_DELTA_MS = 60_000
-
-_RSPREAD_SQL = f"""{_BOOK_CTE},
-trades AS ({trades_sql()}),
-m AS (
-  SELECT exchange_id, symbol, -ts_ms AS nts, mid AS mid_fut FROM trades
-),
-t AS (
-  SELECT *, -(ts_ms + {_RSPREAD_DELTA_MS}) AS ntarget,
-         CASE WHEN price > mid THEN 1.0 WHEN price < mid THEN -1.0 ELSE 0.0 END AS q
-  FROM trades
-),
-j AS (
-  SELECT t.exchange_id, t.symbol, t.q, t.price, t.mid, m.mid_fut
-  FROM t ASOF JOIN m
-    ON t.exchange_id = m.exchange_id AND t.symbol = m.symbol
-   AND m.nts <= t.ntarget
-  WHERE t.q <> 0.0
-)
-SELECT exchange_id, symbol,
-       COUNT(*) AS n_trades,
-       ROUND(AVG(2.0 * q * (price - mid)), 6) AS avg_effective_spread,
-       ROUND(AVG(2.0 * q * (price - mid_fut)), 6) AS avg_realized_spread,
-       ROUND(AVG(2.0 * q * (mid_fut - mid)), 6) AS avg_price_impact
-FROM j GROUP BY exchange_id, symbol
-"""
-
-
-@register("trade_realized_spread", _RSPREAD_SQL)
-def q_trade_realized_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Effective-spread decomposition at a 60 s midpoint benchmark
-    (the exchange-report / TAQ-literature standard): effective spread
-    2q(p - mid) splits into realized spread 2q(p - mid_fut) — what the
-    liquidity provider actually keeps — plus price impact
-    2q(mid_fut - mid), the adverse-selection leak, where mid_fut is the
-    prevailing mid at the first tick >= 60 s after the print. The
-    FORWARD as-of lookup reuses the join-free backward machinery
-    (operators/asof.py::asof_backward_union) on NEGATED timestamps —
-    forward-asof(ts) == backward-asof(-ts) — so the plan stays one
-    union + one keyed window, no join operator, at any scale. Quote-rule
-    signs; mid prints (q=0) and tape-tail trades with no 60 s-ahead
-    tick are excluded on both engines (inner semantics). Oracle: DuckDB
-    ASOF JOIN on the same negated axis."""
-    from market_microstructure_toolkit_spark.operators.asof import (
-        asof_backward_union,
-    )
-
-    trades = synthetic_trades(spark, sf_dir)
-    snaps = trades.select(
-        *KEYS,
-        (-F.col("ts_ms")).alias("nts"),
-        (-F.col("raw_nonce")).alias("raw_nonce"),
-        F.col("mid").alias("mid_fut"),
-    )
-    q = (
-        F.when(F.col("price") > F.col("mid"), F.lit(1.0))
-        .when(F.col("price") < F.col("mid"), F.lit(-1.0))
-        .otherwise(F.lit(0.0))
-    )
-    tgts = trades.select(
-        *KEYS,
-        (-(F.col("ts_ms") + F.lit(_RSPREAD_DELTA_MS))).alias("nts"),
-        q.alias("q"),
-        "price",
-        "mid",
-    ).filter(F.col("q") != 0.0)
-    picked = asof_backward_union(
-        snaps,
-        tgts,
-        keys=KEYS,
-        ts_col="nts",
-        value_cols=("mid_fut",),
-        target_ts_col="nts",
-        target_payload_cols=("q", "price", "mid"),
-    ).filter(F.col("mid_fut").isNotNull())
-    two_q = F.lit(2.0) * F.col("q")
-    return picked.groupBy(*KEYS).agg(
-        F.count(F.lit(1)).alias("n_trades"),
-        F.round(F.avg(two_q * (F.col("price") - F.col("mid"))), 6).alias(
-            "avg_effective_spread"
-        ),
-        F.round(F.avg(two_q * (F.col("price") - F.col("mid_fut"))), 6).alias(
-            "avg_realized_spread"
-        ),
-        F.round(F.avg(two_q * (F.col("mid_fut") - F.col("mid"))), 6).alias(
-            "avg_price_impact"
-        ),
-    )
-
-
-_TARGET_MIX_SQL = """
-WITH counts AS (
-  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
-),
-rates AS (
-  SELECT source, n_s,
-         LEAST(
-           1.0,
-           (SELECT floor(COUNT(*) / 2.0) FROM documents)
-             * (sqrt(CAST(n_s AS DOUBLE))
-                / (SELECT SUM(sqrt(CAST(n_s AS DOUBLE))) FROM counts))
-             / CAST(n_s AS DOUBLE)
-         ) AS r
-  FROM counts
-),
-flagged AS (
-  SELECT d.source, r.n_s,
-         CASE WHEN r.r >= 1.0 THEN TRUE
-              ELSE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
-                   < printf('%08x', CAST(floor(r.r * 4294967296.0) AS BIGINT))
-         END AS kept
-  FROM documents d JOIN rates r USING (source)
-)
-SELECT source, n_s AS n_source,
-       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-FROM flagged GROUP BY source, n_s
-"""
-
-
-@register("corpus_target_mix_sample", _TARGET_MIX_SQL)
-def q_corpus_target_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-weighted mixture sampling (the multilingual-corpus
-    standard, alpha = 0.5): target share of source s is proportional to
-    n_s^alpha — big sources are downweighted sub-linearly instead of
-    capped to the minimum (``corpus_rebalance``'s uniform mix is the
-    alpha->0 limit). Budget = half the corpus; per-source keep rate
-    r_s = min(1, T * p_s / n_s); membership is the engine-portable
-    lexicographic-hex md5 threshold (content-free, re-runnable,
-    join-free at apply time — same idiom as rebalance_keep_flag, and
-    the sqrt/divide arithmetic is IEEE-identical across engines).
-    Scale shape: one groupBy for counts, broadcast of the tiny rate
-    table, map-side flag; no corpus shuffle."""
-    docs = _docs(spark, sf_dir)
-    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
-    tot = counts.agg(
-        F.floor(F.sum("n_s") / F.lit(2.0)).alias("t"),
-        F.sum(F.sqrt(F.col("n_s").cast("double"))).alias("wsum"),
-    )
-    rates = counts.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "n_s",
-        F.least(
-            F.lit(1.0),
-            F.col("t")
-            * (F.sqrt(F.col("n_s").cast("double")) / F.col("wsum"))
-            / F.col("n_s").cast("double"),
-        ).alias("r"),
-    )
-    thr = F.lower(
-        F.lpad(F.hex(F.floor(F.col("r") * F.lit(4294967296.0))), 8, "0")
-    )
-    kept = F.when(F.col("r") >= 1.0, F.lit(True)).otherwise(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < thr
-    )
-    return (
-        docs.join(F.broadcast(rates), "source")
-        .select("source", "n_s", kept.alias("kept"))
-        .groupBy("source", F.col("n_s").alias("n_source"))
-        .agg(F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"))
-    )
-
-
-_LSH_CALIBRATION_SQL = """
-WITH cand AS (""" + _MINHASH_SQL + """),
-grams AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, len(w) - 1),
-                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gs
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-  WHERE len(w) >= 3
-),
-j AS (
-  SELECT c.id_a, c.id_b,
-         len(list_intersect(ga.gs, gb.gs)) AS inter,
-         len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs)) AS uni
-  FROM cand c
-  JOIN grams ga ON ga.doc_id = c.id_a
-  JOIN grams gb ON gb.doc_id = c.id_b
-)
-SELECT CAST(LEAST(9, (10 * inter) // uni) AS BIGINT) AS jaccard_decile,
-       COUNT(*) AS n_pairs,
-       CAST(SUM(inter) AS BIGINT) AS sum_intersection,
-       CAST(SUM(uni) AS BIGINT) AS sum_union
-FROM j GROUP BY CAST(LEAST(9, (10 * inter) // uni) AS BIGINT)
-"""
-
-
-@register("dedup_minhash_calibration", _LSH_CALIBRATION_SQL)
-def q_dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calibration curve of the MinHash-LSH candidate generator: for
-    every candidate pair, the TRUE shingle-set Jaccard, histogrammed by
-    decile — the evaluation a dedup pipeline runs before trusting its
-    banding parameters (8 hashes / 4 bands targets the s-curve
-    1-(1-s^2)^4, so most candidates should sit in the upper deciles;
-    a mass of low-decile candidates means the bands are too loose).
-    The true Jaccard is computed ONLY for candidate pairs — the
-    verification join is candidate-sized, never corpus-quadratic, which
-    is what makes post-hoc calibration affordable at 100 TB. Integer
-    arithmetic end to end (set sizes, integer-division deciles):
-    engine-exact with no rounding."""
-    from market_microstructure_toolkit_spark.operators.dedup import (
-        minhash_lsh_candidates,
-        word_shingles,
-    )
-
-    docs = _docs(spark, sf_dir)
-    cand = minhash_lsh_candidates(docs)
-    grams = docs.select(
-        "doc_id", word_shingles(F.col("text"), 3).alias("gs")
-    ).filter(F.size("gs") >= 1)
-    ga = grams.select(
-        F.col("doc_id").alias("id_a"), F.col("gs").alias("gs_a")
-    )
-    gb = grams.select(
-        F.col("doc_id").alias("id_b"), F.col("gs").alias("gs_b")
-    )
-    inter = F.size(F.array_intersect(F.col("gs_a"), F.col("gs_b")))
-    uni = F.size("gs_a") + F.size("gs_b") - inter
-    paired = (
-        cand.join(ga, "id_a")
-        .join(gb, "id_b")
-        .select(
-            inter.alias("inter"),
-            uni.alias("uni"),
-        )
-    )
-    decile = F.least(F.lit(9), F.expr("(10 * inter) DIV uni")).cast("long")
-    return paired.groupBy(decile.alias("jaccard_decile")).agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum("inter").cast("long").alias("sum_intersection"),
-        F.sum("uni").cast("long").alias("sum_union"),
-    )
-
-
-# --------------------------------------------------------------------------
-# Round-5 batch 3: hard-negative mining, native session windows,
-# pivot/unpivot round-trip, SCD2 dimension build.
-# --------------------------------------------------------------------------
-
-_HARD_NEG_SQL = """
-WITH probes AS (
-  SELECT vec_id AS qid, label AS qlabel, CAST(embedding AS DOUBLE[]) AS qv
-  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id <= 1550
-),
-scored AS (
-  SELECT p.qid, e.vec_id, e.label,
-         ROUND(
-           list_dot_product(CAST(e.embedding AS DOUBLE[]), p.qv)
-           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
-            * sqrt(list_dot_product(p.qv, p.qv))),
-           6) AS cos_sim
-  FROM embeddings e, probes p
-  WHERE e.label <> p.qlabel
-)
-SELECT qid, rk AS rank, vec_id, label, cos_sim
-FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-                               ORDER BY cos_sim DESC, vec_id) AS rk
-  FROM scored
-)
-WHERE rk <= 5
-"""
-
-
-@register("embedding_hard_negatives", _HARD_NEG_SQL)
-def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hard-negative mining for contrastive training: for each probe
-    vector (every 50th id), the 5 most-similar vectors with a DIFFERENT
-    label — the near-misses that make the best negatives (the easy,
-    dissimilar ones teach nothing). The probe set is CONFIG-SIZED (at
-    most 32 ids: every 50th id up to 1550 — mining runs per bounded
-    probe batch, never per unbounded corpus slice), broadcasts, and
-    scoring is one map-side pass over the corpus; rank is a probe-keyed
-    window (probe-count partitions, never global). At full scale the
-    same contract swaps the brute-force scorer for the IVF path
-    (similarity_ivf) — this gate is the exact baseline that path is
-    measured against. Cosine rounded 6dp (dot-product reorder), rank
-    ties broken by vec_id."""
-    emb = _emb(spark, sf_dir)
-    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    emb_d = emb.select("vec_id", "label", vec_d.alias("v"))
-    probes = F.broadcast(
-        emb_d.filter(
-            (F.col("vec_id") % 50 == 0) & (F.col("vec_id") <= 1550)
-        ).select(
-            F.col("vec_id").alias("qid"),
-            F.col("label").alias("qlabel"),
-            F.col("v").alias("qv"),
-        )
-    )
-    scored = (
-        emb_d.crossJoin(probes)
-        .filter(F.col("label") != F.col("qlabel"))
-        .select(
-            "qid",
-            "vec_id",
-            "label",
-            F.round(
-                A.dot("v", "qv") / (A.l2_norm("v") * A.l2_norm("qv")), 6
-            ).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("qid", "rank", "vec_id", "label", "cos_sim")
-    )
-
-
-_SESSION_GAP_US = 1_800_000_000  # 30 min
-_SESSION_WM_US = 60_000_000  # 1 min watermark delay
-
-_SESSION_WINDOW_SQL = f"""
-WITH ordered AS (
-  SELECT user_id, event_id, epoch_us(ts) AS us,
-         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           AS prev_us
-  FROM events
-),
-flagged AS (
-  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= {_SESSION_GAP_US}
-                 THEN 1 ELSE 0 END AS new_session
-  FROM ordered
-),
-sessions AS (
-  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
-                                   ORDER BY us, event_id) AS session_no
-  FROM flagged
-),
-rolled AS (
-  SELECT user_id,
-         MIN(us) AS session_start_us,
-         MAX(us) + {_SESSION_GAP_US} AS session_end_us,
-         COUNT(*) AS n_events
-  FROM sessions GROUP BY user_id, session_no
-)
-SELECT user_id, session_start_us, session_end_us, n_events
-FROM rolled
-WHERE session_end_us <= (SELECT MAX(epoch_us(ts)) FROM events) - {_SESSION_WM_US}
-"""
-
-
-@register("streaming_session_window_replay", _SESSION_WINDOW_SQL)
-def q_streaming_session_window_replay(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Spark's NATIVE session windows (``session_window`` aggregate,
-    state-store-merged) on a 3-batch file replay — the built-in twin of
-    the relational gap-cut ``events_sessionize``: windows extend to
-    last-event + 30 min, merge when a new event lands inside, and emit
-    in append mode once the watermark (1 min delay) passes the window
-    end. The oracle replays the same rule relationally at MICROsecond
-    precision (the stream's timestamp grain — ms flooring would split
-    hairline-different gaps differently) and applies the same final-
-    watermark emission filter: sessions ending within 1 min of the
-    tape's max event time stay open and must NOT be emitted. Session
-    state is per-(user, open-window) and evicts at the watermark — the
-    bounded-memory contract that makes this the production sessionizer
-    for infinite streams."""
-    import uuid
-
-    ev = read_events(spark, sf_dir).select("event_id", "user_id", "ts")
-    tape_base = _memo_tape(
-        sf_dir, "events3_sess", lambda b: _split3(ev, "ts", b)
-    )
-    base = _scratch(prefix="mmt_stream_sesswin_")  # per-run checkpoint
-
-    stream = (
-        spark.readStream.schema("event_id long, user_id long, ts long")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{tape_base}/data/*/")
-        .withColumn("event_time", F.expr("timestamp_micros(ts DIV 1000)"))
-        .withWatermark("event_time", "1 minute")
-        .groupBy(
-            F.session_window("event_time", "30 minutes"), F.col("user_id")
-        )
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.unix_micros(F.col("session_window.start")).alias(
-                "session_start_us"
-            ),
-            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
-            "n_events",
-        )
-    )
-    name = f"sesswin_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            stream.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", f"{base}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
-
-
-_PIVOT_ROUNDTRIP_SQL = """
-SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
-       event_type,
-       COUNT(*) AS n_events
-FROM events
-GROUP BY CAST(epoch_ms(ts) // 86400000 AS BIGINT), event_type
-"""
-
-
-@register("events_pivot_roundtrip", _PIVOT_ROUNDTRIP_SQL)
-def q_events_pivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot/unpivot round-trip: the day x event_type count matrix is
-    PIVOTed to wide (one column per type — the report/feature-matrix
-    shape) and immediately UNPIVOTed back to long; hash-equality with
-    the plain grouped oracle proves the two reshapes are mutually
-    lossless (absent day x type cells surface as NULL wide cells and
-    are dropped on the way back, matching the oracle's no-zero-rows
-    semantics). The pivot value list is collected first (driver-side,
-    #event-types rows — bounded metadata, and REQUIRED at scale: the
-    implicit-pivot variant runs a whole extra distinct job and caps at
-    spark.sql.pivotMaxValues anyway)."""
-    ev = read_events(spark, sf_dir)
-    day = (F.expr("ts DIV 1000000") / F.lit(86400000)).cast("long")
-    types = sorted(
-        r["event_type"]
-        for r in ev.select("event_type").distinct().collect()
-    )
-    wide = (
-        ev.select(day.alias("day"), "event_type")
-        .groupBy("day")
-        .pivot("event_type", types)
-        .count()
-    )
-    return (
-        wide.unpivot("day", types, "event_type", "n_events")
-        .filter(F.col("n_events").isNotNull())
-        .select("day", "event_type", "n_events")
-    )
-
-
-_SCD2_BUILD_SQL = """
-WITH ordered AS (
-  SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
-         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           AS valid_to_us,
-         floor(value * 1048576.0 + 0.5) / 1048576.0 AS attr_value
-  FROM events
-)
-SELECT user_id, event_id AS version_id, valid_from_us, valid_to_us,
-       attr_value, valid_to_us IS NULL AS is_current
-FROM ordered
-"""
-
-
-@register("users_scd2_build", _SCD2_BUILD_SQL)
-def q_users_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build an SCD Type-2 dimension FROM a change log (the inverse of
-    events_scd2_join, which consumes one): each user's attribute events,
-    time-ordered, become validity versions — valid_from = the change's
-    timestamp, valid_to = the NEXT change's (half-open, via one keyed
-    LEAD window), NULL marking the current version. This is the
-    dimension-table materialization every warehouse ingest runs on CDC
-    feeds. One user-keyed window, co-partitioned with any later
-    as-of/SCD2 join on the same key; attribute values quantized to
-    exact binary so the gate needs no rounding."""
-    ev = read_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.expr("ts DIV 1000")
-    return ev.select(
-        "user_id",
-        F.col("event_id").alias("version_id"),
-        us.alias("valid_from_us"),
-        F.lead(us).over(w).alias("valid_to_us"),
-        F.expr(_VALQ_SPARK).alias("attr_value"),
-        F.lead(us).over(w).isNull().alias("is_current"),
-    )
-
-
-# --------------------------------------------------------------------------
-# Round-5 batch 4: incremental cross-snapshot dedup, order-flow sign
-# autocorrelation, price clustering.
-# --------------------------------------------------------------------------
-
-_INCR_DEDUP_SQL = """
-WITH mid AS (
-  SELECT CAST((MIN(doc_id) + MAX(doc_id)) // 2 AS BIGINT) AS m FROM documents
-),
-grams AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, len(w) - 1),
-                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gs
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-  WHERE len(w) >= 3
-),
-sigs AS (
-  SELECT doc_id,
-         list_aggregate(list_transform(gs, g -> md5(g || '#0')), 'min') AS mh0,
-         list_aggregate(list_transform(gs, g -> md5(g || '#1')), 'min') AS mh1,
-         list_aggregate(list_transform(gs, g -> md5(g || '#2')), 'min') AS mh2,
-         list_aggregate(list_transform(gs, g -> md5(g || '#3')), 'min') AS mh3,
-         list_aggregate(list_transform(gs, g -> md5(g || '#4')), 'min') AS mh4,
-         list_aggregate(list_transform(gs, g -> md5(g || '#5')), 'min') AS mh5,
-         list_aggregate(list_transform(gs, g -> md5(g || '#6')), 'min') AS mh6,
-         list_aggregate(list_transform(gs, g -> md5(g || '#7')), 'min') AS mh7
-  FROM grams
-),
-keyed AS (
-  SELECT doc_id, band, key FROM (
-    SELECT doc_id, 0 AS band, concat_ws('|', mh0, mh1) AS key FROM sigs WHERE mh0 IS NOT NULL
-    UNION ALL
-    SELECT doc_id, 1, concat_ws('|', mh2, mh3) FROM sigs WHERE mh0 IS NOT NULL
-    UNION ALL
-    SELECT doc_id, 2, concat_ws('|', mh4, mh5) FROM sigs WHERE mh0 IS NOT NULL
-    UNION ALL
-    SELECT doc_id, 3, concat_ws('|', mh6, mh7) FROM sigs WHERE mh0 IS NOT NULL
-  )
-),
-keys_c AS (
-  SELECT DISTINCT band, key FROM keyed CROSS JOIN mid WHERE doc_id <= m
-),
-near_ids AS (
-  SELECT DISTINCT k.doc_id
-  FROM keyed k JOIN keys_c USING (band, key) CROSS JOIN mid
-  WHERE k.doc_id > m
-),
-chash AS (
-  SELECT DISTINCT md5(text) AS h FROM documents CROSS JOIN mid WHERE doc_id <= m
-)
-SELECT d.doc_id,
-       CASE WHEN md5(d.text) IN (SELECT h FROM chash) THEN 'exact'
-            WHEN d.doc_id IN (SELECT doc_id FROM near_ids) THEN 'near'
-            ELSE 'unique' END AS dup_kind
-FROM documents d CROSS JOIN mid WHERE d.doc_id > m
-"""
-
-
-@register("documents_incremental_dedup", _INCR_DEDUP_SQL)
-def q_documents_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental dedup of a NEW batch against an EXISTING corpus
-    snapshot — the shape live ingestion actually runs (self-dedup of the
-    union would re-pay the whole corpus every batch). The corpus's older
-    id-half plays the snapshot, the newer half the arriving batch; each
-    batch doc classifies as 'exact' (content hash already in the
-    corpus), 'near' (shares a MinHash LSH band key with any corpus doc),
-    or 'unique'. Scale shape: the corpus side reduces to two DISTINCT
-    key sets — content hashes and (band, key) pairs — and the batch
-    probes them with semi-joins; fan-out is at most 1 per probe (the
-    corpus sets are distinct), so there is NO pairwise candidate
-    generation at all, unlike self-dedup. At 100 TB the corpus key sets
-    are incrementally maintainable (append-only), making per-batch cost
-    independent of corpus size except for the key-set join."""
-    from market_microstructure_toolkit_spark.operators.dedup import (
-        minhash_signatures,
-    )
-
-    docs = _docs(spark, sf_dir)
-    rng = docs.agg(
-        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
-    ).collect()[0]
-    mid = (rng["lo"] + rng["hi"]) // 2
-
-    chash = (
-        docs.filter(F.col("doc_id") <= mid)
-        .select(F.md5("text").alias("__h"))
-        .distinct()
-    )
-    sigs = minhash_signatures(docs)
-    keyed = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "|", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
-                        ).alias("key"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
-    keys_c = (
-        keyed.filter(F.col("doc_id") <= mid).select("band", "key").distinct()
-    )
-    near_ids = (
-        keyed.filter(F.col("doc_id") > mid)
-        .join(keys_c, ["band", "key"], "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("__near", F.lit(True))
-    )
-    batch = docs.filter(F.col("doc_id") > mid).withColumn(
-        "__h", F.md5("text")
-    )
-    exact_ids = (
-        batch.join(chash, "__h", "left_semi")
-        .select("doc_id")
-        .withColumn("__exact", F.lit(True))
-    )
-    return (
-        batch.join(exact_ids, "doc_id", "left")
-        .join(near_ids, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.when(F.col("__exact"), F.lit("exact"))
-            .when(F.col("__near"), F.lit("near"))
-            .otherwise(F.lit("unique"))
-            .alias("dup_kind"),
-        )
-    )
-
-
-_SIGN_ACF_MAX_LAG = 5
-
-_SIGN_ACF_SQL = f"""{_CLASSIFIED_CTE},
-lagged AS (
-  SELECT exchange_id, symbol,
-    {", ".join(f"side * LAG(side, {k}) OVER ({_W}) AS p{k}" for k in range(1, _SIGN_ACF_MAX_LAG + 1))}
-  FROM classified
-),
-long AS (
-  {" UNION ALL ".join(f"SELECT exchange_id, symbol, {k} AS lag, p{k} AS p FROM lagged" for k in range(1, _SIGN_ACF_MAX_LAG + 1))}
-)
-SELECT exchange_id, symbol, CAST(lag AS BIGINT) AS lag,
-       ROUND(AVG(CAST(p AS DOUBLE)), 6) AS sign_acf,
-       COUNT(p) AS n_pairs
-FROM long GROUP BY exchange_id, symbol, lag
-"""
-
-
-@register("trade_sign_autocorrelation", _SIGN_ACF_SQL)
-def q_trade_sign_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-flow sign autocorrelation at lags 1..5 — the long-memory
-    diagnostic (Bouchaud et al.; Lillo-Farmer): real order flow has
-    slowly decaying positive sign ACF from order splitting, and any
-    impact model (Kyle lambda, OFI R^2 — both gated here) must be read
-    against it. Signs from the same Lee-Ready classifier the signs gate
-    pins; ACF_k = mean(s_t * s_{{t-k}}) via ONE instrument-keyed window
-    pass computing all 5 lagged products, unpivoted in-plan (explode of
-    a 5-element struct array — no second scan, no join). Integer
-    products sum exactly; only the final mean is rounded."""
-    tape = synthetic_trades(spark, sf_dir)
-    cls = T.classify_lee_ready(tape, KEYS, ORDER_COLS)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
-    lagged = cls.select(
-        *KEYS,
-        *[
-            (F.col("side") * F.lag("side", k).over(w))
-            .cast("double")
-            .alias(f"__p{k}")
-            for k in range(1, _SIGN_ACF_MAX_LAG + 1)
-        ],
-    )
-    prods = lagged.select(
-        *KEYS,
-        F.posexplode(
-            F.array(
-                *[F.col(f"__p{k}") for k in range(1, _SIGN_ACF_MAX_LAG + 1)]
-            )
-        ).alias("__i", "p"),
-    )
-    return (
-        prods.groupBy(*KEYS, (F.col("__i") + 1).cast("long").alias("lag"))
-        .agg(
-            F.round(F.avg("p"), 6).alias("sign_acf"),
-            F.count("p").alias("n_pairs"),
-        )
-    )
-
-
-_PRICE_CLUSTER_SQL = f"""{_BOOK_CTE},
-trades AS ({trades_sql()}),
-q AS (
-  SELECT exchange_id, symbol,
-         floor(price * 1024.0 + 0.5) / 1024.0 AS pq
-  FROM trades
-)
-SELECT exchange_id, symbol,
-       CAST(CAST(floor(pq * 100.0) AS BIGINT) % 100 AS BIGINT) AS cent_bucket,
-       COUNT(*) AS n_trades
-FROM q GROUP BY exchange_id, symbol, CAST(CAST(floor(pq * 100.0) AS BIGINT) % 100 AS BIGINT)
-"""
-
-
-@register("trade_price_clustering", _PRICE_CLUSTER_SQL)
-def q_trade_price_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Price clustering histogram (Harris 1991): the distribution of the
-    cent digit of trade prices — real tapes pile up on round increments
-    (whole cents, nickels, quarters), and the histogram's shape is the
-    standard effective-tick-size diagnostic. Prices are first quantized
-    to 2^-10 (the repo's exact-binary idiom) so the cent extraction is
-    engine-exact — floor of a double whose value is k/1024 is the same
-    double op on both engines, with no epsilon hacks. One map + one
-    grouped count; integer output."""
-    trades = synthetic_trades(spark, sf_dir)
-    pq = F.expr("floor(price * 1024e0 + 5e-1) / 1024e0")
-    cent = (
-        F.floor(pq * F.lit(100.0)).cast("long") % F.lit(100)
-    ).cast("long")
-    return (
-        trades.select(*KEYS, cent.alias("cent_bucket"))
-        .groupBy(*KEYS, "cent_bucket")
-        .agg(F.count(F.lit(1)).alias("n_trades"))
-    )
-
-
-# --------------------------------------------------------------------------
-# Round-5 batch 5: foreachBatch streaming upsert, recorder integrity
-# audit, constraint validation, table profiling.
-# --------------------------------------------------------------------------
-
-
-@register("streaming_foreachbatch_upsert", _CDC_SQL)
-def q_streaming_foreachbatch_upsert(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """The standard streaming-MERGE recipe: a change stream applied to a
-    versioned parquet table via ``foreachBatch`` — each micro-batch
-    reads snapshot v_i, merges with apply_cdc, writes v_{i+1} (the
-    copy-on-write loop Delta's MERGE INTO runs inside foreachBatch in
-    every production upsert pipeline; snapshot versioning stands in for
-    the transaction log on bare parquet). The change derivation is the
-    CDC fixture's (revisions %7, deletes %13, backfills %11), split
-    into two key-disjoint micro-batches, so the sequential per-batch
-    merge provably equals the one-shot batch merge — which is the
-    oracle (_CDC_SQL, shared with documents_cdc_apply and
-    streaming_cdc_replay: three execution tiers, one truth).
-    Idempotence note: a replayed batch id would rewrite the same
-    v_{i+1} from the same v_i — the versioned layout is what makes the
-    sink effectively exactly-once."""
-    import uuid
-
-    from market_microstructure_toolkit_spark.operators.cdc import apply_cdc
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    did = F.col("doc_id")
-    payload = ["doc_id", "text", "lang", "source", "n_chars"]
-    upd = docs.filter((did % 7 == 0) & (did % 13 != 0)).select(
-        "doc_id",
-        F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"),
-        "lang",
-        "source",
-        (F.col("n_chars") + 7).alias("n_chars"),
-        F.lit("U").alias("op"),
-    )
-    dels = docs.filter(did % 13 == 0).select(
-        *payload, F.lit("D").alias("op")
-    )
-    ins = docs.filter(did % 11 == 0).select(
-        (did + 10_000_000).alias("doc_id"),
-        "text",
-        "lang",
-        F.lit("cdc_backfill").alias("source"),
-        "n_chars",
-        F.lit("U").alias("op"),
-    )
-
-    base_dir = _scratch(prefix="mmt_stream_febatch_")
-    docs.select(*payload).write.parquet(f"{base_dir}/tbl/v0")
-    upd.coalesce(1).write.parquet(f"{base_dir}/data/a")
-    dels.unionByName(ins).coalesce(1).write.parquet(f"{base_dir}/data/b")
-    _stamp_batch_order(f"{base_dir}/data/a", f"{base_dir}/data/b")
-
-    stream = (
-        spark.readStream.schema(
-            "doc_id long, text string, lang string, source string, "
-            "n_chars long, op string"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{base_dir}/data/*/")
-    )
-    state = {"v": 0}
-
-    def merge(batch_df, batch_id) -> None:
-        cur = spark.read.parquet(f"{base_dir}/tbl/v{state['v']}")
-        merged = apply_cdc(cur, batch_df, "doc_id", op_col="op")
-        merged.write.parquet(f"{base_dir}/tbl/v{state['v'] + 1}")
-        state["v"] += 1
-
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            stream.writeStream.foreachBatch(merge)
-            .option(
-                "checkpointLocation", f"{base_dir}/ckpt_{uuid.uuid4().hex[:8]}"
-            )
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.read.parquet(f"{base_dir}/tbl/v{state['v']}")
-
-
-_NONCE_AUDIT_SQL = f"""{_BOOK_CTE},
-d AS (
-  SELECT exchange_id, symbol,
-         raw_nonce - LAG(raw_nonce) OVER ({_W}) AS dn,
-         ts_ms - LAG(ts_ms) OVER ({_W}) AS dt
-  FROM book
-),
-step AS (
-  SELECT exchange_id, symbol,
-         MIN(dn) AS min_step
-  FROM d WHERE dn IS NOT NULL GROUP BY exchange_id, symbol
-)
-SELECT d.exchange_id, d.symbol,
-       COUNT(*) + 1 AS n_rows,
-       CAST(SUM(CASE WHEN d.dn > s.min_step THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_gaps,
-       CAST(SUM(CASE WHEN d.dn > s.min_step
-                     THEN (d.dn - s.min_step) / s.min_step ELSE 0 END)
-            AS BIGINT) AS n_missing,
-       CAST(SUM(CASE WHEN d.dn <= 0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_nonce_regressions,
-       CAST(SUM(CASE WHEN d.dt < 0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_ts_regressions
-FROM d JOIN step s USING (exchange_id, symbol)
-WHERE d.dn IS NOT NULL
-GROUP BY d.exchange_id, d.symbol
-"""
-
-
-@register("book_nonce_gap_audit", _NONCE_AUDIT_SQL)
-def q_book_nonce_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recorder integrity audit: per instrument, detect dropped messages
-    (nonce increments above the instrument's own base step — inferred
-    as the MIN observed increment, so the audit needs no out-of-band
-    knowledge of the feed's numbering), nonce regressions (replays /
-    out-of-order writes), and timestamp regressions. This is the
-    first health check run over any recorded tape before analytics
-    trust it (the reference records exchange nonces for exactly this
-    purpose). One keyed window pass for the diffs, a tiny per-key
-    aggregate for the base step broadcast back, integer output —
-    engine-exact."""
-    book = synthetic_book(spark, sf_dir, depth=1)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
-    d = book.select(
-        *KEYS,
-        (F.col("raw_nonce") - F.lag("raw_nonce").over(w)).alias("dn"),
-        (F.col("ts_ms") - F.lag("ts_ms").over(w)).alias("dt"),
-    ).filter(F.col("dn").isNotNull())
-    step = d.groupBy(*KEYS).agg(F.min("dn").alias("min_step"))
-    gap = F.col("dn") > F.col("min_step")
-    return (
-        d.join(F.broadcast(step), list(KEYS))
-        .groupBy(*KEYS)
-        .agg(
-            (F.count(F.lit(1)) + 1).alias("n_rows"),
-            F.sum(gap.cast("long")).alias("n_gaps"),
-            F.sum(
-                F.when(
-                    gap, (F.col("dn") - F.col("min_step")) / F.col("min_step")
-                ).otherwise(F.lit(0))
-            )
-            .cast("long")
-            .alias("n_missing"),
-            F.sum((F.col("dn") <= 0).cast("long")).alias("n_nonce_regressions"),
-            F.sum((F.col("dt") < 0).cast("long")).alias("n_ts_regressions"),
-        )
-    )
-
-
-_CONSTRAINT_AUDIT_SQL = """
-WITH bad AS (
-  SELECT o_orderkey, o_custkey FROM orders
-  UNION ALL
-  SELECT MIN(o_orderkey), MIN(o_custkey) FROM orders          -- planted dup pk
-  UNION ALL
-  SELECT 900000001, NULL                                      -- planted null fk
-  UNION ALL
-  SELECT 900000002, -42                                       -- planted orphan fk
-),
-dup AS (
-  SELECT COUNT(*) AS n FROM (
-    SELECT o_orderkey FROM bad GROUP BY o_orderkey HAVING COUNT(*) > 1
-  )
-),
-nullfk AS (SELECT COUNT(*) AS n FROM bad WHERE o_custkey IS NULL),
-orphan AS (
-  SELECT COUNT(*) AS n FROM bad b
-  WHERE b.o_custkey IS NOT NULL
-    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = b.o_custkey)
-)
-SELECT 'duplicate_pk' AS check_name, n AS n_violations FROM dup
-UNION ALL
-SELECT 'null_fk', n FROM nullfk
-UNION ALL
-SELECT 'orphan_fk', n FROM orphan
-"""
-
-
-@register("orders_constraint_audit", _CONSTRAINT_AUDIT_SQL)
-def q_orders_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Constraint validation (the dbt-test / Deequ pattern): audit a
-    fact table for primary-key uniqueness, foreign-key null-ness, and
-    referential integrity against its dimension — with three violations
-    PLANTED in-plan (a duplicated min-key row, a null-FK row, an
-    orphan-FK row) so the audit provably detects each kind: expected
-    output is exactly one violation per check. Scale shape: uniqueness
-    is one pk-keyed partial-aggregated groupBy; the orphan check is a
-    LEFT ANTI join that broadcasts the dimension when small and
-    shuffles on the key otherwise — never a count-per-row subquery.
-    Integer output."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey", "o_custkey"
-    )
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
-    planted = orders.agg(
-        F.min("o_orderkey").alias("o_orderkey"),
-        F.min("o_custkey").alias("o_custkey"),
-    )
-    bad = (
-        orders.unionByName(planted)
-        .unionByName(
-            spark.createDataFrame(
-                [(900000001, None), (900000002, -42)],
-                "o_orderkey long, o_custkey long",
-            )
-        )
-    )
-    dup = (
-        bad.groupBy("o_orderkey")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > 1)
-        .agg(F.count(F.lit(1)).alias("n_violations"))
-        .select(F.lit("duplicate_pk").alias("check_name"), "n_violations")
-    )
-    nullfk = bad.filter(F.col("o_custkey").isNull()).agg(
-        F.lit("null_fk").alias("check_name"),
-        F.count(F.lit(1)).alias("n_violations"),
-    )
-    orphan = (
-        bad.filter(F.col("o_custkey").isNotNull())
-        .join(cust, bad["o_custkey"] == cust["c_custkey"], "left_anti")
-        .agg(
-            F.lit("orphan_fk").alias("check_name"),
-            F.count(F.lit(1)).alias("n_violations"),
-        )
-    )
-    return dup.unionByName(nullfk).unionByName(orphan)
-
-
-_PROFILE_SQL = """
-SELECT 'doc_id' AS column_name,
-       CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-       COUNT(DISTINCT doc_id) AS n_distinct,
-       CAST(MIN(doc_id) AS VARCHAR) AS min_value,
-       CAST(MAX(doc_id) AS VARCHAR) AS max_value
-FROM documents
-UNION ALL
-SELECT 'lang',
-       CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-       COUNT(DISTINCT lang), MIN(lang), MAX(lang)
-FROM documents
-UNION ALL
-SELECT 'source',
-       CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-       COUNT(DISTINCT source), MIN(source), MAX(source)
-FROM documents
-UNION ALL
-SELECT 'n_chars',
-       CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-       COUNT(DISTINCT n_chars),
-       CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
-FROM documents
-"""
-
-
-@register("documents_profile", _PROFILE_SQL)
-def q_documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Table profiling (the Deequ/Great-Expectations analyzer pass): per
-    column, null count, exact distinct count, and min/max — the summary
-    every ingest job publishes before downstream consumers trust a drop.
-    All four columns profile in ONE aggregate pass (Spark computes the
-    grouped-by-nothing aggregate with partial aggregation; the
-    per-column rows are unpivoted from that single row in-plan), not one
-    scan per column — at 100 TB the difference between 1 and k table
-    scans. Values stringified for a uniform schema; integer/string
-    outputs are engine-exact."""
-    from market_microstructure_toolkit_spark.operators.reconcile import (
-        profile_table,
-    )
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return profile_table(docs, ["doc_id", "lang", "source", "n_chars"])
-
-
-# --------------------------------------------------------------------------
-# Round-5 batch 6: stream-stream LEFT OUTER join, split back-adjustment,
-# GDPR erasure cascade.
-# --------------------------------------------------------------------------
-
-_STREAM_OUTER_JOIN_SQL = """
-WITH wm AS (
-  -- the join's watermark is the MIN over both input streams' (max event
-  -- time - delay); the alert side is the sparse one (alerts are a
-  -- subset of events, so its max is <= the left's)
-  SELECT MAX(epoch_ms(ts)) - 60000 AS w FROM events WHERE value > 140
-),
-l AS (SELECT event_id AS l_event_id, user_id AS u, epoch_ms(ts) AS t FROM events),
-r AS (
-  SELECT event_id AS r_alert_id, user_id AS u, epoch_ms(ts) AS s
-  FROM events WHERE value > 140
-),
-matched AS (
-  SELECT l.l_event_id, r.r_alert_id
-  FROM l JOIN r ON l.u = r.u AND r.s >= l.t - 300000 AND r.s <= l.t
-),
-unmatched AS (
-  SELECT l.l_event_id, CAST(NULL AS BIGINT) AS r_alert_id
-  FROM l CROSS JOIN wm
-  WHERE l.l_event_id NOT IN (SELECT l_event_id FROM matched)
-    AND l.t <= wm.w
-)
-SELECT * FROM matched UNION ALL SELECT * FROM unmatched
-"""
-
-
-@register("streaming_outer_join_replay", _STREAM_OUTER_JOIN_SQL)
-def q_streaming_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream LEFT OUTER join with a time-range condition — the
-    semantically hardest streaming join: matches emit as they happen,
-    but a NULL row for an unmatched left can only emit once the
-    watermark proves no future right can still match it. The 3-batch
-    availableNow replay pins Spark 4.1's MEASURED emission rule (probed
-    the same way as the late-data gate): the join's eviction watermark
-    is the MIN over BOTH input streams' (max seen event time - delay) —
-    here the sparse alert side, whose last event trails the tape — and
-    unmatched lefts at-or-below that final watermark emit null rows;
-    lefts above it (including everything after the last alert) remain
-    in state unemitted. The oracle replays exactly that: inner matches
-    plus null rows for unmatched lefts at-or-below the min-side
-    watermark. At scale this is THE join for enrichment against a
-    sparse reference stream where absence is itself a signal (no alert
-    within the window), with state bounded by the watermark horizon on
-    both sides."""
-    import uuid
-
-    ev = read_events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
-    tape_base = _memo_tape(
-        sf_dir, "events3_oj", lambda b: _split3(ev, "ts", b)
-    )
-    base = _scratch(prefix="mmt_stream_oj_")  # per-run checkpoint
-
-    def mkstream():
-        return (
-            spark.readStream.schema(
-                "event_id long, user_id long, ts long, value double"
-            )
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{tape_base}/data/*/")
-        )
-
-    et = F.timestamp_millis(F.expr("ts DIV 1000000"))
-    left = mkstream().select(
-        F.col("event_id").alias("l_event_id"),
-        F.col("user_id").alias("l_user"),
-        et.alias("l_time"),
-    ).withWatermark("l_time", "1 minute")
-    right = (
-        mkstream()
-        .filter(F.col("value") > 140)
-        .select(
-            F.col("event_id").alias("r_alert_id"),
-            F.col("user_id").alias("r_user"),
-            et.alias("r_time"),
-        )
-        .withWatermark("r_time", "1 minute")
-    )
-    joined = left.join(
-        right,
-        (F.col("l_user") == F.col("r_user"))
-        & (F.col("r_time") >= F.col("l_time") - F.expr("INTERVAL 5 MINUTES"))
-        & (F.col("r_time") <= F.col("l_time")),
-        "leftOuter",
-    ).select("l_event_id", "r_alert_id")
-    name = f"oj_replay_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{base}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
-
-
-_SPLIT_ADJUST_SQL = f"""{_BOOK_CTE},
-trades AS ({trades_sql()}),
-s AS (
-  SELECT *, CASE WHEN raw_nonce % 997 = 0 THEN 1 ELSE 0 END AS is_split
-  FROM trades
-),
-k AS (
-  SELECT *, COALESCE(SUM(is_split) OVER ({_W.replace("ORDER BY ts_ms, raw_nonce", "ORDER BY ts_ms DESC, raw_nonce DESC")}
-    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_future_splits
-  FROM s
-)
-SELECT exchange_id, symbol, ts_ms, raw_nonce,
-       floor(price * 1048576.0 + 0.5) / 1048576.0 AS price_raw,
-       CAST(n_future_splits AS BIGINT) AS n_future_splits,
-       floor(price / power(2.0, n_future_splits) * 1048576.0 + 0.5)
-         / 1048576.0 AS price_adjusted
-FROM k
-"""
-
-
-@register("trade_split_adjust", _SPLIT_ADJUST_SQL)
-def q_trade_split_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corporate-action back-adjustment: every price is divided by
-    2^(number of LATER 2:1 splits for its instrument) so the whole
-    history is comparable to today's quote basis — the adjustment every
-    continuous price series (and every backtest) applies before
-    computing returns across a split. Split events are planted on the
-    nonce grid (%997); the future-split count is one DESCENDING keyed
-    running sum (exclusive frame), and division by a power of two is an
-    exact mantissa shift — engine-identical with no accumulation
-    error. Same instrument-keyed shuffle every other series op rides."""
-    trades = synthetic_trades(spark, sf_dir)
-    wdesc = (
-        Window.partitionBy(*KEYS)
-        .orderBy(*[F.col(c).desc() for c in ORDER_COLS])
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    is_split = F.when(F.col("raw_nonce") % 997 == 0, 1).otherwise(0)
-    k = trades.withColumn(
-        "n_future_splits",
-        F.coalesce(F.sum(is_split).over(wdesc), F.lit(0)).cast("long"),
-    )
-    # 2^-20 quantization instead of ROUND(6): decimal rounding of a
-    # binary double at a .5 ulp boundary is half-up in DuckDB and
-    # half-even in Spark (observed: 12.5931875 -> .593188 vs .593187);
-    # floor(x*2^20+0.5) is a single well-defined double op on both
-    def q20(c):
-        return F.floor(c * F.lit(1048576.0) + F.lit(0.5)) / F.lit(1048576.0)
-
-    return k.select(
-        *KEYS,
-        "ts_ms",
-        "raw_nonce",
-        q20(F.col("price")).alias("price_raw"),
-        "n_future_splits",
-        q20(
-            F.col("price") / F.pow(F.lit(2.0), F.col("n_future_splits"))
-        ).alias("price_adjusted"),
-    )
-
-
-_GDPR_SQL = """
-WITH erase AS (
-  SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
-),
-remaining AS (
-  SELECT e.* FROM events e WHERE e.user_id NOT IN (SELECT user_id FROM erase)
-)
-SELECT e.event_type,
-       COUNT(*) AS n_before,
-       CAST(SUM(CASE WHEN e.user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_erased,
-       COUNT(*) - CAST(SUM(CASE WHEN e.user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_after,
-       TRUE AS erasure_complete
-FROM events e
-GROUP BY e.event_type
-"""
-
-
-@register("events_gdpr_erasure", _GDPR_SQL)
-def q_events_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Right-to-be-forgotten erasure pass: given a deletion-request list
-    (user_id % 97 — in production, the DSAR queue), produce the scrubbed
-    event log and an auditable per-type report: rows before, rows
-    erased, rows after, plus ``erasure_complete`` — COMPUTED by
-    re-scanning the scrubbed output for any surviving requested user
-    (the verification a privacy audit actually demands, not an assumed
-    TRUE; the oracle asserts it TRUE, so a broken anti-join breaks the
-    hash). ``n_after`` is COUNTED from the scrubbed frame per type —
-    not derived as n_before − n_erased — while the ORACLE derives it
-    arithmetically, so the cross-engine hash pins the identity in both
-    failure directions: a leaking anti-join flips erasure_complete, an
-    OVER-deleting one (dropping non-requested users) makes the counted
-    n_after fall short of the oracle's arithmetic one. Scale shape: the
-    deletion list broadcasts (requests are human-scale next to the
-    log); the scrub is one broadcast LEFT ANTI join, the verification a
-    second map-side semi-probe of the scrubbed stream — the log is
-    never shuffled. Logic lives in ``operators/privacy.py`` (extracted
-    round 6) so the oracle pins that exact code."""
-    from market_microstructure_toolkit_spark.operators.privacy import (
-        erasure_report,
-    )
-
-    ev = read_events(spark, sf_dir)
-    requests = ev.filter(F.col("user_id") % 97 == 0).select("user_id")
-    return erasure_report(ev, requests)
-
-
-# --------------------------------------------------------------------------
-# Round-5 batch 7: leakage-free training matrix, purged K-fold,
-# exact stratified sampling, time-weighted quote average.
-# --------------------------------------------------------------------------
-
-_TRAIN_MATRIX_H = 10  # label horizon in ticks
-
-_TRAIN_MATRIX_SQL = f"""{_BOOK_CTE},
-feat AS (
-  SELECT exchange_id, symbol, ts_ms, raw_nonce,
-         (best_bid + best_ask) / 2.0 AS mid,
-         best_ask - best_bid AS spread,
-         CASE WHEN COALESCE(bid1_size, 0.0) + COALESCE(ask1_size, 0.0) > 0
-              THEN COALESCE(bid1_size, 0.0)
-                   / (COALESCE(bid1_size, 0.0) + COALESCE(ask1_size, 0.0))
-         END AS imb_l1,
-         LEAD((best_bid + best_ask) / 2.0, {_TRAIN_MATRIX_H}) OVER ({_W})
-           AS mid_fwd
-  FROM book
-)
-SELECT exchange_id, symbol, ts_ms, raw_nonce,
-       floor(spread * 1048576.0 + 0.5) / 1048576.0 AS spread,
-       floor(imb_l1 * 1048576.0 + 0.5) / 1048576.0 AS imb_l1,
-       CASE WHEN mid_fwd > mid THEN 1
-            WHEN mid_fwd < mid THEN -1 ELSE 0 END AS label_up
-FROM feat WHERE mid_fwd IS NOT NULL
-"""
-
-
-@register("book_train_matrix", _TRAIN_MATRIX_SQL)
-def q_book_train_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leakage-free training-matrix assembly — the canonical supervised
-    setup for microstructure ML: features computed ONLY from the
-    current snapshot (spread, L1 imbalance), label = the SIGN of the
-    mid move exactly H=10 ticks ahead via one keyed LEAD window. The
-    discipline the gate pins is point-in-time correctness: every
-    feature is measurable at the row's own timestamp and the label
-    never feeds back (rows whose horizon extends past the tape are
-    DROPPED, not zero-filled — a silent fill would train on a fake
-    'no-move' class). One instrument-keyed window pass, co-partitioned
-    with every other series op; features exact-binary quantized."""
-    book = synthetic_book(spark, sf_dir, depth=1)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
-    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
-    denom = F.coalesce(F.col("bid1_size"), F.lit(0.0)) + F.coalesce(
-        F.col("ask1_size"), F.lit(0.0)
-    )
-    imb = F.when(
-        denom > 0, F.coalesce(F.col("bid1_size"), F.lit(0.0)) / denom
-    )
-
-    def q20(c):
-        return F.floor(c * F.lit(1048576.0) + F.lit(0.5)) / F.lit(1048576.0)
-
-    feat = book.select(
-        *KEYS,
-        "ts_ms",
-        "raw_nonce",
-        mid.alias("mid"),
-        (F.col("best_ask") - F.col("best_bid")).alias("spread"),
-        imb.alias("imb_l1"),
-        F.lead(mid, _TRAIN_MATRIX_H).over(w).alias("mid_fwd"),
-    )
-    return feat.filter(F.col("mid_fwd").isNotNull()).select(
-        *KEYS,
-        "ts_ms",
-        "raw_nonce",
-        q20(F.col("spread")).alias("spread"),
-        q20(F.col("imb_l1")).alias("imb_l1"),
-        F.when(F.col("mid_fwd") > F.col("mid"), 1)
-        .when(F.col("mid_fwd") < F.col("mid"), -1)
-        .otherwise(0)
-        .alias("label_up"),
-    )
-
-
-_KFOLD_K = 5
-_KFOLD_EMBARGO_MS = 3_600_000  # 1 hour
-
-_PURGED_KFOLD_SQL = f"""{_BOOK_CTE},
-bounds AS (
-  SELECT exchange_id, symbol, MIN(ts_ms) AS lo, MAX(ts_ms) AS hi
-  FROM book GROUP BY exchange_id, symbol
-),
-folded AS (
-  SELECT b.exchange_id, b.symbol, b.ts_ms,
-         LEAST({_KFOLD_K - 1},
-               CAST(({_KFOLD_K} * (b.ts_ms - d.lo)) // (d.hi - d.lo + 1)
-                    AS BIGINT)) AS fold,
-         d.lo, d.hi
-  FROM book b JOIN bounds d USING (exchange_id, symbol)
-),
-marked AS (
-  SELECT f.exchange_id, f.symbol, f.fold AS test_fold, g.ts_ms,
-         CASE
-           WHEN g.fold = f.fold THEN 'test'
-           WHEN g.ts_ms >= f.lo + (f.hi - f.lo + 1) * f.fold / {_KFOLD_K}.0
-                          - {_KFOLD_EMBARGO_MS}
-            AND g.ts_ms <  f.lo + (f.hi - f.lo + 1) * (f.fold + 1) / {_KFOLD_K}.0
-                          + {_KFOLD_EMBARGO_MS}
-             THEN 'embargo'
-           ELSE 'train'
-         END AS role
-  FROM (SELECT DISTINCT exchange_id, symbol, fold, lo, hi FROM folded) f
-  JOIN folded g USING (exchange_id, symbol)
-)
-SELECT exchange_id, symbol, test_fold, role, COUNT(*) AS n_rows
-FROM marked GROUP BY exchange_id, symbol, test_fold, role
-"""
-
-
-@register("book_purged_kfold", _PURGED_KFOLD_SQL)
-def q_book_purged_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Purged K-fold with embargo for time series (Lopez de Prado 2018
-    ch.7): for each of 5 contiguous TIME folds per instrument, every
-    tick is test (inside the fold), embargo (within 1 hour of the
-    fold's boundaries — dropped so serially-correlated labels can't
-    leak across the train/test cut), or train. Random K-fold on a time
-    series is how backtests lie; this is the standard correction. The
-    fold geometry is value-based (time range split), never a global
-    rank — fold bounds come from a tiny per-instrument min/max
-    aggregate broadcast back; the fan-out is K test-fold copies of the
-    metadata joined against the ticks, all integer/time arithmetic.
-    Output is the per-(instrument, fold, role) census — the
-    auditable invariants: test+embargo+train = n, test blocks tile."""
-    book = synthetic_book(spark, sf_dir, depth=1).select(*KEYS, "ts_ms")
-    bounds = book.groupBy(*KEYS).agg(
-        F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")
-    )
-    span = F.col("hi") - F.col("lo") + 1
-    folded = book.join(F.broadcast(bounds), list(KEYS)).withColumn(
-        "fold",
-        F.least(
-            F.lit(_KFOLD_K - 1),
-            F.expr(f"({_KFOLD_K} * (ts_ms - lo)) DIV (hi - lo + 1)"),
-        ).cast("long"),
-    )
-    test_folds = (
-        folded.select(*KEYS, "fold", "lo", "hi")
-        .distinct()
-        .select(
-            *KEYS,
-            F.col("fold").alias("test_fold"),
-            (
-                F.col("lo")
-                + span * F.col("fold") / F.lit(float(_KFOLD_K))
-                - F.lit(_KFOLD_EMBARGO_MS)
-            ).alias("__emb_lo"),
-            (
-                F.col("lo")
-                + span * (F.col("fold") + 1) / F.lit(float(_KFOLD_K))
-                + F.lit(_KFOLD_EMBARGO_MS)
-            ).alias("__emb_hi"),
-        )
-    )
-    marked = folded.join(F.broadcast(test_folds), list(KEYS)).select(
-        *KEYS,
-        "test_fold",
-        F.when(F.col("fold") == F.col("test_fold"), F.lit("test"))
-        .when(
-            (F.col("ts_ms") >= F.col("__emb_lo"))
-            & (F.col("ts_ms") < F.col("__emb_hi")),
-            F.lit("embargo"),
-        )
-        .otherwise(F.lit("train"))
-        .alias("role"),
-    )
-    return marked.groupBy(*KEYS, "test_fold", "role").agg(
-        F.count(F.lit(1)).alias("n_rows")
-    )
-
-
-_STRAT_SAMPLE_CAP = 100
-
-_STRAT_SAMPLE_SQL = f"""
-WITH ranked AS (
-  SELECT source, doc_id,
-         ROW_NUMBER() OVER (PARTITION BY source
-                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
-           AS rk
-  FROM documents
-)
-SELECT source,
-       COUNT(*) AS n_source,
-       CAST(SUM(CASE WHEN rk <= {_STRAT_SAMPLE_CAP} THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_sampled,
-       CAST(MIN(CASE WHEN rk <= {_STRAT_SAMPLE_CAP} THEN doc_id END)
-            AS BIGINT) AS min_sampled_id
-FROM ranked GROUP BY source
-"""
-
-
-@register("corpus_exact_stratified_sample", _STRAT_SAMPLE_SQL)
-def q_corpus_exact_stratified_sample(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """EXACT-count stratified sampling: exactly min(n_s, 100) documents
-    per source, chosen by hash rank — unlike the Bernoulli-threshold
-    samplers (corpus_rebalance, corpus_target_mix_sample) whose counts
-    are binomial, this is the contract evaluation sets need ("exactly
-    100 per stratum"). Hash-order rank keeps the choice content-free,
-    deterministic, and stable under reruns; the rank window partitions
-    by stratum (never global), so parallelism = #strata and the cap
-    bounds per-task output. Skew note: a jumbo stratum still sorts its
-    partition — for 100 TB strata the two-phase trick is pre-filtering
-    on the hash threshold that admits ~2x the cap, then ranking the
-    survivors; the gate output (census + min sampled id) is identical."""
-    docs = _docs(spark, sf_dir)
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
-    ranked = docs.select(
-        "source", "doc_id", F.row_number().over(w).alias("rk")
-    )
-    incap = F.col("rk") <= _STRAT_SAMPLE_CAP
-    return ranked.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_source"),
-        F.sum(incap.cast("long")).alias("n_sampled"),
-        F.min(F.when(incap, F.col("doc_id"))).cast("long").alias(
-            "min_sampled_id"
-        ),
-    )
-
-
-_TW_MID_SQL = f"""{_BOOK_CTE},
-seg AS (
-  SELECT exchange_id, symbol, ts_ms,
-         (best_bid + best_ask) / 2.0 AS mid,
-         LEAD(ts_ms) OVER ({_W}) - ts_ms AS dt_ms,
-         CAST(ts_ms // 3600000 AS BIGINT) AS hour_bucket
-  FROM book
-)
-SELECT exchange_id, symbol, hour_bucket,
-       CAST(SUM(CAST(mid * dt_ms AS DECIMAL(28,6))) AS DOUBLE)
-         / CAST(SUM(dt_ms) AS DOUBLE) AS tw_mid,
-       CAST(SUM(dt_ms) AS BIGINT) AS covered_ms,
-       COUNT(*) AS n_quotes
-FROM seg WHERE dt_ms IS NOT NULL
-GROUP BY exchange_id, symbol, hour_bucket
-"""
-
-
-@register("book_time_weighted_mid", _TW_MID_SQL)
-def q_book_time_weighted_mid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-weighted average mid per hour — the quote-side TWAP
-    (regulatory benchmarks and venue scorecards weight by the DURATION
-    a quote prevailed, not by tick count, so a flickering quote can't
-    dominate the average): each quote's weight is the interval to the
-    next tick (one keyed LEAD), summed per hour bucket. Sums accumulate
-    in DECIMAL(28,6) (mid * dt products are money-like magnitudes —
-    order-free exact, the repo's money idiom) and divide once at the
-    end. The final hourless tail quote of each instrument drops (no
-    prevailing interval), matching the oracle's NULL-lead filter."""
-    book = synthetic_book(spark, sf_dir, depth=1)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
-    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
-    seg = book.select(
-        *KEYS,
-        "ts_ms",
-        mid.alias("mid"),
-        (F.lead("ts_ms").over(w) - F.col("ts_ms")).alias("dt_ms"),
-        F.expr("ts_ms DIV 3600000").alias("hour_bucket"),
-    ).filter(F.col("dt_ms").isNotNull())
-    return seg.groupBy(*KEYS, "hour_bucket").agg(
-        (
-            F.sum((F.col("mid") * F.col("dt_ms")).cast("decimal(28,6)")).cast(
-                "double"
-            )
-            / F.sum("dt_ms").cast("double")
-        ).alias("tw_mid"),
-        F.sum("dt_ms").cast("long").alias("covered_ms"),
-        F.count(F.lit(1)).alias("n_quotes"),
-    )
-
-
-# --------------------------------------------------------------------------
-# Round-5 batch 8: delta-feed book reconstruction, in-engine feature AUC.
-# --------------------------------------------------------------------------
-
-# NULL-safe delta encoding: a real L2 field can legitimately BE null
-# (levels empty on the fixture's %97 rows), so NULL cannot mean
-# "no change"; encode absent-as--1 (prices/sizes are strictly
-# positive), emit a delta only where the encoded value changed, carry
-# it forward with last_value(IGNORE NULLS), decode at the end.
-_DELTA_FIELDS = ("best_bid", "best_ask", "bid1_size", "ask1_size")
-
-
-def _delta_sql_field(f: str) -> str:
-    enc = f"COALESCE({f}, -1.0)"
-    return f"""
-    CASE WHEN LAG({enc}) OVER ({_W}) IS NULL
-              OR {enc} <> LAG({enc}) OVER ({_W})
-         THEN {enc} END AS d_{f}"""
-
-
-_DELTA_RECON_SQL = f"""{_BOOK_CTE},
-deltas AS (
-  SELECT exchange_id, symbol, ts_ms, raw_nonce,
-         {", ".join(f"COALESCE({f}, -1.0) AS e_{f}" for f in _DELTA_FIELDS)},
-         {", ".join(_delta_sql_field(f) for f in _DELTA_FIELDS)}
-  FROM book
-),
-recon AS (
-  SELECT *,
-         {", ".join(
-            f"LAST_VALUE(d_{f} IGNORE NULLS) OVER ({_W} ROWS BETWEEN"
-            f" UNBOUNDED PRECEDING AND CURRENT ROW) AS r_{f}"
-            for f in _DELTA_FIELDS)}
-  FROM deltas
-)
-SELECT exchange_id, symbol,
-       COUNT(*) AS n_rows,
-       CAST({" + ".join(f"SUM(CASE WHEN d_{f} IS NOT NULL THEN 1 ELSE 0 END)"
-                        for f in _DELTA_FIELDS)} AS BIGINT) AS n_deltas,
-       COUNT(*) * {len(_DELTA_FIELDS)} AS n_fields_total,
-       {" AND ".join(f"SUM(CASE WHEN r_{f} <> e_{f} THEN 1 ELSE 0 END) = 0"
-                     for f in _DELTA_FIELDS)} AS reconstruction_ok
-FROM recon
-GROUP BY exchange_id, symbol
-"""
-
-
-@register("book_delta_reconstruct", _DELTA_RECON_SQL)
-def q_book_delta_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Delta-feed round trip — the core exchange-feed ingestion op: real
-    L2 feeds send LEVEL UPDATES, not snapshots, and the recorder
-    reconstructs state by carrying each level's last update forward.
-    The gate derives the delta stream FROM the snapshot tape (emit a
-    field only when it changed — with null-able levels encoded via a
-    -1 sentinel, since NULL must mean "no change" on the wire), then
-    reconstructs every snapshot with per-field last-non-null keyed
-    windows and verifies byte-equality against the original. Output:
-    per instrument, the delta compression ratio (n_deltas of
-    n_fields_total slots) and ``reconstruction_ok`` — COMPUTED, and
-    asserted by identical logic in the oracle. Both passes ride the one
-    instrument-keyed shuffle; at scale the delta stream is the
-    bandwidth win (the fixture's books change one field per tick,
-    ~25% of slots)."""
-    book = synthetic_book(spark, sf_dir, depth=1)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    enc = {f: F.coalesce(F.col(f), F.lit(-1.0)) for f in _DELTA_FIELDS}
-    deltas = book.select(
-        *KEYS,
-        "ts_ms",
-        "raw_nonce",
-        *[enc[f].alias(f"e_{f}") for f in _DELTA_FIELDS],
-        *[
-            F.when(
-                F.lag(enc[f]).over(w).isNull()
-                | (enc[f] != F.lag(enc[f]).over(w)),
-                enc[f],
-            ).alias(f"d_{f}")
-            for f in _DELTA_FIELDS
-        ],
-    )
-    recon = deltas.select(
-        "*",
-        *[
-            F.last(F.col(f"d_{f}"), ignorenulls=True)
-            .over(wrun)
-            .alias(f"r_{f}")
-            for f in _DELTA_FIELDS
-        ],
-    )
-    n_deltas = None
-    ok = None
-    for f in _DELTA_FIELDS:
-        nd = F.sum(F.col(f"d_{f}").isNotNull().cast("long"))
-        n_deltas = nd if n_deltas is None else n_deltas + nd
-        o = F.sum((F.col(f"r_{f}") != F.col(f"e_{f}")).cast("long")) == 0
-        ok = o if ok is None else ok & o
-    return recon.groupBy(*KEYS).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        n_deltas.cast("long").alias("n_deltas"),
-        (F.count(F.lit(1)) * len(_DELTA_FIELDS)).alias("n_fields_total"),
-        ok.alias("reconstruction_ok"),
-    )
-
-
-_FEATURE_AUC_SQL = f"""{_BOOK_CTE},
-feat AS (
-  SELECT exchange_id, symbol,
-         floor(CASE WHEN COALESCE(bid1_size, 0.0) + COALESCE(ask1_size, 0.0) > 0
-                    THEN COALESCE(bid1_size, 0.0)
-                         / (COALESCE(bid1_size, 0.0) + COALESCE(ask1_size, 0.0))
-               END * 1048576.0 + 0.5) / 1048576.0 AS x,
-         CASE WHEN LEAD((best_bid + best_ask) / 2.0, 10) OVER ({_W})
-                   > (best_bid + best_ask) / 2.0 THEN 1 ELSE 0 END AS y,
-         LEAD((best_bid + best_ask) / 2.0, 10) OVER ({_W}) AS fwd
-  FROM book
-),
-grouped AS (
-  SELECT exchange_id, symbol, x,
-         CAST(SUM(y) AS BIGINT) AS n_pos_x,
-         CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg_x
-  FROM feat WHERE fwd IS NOT NULL AND x IS NOT NULL
-  GROUP BY exchange_id, symbol, x
-),
-cum AS (
-  SELECT *,
-         COALESCE(SUM(n_neg_x) OVER (PARTITION BY exchange_id, symbol
-                                     ORDER BY x
-                                     ROWS BETWEEN UNBOUNDED PRECEDING
-                                     AND 1 PRECEDING), 0) AS neg_below
-  FROM grouped
-)
-SELECT exchange_id, symbol,
-       ROUND(SUM(n_pos_x * (neg_below + n_neg_x / 2.0))
-             / (SUM(n_pos_x) * SUM(n_neg_x)), 6) AS auc,
-       CAST(SUM(n_pos_x) AS BIGINT) AS n_pos,
-       CAST(SUM(n_neg_x) AS BIGINT) AS n_neg
-FROM cum GROUP BY exchange_id, symbol
-"""
-
-
-@register("book_feature_auc", _FEATURE_AUC_SQL)
-def q_book_feature_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact AUC of the L1-imbalance feature predicting the 10-tick-
-    ahead up-move — closing the in-engine ML loop (feature ->
-    point-in-time label -> evaluation) without ever leaving the
-    DataFrame plan: AUC is the Mann-Whitney concordance
-    P(x_pos > x_neg) + P(tie)/2, computed exactly from per-distinct-
-    value class counts and one cumulative window over the (small)
-    distinct-feature domain — NOT a sample sort: the heavy groupBy is
-    partial-aggregated on (instrument, x), and the window runs over
-    distinct feature values only (<= 2^20 after quantization, typically
-    thousands), so a 100 TB tape reduces before anything is ordered.
-    Ties get the standard half-credit; rational arithmetic until the
-    final 6dp round."""
-    book = synthetic_book(spark, sf_dir, depth=1)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
-    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
-    denom = F.coalesce(F.col("bid1_size"), F.lit(0.0)) + F.coalesce(
-        F.col("ask1_size"), F.lit(0.0)
-    )
-    imb = F.when(
-        denom > 0, F.coalesce(F.col("bid1_size"), F.lit(0.0)) / denom
-    )
-    x = F.floor(imb * F.lit(1048576.0) + F.lit(0.5)) / F.lit(1048576.0)
-    fwd = F.lead(mid, 10).over(w)
-    feat = book.select(
-        *KEYS,
-        x.alias("x"),
-        F.when(fwd > mid, 1).otherwise(0).alias("y"),
-        fwd.alias("fwd"),
-    ).filter(F.col("fwd").isNotNull() & F.col("x").isNotNull())
-    grouped = feat.groupBy(*KEYS, "x").agg(
-        F.sum("y").cast("long").alias("n_pos_x"),
-        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_neg_x"),
-    )
-    wcum = (
-        Window.partitionBy(*KEYS)
-        .orderBy("x")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = grouped.withColumn(
-        "neg_below", F.coalesce(F.sum("n_neg_x").over(wcum), F.lit(0))
-    )
-    return cum.groupBy(*KEYS).agg(
-        F.round(
-            F.sum(
-                F.col("n_pos_x")
-                * (F.col("neg_below") + F.col("n_neg_x") / F.lit(2.0))
-            )
-            / (F.sum("n_pos_x") * F.sum("n_neg_x")),
-            6,
-        ).alias("auc"),
-        F.sum("n_pos_x").cast("long").alias("n_pos"),
-        F.sum("n_neg_x").cast("long").alias("n_neg"),
-    )
-
-
-# --------------------------------------------------------------------------
-# Round-5 batch 9: hierarchical OHLC rollup, intraday volume curve,
-# tolerance-bounded as-of.
-# --------------------------------------------------------------------------
-
-_FINE_MS = 60_000
-_COARSE_MS = 300_000
-
-_OHLC_LADDER_SQL = f"""{_BOOK_CTE},
-mids AS (
-  SELECT exchange_id, symbol, ts_ms, raw_nonce,
-         (best_bid + best_ask) / 2.0 AS mid,
-         ts_ms // {_FINE_MS} * {_FINE_MS} AS fine_ms,
-         ts_ms // {_COARSE_MS} * {_COARSE_MS} AS coarse_ms
-  FROM book
-),
-fine AS (
-  SELECT exchange_id, symbol, coarse_ms, fine_ms,
-         MAX(CASE WHEN rn_a = 1 THEN mid END) AS o,
-         MAX(mid) AS h, MIN(mid) AS l,
-         MAX(CASE WHEN rn_d = 1 THEN mid END) AS c,
-         COUNT(*) AS n
-  FROM (
-    SELECT *,
-      ROW_NUMBER() OVER (PARTITION BY exchange_id, symbol, fine_ms
-                         ORDER BY ts_ms, raw_nonce) AS rn_a,
-      ROW_NUMBER() OVER (PARTITION BY exchange_id, symbol, fine_ms
-                         ORDER BY ts_ms DESC, raw_nonce DESC) AS rn_d
-    FROM mids
-  ) GROUP BY exchange_id, symbol, coarse_ms, fine_ms
-),
-derived AS (
-  SELECT exchange_id, symbol, coarse_ms,
-         MAX(CASE WHEN rf_a = 1 THEN o END) AS open_mid,
-         MAX(h) AS high_mid, MIN(l) AS low_mid,
-         MAX(CASE WHEN rf_d = 1 THEN c END) AS close_mid,
-         CAST(SUM(n) AS BIGINT) AS n_snapshots
-  FROM (
-    SELECT *,
-      ROW_NUMBER() OVER (PARTITION BY exchange_id, symbol, coarse_ms
-                         ORDER BY fine_ms) AS rf_a,
-      ROW_NUMBER() OVER (PARTITION BY exchange_id, symbol, coarse_ms
-                         ORDER BY fine_ms DESC) AS rf_d
-    FROM fine
-  ) GROUP BY exchange_id, symbol, coarse_ms
-),
-direct AS (
-  SELECT exchange_id, symbol, coarse_ms,
-         MAX(CASE WHEN rn_a = 1 THEN mid END) AS open_mid,
-         MAX(mid) AS high_mid, MIN(mid) AS low_mid,
-         MAX(CASE WHEN rn_d = 1 THEN mid END) AS close_mid,
-         COUNT(*) AS n_snapshots
-  FROM (
-    SELECT *,
-      ROW_NUMBER() OVER (PARTITION BY exchange_id, symbol, coarse_ms
-                         ORDER BY ts_ms, raw_nonce) AS rn_a,
-      ROW_NUMBER() OVER (PARTITION BY exchange_id, symbol, coarse_ms
-                         ORDER BY ts_ms DESC, raw_nonce DESC) AS rn_d
-    FROM mids
-  ) GROUP BY exchange_id, symbol, coarse_ms
-)
-SELECT d.exchange_id, d.symbol, d.coarse_ms,
-       d.open_mid, d.high_mid, d.low_mid, d.close_mid, d.n_snapshots,
-       (d.open_mid = x.open_mid AND d.high_mid = x.high_mid
-        AND d.low_mid = x.low_mid AND d.close_mid = x.close_mid
-        AND d.n_snapshots = x.n_snapshots) AS rollup_consistent
-FROM derived d JOIN direct x USING (exchange_id, symbol, coarse_ms)
-"""
-
-
-@register("book_ohlc_rollup_ladder", _OHLC_LADDER_SQL)
-def q_book_ohlc_rollup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical OHLC rollup — the timeseries-DB "continuous
-    aggregate" property: 5-minute bars derived FROM 1-minute bars
-    (open = first fine open, high = max, low = min, close = last fine
-    close, count = sum) must equal 5-minute bars computed directly from
-    ticks. This mergeability is what lets a 100 TB tape keep only fine
-    bars and materialize every coarser resolution incrementally without
-    re-reading ticks; ``rollup_consistent`` verifies it IN the gate
-    (and the oracle replays both paths, so the hash pins the merge
-    algebra itself). Windows at every level key on (instrument,
-    bucket) — fine-bar merging touches bar counts, not tick counts."""
-    book = synthetic_book(spark, sf_dir, depth=1)
-    mid = ((F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)).alias("mid")
-    mids = book.select(
-        *KEYS,
-        "ts_ms",
-        "raw_nonce",
-        mid,
-        F.expr(f"ts_ms DIV {_FINE_MS} * {_FINE_MS}").alias("fine_ms"),
-        F.expr(f"ts_ms DIV {_COARSE_MS} * {_COARSE_MS}").alias("coarse_ms"),
-    )
-
-    def ohlc(df, bucket_cols, order_cols):
-        wa = Window.partitionBy(*KEYS, *bucket_cols).orderBy(*order_cols)
-        wd = Window.partitionBy(*KEYS, *bucket_cols).orderBy(
-            *[F.col(c).desc() for c in order_cols]
-        )
-        ranked = df.withColumn("rn_a", F.row_number().over(wa)).withColumn(
-            "rn_d", F.row_number().over(wd)
-        )
-        return ranked
-
-    fine = (
-        ohlc(mids, ["coarse_ms", "fine_ms"], ["ts_ms", "raw_nonce"])
-        .groupBy(*KEYS, "coarse_ms", "fine_ms")
-        .agg(
-            F.max(F.when(F.col("rn_a") == 1, F.col("mid"))).alias("o"),
-            F.max("mid").alias("h"),
-            F.min("mid").alias("l"),
-            F.max(F.when(F.col("rn_d") == 1, F.col("mid"))).alias("c"),
-            F.count(F.lit(1)).alias("n"),
-        )
-    )
-    wf_a = Window.partitionBy(*KEYS, "coarse_ms").orderBy("fine_ms")
-    wf_d = Window.partitionBy(*KEYS, "coarse_ms").orderBy(
-        F.col("fine_ms").desc()
-    )
-    derived = (
-        fine.withColumn("rf_a", F.row_number().over(wf_a))
-        .withColumn("rf_d", F.row_number().over(wf_d))
-        .groupBy(*KEYS, "coarse_ms")
-        .agg(
-            F.max(F.when(F.col("rf_a") == 1, F.col("o"))).alias("open_mid"),
-            F.max("h").alias("high_mid"),
-            F.min("l").alias("low_mid"),
-            F.max(F.when(F.col("rf_d") == 1, F.col("c"))).alias("close_mid"),
-            F.sum("n").cast("long").alias("n_snapshots"),
-        )
-    )
-    direct = (
-        ohlc(mids, ["coarse_ms"], ["ts_ms", "raw_nonce"])
-        .groupBy(*KEYS, "coarse_ms")
-        .agg(
-            F.max(F.when(F.col("rn_a") == 1, F.col("mid"))).alias("x_open"),
-            F.max("mid").alias("x_high"),
-            F.min("mid").alias("x_low"),
-            F.max(F.when(F.col("rn_d") == 1, F.col("mid"))).alias("x_close"),
-            F.count(F.lit(1)).alias("x_n"),
-        )
-    )
-    j = derived.join(direct, [*KEYS, "coarse_ms"])
-    consistent = (
-        (F.col("open_mid") == F.col("x_open"))
-        & (F.col("high_mid") == F.col("x_high"))
-        & (F.col("low_mid") == F.col("x_low"))
-        & (F.col("close_mid") == F.col("x_close"))
-        & (F.col("n_snapshots") == F.col("x_n"))
-    )
-    return j.select(
-        *KEYS,
-        "coarse_ms",
-        "open_mid",
-        "high_mid",
-        "low_mid",
-        "close_mid",
-        "n_snapshots",
-        consistent.alias("rollup_consistent"),
-    )
-
-
-_VOLUME_CURVE_SQL = f"""{_BOOK_CTE},
-trades AS ({trades_sql()}),
-q AS (
-  SELECT exchange_id, symbol,
-         CAST(ts_ms // 86400000 AS BIGINT) AS day,
-         CAST((ts_ms % 86400000) // 3600000 AS BIGINT) AS hour_of_day,
-         floor(price * qty * 1024.0 + 0.5) / 1024.0 AS notional_q
-  FROM trades
-),
-hourly AS (
-  SELECT exchange_id, symbol, day, hour_of_day,
-         SUM(notional_q) AS v
-  FROM q GROUP BY exchange_id, symbol, day, hour_of_day
-),
-daily AS (
-  SELECT exchange_id, symbol, day, SUM(v) AS tot
-  FROM hourly GROUP BY exchange_id, symbol, day
-)
-SELECT h.exchange_id, h.symbol, h.hour_of_day,
-       ROUND(SUM(h.v / d.tot) / COUNT(*), 6) AS avg_share,
-       COUNT(*) AS n_days
-FROM hourly h JOIN daily d USING (exchange_id, symbol, day)
-GROUP BY h.exchange_id, h.symbol, h.hour_of_day
-"""
-
-
-@register("trade_volume_curve", _VOLUME_CURVE_SQL)
-def q_trade_volume_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Intraday volume curve — THE input to VWAP scheduling (the
-    vwap sims' proxy weights model exactly this): each hour-of-day's
-    share of its day's notional, averaged across days per instrument.
-    Hourly and daily notionals are exact (quantized summands), each
-    day's shares sum to 1 by construction, and only the cross-day mean
-    is rounded. Two partial-aggregated groupBys co-keyed on the
-    instrument; the hourly->daily join is instrument-day keyed (tiny).
-    At 100 TB the curve is computed once per estimation window and
-    broadcast to every execution simulation."""
-    trades = synthetic_trades(spark, sf_dir)
-    nq = (
-        F.floor(F.col("price") * F.col("qty") * F.lit(1024.0) + F.lit(0.5))
-        / F.lit(1024.0)
-    )
-    q = trades.select(
-        *KEYS,
-        F.expr("ts_ms DIV 86400000").alias("day"),
-        F.expr("(ts_ms % 86400000) DIV 3600000").alias("hour_of_day"),
-        nq.alias("notional_q"),
-    )
-    hourly = q.groupBy(*KEYS, "day", "hour_of_day").agg(
-        F.sum("notional_q").alias("v")
-    )
-    daily = hourly.groupBy(*KEYS, "day").agg(F.sum("v").alias("tot"))
-    return (
-        hourly.join(daily, [*KEYS, "day"])
-        .groupBy(*KEYS, "hour_of_day")
-        .agg(
-            F.round(
-                F.sum(F.col("v") / F.col("tot")) / F.count(F.lit(1)), 6
-            ).alias("avg_share"),
-            F.count(F.lit(1)).alias("n_days"),
-        )
-    )
-
-
-_ASOF_TOL_MS = 5_000
-
-_ASOF_TOL_SQL = f"""{_BOOK_CTE},
-grid AS (
-  SELECT exchange_id, symbol,
-         ts_ms + (raw_nonce % 7) * 1000 AS grid_ts
-  FROM book
-),
-m AS (
-  SELECT exchange_id, symbol, ts_ms AS src_ts,
-         (best_bid + best_ask) / 2.0 AS mid
-  FROM book
-),
-j AS (
-  SELECT g.exchange_id, g.symbol, g.grid_ts, m.src_ts, m.mid
-  FROM grid g ASOF LEFT JOIN m
-    ON g.exchange_id = m.exchange_id AND g.symbol = m.symbol
-   AND m.src_ts <= g.grid_ts
-)
-SELECT exchange_id, symbol, grid_ts,
-       src_ts IS NOT NULL AND grid_ts - src_ts <= {_ASOF_TOL_MS} AS matched,
-       CASE WHEN grid_ts - src_ts <= {_ASOF_TOL_MS} THEN mid END AS mid,
-       CASE WHEN grid_ts - src_ts <= {_ASOF_TOL_MS}
-            THEN grid_ts - src_ts END AS staleness_ms
-FROM j
-"""
-
-
-@register("book_asof_tolerance", _ASOF_TOL_SQL)
-def q_book_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join with a MAX-STALENESS tolerance — the variant every
-    production as-of API grows (pandas merge_asof's ``tolerance``,
-    kdb's wj window bound): a probe matches the latest snapshot
-    at-or-before it ONLY if that snapshot is at most 5 s old; staler
-    prevailing state returns NULL (a quote from minutes ago is not a
-    fill-able price). Probes are the tick grid jittered 0-6 s by nonce,
-    so both branches are exercised against the 5 s bound with pure
-    integer staleness arithmetic. Rides the join-free
-    asof_backward_union (tag + union + one keyed window), with the
-    tolerance applied as a post-filter on the carried source timestamp;
-    oracle = DuckDB ASOF LEFT JOIN + the same bound."""
-    from market_microstructure_toolkit_spark.operators.asof import (
-        asof_backward_union,
-    )
-
-    book = synthetic_book(spark, sf_dir, depth=1)
-    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
-    snaps = book.select(
-        *KEYS, "ts_ms", "raw_nonce", mid.alias("mid")
-    )
-    grid = book.select(
-        *KEYS,
-        (F.col("ts_ms") + (F.col("raw_nonce") % 7) * F.lit(1000)).alias(
-            "grid_ts"
-        ),
-    )
-    picked = asof_backward_union(
-        snaps,
-        grid,
-        keys=KEYS,
-        ts_col="ts_ms",
-        value_cols=("mid",),
-        target_ts_col="grid_ts",
-    )
-    # picked carries the probe time as ts_ms (the union's ts_col) and the
-    # matched snapshot's timestamp as src_ts_ms
-    stale = F.col("ts_ms") - F.col("src_ts_ms") > _ASOF_TOL_MS
-    fresh = F.col("src_ts_ms").isNotNull() & ~stale
-    return picked.select(
-        *KEYS,
-        F.col("ts_ms").alias("grid_ts"),
-        fresh.alias("matched"),
-        F.when(fresh, F.col("mid")).alias("mid"),
-        F.when(fresh, F.col("ts_ms") - F.col("src_ts_ms")).alias(
-            "staleness_ms"
-        ),
-    )
-
-
-# --------------------------------------------------------------------------
-# Round-5 batch 10: four more TPC-H-shaped relational gates (EXISTS,
-# two-level CASE aggregation, promo share, disjunctive predicates).
-# --------------------------------------------------------------------------
-
-_LATE_SHIP_SQL = """
-SELECT o.o_orderpriority, COUNT(*) AS n_orders
-FROM orders o
-WHERE EXISTS (
-  SELECT 1 FROM lineitem l
-  WHERE l.l_orderkey = o.o_orderkey
-    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
-)
-GROUP BY o.o_orderpriority
-"""
-
-
-@register("orders_late_shipping_priority", _LATE_SHIP_SQL)
-def q_orders_late_shipping_priority(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """TPC-H Q4 shape: per priority, orders with at least one line item
-    shipped more than 60 days after the order date — EXISTS over a
-    big-big correlated pair. Spark plans the EXISTS as a LEFT SEMI join
-    on the order key (each order counted once no matter how many late
-    lines), with the lateness predicate evaluated inside the join —
-    one key-partitioned shuffle, no per-row subquery execution. Counts:
-    integer-exact."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey", "l_shipdate"
-    )
-    late = orders.join(
-        li,
-        (orders["o_orderkey"] == li["l_orderkey"])
-        & (li["l_shipdate"] > F.date_add(orders["o_orderdate"], 60)),
-        "left_semi",
-    )
-    return late.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders")
-    )
-
-
-_RETURNFLAG_PRIORITY_SQL = """
-SELECT l.l_returnflag,
-       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_priority,
-       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low_priority
-FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-GROUP BY l.l_returnflag
-"""
-
-
-@register("lineitem_priority_by_returnflag", _RETURNFLAG_PRIORITY_SQL)
-def q_lineitem_priority_by_returnflag(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """TPC-H Q12 shape: line items shipped in 1997, bucketed by return
-    flag, split into high/low order-priority counts with conditional
-    aggregation — the two-level CASE rollup pattern. The date-range
-    filter pushes to the parquet scan (PushedFilters), the join
-    shuffles once on the order key with map-side partial counts, and
-    the CASE arms are JVM codegen. Integer-exact."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey", "o_orderpriority"
-    )
-    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .groupBy("l_returnflag")
-        .agg(
-            F.sum(hi.cast("long")).alias("n_high_priority"),
-            F.sum((~hi).cast("long")).alias("n_low_priority"),
-        )
-    )
-
-
-_PROMO_SHARE_SQL = """
-SELECT
-  CAST(ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
-        THEN CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,8))
-        ELSE CAST(0 AS DECIMAL(24,8)) END)
-      / SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,8))),
-      6) AS DOUBLE) AS promo_revenue_pct,
-  CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
-        THEN CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,8))
-        ELSE CAST(0 AS DECIMAL(24,8)) END), 2) AS DOUBLE) AS promo_revenue,
-  COUNT(*) AS n_items
-FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-"""
-
-
-@register("lineitem_promo_revenue_share", _PROMO_SHARE_SQL)
-def q_lineitem_promo_revenue_share(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """TPC-H Q14 shape: the share of revenue from promotional parts —
-    conditional revenue over total revenue in one aggregate. The part
-    dimension broadcasts (it is the small side); revenue accumulates in
-    DECIMAL(24,8) (order-free exact, the money idiom) and only the
-    final ratio is rounded. One broadcast join + one
-    grouped-by-nothing aggregate: scan-bound at any scale."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_partkey", "l_extendedprice", "l_discount"
-    )
-    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
-        "p_partkey", "p_type"
-    )
-    rev = (
-        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    ).cast("decimal(24,8)")
-    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(
-        F.lit(0).cast("decimal(24,8)")
-    )
-    return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .agg(
-            F.round(
-                F.lit(100.0) * F.sum(promo_rev) / F.sum(rev), 6
-            )
-            .cast("double")
-            .alias("promo_revenue_pct"),
-            F.round(F.sum(promo_rev), 2).cast("double").alias("promo_revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-    )
-
-
-_DISJUNCTIVE_SQL = """
-SELECT
-  CAST(ROUND(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
-                      AS DECIMAL(24,8))), 2) AS DOUBLE) AS revenue,
-  COUNT(*) AS n_items
-FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-WHERE (p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
-   OR (p.p_size BETWEEN 16 AND 35 AND l.l_quantity BETWEEN 15 AND 35)
-   OR (p.p_size BETWEEN 36 AND 50 AND l.l_quantity BETWEEN 30 AND 50)
-"""
-
-
-@register("lineitem_disjunctive_filter_revenue", _DISJUNCTIVE_SQL)
-def q_lineitem_disjunctive_filter_revenue(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """TPC-H Q19 shape: revenue under a DISJUNCTION of conjunctive
-    band predicates spanning both join sides — the pattern that defeats
-    naive predicate pushdown (no single conjunct holds everywhere).
-    Spark still broadcasts the part side and evaluates the whole
-    disjunction post-join in codegen; per-side implied filters
-    (p_size 1..50, l_quantity 1..50) remain pushable. DECIMAL revenue,
-    integer count."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
-    )
-    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
-        "p_partkey", "p_size"
-    )
-    qty, sz = F.col("l_quantity"), F.col("p_size")
-    pred = (
-        (sz.between(1, 15) & qty.between(1, 20))
-        | (sz.between(16, 35) & qty.between(15, 35))
-        | (sz.between(36, 50) & qty.between(30, 50))
-    )
-    rev = (
-        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    ).cast("decimal(24,8)")
-    return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .filter(pred)
-        .agg(
-            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# Round-5 batch 11: conversion attribution (first/last touch).
-# --------------------------------------------------------------------------
-
-_ATTR_LOOKBACK_NS = 604_800_000_000_000  # 7 days
-
-_ATTRIBUTION_SQL = f"""
-WITH tagged AS (
-  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns,
-         event_type = (SELECT MAX(event_type) FROM events) AS is_conv
-  FROM events
-),
-windowed AS (
-  SELECT *,
-    MIN(CASE WHEN NOT is_conv
-             THEN printf('%020d|%010d', tns, event_id) END)
-      OVER (PARTITION BY user_id ORDER BY tns
-            RANGE BETWEEN {_ATTR_LOOKBACK_NS} PRECEDING AND 1 PRECEDING)
-      AS ft,
-    MAX(CASE WHEN NOT is_conv
-             THEN printf('%020d|%010d', tns, event_id) END)
-      OVER (PARTITION BY user_id ORDER BY tns
-            RANGE BETWEEN {_ATTR_LOOKBACK_NS} PRECEDING AND 1 PRECEDING)
-      AS lt
-  FROM tagged
-)
-SELECT event_id AS conversion_event_id, user_id,
-       CAST(substr(ft, 22, 10) AS BIGINT) AS first_touch_event_id,
-       CAST(substr(lt, 22, 10) AS BIGINT) AS last_touch_event_id
-FROM windowed WHERE is_conv
-"""
-
-
-@register("events_conversion_attribution", _ATTRIBUTION_SQL)
-def q_events_conversion_attribution(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """First-touch and last-touch conversion attribution — the two
-    canonical marketing-attribution models, in ONE keyed range-frame
-    window pass: for every conversion (the lexicographic-max event type,
-    picked deterministically — no hardcoded fixture string), the
-    earliest and latest NON-conversion touchpoint of the same user
-    within a 7-day event-time lookback. The argmin/argmax over the
-    range frame uses the engine-portable sortable-string encoding
-    printf('%020d|%010d', ts, id) (struct-min in a window is not
-    portable); conversions with an empty lookback attribute to NULL.
-    Scale shape: one shuffle on user_id, RANGE frame state bounded by
-    the lookback horizon — the same plan at any tape length."""
-    ev = read_events(spark, sf_dir)
-    conv_type = ev.agg(F.max("event_type").alias("m")).collect()[0]["m"]
-    tagged = ev.select(
-        "user_id",
-        "event_id",
-        "ts",
-        (F.col("event_type") == F.lit(conv_type)).alias("is_conv"),
-    )
-    enc = F.when(
-        ~F.col("is_conv"),
-        F.format_string("%020d|%010d", F.col("ts"), F.col("event_id")),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts")
-        .rangeBetween(-_ATTR_LOOKBACK_NS, -1)
-    )
-    windowed = tagged.select(
-        "user_id",
-        "event_id",
-        "is_conv",
-        F.min(enc).over(w).alias("ft"),
-        F.max(enc).over(w).alias("lt"),
-    )
-    return windowed.filter(F.col("is_conv")).select(
-        F.col("event_id").alias("conversion_event_id"),
-        "user_id",
-        F.substring("ft", 22, 10).cast("long").alias("first_touch_event_id"),
-        F.substring("lt", 22, 10).cast("long").alias("last_touch_event_id"),
-    )
-
-
-# --------------------------------------------------------------------------
-# Round-5 batch 12: liquidity cost curve, conversion latency.
-# --------------------------------------------------------------------------
-
-_COST_CURVE_SIZES = (1.0, 3.0, 5.0, 10.0)
-
-
-def _cost_curve_sql() -> str:
-    arms = []
-    for q in _COST_CURVE_SIZES:
-        w = _walk_exprs(repr(q), BOOK_DEPTH)
-        arms.append(
-            f"SELECT exchange_id, symbol, CAST({q!r} AS DOUBLE) AS q,\n"
-            f"  ({w['filled']}) AS filled, ({w['cost']}) AS cost,\n"
-            f"  (best_bid + best_ask) / 2.0 AS mid\nFROM book"
-        )
-    walked = "\nUNION ALL\n".join(arms)
-    return f"""{_BOOK_CTE},
-walked AS (
-{walked}
-)
-SELECT exchange_id, symbol, q,
-  CAST(SUM(CASE WHEN filled = q THEN 1 ELSE 0 END) AS BIGINT) AS n_full_fills,
-  ROUND(SUM(CASE WHEN filled = q
-                 THEN ((cost / filled) - mid) / mid * 10000.0 END)
-        / NULLIF(SUM(CASE WHEN filled = q THEN 1 ELSE 0 END), 0), 6)
-    AS avg_premium_bps
-FROM walked GROUP BY exchange_id, symbol, q
-"""
-
-
-@register("book_cost_curve", _cost_curve_sql())
-def q_book_cost_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Liquidity cost curve — the walk-the-book premium as a FUNCTION of
-    trade size (1/3/5/10 units): the average bps paid over mid for a
-    marketable order that fully fills, per instrument per size. This is
-    the liquidity surface an execution desk quotes from (and the
-    concave shape — premium growing with size — is the fixture's
-    deepest-level check on the X2 ladder fold). All four sizes walk the
-    SAME validated ladder per row (the array materializes once behind
-    the explode barrier), unpivot in-plan, then one grouped aggregate;
-    partial fills are excluded (cost of an unfilled remainder is not a
-    price). Shuffle-free until the final instrument-keyed rollup."""
-    from market_microstructure_toolkit_spark.functions.arrays import (
-        ladder_from_wide,
-        valid_levels,
-        walk_book,
-    )
-
-    book = synthetic_book(spark, sf_dir)
-    ladder = valid_levels(ladder_from_wide("ask", BOOK_DEPTH))
-    mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
-    walked = book.select(
-        *KEYS,
-        mid.alias("mid"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(q).alias("q"),
-                        walk_book(ladder, q).alias("w"),
-                    )
-                    for q in _COST_CURVE_SIZES
-                ]
-            )
-        ).alias("e"),
-    ).select(
-        *KEYS,
-        "mid",
-        F.col("e.q").alias("q"),
-        F.col("e.w.filled").alias("filled"),
-        F.col("e.w.cost").alias("cost"),
-    )
-    full = F.col("filled") == F.col("q")
-    prem = (
-        (F.col("cost") / F.col("filled") - F.col("mid"))
-        / F.col("mid")
-        * F.lit(10000.0)
-    )
-    return walked.groupBy(*KEYS, "q").agg(
-        F.sum(full.cast("long")).alias("n_full_fills"),
-        F.round(
-            F.sum(F.when(full, prem))
-            / F.nullif(F.sum(full.cast("long")), F.lit(0)),
-            6,
-        ).alias("avg_premium_bps"),
-    )
-
-
-_CONV_LATENCY_SQL = f"""
-WITH tagged AS (
-  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns,
-         event_type = (SELECT MAX(event_type) FROM events) AS is_conv
-  FROM events
-),
-windowed AS (
-  SELECT *,
-    MAX(CASE WHEN NOT is_conv
-             THEN printf('%020d|%010d', tns, event_id) END)
-      OVER (PARTITION BY user_id ORDER BY tns
-            RANGE BETWEEN {_ATTR_LOOKBACK_NS} PRECEDING AND 1 PRECEDING)
-      AS lt
-  FROM tagged
-),
-attributed AS (
-  SELECT w.tns AS conv_ns,
-         CAST(substr(w.lt, 22, 10) AS BIGINT) AS last_id
-  FROM windowed w WHERE w.is_conv AND w.lt IS NOT NULL
-),
-latency AS (
-  SELECT t.event_type AS last_touch_type,
-         (a.conv_ns - t.tns) // 1000000 AS latency_ms
-  FROM attributed a JOIN tagged t ON t.event_id = a.last_id
-)
-SELECT last_touch_type,
-       COUNT(*) AS n_conversions,
-       ROUND(quantile_cont(CAST(latency_ms AS DOUBLE), 0.5), 6)
-         AS median_latency_ms,
-       ROUND(quantile_cont(CAST(latency_ms AS DOUBLE), 0.9), 6)
-         AS p90_latency_ms
-FROM latency GROUP BY last_touch_type
-"""
-
-
-@register("events_conversion_latency", _CONV_LATENCY_SQL)
-def q_events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-to-convert distribution per last-touch channel: for every
-    attributed conversion (same lookback machinery as
-    events_conversion_attribution), the latency from the last
-    touchpoint, summarized as exact interpolated median/p90 per
-    touchpoint TYPE — the report that tells a funnel owner which
-    channel converts fast. The touch id decodes from the sortable-
-    string argmax and joins back for its type/time — one id-keyed
-    shuffle on the (small) attributed set, never the full log."""
-    ev = read_events(spark, sf_dir)
-    conv_type = ev.agg(F.max("event_type").alias("m")).collect()[0]["m"]
-    tagged = ev.select(
-        "user_id",
-        "event_id",
-        "event_type",
-        "ts",
-        (F.col("event_type") == F.lit(conv_type)).alias("is_conv"),
-    )
-    enc = F.when(
-        ~F.col("is_conv"),
-        F.format_string("%020d|%010d", F.col("ts"), F.col("event_id")),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts")
-        .rangeBetween(-_ATTR_LOOKBACK_NS, -1)
-    )
-    windowed = tagged.withColumn("lt", F.max(enc).over(w))
-    attributed = windowed.filter(
-        F.col("is_conv") & F.col("lt").isNotNull()
-    ).select(
-        F.col("ts").alias("conv_ns"),
-        F.substring("lt", 22, 10).cast("long").alias("last_id"),
-    )
-    touches = tagged.select(
-        F.col("event_id").alias("last_id"),
-        F.col("event_type").alias("last_touch_type"),
-        F.col("ts").alias("touch_ns"),
-    )
-    latency = attributed.join(touches, "last_id").select(
-        "last_touch_type",
-        F.expr("(conv_ns - touch_ns) DIV 1000000").alias("latency_ms"),
-    )
-    return latency.groupBy("last_touch_type").agg(
-        F.count(F.lit(1)).alias("n_conversions"),
-        F.round(
-            F.percentile(F.col("latency_ms").cast("double"), F.lit(0.5)), 6
-        ).alias("median_latency_ms"),
-        F.round(
-            F.percentile(F.col("latency_ms").cast("double"), F.lit(0.9)), 6
-        ).alias("p90_latency_ms"),
-    )
-
-
-_LANGID_CONFUSION_SQL = (
-    "WITH preds AS (\n"
-    + _lang_id_sql()
-    + "\n)\n"
-    "SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs\n"
-    "FROM preds GROUP BY labeled_lang, predicted_lang"
-)
-
-
-@register("doc_langid_confusion", _LANGID_CONFUSION_SQL)
-def q_doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Confusion matrix of the heuristic language classifier against the
-    corpus's labels — the in-engine evaluation of doc_lang_id (the same
-    pattern as book_feature_auc: model, prediction, AND its quality
-    report all inside the DataFrame plan). The matrix is label-count
-    sized (languages², not documents), so it reduces map-side; the
-    misclassification cells tell a curation pipeline which language
-    pairs its marker lexicons confuse before it routes documents by
-    prediction. Integer-exact."""
-    from market_microstructure_toolkit_spark.operators.text_analysis import (
-        lang_id_expr,
-    )
-
-    docs = _docs(spark, sf_dir)
-    return (
-        docs.select(
-            F.col("lang").alias("labeled_lang"),
-            lang_id_expr("text").alias("predicted_lang"),
-        )
-        .groupBy("labeled_lang", "predicted_lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
-
-
-# --------------------------------------------------------------------------
-# Round-6 batch 1: book-side schema evolution (depth grows mid-stream).
-# --------------------------------------------------------------------------
-
-def _depth_evo_sql() -> str:
-    """Oracle for book_depth_evolution: the depth-5 book with levels 4-5
-    NULLed on the first (depth-3-recorded) half, then the same per-row
-    depth metrics. The cut is integer midpoint of ts_ms — identical
-    floor-division arithmetic on both engines."""
-    n_bid = " + ".join(
-        f"CASE WHEN e.bid{i}_price IS NOT NULL THEN 1 ELSE 0 END"
-        for i in range(1, 6)
-    )
-    n_ask = " + ".join(
-        f"CASE WHEN e.ask{i}_price IS NOT NULL THEN 1 ELSE 0 END"
-        for i in range(1, 6)
-    )
-    bid_qty = " + ".join(f"COALESCE(e.bid{i}_size, 0.0)" for i in range(1, 6))
-    ask_qty = " + ".join(f"COALESCE(e.ask{i}_size, 0.0)" for i in range(1, 6))
-    effective = ",\n".join(
-        f"    CASE WHEN b.ts_ms <= c.cut THEN NULL ELSE b.bid{i}_price END AS bid{i}_price,\n"
-        f"    CASE WHEN b.ts_ms <= c.cut THEN NULL ELSE b.bid{i}_size END AS bid{i}_size,\n"
-        f"    CASE WHEN b.ts_ms <= c.cut THEN NULL ELSE b.ask{i}_price END AS ask{i}_price,\n"
-        f"    CASE WHEN b.ts_ms <= c.cut THEN NULL ELSE b.ask{i}_size END AS ask{i}_size"
-        for i in range(4, 6)
-    )
-    return f"""{_BOOK_CTE},
-cutoff AS (SELECT (MIN(ts_ms) + MAX(ts_ms)) // 2 AS cut FROM book),
-evolved AS (
-  SELECT b.exchange_id, b.symbol, b.ts_ms, b.raw_nonce,
-    CASE WHEN b.ts_ms <= c.cut THEN 'depth3' ELSE 'depth5' END AS recorder,
-    b.bid1_price, b.bid1_size, b.ask1_price, b.ask1_size,
-    b.bid2_price, b.bid2_size, b.ask2_price, b.ask2_size,
-    b.bid3_price, b.bid3_size, b.ask3_price, b.ask3_size,
-{effective}
-  FROM book b CROSS JOIN cutoff c
-)
-SELECT e.exchange_id, e.symbol, e.ts_ms, e.raw_nonce, e.recorder,
-       CAST({n_bid} AS BIGINT) AS n_bid_levels,
-       CAST({n_ask} AS BIGINT) AS n_ask_levels,
-       {bid_qty} AS bid_depth_qty,
-       {ask_qty} AS ask_depth_qty
-FROM evolved e
-"""
-
-
-@register("book_depth_evolution", _depth_evo_sql())
-def q_book_depth_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Book-side schema evolution: a recording whose depth K GROWS
-    mid-stream — the first half of the tape written by a depth-3
-    recorder, the second by a depth-5 one (the reference infers depth
-    by probing columns until missing, ``impact_twap.py:78-98``; our
-    schema-based twin is ``schema.py:infer_depth``). The two segments
-    are written as separate parquet recordings and unioned via
-    ``mergeSchema`` footer-level reconciliation; ``infer_depth`` on the
-    merged frame returns the MAX depth (5), and depth-K metrics
-    null-propagate on the never-recorded levels: level-presence counts
-    top out at 3 on the old segment and the depth-quantity sums (sizes
-    are exact 0.25 multiples — order-free) simply omit the missing
-    levels. At 100 TB this is the footer-only merge path: no data
-    rewrite when a feed upgrade widens the schema, old files read with
-    NULL columns."""
-    from market_microstructure_toolkit_spark.schema import infer_depth
-
-    ev = read_events(spark, sf_dir).select(F.expr("ts DIV 1000000").alias("ts_ms"))
-    rng = ev.agg(F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")).collect()[0]
-    cut = (rng["lo"] + rng["hi"]) // 2
-
-    base = _scratch(prefix="mmt_depth_evo_")
-    synthetic_book(spark, sf_dir, depth=3).filter(F.col("ts_ms") <= cut).write.parquet(
-        f"{base}/rec_a"
-    )
-    synthetic_book(spark, sf_dir, depth=5).filter(F.col("ts_ms") > cut).write.parquet(
-        f"{base}/rec_b"
-    )
-    merged = spark.read.option("mergeSchema", "true").parquet(
-        f"{base}/rec_a", f"{base}/rec_b"
-    )
-    k = infer_depth(merged)
-    if k != 5:
-        raise ValueError(f"depth evolution merge lost levels: inferred {k}")
-    n_bid = sum(
-        (F.col(f"bid{i}_price").isNotNull().cast("long") for i in range(1, k + 1)),
-        start=F.lit(0).cast("long"),
-    )
-    n_ask = sum(
-        (F.col(f"ask{i}_price").isNotNull().cast("long") for i in range(1, k + 1)),
-        start=F.lit(0).cast("long"),
-    )
-    bid_qty = sum(
-        (F.coalesce(F.col(f"bid{i}_size"), F.lit(0.0)) for i in range(1, k + 1)),
-        start=F.lit(0.0),
-    )
-    ask_qty = sum(
-        (F.coalesce(F.col(f"ask{i}_size"), F.lit(0.0)) for i in range(1, k + 1)),
-        start=F.lit(0.0),
-    )
-    return merged.select(
-        "exchange_id",
-        "symbol",
-        "ts_ms",
-        "raw_nonce",
-        F.when(F.col("ts_ms") <= cut, F.lit("depth3"))
-        .otherwise(F.lit("depth5"))
-        .alias("recorder"),
-        n_bid.alias("n_bid_levels"),
-        n_ask.alias("n_ask_levels"),
-        bid_qty.alias("bid_depth_qty"),
-        ask_qty.alias("ask_depth_qty"),
-    )
