@@ -148,3 +148,99 @@ def lsh_banded_pairs(
         .agg(F.min("cos_sim").alias("cos_sim"))
         .filter(F.col("cos_sim") >= min_cosine)
     )
+
+
+def pq_adc_scores(
+    emb: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    n_cents: int = 16,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    """Product-quantization compression + asymmetric-distance scoring
+    (Jégou, Douze & Schmid 2011) over an (vec_id, label, v:
+    array<double>) frame: every vector encodes once to ``m`` one-byte
+    subspace codes (argmin vs ``n_cents`` broadcast centroids per
+    subspace — centroids are vectors 1..n_cents, the repo's sampled-
+    codebook convention; a trained k-means slots in identically), and
+    the query (``query_vec_id``) scans the corpus by summing ``m``
+    lookups from its broadcast ``m x n_cents`` distance table. At
+    100 TB this is the layout that keeps the index in memory: 64
+    float32 dims -> ``m`` bytes per vector, encode a broadcast map
+    stage, the scan a shuffle-free lookup-sum. The query's table
+    entries are quantized to 2^-20 multiples so the m-term ADC sum is
+    exact in ANY aggregation order — rankings hash-stable with no
+    rounding. Extracted from the similarity_pq_* gates (round-6
+    verdict #2); their DuckDB oracles pin this exact code.
+
+    Returns (vec_id, label, adc_dist) for every corpus vector."""
+    m_col = F.explode(F.sequence(F.lit(1), F.lit(m))).alias("m")
+    sub = f"slice(v, (m - 1) * {sub_dim} + 1, {sub_dim})"
+    csub = f"slice(cv, (m - 1) * {sub_dim} + 1, {sub_dim})"
+    cents = emb.filter(F.col("vec_id").between(1, n_cents)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    cents_sub = cents.select(
+        "cid", F.explode(F.sequence(F.lit(1), F.lit(m))).alias("m"), "cv"
+    ).select("cid", "m", F.expr(csub).alias("scv"))
+    subs = emb.select("vec_id", "label", m_col, "v").select(
+        "vec_id", "label", "m", F.expr(sub).alias("sv")
+    )
+    fold = F.aggregate(
+        F.zip_with("sv", "scv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d = subs.join(F.broadcast(cents_sub), "m").select(
+        "vec_id", "label", "m", "cid", fold.alias("dist")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
+    codes = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "m", "cid")
+    )
+    dq = d.filter(F.col("vec_id") == query_vec_id).select(
+        "m",
+        "cid",
+        (
+            F.floor(F.col("dist") * F.lit(1048576.0) + F.lit(0.5))
+            / F.lit(1048576.0)
+        ).alias("qd"),
+    )
+    return (
+        codes.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(dq), ["m", "cid"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum("qd").alias("adc_dist"))
+    )
+
+
+def ivf_centroid_dists(emb: DataFrame, n_cents: int = 8) -> DataFrame:
+    """Vector-to-centroid squared-L2 distances for an IVF coarse
+    quantizer (centroids = vectors 1..n_cents, broadcast — a trained
+    k-means slots in identically). Shared input for single- and
+    multi-probe IVF: the argmin assigns cells, the query's slice ranks
+    probe candidates. Extracted from the similarity_ivf* gates."""
+    cents = emb.filter(F.col("vec_id").between(1, n_cents)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    dist = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "v", "cid", dist.alias("dist")
+    )
+
+
+def ivf_assign(dists: DataFrame) -> DataFrame:
+    """Nearest-centroid cell assignment: argmin per vector over its
+    centroid distances (ties break on cid for determinism)."""
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "v", "cid")
+    )

@@ -962,36 +962,13 @@ def q_events_conversion_attribution(
     portable); conversions with an empty lookback attribute to NULL.
     Scale shape: one shuffle on user_id, RANGE frame state bounded by
     the lookback horizon — the same plan at any tape length."""
+    from market_microstructure_toolkit_spark.operators.attribution import (
+        touch_attribution,
+    )
+
     ev = read_events(spark, sf_dir)
     conv_type = ev.agg(F.max("event_type").alias("m")).collect()[0]["m"]
-    tagged = ev.select(
-        "user_id",
-        "event_id",
-        "ts",
-        (F.col("event_type") == F.lit(conv_type)).alias("is_conv"),
-    )
-    enc = F.when(
-        ~F.col("is_conv"),
-        F.format_string("%020d|%010d", F.col("ts"), F.col("event_id")),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts")
-        .rangeBetween(-_ATTR_LOOKBACK_NS, -1)
-    )
-    windowed = tagged.select(
-        "user_id",
-        "event_id",
-        "is_conv",
-        F.min(enc).over(w).alias("ft"),
-        F.max(enc).over(w).alias("lt"),
-    )
-    return windowed.filter(F.col("is_conv")).select(
-        F.col("event_id").alias("conversion_event_id"),
-        "user_id",
-        F.substring("ft", 22, 10).cast("long").alias("first_touch_event_id"),
-        F.substring("lt", 22, 10).cast("long").alias("last_touch_event_id"),
-    )
+    return touch_attribution(ev, conv_type, _ATTR_LOOKBACK_NS)
 
 
 _CONV_LATENCY_SQL = f"""
@@ -1039,32 +1016,23 @@ def q_events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     channel converts fast. The touch id decodes from the sortable-
     string argmax and joins back for its type/time — one id-keyed
     shuffle on the (small) attributed set, never the full log."""
+    from market_microstructure_toolkit_spark.operators.attribution import (
+        touch_attribution,
+    )
+
     ev = read_events(spark, sf_dir)
     conv_type = ev.agg(F.max("event_type").alias("m")).collect()[0]["m"]
-    tagged = ev.select(
-        "user_id",
-        "event_id",
-        "event_type",
-        "ts",
-        (F.col("event_type") == F.lit(conv_type)).alias("is_conv"),
+    attributed = (
+        touch_attribution(
+            ev, conv_type, _ATTR_LOOKBACK_NS, first=False, keep_conv_ts=True
+        )
+        .filter(F.col("last_touch_event_id").isNotNull())
+        .select(
+            F.col("conv_ts").alias("conv_ns"),
+            F.col("last_touch_event_id").alias("last_id"),
+        )
     )
-    enc = F.when(
-        ~F.col("is_conv"),
-        F.format_string("%020d|%010d", F.col("ts"), F.col("event_id")),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts")
-        .rangeBetween(-_ATTR_LOOKBACK_NS, -1)
-    )
-    windowed = tagged.withColumn("lt", F.max(enc).over(w))
-    attributed = windowed.filter(
-        F.col("is_conv") & F.col("lt").isNotNull()
-    ).select(
-        F.col("ts").alias("conv_ns"),
-        F.substring("lt", 22, 10).cast("long").alias("last_id"),
-    )
-    touches = tagged.select(
+    touches = ev.select(
         F.col("event_id").alias("last_id"),
         F.col("event_type").alias("last_touch_type"),
         F.col("ts").alias("touch_ns"),

@@ -4080,30 +4080,11 @@ def q_book_feature_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fwd > mid, 1).otherwise(0).alias("y"),
         fwd.alias("fwd"),
     ).filter(F.col("fwd").isNotNull() & F.col("x").isNotNull())
-    grouped = feat.groupBy(*KEYS, "x").agg(
-        F.sum("y").cast("long").alias("n_pos_x"),
-        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_neg_x"),
+    from market_microstructure_toolkit_spark.operators.evaluation import (
+        exact_auc,
     )
-    wcum = (
-        Window.partitionBy(*KEYS)
-        .orderBy("x")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = grouped.withColumn(
-        "neg_below", F.coalesce(F.sum("n_neg_x").over(wcum), F.lit(0))
-    )
-    return cum.groupBy(*KEYS).agg(
-        F.round(
-            F.sum(
-                F.col("n_pos_x")
-                * (F.col("neg_below") + F.col("n_neg_x") / F.lit(2.0))
-            )
-            / (F.sum("n_pos_x") * F.sum("n_neg_x")),
-            6,
-        ).alias("auc"),
-        F.sum("n_pos_x").cast("long").alias("n_pos"),
-        F.sum("n_neg_x").cast("long").alias("n_neg"),
-    )
+
+    return exact_auc(feat, "x", "y", keys=KEYS, round_dp=6)
 
 
 _FINE_MS = 60_000
@@ -4197,53 +4178,25 @@ def q_book_ohlc_rollup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"ts_ms DIV {_COARSE_MS} * {_COARSE_MS}").alias("coarse_ms"),
     )
 
-    def ohlc(df, bucket_cols, order_cols):
-        wa = Window.partitionBy(*KEYS, *bucket_cols).orderBy(*order_cols)
-        wd = Window.partitionBy(*KEYS, *bucket_cols).orderBy(
-            *[F.col(c).desc() for c in order_cols]
-        )
-        ranked = df.withColumn("rn_a", F.row_number().over(wa)).withColumn(
-            "rn_d", F.row_number().over(wd)
-        )
-        return ranked
+    from market_microstructure_toolkit_spark.operators.bars import (
+        ohlc_bars,
+        rollup_ohlc,
+    )
 
-    fine = (
-        ohlc(mids, ["coarse_ms", "fine_ms"], ["ts_ms", "raw_nonce"])
-        .groupBy(*KEYS, "coarse_ms", "fine_ms")
-        .agg(
-            F.max(F.when(F.col("rn_a") == 1, F.col("mid"))).alias("o"),
-            F.max("mid").alias("h"),
-            F.min("mid").alias("l"),
-            F.max(F.when(F.col("rn_d") == 1, F.col("mid"))).alias("c"),
-            F.count(F.lit(1)).alias("n"),
-        )
+    fine = ohlc_bars(
+        mids, "mid", ["coarse_ms", "fine_ms"], KEYS, ["ts_ms", "raw_nonce"]
     )
-    wf_a = Window.partitionBy(*KEYS, "coarse_ms").orderBy("fine_ms")
-    wf_d = Window.partitionBy(*KEYS, "coarse_ms").orderBy(
-        F.col("fine_ms").desc()
-    )
-    derived = (
-        fine.withColumn("rf_a", F.row_number().over(wf_a))
-        .withColumn("rf_d", F.row_number().over(wf_d))
-        .groupBy(*KEYS, "coarse_ms")
-        .agg(
-            F.max(F.when(F.col("rf_a") == 1, F.col("o"))).alias("open_mid"),
-            F.max("h").alias("high_mid"),
-            F.min("l").alias("low_mid"),
-            F.max(F.when(F.col("rf_d") == 1, F.col("c"))).alias("close_mid"),
-            F.sum("n").cast("long").alias("n_snapshots"),
-        )
-    )
-    direct = (
-        ohlc(mids, ["coarse_ms"], ["ts_ms", "raw_nonce"])
-        .groupBy(*KEYS, "coarse_ms")
-        .agg(
-            F.max(F.when(F.col("rn_a") == 1, F.col("mid"))).alias("x_open"),
-            F.max("mid").alias("x_high"),
-            F.min("mid").alias("x_low"),
-            F.max(F.when(F.col("rn_d") == 1, F.col("mid"))).alias("x_close"),
-            F.count(F.lit(1)).alias("x_n"),
-        )
+    derived = rollup_ohlc(fine, "coarse_ms", "fine_ms", KEYS)
+    direct = ohlc_bars(
+        mids, "mid", ["coarse_ms"], KEYS, ["ts_ms", "raw_nonce"]
+    ).select(
+        *KEYS,
+        "coarse_ms",
+        F.col("o").alias("x_open"),
+        F.col("h").alias("x_high"),
+        F.col("l").alias("x_low"),
+        F.col("c").alias("x_close"),
+        F.col("n").alias("x_n"),
     )
     j = derived.join(direct, [*KEYS, "coarse_ms"])
     consistent = (

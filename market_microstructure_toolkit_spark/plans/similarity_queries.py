@@ -128,37 +128,27 @@ def q_similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vector-to-centroid squared-L2 distances for the IVF coarse
-    quantizer (centroids = vectors 1..8, broadcast — a trained k-means
-    would slot in identically). Shared input for single- and multi-probe
-    IVF: the argmin over it assigns cells, the vec_id=0 slice ranks
-    probe candidates for the query."""
+    """Vector-to-centroid distances for the IVF coarse quantizer over
+    the embeddings fixture — delegates to
+    ``operators.similarity.ivf_centroid_dists`` (extracted round 6)."""
+    from market_microstructure_toolkit_spark.operators.similarity import (
+        ivf_centroid_dists,
+    )
+
     emb = _emb(spark, sf_dir).select(
         "vec_id", "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    cents = emb.filter(F.col("vec_id").between(1, 8)).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    dist = F.aggregate(
-        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "label", "v", "cid", dist.alias("dist")
-    )
+    return ivf_centroid_dists(emb, n_cents=8)
 
 
 def _ivf_assigned(dists: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: argmin per vector over the 8
-    centroid distances (ties break on cid for determinism)."""
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-    return (
-        dists.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "v", "cid")
+    """Nearest-centroid assignment (operators.similarity.ivf_assign)."""
+    from market_microstructure_toolkit_spark.operators.similarity import (
+        ivf_assign,
     )
+
+    return ivf_assign(dists)
 
 
 _IVF_SQL = """
@@ -396,48 +386,15 @@ LIMIT 10
 
 def _pq_adc_from(emb: DataFrame) -> DataFrame:
     """Shared PQ pipeline over any (vec_id, label, v: array<double>)
-    frame: encode every vector to {_PQ_M} subspace codes (argmin over
-    broadcast centroids), then ADC-score against the vec_id=0 query via
-    the 8x16 broadcast distance table."""
-    m_col = F.explode(F.sequence(F.lit(1), F.lit(_PQ_M))).alias("m")
-    sub = f"slice(v, (m - 1) * {_PQ_SUB} + 1, {_PQ_SUB})"
-    csub = f"slice(cv, (m - 1) * {_PQ_SUB} + 1, {_PQ_SUB})"
-    cents = emb.filter(F.col("vec_id").between(1, _PQ_C)).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    frame — delegates to ``operators.similarity.pq_adc_scores``
+    (extracted round 6) with the gates' M/sub/centroid constants, so
+    the oracles pin that exact code."""
+    from market_microstructure_toolkit_spark.operators.similarity import (
+        pq_adc_scores,
     )
-    cents_sub = cents.select(
-        "cid", F.explode(F.sequence(F.lit(1), F.lit(_PQ_M))).alias("m"), "cv"
-    ).select("cid", "m", F.expr(csub).alias("scv"))
-    subs = emb.select("vec_id", "label", m_col, "v").select(
-        "vec_id", "label", "m", F.expr(sub).alias("sv")
-    )
-    fold = F.aggregate(
-        F.zip_with("sv", "scv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    d = subs.join(F.broadcast(cents_sub), "m").select(
-        "vec_id", "label", "m", "cid", fold.alias("dist")
-    )
-    w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
-    codes = (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "m", "cid")
-    )
-    # quantize the query's table entries to 2^-20 multiples: the 8-term
-    # ADC sum is then EXACT in any aggregation order (returns_rv idiom),
-    # so the ranking needs no rounding at all
-    dq = d.filter(F.col("vec_id") == 0).select(
-        "m", "cid",
-        (F.floor(F.col("dist") * F.lit(1048576.0) + F.lit(0.5))
-         / F.lit(1048576.0)).alias("qd"),
-    )
-    return (
-        codes.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(dq), ["m", "cid"])
-        .groupBy("vec_id", "label")
-        .agg(F.sum("qd").alias("adc_dist"))
+
+    return pq_adc_scores(
+        emb, m=_PQ_M, sub_dim=_PQ_SUB, n_cents=_PQ_C, query_vec_id=0
     )
 
 
