@@ -1169,22 +1169,48 @@ def q_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CLUSTERS_SQL = """
-WITH RECURSIVE pairs AS (
+def _minlabel_rounds_sql(n_rounds: int) -> str:
+    """Unrolled min-label propagation WITH pointer doubling — the
+    oracle twin of ``operators.dedup.dedup_clusters``: each round every
+    node takes LEAST(own label, min neighbor label, label-of-label).
+    Each round is ONE linear edges join + one node-sized self join, so
+    the oracle stays tractable on a giant component, where the previous
+    recursive transitive closure (every (node, reachable-label) pair —
+    quadratic in component size) ground to a halt on the sf1 sweep.
+    Doubling converges in ~log2(diameter) rounds; ``n_rounds`` covers
+    diameter up to 2^n_rounds, and a non-converged unroll cannot pass
+    the gate silently (Spark iterates to the EXACT fixpoint, so the
+    hashes would differ)."""
+    ctes = ["it0 AS MATERIALIZED (SELECT id, id AS lab FROM nodes)"]
+    for k in range(n_rounds):
+        ctes.append(f"""it{k + 1} AS MATERIALIZED (
+  SELECT n.id,
+         LEAST(n.lab, COALESCE(nb.mlab, n.lab), COALESCE(ll.lab, n.lab))
+           AS lab
+  FROM it{k} n
+  LEFT JOIN (SELECT e.dst AS id, MIN(x.lab) AS mlab
+             FROM edges e JOIN it{k} x ON x.id = e.src
+             GROUP BY e.dst) nb ON nb.id = n.id
+  LEFT JOIN it{k} ll ON ll.id = n.lab
+)""")
+    return ",\n".join(ctes)
+
+
+_CLUSTERS_SQL = ("""
+WITH pairs AS (
   SELECT id_a, id_b FROM (""" + _MINHASH_SQL + """) mh
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION ALL
   SELECT id_b AS src, id_a AS dst FROM pairs
 ),
-reach(id, lab) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
-)
-SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+nodes AS MATERIALIZED (SELECT doc_id AS id FROM documents),
 """
+    + _minlabel_rounds_sql(12)
+    + """
+SELECT id AS doc_id, lab AS cluster_id FROM it12
+""")
 
 
 @register("dedup_clusters", _CLUSTERS_SQL)
@@ -1206,7 +1232,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CURATION_SQL = """
-WITH RECURSIVE q AS (""" + _QUALITY_SQL + """),
+WITH q AS (""" + _QUALITY_SQL + """),
 kept_docs AS (
   SELECT d.doc_id, d.text FROM documents d
   JOIN q ON d.doc_id = q.doc_id
@@ -1217,20 +1243,15 @@ pairs AS (
     "FROM documents", "FROM kept_docs"
 ) + """) mh
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION ALL
   SELECT id_b AS src, id_a AS dst FROM pairs
 ),
-reach(id, lab) AS (
-  SELECT doc_id, doc_id FROM kept_docs
-  UNION
-  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
-),
+nodes AS MATERIALIZED (SELECT doc_id AS id FROM kept_docs),
+""" + _minlabel_rounds_sql(12) + """,
 canon AS (
-  SELECT id AS doc_id FROM (
-    SELECT id, MIN(lab) AS lab FROM reach GROUP BY id
-  ) WHERE id = lab
+  SELECT id AS doc_id FROM it12 WHERE id = lab
 )
 SELECT (SELECT COUNT(*) FROM kept_docs) AS n_quality_kept,
        (SELECT COUNT(*) FROM canon) AS n_canonical,
@@ -1279,21 +1300,22 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
 _SEMANTIC_CLUSTERS_SQL = (
-    "WITH RECURSIVE "
+    "WITH "
     + _BANDED_PAIR_CTES
     + """,
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM pairs WHERE ROUND(cos_sim, 6) >= 0.25
   UNION ALL
   SELECT id_b AS src, id_a AS dst FROM pairs WHERE ROUND(cos_sim, 6) >= 0.25
 ),
-reach(id, lab) AS (
-  SELECT vec_id, vec_id FROM embeddings
-  UNION
-  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
-)
-SELECT id AS vec_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+nodes AS MATERIALIZED (SELECT vec_id AS id FROM embeddings),
+"""
+    + _minlabel_rounds_sql(12)
+    + """
+SELECT id AS vec_id, lab AS cluster_id FROM it12
 """
 )
 

@@ -162,9 +162,22 @@ def main() -> int:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
     records: dict[str, dict] = {}
+
+    def flush_partial() -> None:
+        # incremental safety net: a JVM crash or a runaway query mid-
+        # sweep must not lose the completed queries' records (the first
+        # sf1 sweep died at query 112 of 174 and left nothing on disk)
+        if not artifact:
+            return
+        import json as _json
+
+        with open(artifact + ".partial", "w") as f:
+            _json.dump(records, f, indent=1, sort_keys=True)
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        flush_partial()
         try:
             spdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001
@@ -262,6 +275,8 @@ def main() -> int:
         with open(artifact, "w") as f:
             json.dump(doc, f, indent=1, sort_keys=True)
             f.write("\n")
+        if os.path.exists(artifact + ".partial"):
+            os.remove(artifact + ".partial")
         print(f"artifact -> {artifact} (sf {sf_key}, {len(records)} queries)")
     return 1 if failures else 0
 
