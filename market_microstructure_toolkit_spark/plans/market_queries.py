@@ -428,7 +428,7 @@ feat AS (
   FROM lagged
 )
 SELECT exchange_id, symbol, ts_ms, raw_nonce,
-  ROUND(CORR(ofi, ret_bps) OVER ({_W} ROWS BETWEEN 49 PRECEDING AND CURRENT ROW), 6) AS ofi_ret_corr_50
+  ROUND(CORR(ofi, ret_bps) OVER ({_W} ROWS BETWEEN 49 PRECEDING AND CURRENT ROW), 6) + 0.0 AS ofi_ret_corr_50
 FROM feat
 """
 
@@ -451,7 +451,11 @@ def q_book_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         feat, "ofi", "ret_bps", 50, out_col="__c", keys=KEYS, order_col=ORDER_COLS
     )
     return corr.select(
-        *IDS, F.round(F.col("__c"), 6).alias("ofi_ret_corr_50")
+        # + 0.0 folds a signed zero on BOTH engines: a zero-covariance
+        # window can round to -0.0 on one engine and 0.0 on the other,
+        # and the driver's repr-based hash distinguishes them
+        *IDS,
+        (F.round(F.col("__c"), 6) + F.lit(0.0)).alias("ofi_ret_corr_50"),
     )
 
 
