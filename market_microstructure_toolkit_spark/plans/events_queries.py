@@ -320,12 +320,17 @@ def q_events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch (percentile_approx, accuracy 10000 -> worst-case rank error
     1e-4), verified IN the gate: each approx quantile is joined back to
     the events to measure its true empirical rank, and ``approx_ok`` =
-    every rank is within n*1e-4 + 1 of its target — the actual GK
-    guarantee (rank error, not value error). The exact interpolated
-    percentiles ride along as engine-comparable values (round 6dp,
-    matching DuckDB quantile_cont). The rank probe is 3 rows per group
-    broadcast against the events — one extra pass, no extra shuffle of
-    the data."""
+    the returned value's RANK INTERVAL [count(< v) + 1, count(<= v)]
+    intersects [target - (n*1e-4 + 1), target + (n*1e-4 + 1)] — the
+    actual GK guarantee (rank error, not value error), stated
+    TIE-AWARELY: a duplicated value occupies a rank RUN, and any rank
+    in the run satisfying the bound satisfies the sketch's contract
+    (the sf1 sweep caught the old single-sided ``count(<=)`` probe
+    over-rejecting on 10-deep ties). The exact interpolated percentiles
+    ride along as engine-comparable values (round 6dp, matching DuckDB
+    quantile_cont). The rank probe is 3 rows per group broadcast
+    against the events — one extra pass, no extra shuffle of the
+    data."""
     ev = read_events(spark, sf_dir).select("event_type", "value")
     qs = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
     agg = ev.groupBy("event_type").agg(
@@ -342,16 +347,23 @@ def q_events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(probes), "event_type")
         .groupBy("event_type", "__i", "__av")
         .agg(
-            F.sum((F.col("value") <= F.col("__av")).cast("long")).alias("__rank")
+            F.sum((F.col("value") < F.col("__av")).cast("long")).alias(
+                "__rank_lo"
+            ),
+            F.sum((F.col("value") <= F.col("__av")).cast("long")).alias(
+                "__rank_hi"
+            ),
         )
     )
     target = F.element_at(qs, F.col("__i") + 1)
+    bound = F.col("n_events") * F.lit(1e-4) + F.lit(1.0)
+    t_rank = target * F.col("n_events")
     return (
         agg.join(ranks, "event_type")
         .withColumn(
             "__ok",
-            F.abs(F.col("__rank") - target * F.col("n_events"))
-            <= F.col("n_events") * F.lit(1e-4) + F.lit(1.0),
+            (F.col("__rank_hi") >= t_rank - bound)
+            & (F.col("__rank_lo") + F.lit(1.0) <= t_rank + bound),
         )
         .groupBy(
             "event_type", "n_events", "q50_exact", "q90_exact", "q99_exact"
