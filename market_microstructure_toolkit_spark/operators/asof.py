@@ -31,29 +31,104 @@ def asof_nearest(
 
     Ties (equidistant rows) break deterministically toward the earlier
     ``tiebreak_cols``. Targets with no snapshot in tolerance are dropped
-    (inner semantics). ``targets`` is broadcast — it is schedule-sized
-    (O(slices)), never data-sized.
+    (inner semantics).
+
+    TWO-SIDED SORT-MERGE, not a join: targets union into the snapshot
+    stream and two keyed ordered window passes carry (a) the latest
+    snapshot at-or-before and (b) the earliest snapshot at-or-after each
+    target, as ATOMIC structs (one ``last(ignorenulls)`` over a struct
+    of every snapshot column — per-column carries would tear rows whose
+    individual fields are legitimately NULL). The nearer of the two
+    candidates inside tolerance wins; equal distance resolves backward
+    (the earlier ``ts``), and same-``ts`` snapshots resolve to the
+    earliest ``tiebreak_cols`` — exactly the semantics of ranking all
+    in-tolerance pairs by (|Δt|, *tiebreak_cols).
+
+    Why this shape: the pair-join forms (inequality nested-loop, or
+    tolerance-banded hash join) materialize candidates proportional to
+    target-density × tolerance × snapshots — measured 43× (nested loop)
+    and still ~12× (banded, tolerance 1h) wall going sf0.1 → sf1 on the
+    round-6 sweep, because BOTH sides grow with the data. The union
+    form is two sorts on the instrument key — O(n log n), tolerance-
+    independent, and the same keyed shuffle every other series op rides.
     """
-    # Alias both sides: targets are often derived from the snapshot frame
-    # itself (a self-join), which Spark otherwise flags as ambiguous.
-    s, t = snapshots.alias("__s"), F.broadcast(targets.alias("__t"))
-    d = F.abs(F.col(f"__s.{ts_col}") - F.col(f"__t.{target_ts_col}"))
-    cond = (d <= tolerance_ms)
-    for k in keys:
-        cond = cond & (F.col(f"__s.{k}") == F.col(f"__t.{k}"))
-    joined = s.join(t, on=cond, how="inner").select(
-        *[F.col(f"__s.{c}") for c in snapshots.columns],
-        F.col(f"__t.{target_id_col}"),
-        F.col(f"__t.{target_ts_col}"),
-        d.alias("abs_delta"),
+    scols = snapshots.columns
+    extra_tb = [c for c in tiebreak_cols if c != ts_col]
+    snap_struct = F.struct(*[F.col(c) for c in scols])
+    su = snapshots.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col).alias("__uts"),
+        F.lit(0).alias("__is_t"),
+        *[F.col(c).alias(f"__tb_{c}") for c in extra_tb],
+        snap_struct.alias("__snap"),
+        F.lit(None).cast(
+            targets.schema[target_id_col].dataType
+        ).alias(target_id_col),
+        F.lit(None).cast(
+            targets.schema[target_ts_col].dataType
+        ).alias(target_ts_col),
     )
-    w = Window.partitionBy(*keys, target_id_col).orderBy(
-        "abs_delta", *tiebreak_cols
+    tu = targets.select(
+        *[F.col(k) for k in keys],
+        F.col(target_ts_col).alias("__uts"),
+        F.lit(1).alias("__is_t"),
+        *[
+            F.lit(None).cast(snapshots.schema[c].dataType).alias(f"__tb_{c}")
+            for c in extra_tb
+        ],
+        F.lit(None).cast(su.schema["__snap"].dataType).alias("__snap"),
+        F.col(target_id_col),
+        F.col(target_ts_col),
     )
+    u = su.unionByName(tu)
+    # Backward: ascending event time; snapshots sort BEFORE a same-ts
+    # target (__is_t) so a zero-distance snapshot is seen; same-ts
+    # snapshots sort by tiebreaks DESCENDING so the carried last = the
+    # EARLIEST tiebreak (the rank-1 row of the pair formulation).
+    carry = Window.partitionBy(*keys).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wb = carry.orderBy(
+        F.col("__uts").asc(),
+        F.col("__is_t").asc(),
+        *[F.col(f"__tb_{c}").desc_nulls_first() for c in extra_tb],
+    )
+    # Forward: descending event time (last carried = earliest at-or-
+    # after); same-ts ordering mirrors backward.
+    wf = carry.orderBy(
+        F.col("__uts").desc(),
+        F.col("__is_t").asc(),
+        *[F.col(f"__tb_{c}").desc_nulls_first() for c in extra_tb],
+    )
+    both = u.select(
+        *keys,
+        target_id_col,
+        target_ts_col,
+        "__is_t",
+        F.last("__snap", ignorenulls=True).over(wb).alias("__b"),
+        F.last("__snap", ignorenulls=True).over(wf).alias("__f"),
+    ).filter(F.col("__is_t") == 1)
+    db = F.col(target_ts_col) - F.col(f"__b.{ts_col}")
+    df_ = F.col(f"__f.{ts_col}") - F.col(target_ts_col)
+    valid_b = F.col("__b").isNotNull() & (db <= tolerance_ms)
+    valid_f = F.col("__f").isNotNull() & (df_ <= tolerance_ms)
+    use_b = valid_b & (~valid_f | (db <= df_))
+    chosen = F.when(use_b, F.col("__b")).when(valid_f, F.col("__f"))
+    delta = F.when(use_b, db).when(valid_f, df_)
     return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        both.select(
+            chosen.alias("__c"),
+            F.col(target_id_col),
+            F.col(target_ts_col),
+            delta.alias("abs_delta"),
+        )
+        .filter(F.col("__c").isNotNull())
+        .select(
+            *[F.col(f"__c.{c}").alias(c) for c in scols],
+            target_id_col,
+            target_ts_col,
+            "abs_delta",
+        )
     )
 
 

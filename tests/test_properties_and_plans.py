@@ -114,9 +114,15 @@ def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_asof_join_broadcasts_targets(spark, sf_dir):
+def test_asof_join_is_sort_merge_not_pair_join(spark, sf_dir):
+    # round-6 rewrite: nearest-timestamp resolves via the two-sided
+    # union carry (two keyed window sorts), with NO join operator in the
+    # plan at all — the pair-join forms (BNLJ / tolerance-banded hash)
+    # materialize candidates ∝ target-density x tolerance x snapshots
+    # and went 43x on the sf1 sweep
     plan = _plan(spark, sf_dir, "book_asof_join")
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Join" not in plan, plan
+    assert "Window" in plan and "Union" in plan
 
 
 def test_row_metrics_is_shuffle_free(spark, sf_dir):
