@@ -2,11 +2,23 @@
 
 The reference matches each jittered slice target to the snapshot row with
 the nearest ``ts_ms`` via a monotone two-pointer over a single series
-(``impact_twap.py:174-188``). Spark-first: a tolerance-bounded range join
-(the band predicate keeps it from exploding to a full cross product) +
-``row_number`` to keep the single nearest row per target. The target side
-is tiny (slice schedules, alert timestamps) so it broadcasts; the big
-snapshot side never shuffles for the join itself.
+(``impact_twap.py:174-188``). Spark-first: NO join operator at all —
+both variants here tag the two streams, UNION them, and run keyed
+ordered window passes that carry the candidate snapshot as ONE atomic
+struct (``last(ignorenulls)`` over a struct of every carried column;
+per-column carries would tear rows whose individual fields are NULL).
+
+- :func:`asof_nearest`: two-sided (backward + forward carry), nearest
+  within a tolerance, exact pair-rank tie semantics.
+- :func:`asof_backward_union`: one-sided backward carry for big-big
+  inputs (both sides data-sized), left semantics.
+
+Why this shape: pair-join forms (inequality nested-loop or tolerance-
+banded hash join) materialize candidates proportional to target-density
+× tolerance × snapshots — measured 43× (nested loop) and ~12× (banded)
+wall going sf0.1 → sf1. The union form is one sort on the instrument
+key — O(n log n), tolerance-independent, the same keyed shuffle every
+other series op rides (docs/SCALE_NOTES.md has the 100× probe).
 """
 
 from __future__ import annotations
@@ -159,7 +171,17 @@ def asof_backward_union(
     timestamp counts (snapshots sort before targets at equal ts), and
     duplicate-ts snapshots resolve to the highest ``snapshot_order_col``
     (last written wins). Targets before the first snapshot emit NULLs —
-    filter on the carried columns for inner semantics.
+    filter on ``src_ts_ms`` for inner semantics.
+
+    The carry is a SINGLE ``last(ignorenulls)`` over one struct packing
+    ``src_ts_ms`` and every value column — NOT one carry per column.
+    Per-column carries tear rows: if the matched (latest) snapshot has a
+    legitimate NULL in one value column, that column alone back-fills
+    from an OLDER snapshot while ``src_ts_ms`` comes from the newer one,
+    emitting a (timestamp, value) pair that never coexisted. The struct
+    is non-NULL for every snapshot row (a struct with NULL fields is
+    still a non-NULL struct), so the carried match is always one atomic
+    snapshot — same fix as :func:`asof_nearest`'s ``__snap`` carry.
 
     Returns the target rows + ``value_cols`` carried from the snapshot
     side + ``src_ts_ms`` (the matched snapshot's timestamp).
@@ -176,8 +198,10 @@ def asof_backward_union(
             if snapshot_order_col
             else []
         ),
-        F.col(ts_col).alias("__src_ts"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.struct(
+            F.col(ts_col).alias("__src_ts"),
+            *[F.col(c).alias(c) for c in value_cols],
+        ).alias("__s"),
         *[
             F.lit(None).cast(targets.schema[c].dataType).alias(f"__p_{c}")
             for c in target_payload_cols
@@ -188,15 +212,15 @@ def asof_backward_union(
         F.col(target_ts_col).alias(ts_col),
         F.lit(1).alias("__tag"),
         *(
-            [F.lit(None).cast("long").alias(snapshot_order_col)]
+            [
+                F.lit(None)
+                .cast(snapshots.schema[snapshot_order_col].dataType)
+                .alias(snapshot_order_col)
+            ]
             if snapshot_order_col
             else []
         ),
-        F.lit(None).cast("long").alias("__src_ts"),
-        *[
-            F.lit(None).cast(snapshots.schema[c].dataType).alias(f"__v_{c}")
-            for c in value_cols
-        ],
+        F.lit(None).cast(snaps.schema["__s"].dataType).alias("__s"),
         *[F.col(c).alias(f"__p_{c}") for c in target_payload_cols],
     )
     w = (
@@ -209,10 +233,15 @@ def asof_backward_union(
         ts_col,
         "__tag",
         *[F.col(f"__p_{c}").alias(c) for c in target_payload_cols],
-        F.last("__src_ts", ignorenulls=True).over(w).alias("src_ts_ms"),
-        *[
-            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(c)
-            for c in value_cols
-        ],
+        F.last("__s", ignorenulls=True).over(w).alias("__m"),
     )
-    return merged.filter(F.col("__tag") == 1).drop("__tag")
+    return (
+        merged.filter(F.col("__tag") == 1)
+        .select(
+            *keys,
+            ts_col,
+            *target_payload_cols,
+            F.col("__m.__src_ts").alias("src_ts_ms"),
+            *[F.col(f"__m.{c}").alias(c) for c in value_cols],
+        )
+    )

@@ -2189,20 +2189,23 @@ merged AS (
   FROM s1
 ),
 filled AS (
+  -- ATOMIC struct carry (one LAST_VALUE over the whole matched row,
+  -- not one per column): a NULL ref_mid on the matched snapshot must
+  -- surface as NULL, never back-fill from an older snapshot.
   SELECT exchange_id, ts_ms, tag, tgt_nonce, own_mid,
-    LAST_VALUE(src_ts IGNORE NULLS) OVER
+    LAST_VALUE(CASE WHEN tag = 0
+                    THEN struct_pack(src_ts := src_ts, ref_mid := ref_mid)
+               END IGNORE NULLS) OVER
       (PARTITION BY exchange_id ORDER BY ts_ms, tag, ord
-       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS src_ts_ms,
-    LAST_VALUE(ref_mid IGNORE NULLS) OVER
-      (PARTITION BY exchange_id ORDER BY ts_ms, tag, ord
-       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ref_mid
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
   FROM merged
 )
-SELECT exchange_id, tgt_nonce AS raw_nonce, ts_ms, src_ts_ms,
-       ts_ms - src_ts_ms AS staleness_ms,
-       own_mid, ref_mid,
-       own_mid / ref_mid AS mid_ratio
-FROM filled WHERE tag = 1 AND src_ts_ms IS NOT NULL
+SELECT exchange_id, tgt_nonce AS raw_nonce, ts_ms,
+       struct_extract(m, 'src_ts') AS src_ts_ms,
+       ts_ms - struct_extract(m, 'src_ts') AS staleness_ms,
+       own_mid, struct_extract(m, 'ref_mid') AS ref_mid,
+       own_mid / struct_extract(m, 'ref_mid') AS mid_ratio
+FROM filled WHERE tag = 1 AND struct_extract(m, 'src_ts') IS NOT NULL
 """
 
 
@@ -3450,6 +3453,9 @@ def q_trade_realized_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price",
         "mid",
     ).filter(F.col("q") != 0.0)
+    # Inner semantics = MATCH EXISTENCE (src_ts_ms), not value non-null:
+    # DuckDB's ASOF JOIN keeps a matched row even if its mid_fut is NULL,
+    # and the atomic struct carry reproduces exactly that.
     picked = asof_backward_union(
         snaps,
         tgts,
@@ -3458,7 +3464,7 @@ def q_trade_realized_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=("mid_fut",),
         target_ts_col="nts",
         target_payload_cols=("q", "price", "mid"),
-    ).filter(F.col("mid_fut").isNotNull())
+    ).filter(F.col("src_ts_ms").isNotNull())
     two_q = F.lit(2.0) * F.col("q")
     return picked.groupBy(*KEYS).agg(
         F.count(F.lit(1)).alias("n_trades"),

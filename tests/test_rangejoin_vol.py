@@ -220,6 +220,24 @@ class TestAsofBackwardUnion:
         }
         assert out[100] is None
 
+    def test_atomic_carry_no_row_tearing(self, spark):
+        """THE round-7 fix: the matched snapshot carries ATOMICALLY.
+        If the latest at-or-before snapshot has a NULL value column,
+        the output must be (its ts, NULL) — a per-column
+        last(ignorenulls) carry would instead pair the new src_ts_ms
+        with the OLDER snapshot's value, a row that never existed."""
+        out = {
+            r.tid: (r.src_ts_ms, r.v)
+            for r in self._run(
+                spark,
+                # ts=10 has v=1.0; ts=20 (the match for tid 101) has v=NULL
+                [("x", 10, 1, 1.0), ("x", 20, 2, None)],
+                [("x", 15, 100), ("x", 25, 101)],
+            )
+        }
+        assert out[100] == (10, 1.0)
+        assert out[101] == (20, None)  # NOT (20, 1.0): no tearing
+
     def test_no_join_in_plan(self, spark, sf_dir):
         """The whole point: a plan with no join operator at all."""
         from market_microstructure_toolkit_spark.plans.queries import REGISTRY
