@@ -406,6 +406,165 @@ def with_narrow_window(df, id_cols, input_cols, builder):
     return df.join(F.broadcast(series), list(id_cols))
 
 
+def rolling_segmented(
+    df: DataFrame,
+    agg_builder,
+    window: int,
+    keys: tuple[str, ...] = S.PARTITION_KEYS,
+    order_col: str | list = "ts_ms",
+    n_chunks: int = 64,
+    n_segments: int = 256,
+) -> DataFrame:
+    """Bounded-frame rolling windows via chunk + (W-1)-row halo — the
+    scale path for ``rowsBetween(-(window-1), 0)`` frames, which
+    otherwise serialize ONE instrument's whole history through one core
+    (SURVEY §4.1; the same risk ``add_cumulative_segmented`` closes for
+    unbounded sums, but a bounded frame needs the previous W-1 ROWS of
+    context, which value-range segments can't guarantee).
+
+    Three phases, all parallel per (key, segment):
+
+    1. SEGMENTED RANK — global per-key position without a per-key
+       window: range-segment the order domain (``n_segments`` value
+       buckets), per-segment ``row_number`` (parallel), then add each
+       segment's exclusive cumulative count from a config-sized
+       per-segment aggregate (``n_segments`` rows per key, broadcast).
+    2. CHUNK + HALO — row-count chunks of C =
+       max(window, ceil(n / n_chunks)) rows; the last W-1 rows of each
+       chunk are DUPLICATED into the next chunk as halo rows, so every
+       original row sees its full W-1 lookback inside its own chunk.
+       C >= window guarantees one chunk of halo suffices.
+    3. LOCAL FRAME — the caller's aggregates run over the
+       (keys, chunk)-partitioned window ordered by global position with
+       the same bounded frame; halo rows feed frames but their own
+       outputs are dropped. Frame rows and their order are IDENTICAL to
+       the single-window form, so even floating-point accumulation
+       matches bit-for-bit (pinned by the ``book_rv_segmented`` gate).
+
+    ``agg_builder(w) -> dict[str, Column]``: given the frame WindowSpec,
+    return the output columns (e.g. the W5 count-gated RV, the W10
+    pair-aligned rolling corr). Works for any composition of windowed
+    aggregates over the trailing-rows frame.
+    """
+    order = [order_col] if isinstance(order_col, str) else list(order_col)
+    seg_col = order[0]
+    bounds = df.groupBy(*keys).agg(
+        F.min(seg_col).alias("__lo"),
+        F.max(seg_col).alias("__hi"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    span = (
+        (F.col("__hi") - F.col("__lo")) / F.lit(n_segments) + F.lit(1)
+    ).cast("long")
+    seg = F.least(
+        F.floor((F.col(seg_col) - F.col("__lo")) / span).cast("long"),
+        F.lit(n_segments - 1).cast("long"),
+    )
+    keyed = df.join(F.broadcast(bounds), list(keys)).withColumn("__seg", seg)
+    w_seg = Window.partitionBy(*keys, "__seg").orderBy(*order)
+    ranked = keyed.withColumn("__rn", F.row_number().over(w_seg))
+    seg_counts = keyed.groupBy(*keys, "__seg").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_off = (
+        Window.partitionBy(*keys)
+        .orderBy("__seg")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg_offsets = seg_counts.select(
+        *keys,
+        "__seg",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__segoff"),
+    )
+    pos = (
+        ranked.join(F.broadcast(seg_offsets), [*keys, "__seg"])
+        .withColumn("__pos", F.col("__rn") + F.col("__segoff") - 1)
+        .drop("__seg", "__rn", "__segoff", "__lo", "__hi")
+    )
+    chunk_sz = F.greatest(
+        F.lit(window).cast("long"),
+        F.ceil(F.col("__n") / F.lit(n_chunks)).cast("long"),
+    )
+    chunk = (F.col("__pos") / chunk_sz).cast("long")
+    last_chunk = ((F.col("__n") - 1) / chunk_sz).cast("long")
+    base = pos.withColumn("__chunk", chunk).withColumn(
+        "__halo", F.lit(0)
+    )
+    halo = (
+        pos.filter(
+            ((F.col("__pos") % chunk_sz) >= chunk_sz - F.lit(window - 1))
+            & (chunk < last_chunk)
+        )
+        .withColumn("__chunk", chunk + 1)
+        .withColumn("__halo", F.lit(1))
+    )
+    u = base.unionByName(halo).drop("__n")
+    w_frame = (
+        Window.partitionBy(*keys, "__chunk")
+        .orderBy("__pos")
+        .rowsBetween(-(window - 1), 0)
+    )
+    out = u
+    for name, expr in agg_builder(w_frame).items():
+        out = out.withColumn(name, expr)
+    return out.filter(F.col("__halo") == 0).drop(
+        "__pos", "__chunk", "__halo"
+    )
+
+
+def add_rolling_rv_segmented(
+    df: DataFrame,
+    ret_col: str = "ret",
+    window: int = 20,
+    out_col: str = "rv",
+    keys: tuple[str, ...] = S.PARTITION_KEYS,
+    order_col: str | list = "ts_ms",
+    n_chunks: int = 64,
+) -> DataFrame:
+    """W5 rolling RV on the chunk+halo path — value-identical (bit-exact)
+    to :func:`add_rolling_rv`, but one instrument's history fans out over
+    ``n_chunks`` cores instead of serializing through one."""
+
+    def build(w):
+        r = F.col(ret_col)
+        return {
+            out_col: F.when(
+                F.count(r).over(w) == window, F.sum(r * r).over(w)
+            )
+        }
+
+    return rolling_segmented(
+        df, build, window, keys=keys, order_col=order_col, n_chunks=n_chunks
+    )
+
+
+def add_rolling_corr_segmented(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    window: int,
+    out_col: str = "roll_corr",
+    keys: tuple[str, ...] = S.PARTITION_KEYS,
+    order_col: str | list = "ts_ms",
+    n_chunks: int = 64,
+) -> DataFrame:
+    """W10 rolling corr on the chunk+halo path — same guarded
+    pair-aligned moments as :func:`add_rolling_corr`, parallel per key."""
+
+    def build(w):
+        pair = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+        x = F.when(pair, F.col(x_col))
+        y = F.when(pair, F.col(y_col))
+        cov = F.covar_samp(x, y).over(w)
+        sx = F.stddev_samp(x).over(w)
+        sy = F.stddev_samp(y).over(w)
+        return {out_col: F.when((sx > 0) & (sy > 0), cov / (sx * sy))}
+
+    return rolling_segmented(
+        df, build, window, keys=keys, order_col=order_col, n_chunks=n_chunks
+    )
+
+
 def add_cumulative_segmented(
     df: DataFrame,
     col: str,

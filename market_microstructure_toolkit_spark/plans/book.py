@@ -17,6 +17,20 @@ Derivation (one snapshot row per event; 4 symbols partitioned by user_id):
 - NULL padding: level i >= 2 entirely NULL when ``(event_id + i) % 17 == 0``
   (the reference's blank-pad case); L1 sizes NULL when
   ``event_id % 97 == 0`` (microprice/imbalance null paths).
+
+Guard-branch plants (round 7): rare pathological rows so every
+driver-visible hash also pins the guard semantics, not just the happy
+path. Independent predicates on large primes — they compose
+deterministically when residues coincide at big SFs:
+
+- CROSSED book (``event_id % 487 == 486``): spread sign flips, so
+  ``best_bid > best_ask`` (P5 strict guard -> NULL rel spread).
+- LOCKED book (``event_id % 491 == 490``): spread 0.0, ``bid == ask``.
+- EMPTY ASK SIDE (``event_id % 499 == 498``): ``best_ask`` and every
+  ask level NULL (P2/P7 NULL propagation, book_vamp one-sided path,
+  NULL mid feeding the as-of atomic-carry path).
+- THIN LADDER (``event_id % 503 == 502``): every level >= 2 NULL on
+  both sides (walk partial fill, cost-curve exclusion).
 """
 
 from __future__ import annotations
@@ -40,9 +54,17 @@ def synthetic_book(spark: SparkSession, sf_dir: str, depth: int = BOOK_DEPTH) ->
     ev = read_events(spark, sf_dir)
     eid = F.col("event_id")
     mid0 = F.lit(100.0) + F.col("value") * F.lit(0.1)
-    spr = F.lit(0.02) + (eid % 5).cast("double") * F.lit(0.01)
+    spr_base = F.lit(0.02) + (eid % 5).cast("double") * F.lit(0.01)
+    # Guard plants: crossed (negated spread), locked (zero spread).
+    spr = (
+        F.when(eid % 487 == 486, -spr_base)
+        .when(eid % 491 == 490, F.lit(0.0))
+        .otherwise(spr_base)
+    )
     best_bid = mid0 - spr * F.lit(0.5)
     best_ask = mid0 + spr * F.lit(0.5)
+    empty_ask = eid % 499 == 498
+    thin = eid % 503 == 502
 
     cols = {
         # ts arrives as epoch-nanos (nanosAsLong read); integer-div to
@@ -53,11 +75,13 @@ def synthetic_book(spark: SparkSession, sf_dir: str, depth: int = BOOK_DEPTH) ->
         "book_level": F.lit("L2"),
         "raw_nonce": eid,
         "best_bid": best_bid,
-        "best_ask": best_ask,
+        "best_ask": F.when(~empty_ask, best_ask),
     }
     l1_sizes_null = eid % 97 == 0
     for i in range(1, depth + 1):
-        pad_null = F.lit(i >= 2) & ((eid + i) % 17 == 0)
+        pad_null = (F.lit(i >= 2) & ((eid + i) % 17 == 0)) | (
+            F.lit(i >= 2) & thin
+        )
         bp = best_bid if i == 1 else best_bid - F.lit((i - 1) * 0.05)
         ap = best_ask if i == 1 else best_ask + F.lit((i - 1) * 0.05)
         bs = F.lit(1.0) + ((eid + i * 7) % 13).cast("double") * F.lit(0.25)
@@ -67,13 +91,15 @@ def synthetic_book(spark: SparkSession, sf_dir: str, depth: int = BOOK_DEPTH) ->
             asz = F.when(~l1_sizes_null, asz)
         cols[f"bid{i}_price"] = F.when(~pad_null, bp)
         cols[f"bid{i}_size"] = F.when(~pad_null, bs)
-        cols[f"ask{i}_price"] = F.when(~pad_null, ap)
-        cols[f"ask{i}_size"] = F.when(~pad_null, asz)
+        cols[f"ask{i}_price"] = F.when(~(pad_null | empty_ask), ap)
+        cols[f"ask{i}_size"] = F.when(~(pad_null | empty_ask), asz)
     return ev.select(*[v.alias(k) for k, v in cols.items()])
 
 
 def book_sql(depth: int = BOOK_DEPTH) -> str:
     """The identical derivation as DuckDB SQL (for oracle CTEs)."""
+    empty_ask = "event_id % 499 = 498"
+    thin = "event_id % 503 = 502"
     level_cols = []
     for i in range(1, depth + 1):
         if i == 1:
@@ -81,16 +107,16 @@ def book_sql(depth: int = BOOK_DEPTH) -> str:
             level_cols.append(
                 f"  best_bid AS bid1_price,\n"
                 f"  CASE WHEN NOT ({null_size}) THEN 1.0 + CAST((event_id + 7) % 13 AS DOUBLE) * 0.25 END AS bid1_size,\n"
-                f"  best_ask AS ask1_price,\n"
-                f"  CASE WHEN NOT ({null_size}) THEN 1.0 + CAST((event_id + 11) % 13 AS DOUBLE) * 0.25 END AS ask1_size"
+                f"  CASE WHEN NOT ({empty_ask}) THEN best_ask END AS ask1_price,\n"
+                f"  CASE WHEN NOT ({null_size} OR {empty_ask}) THEN 1.0 + CAST((event_id + 11) % 13 AS DOUBLE) * 0.25 END AS ask1_size"
             )
         else:
-            pad = f"(event_id + {i}) % 17 = 0"
+            pad = f"((event_id + {i}) % 17 = 0 OR {thin})"
             level_cols.append(
-                f"  CASE WHEN NOT ({pad}) THEN best_bid - {(i - 1) * 0.05!r} END AS bid{i}_price,\n"
-                f"  CASE WHEN NOT ({pad}) THEN 1.0 + CAST((event_id + {i * 7}) % 13 AS DOUBLE) * 0.25 END AS bid{i}_size,\n"
-                f"  CASE WHEN NOT ({pad}) THEN best_ask + {(i - 1) * 0.05!r} END AS ask{i}_price,\n"
-                f"  CASE WHEN NOT ({pad}) THEN 1.0 + CAST((event_id + {i * 11}) % 13 AS DOUBLE) * 0.25 END AS ask{i}_size"
+                f"  CASE WHEN NOT {pad} THEN best_bid - {(i - 1) * 0.05!r} END AS bid{i}_price,\n"
+                f"  CASE WHEN NOT {pad} THEN 1.0 + CAST((event_id + {i * 7}) % 13 AS DOUBLE) * 0.25 END AS bid{i}_size,\n"
+                f"  CASE WHEN NOT ({pad} OR {empty_ask}) THEN best_ask + {(i - 1) * 0.05!r} END AS ask{i}_price,\n"
+                f"  CASE WHEN NOT ({pad} OR {empty_ask}) THEN 1.0 + CAST((event_id + {i * 11}) % 13 AS DOUBLE) * 0.25 END AS ask{i}_size"
             )
     levels = ",\n".join(level_cols)
     return f"""
@@ -101,13 +127,21 @@ SELECT
   'L2' AS book_level,
   event_id AS raw_nonce,
   best_bid,
-  best_ask,
+  CASE WHEN NOT ({empty_ask}) THEN best_ask END AS best_ask,
 {levels}
 FROM (
   SELECT *,
-    (100.0 + value * 0.1) - (0.02 + CAST(event_id % 5 AS DOUBLE) * 0.01) * 0.5 AS best_bid,
-    (100.0 + value * 0.1) + (0.02 + CAST(event_id % 5 AS DOUBLE) * 0.01) * 0.5 AS best_ask
-  FROM events
+    (100.0 + value * 0.1) - spr * 0.5 AS best_bid,
+    (100.0 + value * 0.1) + spr * 0.5 AS best_ask
+  FROM (
+    SELECT *,
+      CASE WHEN event_id % 487 = 486
+             THEN -(0.02 + CAST(event_id % 5 AS DOUBLE) * 0.01)
+           WHEN event_id % 491 = 490 THEN 0.0
+           ELSE 0.02 + CAST(event_id % 5 AS DOUBLE) * 0.01
+      END AS spr
+    FROM events
+  )
 )
 """
 

@@ -215,6 +215,42 @@ def q_book_returns_rv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("__ret_q")
 
 
+@register("book_rv_segmented", _RV_SQL)
+def q_book_rv_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME rolling-RV surface as ``book_returns_rv``, computed on
+    the chunk + (W-1)-row-halo path
+    (operators/window_metrics.py::rolling_segmented) and hash-pinned
+    against the identical plain-window oracle — proof that the
+    segmented form is value-identical while one instrument's history
+    fans out across ``n_chunks`` cores instead of serializing through
+    one (SURVEY §4.1's named scale risk, now closed for BOUNDED frames
+    the way ``book_cumsum_segmented`` closed it for unbounded sums).
+    Segmented rank (range-segment row_number + broadcast per-segment
+    count offsets) replaces the global per-key row_number, so no phase
+    of the plan is single-task per key; docs/SCALE_NOTES.md carries the
+    single-key 100x probe."""
+    book = synthetic_book(spark, sf_dir)
+    mids = book.select(
+        *IDS, ((F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)).alias("mid")
+    )
+    w = W.book_window(KEYS, ORDER_COLS)
+    rets = mids.withColumn(
+        "ret_bps", (F.col("mid") / F.lag("mid").over(w) - F.lit(1.0)) * F.lit(1e4)
+    )
+    rq = F.floor(F.col("ret_bps") * F.lit(1024.0) + F.lit(0.5)) / F.lit(1024.0)
+    rets = rets.withColumn("__ret_q", rq)
+    out = W.add_rolling_rv_segmented(
+        rets,
+        ret_col="__ret_q",
+        window=20,
+        out_col="rv_20",
+        keys=KEYS,
+        order_col=ORDER_COLS,
+        n_chunks=8,
+    )
+    return out.select(*IDS, "mid", "ret_bps", "rv_20")
+
+
 def _sql_size_sum(side: str) -> str:
     return " + ".join(
         f"COALESCE({side}{i}_size, 0.0)" for i in range(1, BOOK_DEPTH + 1)

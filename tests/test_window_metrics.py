@@ -582,3 +582,98 @@ class TestVolumeCurve:
         }
         for k, m in mass.items():
             assert m == pytest.approx(days[k], abs=1e-3), k
+
+
+class TestRollingSegmented:
+    """Chunk + (W-1)-halo bounded-frame windows must be value-identical
+    to the plain single-window form — including count-gated NULLs,
+    NULL-return rows, and windows larger than a chunk's row count."""
+
+    def _df(self, spark, n=500, n_keys=2, null_every=37):
+        rows = [
+            (
+                "e",
+                f"S{k}",
+                1_000_000 + i * 7,
+                i * n_keys + k,
+                None if i % null_every == 0 else float((i * 13 + k) % 29) / 8.0,
+                float((i * 17 + 3 * k) % 31) / 16.0,
+            )
+            for k in range(n_keys)
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "exchange_id string, symbol string, ts_ms long, raw_nonce long,"
+            " x double, y double",
+        )
+
+    @pytest.mark.parametrize("window,n_chunks", [(20, 8), (5, 64), (1, 4)])
+    def test_rv_matches_plain(self, spark, window, n_chunks):
+        df = self._df(spark)
+        order = ["ts_ms", "raw_nonce"]
+        plain = W.add_rolling_rv(
+            df, ret_col="x", window=window, out_col="rv", order_col=order
+        )
+        seg = W.add_rolling_rv_segmented(
+            df,
+            ret_col="x",
+            window=window,
+            out_col="rv",
+            order_col=order,
+            n_chunks=n_chunks,
+        )
+        key = lambda r: (r.symbol, r.ts_ms, r.raw_nonce)
+        a = sorted(plain.collect(), key=key)
+        b = sorted(seg.collect(), key=key)
+        assert len(a) == len(b) == 1000
+        for ra, rb in zip(a, b):
+            assert ra.rv == rb.rv, (ra, rb)  # bit-exact, incl. NULL gate
+
+    def test_corr_matches_plain(self, spark):
+        df = self._df(spark)
+        order = ["ts_ms", "raw_nonce"]
+        plain = W.add_rolling_corr(df, "x", "y", 15, out_col="c", order_col=order)
+        seg = W.add_rolling_corr_segmented(
+            df, "x", "y", 15, out_col="c", order_col=order, n_chunks=16
+        )
+        key = lambda r: (r.symbol, r.ts_ms, r.raw_nonce)
+        for ra, rb in zip(
+            sorted(plain.collect(), key=key), sorted(seg.collect(), key=key)
+        ):
+            if ra.c is None:
+                assert rb.c is None
+            else:
+                assert rb.c == pytest.approx(ra.c, abs=1e-12)
+
+    def test_window_larger_than_series(self, spark):
+        df = self._df(spark, n=6, n_keys=1, null_every=10**9)
+        seg = W.add_rolling_rv_segmented(
+            df, ret_col="x", window=50, out_col="rv",
+            order_col=["ts_ms", "raw_nonce"], n_chunks=8,
+        )
+        rows = seg.collect()
+        assert len(rows) == 6
+        assert all(r.rv is None for r in rows)  # never 50 obs
+
+    def test_no_per_key_global_window_in_plan(self, spark):
+        """The point of the operator: no phase may sort one key's whole
+        series through a single task. Every Window in the plan must
+        partition by more than the bare keys (i.e. include __seg or
+        __chunk) or run on the config-sized per-segment aggregate."""
+        df = self._df(spark, n=200)
+        seg = W.add_rolling_rv_segmented(
+            df, ret_col="x", window=10, out_col="rv",
+            order_col=["ts_ms", "raw_nonce"], n_chunks=8,
+        )
+        plan = seg._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\], \[(.*?)\]", plan):
+            part = m.group(2)
+            # data-sized windows must carry a finer partition key
+            if "__seg" not in part and "__chunk" not in part:
+                # the only bare-keys window allowed is the per-segment
+                # OFFSET window, which runs on the n_segments-row agg —
+                # identified by its __cnt/__segoff input
+                assert "__cnt" in m.group(1) or "__segoff" in m.group(1), plan
