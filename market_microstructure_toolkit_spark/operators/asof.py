@@ -63,6 +63,16 @@ def asof_nearest(
     round-6 sweep, because BOTH sides grow with the data. The union
     form is two sorts on the instrument key — O(n log n), tolerance-
     independent, and the same keyed shuffle every other series op rides.
+
+    Contract edges (differ from a rank-1-per-``target_id`` pair join):
+
+    - Duplicate (keys, ``target_id``) target ROWS each emit one output
+      row — the operator keys matches on the row, not on ``target_id``;
+      pass unique ids (all call sites do) or dedupe upstream if rank-1
+      per id is required.
+    - NULL-keyed targets DO match NULL-keyed snapshots: the window's
+      partitionBy groups NULL keys together, where an equi-join would
+      drop them. Filter NULL keys upstream for join-like semantics.
     """
     scols = snapshots.columns
     extra_tb = [c for c in tiebreak_cols if c != ts_col]

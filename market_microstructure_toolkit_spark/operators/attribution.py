@@ -7,8 +7,14 @@ DuckDB oracles pin this exact code.
 Scale shape: ONE shuffle on the user key; the RANGE-frame window's
 state is bounded by the lookback horizon, so the plan is identical at
 any tape length. The argmin/argmax over the range frame uses the
-engine-portable sortable-string encoding ``printf('%020d|%010d', ts,
+engine-portable sortable-string encoding ``printf('%020d|%019d', ts,
 id)`` (struct-min inside a window is not portable across engines).
+Both fields are sized for the FULL non-negative int64 domain (max
+9223372036854775807 = 19 digits), so no in-range id can widen the
+field and shift the decode substring — the silent-wrong-id hazard a
+narrower %010d field had. Negative ts/id are outside the contract
+(a '-' breaks the lexicographic ordering); event times and ids are
+non-negative in every source this operator serves.
 """
 
 from __future__ import annotations
@@ -47,7 +53,7 @@ def touch_attribution(
     )
     enc = F.when(
         ~F.col("is_conv"),
-        F.format_string("%020d|%010d", F.col(ts_col), F.col(id_col)),
+        F.format_string("%020d|%019d", F.col(ts_col), F.col(id_col)),
     )
     w = (
         Window.partitionBy(user_col)
@@ -67,11 +73,11 @@ def touch_attribution(
     ]
     if first:
         out.append(
-            F.substring("ft", 22, 10).cast("long").alias("first_touch_event_id")
+            F.substring("ft", 22, 19).cast("long").alias("first_touch_event_id")
         )
     if last:
         out.append(
-            F.substring("lt", 22, 10).cast("long").alias("last_touch_event_id")
+            F.substring("lt", 22, 19).cast("long").alias("last_touch_event_id")
         )
     if keep_conv_ts:
         out.append(F.col(ts_col).alias("conv_ts"))

@@ -941,20 +941,20 @@ WITH tagged AS (
 windowed AS (
   SELECT *,
     MIN(CASE WHEN NOT is_conv
-             THEN printf('%020d|%010d', tns, event_id) END)
+             THEN printf('%020d|%019d', tns, event_id) END)
       OVER (PARTITION BY user_id ORDER BY tns
             RANGE BETWEEN {_ATTR_LOOKBACK_NS} PRECEDING AND 1 PRECEDING)
       AS ft,
     MAX(CASE WHEN NOT is_conv
-             THEN printf('%020d|%010d', tns, event_id) END)
+             THEN printf('%020d|%019d', tns, event_id) END)
       OVER (PARTITION BY user_id ORDER BY tns
             RANGE BETWEEN {_ATTR_LOOKBACK_NS} PRECEDING AND 1 PRECEDING)
       AS lt
   FROM tagged
 )
 SELECT event_id AS conversion_event_id, user_id,
-       CAST(substr(ft, 22, 10) AS BIGINT) AS first_touch_event_id,
-       CAST(substr(lt, 22, 10) AS BIGINT) AS last_touch_event_id
+       CAST(substr(ft, 22, 19) AS BIGINT) AS first_touch_event_id,
+       CAST(substr(lt, 22, 19) AS BIGINT) AS last_touch_event_id
 FROM windowed WHERE is_conv
 """
 
@@ -970,7 +970,7 @@ def q_events_conversion_attribution(
     earliest and latest NON-conversion touchpoint of the same user
     within a 7-day event-time lookback. The argmin/argmax over the
     range frame uses the engine-portable sortable-string encoding
-    printf('%020d|%010d', ts, id) (struct-min in a window is not
+    printf('%020d|%019d', ts, id) (struct-min in a window is not
     portable); conversions with an empty lookback attribute to NULL.
     Scale shape: one shuffle on user_id, RANGE frame state bounded by
     the lookback horizon — the same plan at any tape length."""
@@ -992,7 +992,7 @@ WITH tagged AS (
 windowed AS (
   SELECT *,
     MAX(CASE WHEN NOT is_conv
-             THEN printf('%020d|%010d', tns, event_id) END)
+             THEN printf('%020d|%019d', tns, event_id) END)
       OVER (PARTITION BY user_id ORDER BY tns
             RANGE BETWEEN {_ATTR_LOOKBACK_NS} PRECEDING AND 1 PRECEDING)
       AS lt
@@ -1000,7 +1000,7 @@ windowed AS (
 ),
 attributed AS (
   SELECT w.tns AS conv_ns,
-         CAST(substr(w.lt, 22, 10) AS BIGINT) AS last_id
+         CAST(substr(w.lt, 22, 19) AS BIGINT) AS last_id
   FROM windowed w WHERE w.is_conv AND w.lt IS NOT NULL
 ),
 latency AS (

@@ -653,7 +653,14 @@ WHERE rk = 1
 def q_book_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 nearest-timestamp as-of join (impact_twap.py:174-188): every
     50th row (+1.5s) is a slice target matched to its nearest snapshot
-    within 1h; broadcast targets + banded range join + rank-1."""
+    within 1h. Rides asof_nearest's two-sided union SORT-MERGE: targets
+    union into the snapshot stream, two keyed ordered window passes
+    carry the latest at-or-before and earliest at-or-after snapshot as
+    atomic structs, the nearer in-tolerance candidate wins (equal
+    distance -> backward; same-ts -> earliest nonce) — NO join operator
+    in the plan (pinned by test_asof_join_is_sort_merge_not_pair_join).
+    Oracle stays the rank-1 pair formulation, proving the sort-merge
+    reproduces its exact tie semantics."""
     from market_microstructure_toolkit_spark.operators.asof import asof_nearest
 
     book = synthetic_book(spark, sf_dir).select(
@@ -1630,6 +1637,19 @@ def q_recorder_grid_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rng = book.groupBy("symbol").agg(
         F.min("ts_ms").alias("a"), F.max("ts_ms").alias("b")
     )
+    snaps = book.select(
+        "symbol",
+        F.col("ts_ms").alias("t"),
+        F.lit(0).alias("tag"),
+        "raw_nonce",
+        # ATOMIC carry (one struct, not per-column lasts): the matched
+        # snapshot's NULL mid (empty-ask plant) must surface as NULL,
+        # never back-fill from an older snapshot — ASOF JOIN semantics
+        F.struct(
+            F.col("ts_ms").alias("src_ts"),
+            ((F.col("best_bid") + F.col("best_ask")) / 2.0).alias("mid"),
+        ).alias("snap"),
+    )
     ticks = rng.select(
         "symbol",
         F.explode(
@@ -1644,16 +1664,7 @@ def q_recorder_grid_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         F.lit(1).alias("tag"),
         F.lit(None).cast("long").alias("raw_nonce"),
-        F.lit(None).cast("long").alias("src_ts"),
-        F.lit(None).cast("double").alias("mid"),
-    )
-    snaps = book.select(
-        "symbol",
-        F.col("ts_ms").alias("t"),
-        F.lit(0).alias("tag"),
-        "raw_nonce",
-        F.col("ts_ms").alias("src_ts"),
-        ((F.col("best_bid") + F.col("best_ask")) / 2.0).alias("mid"),
+        F.lit(None).cast(snaps.schema["snap"].dataType).alias("snap"),
     )
     w = (
         Window.partitionBy("symbol")
@@ -1664,17 +1675,16 @@ def q_recorder_grid_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol",
         "t",
         "tag",
-        F.last("src_ts", ignorenulls=True).over(w).alias("src_ts_ms"),
-        F.last("mid", ignorenulls=True).over(w).alias("mid"),
+        F.last("snap", ignorenulls=True).over(w).alias("m"),
     )
     return merged.filter(
-        (F.col("tag") == 1) & F.col("src_ts_ms").isNotNull()
+        (F.col("tag") == 1) & F.col("m").isNotNull()
     ).select(
         "symbol",
         F.col("t").alias("tick_ms"),
-        "src_ts_ms",
-        "mid",
-        (F.col("t") - F.col("src_ts_ms")).alias("staleness_ms"),
+        F.col("m.src_ts").alias("src_ts_ms"),
+        F.col("m.mid").alias("mid"),
+        (F.col("t") - F.col("m.src_ts")).alias("staleness_ms"),
     )
 
 
@@ -3345,7 +3355,7 @@ mad AS (
 )
 SELECT s.exchange_id, s.symbol, s.ts_ms, s.raw_nonce,
        ROUND(s.mid + s.dev, 6) AS price_raw,
-       abs(s.dev - m.med) > 5.0 * d.mad AS is_outlier,
+       COALESCE(abs(s.dev - m.med) > 5.0 * d.mad, FALSE) AS is_outlier,
        ROUND(s.mid + (CASE WHEN s.dev > m.med + 5.0 * d.mad THEN m.med + 5.0 * d.mad
                            WHEN s.dev < m.med - 5.0 * d.mad THEN m.med - 5.0 * d.mad
                            ELSE s.dev END), 6) AS price_winsorized
@@ -3408,8 +3418,14 @@ def q_trade_outlier_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts_ms",
             "raw_nonce",
             F.round(F.col("mid") + F.col("dev"), 6).alias("price_raw"),
-            (
-                F.abs(F.col("dev") - F.col("med")) > F.lit(5.0) * F.col("mad")
+            # coalesce: a print with no prevailing mid (empty-ask plant)
+            # has a NULL deviation and is NOT flagged — also keeps the
+            # output boolean non-nullable (a NULL boolean column changes
+            # pandas dtype on one engine and poisons the value hash)
+            F.coalesce(
+                F.abs(F.col("dev") - F.col("med"))
+                > F.lit(5.0) * F.col("mad"),
+                F.lit(False),
             ).alias("is_outlier"),
             F.round(
                 F.col("mid")
@@ -4194,9 +4210,11 @@ direct AS (
 )
 SELECT d.exchange_id, d.symbol, d.coarse_ms,
        d.open_mid, d.high_mid, d.low_mid, d.close_mid, d.n_snapshots,
-       (d.open_mid = x.open_mid AND d.high_mid = x.high_mid
-        AND d.low_mid = x.low_mid AND d.close_mid = x.close_mid
-        AND d.n_snapshots = x.n_snapshots) AS rollup_consistent
+       (d.open_mid IS NOT DISTINCT FROM x.open_mid
+        AND d.high_mid IS NOT DISTINCT FROM x.high_mid
+        AND d.low_mid IS NOT DISTINCT FROM x.low_mid
+        AND d.close_mid IS NOT DISTINCT FROM x.close_mid
+        AND d.n_snapshots IS NOT DISTINCT FROM x.n_snapshots) AS rollup_consistent
 FROM derived d JOIN direct x USING (exchange_id, symbol, coarse_ms)
 """
 
@@ -4245,12 +4263,14 @@ def q_book_ohlc_rollup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("x_n"),
     )
     j = derived.join(direct, [*KEYS, "coarse_ms"])
+    # NULL-SAFE equality: a bar whose open/close tick has a NULL mid
+    # (empty-ask plants) must still verify as consistent, not NULL out
     consistent = (
-        (F.col("open_mid") == F.col("x_open"))
-        & (F.col("high_mid") == F.col("x_high"))
-        & (F.col("low_mid") == F.col("x_low"))
-        & (F.col("close_mid") == F.col("x_close"))
-        & (F.col("n_snapshots") == F.col("x_n"))
+        F.col("open_mid").eqNullSafe(F.col("x_open"))
+        & F.col("high_mid").eqNullSafe(F.col("x_high"))
+        & F.col("low_mid").eqNullSafe(F.col("x_low"))
+        & F.col("close_mid").eqNullSafe(F.col("x_close"))
+        & F.col("n_snapshots").eqNullSafe(F.col("x_n"))
     )
     return j.select(
         *KEYS,

@@ -53,10 +53,13 @@ def q_streaming_ofi_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"ofi_replay_{uuid.uuid4().hex[:8]}"
     # state-store partitions = shuffle partitions; there are only a few
-    # instrument keys, so 32 state partitions just spawn idle Python
-    # workers per micro-batch. Streaming ignores AQE — set it explicitly.
+    # instrument keys, so extra state partitions just spawn idle Python
+    # workers per micro-batch (measured: batch-0 addBatch 3.2s at 8
+    # partitions vs 0.8s at 2 — worker/state spin-up, not data).
+    # Streaming ignores AQE — set it explicitly; production replaces
+    # this harness value with a key-cardinality-sized count.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         q = (
             stateful_ofi(stream)
@@ -125,7 +128,7 @@ def q_streaming_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"win_replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         q = (
             agg.writeStream.format("memory")
@@ -201,7 +204,7 @@ def q_streaming_alert_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("alert_event_id", F.unix_millis("pt_time").alias("pt_ms"))
     name = f"ssj_replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         q = (
             joined.writeStream.format("memory")
@@ -291,7 +294,7 @@ def q_streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     name = f"sess_replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         q = (
             agg.writeStream.format("memory")
@@ -387,7 +390,7 @@ def q_streaming_trade_signs_replay(spark: SparkSession, sf_dir: str) -> DataFram
     )
     name = f"trade_signs_replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         q = (
             stateful_lee_ready(stream)
@@ -440,7 +443,7 @@ def q_streaming_vpin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"vpin_replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         q = (
             stateful_signed_buckets(stream, 50.0)
@@ -508,7 +511,7 @@ def q_streaming_vpin_two_stage_replay(
         batch_df.coalesce(1).write.parquet(f"{base}/signed/b{batch_id}")
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         q1 = (
             stateful_lee_ready(stream1)
@@ -520,11 +523,16 @@ def q_streaming_vpin_two_stage_replay(
         q1.awaitTermination(300)
         import os
 
-        chunk_dirs = sorted(
-            f"{base}/signed/{d}"
-            for d in os.listdir(f"{base}/signed")
-            if d.startswith("b")
-        )
+        # numeric batch order — lexicographic would scramble 'b10' < 'b2'
+        # once a tape has >= 10 micro-batches
+        chunk_dirs = [
+            f"{base}/signed/b{i}"
+            for i in sorted(
+                int(d[1:])
+                for d in os.listdir(f"{base}/signed")
+                if d.startswith("b")
+            )
+        ]
         _stamp_batch_order(*chunk_dirs)
         stream2 = (
             spark.readStream.schema(schema + ", side int")
@@ -769,7 +777,7 @@ def q_streaming_late_data_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"late_replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         q = (
             agg.writeStream.format("memory")
@@ -857,7 +865,7 @@ def q_streaming_dedup_watermark_replay(
     )
     name = f"wm_dedup_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         q = (
             stream.writeStream.format("memory")
@@ -954,7 +962,7 @@ def q_streaming_session_window_replay(
     )
     name = f"sesswin_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         q = (
             stream.writeStream.format("memory")
@@ -1038,7 +1046,7 @@ def q_streaming_foreachbatch_upsert(
         state["v"] += 1
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         q = (
             stream.writeStream.foreachBatch(merge)
@@ -1140,7 +1148,7 @@ def q_streaming_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("l_event_id", "r_alert_id")
     name = f"oj_replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         q = (
             joined.writeStream.format("memory")

@@ -24,9 +24,11 @@ of this module against the fused operator.
 
 Semantics are exactly ``stateful_lee_ready`` followed by
 ``stateful_volume_buckets`` (same state tuples, same vectorized numpy
-per batch-group); reference anchor for the sign rule:
-``/root/reference/src/market_microstructure_toolkit/trade_signs.py``
-(Lee-Ready with tick-rule fallback).
+per batch-group). The sign rule is the public-literature standard —
+Lee & Ready (1991), "Inferring Trade Direction from Intraday Data",
+Journal of Finance 46(2): quote rule against the prevailing mid,
+tick-rule fallback at the midpoint; the reference repo itself has no
+trades module (this is an extension).
 """
 
 from __future__ import annotations
