@@ -3444,7 +3444,13 @@ _RSPREAD_DELTA_MS = 60_000
 _RSPREAD_SQL = f"""{_BOOK_CTE},
 trades AS ({trades_sql()}),
 m AS (
-  SELECT exchange_id, symbol, -ts_ms AS nts, mid AS mid_fut FROM trades
+  -- mid IS NOT NULL *before* the ASOF match: the benchmark is the
+  -- first AVAILABLE midpoint at-or-after t+60s — a quote-less tick
+  -- (empty-ask plant) is skipped over, not matched-then-dropped.
+  -- (DuckDB would push a post-join filter down here anyway, silently;
+  -- stating it in the source keeps both engines' semantics explicit.)
+  SELECT exchange_id, symbol, -ts_ms AS nts, mid AS mid_fut
+  FROM trades WHERE mid IS NOT NULL
 ),
 t AS (
   SELECT *, -(ts_ms + {_RSPREAD_DELTA_MS}) AS ntarget,
@@ -3487,7 +3493,14 @@ def q_trade_realized_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     trades = synthetic_trades(spark, sf_dir)
-    snaps = trades.select(
+    # Quote-less ticks (NULL mid, empty-ask plants) are excluded from
+    # the BENCHMARK side *before* the as-of match: the benchmark is the
+    # first AVAILABLE midpoint at-or-after t+60s, so a mid-less tick is
+    # skipped over rather than matched-then-dropped. This also keeps
+    # all three averages over one subset (the decomposition identity
+    # eff = realized + impact needs a shared denominator), and the
+    # atomic struct carry guarantees no stale-mid back-fill either way.
+    snaps = trades.filter(F.col("mid").isNotNull()).select(
         *KEYS,
         (-F.col("ts_ms")).alias("nts"),
         (-F.col("raw_nonce")).alias("raw_nonce"),
@@ -3505,9 +3518,12 @@ def q_trade_realized_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price",
         "mid",
     ).filter(F.col("q") != 0.0)
-    # Inner semantics = MATCH EXISTENCE (src_ts_ms), not value non-null:
-    # DuckDB's ASOF JOIN keeps a matched row even if its mid_fut is NULL,
-    # and the atomic struct carry reproduces exactly that.
+    # The ATOMIC struct carry makes this exclusion correct: a matched
+    # future tick whose mid is NULL (empty-ask plant) is EXCLUDED — the
+    # old per-column carry would instead have silently back-filled a
+    # STALE mid from an older tick and kept the row. Filtering on
+    # mid_fut (not bare match existence) keeps all three averages over
+    # one subset, preserving the identity eff = realized + impact.
     picked = asof_backward_union(
         snaps,
         tgts,
@@ -3516,7 +3532,7 @@ def q_trade_realized_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=("mid_fut",),
         target_ts_col="nts",
         target_payload_cols=("q", "price", "mid"),
-    ).filter(F.col("src_ts_ms").isNotNull())
+    ).filter(F.col("mid_fut").isNotNull())
     two_q = F.lit(2.0) * F.col("q")
     return picked.groupBy(*KEYS).agg(
         F.count(F.lit(1)).alias("n_trades"),
@@ -3594,9 +3610,11 @@ def q_trade_sign_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRICE_CLUSTER_SQL = f"""{_BOOK_CTE},
 trades AS ({trades_sql()}),
 q AS (
+  -- price IS NOT NULL: quote-less prints (empty-ask plants) have no
+  -- price digit to histogram
   SELECT exchange_id, symbol,
          floor(price * 1024.0 + 0.5) / 1024.0 AS pq
-  FROM trades
+  FROM trades WHERE price IS NOT NULL
 )
 SELECT exchange_id, symbol,
        CAST(CAST(floor(pq * 100.0) AS BIGINT) % 100 AS BIGINT) AS cent_bucket,
@@ -3615,7 +3633,9 @@ def q_trade_price_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-exact — floor of a double whose value is k/1024 is the same
     double op on both engines, with no epsilon hacks. One map + one
     grouped count; integer output."""
-    trades = synthetic_trades(spark, sf_dir)
+    trades = synthetic_trades(spark, sf_dir).filter(
+        F.col("price").isNotNull()
+    )
     pq = F.expr("floor(price * 1024e0 + 5e-1) / 1024e0")
     cent = (
         F.floor(pq * F.lit(100.0)).cast("long") % F.lit(100)
@@ -3778,7 +3798,7 @@ SELECT exchange_id, symbol, ts_ms, raw_nonce,
        floor(imb_l1 * 1048576.0 + 0.5) / 1048576.0 AS imb_l1,
        CASE WHEN mid_fwd > mid THEN 1
             WHEN mid_fwd < mid THEN -1 ELSE 0 END AS label_up
-FROM feat WHERE mid_fwd IS NOT NULL
+FROM feat WHERE mid_fwd IS NOT NULL AND mid IS NOT NULL
 """
 
 
@@ -3816,7 +3836,13 @@ def q_book_train_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         imb.alias("imb_l1"),
         F.lead(mid, _TRAIN_MATRIX_H).over(w).alias("mid_fwd"),
     )
-    return feat.filter(F.col("mid_fwd").isNotNull()).select(
+    # both mid endpoints must exist: an empty-ask plant at either end
+    # of the horizon gives an UNDEFINED move — dropped, because the
+    # CASE's ELSE would otherwise mint the fake 'no-move' class the
+    # docstring warns about
+    return feat.filter(
+        F.col("mid_fwd").isNotNull() & F.col("mid").isNotNull()
+    ).select(
         *KEYS,
         "ts_ms",
         "raw_nonce",
@@ -4084,14 +4110,18 @@ feat AS (
                END * 1048576.0 + 0.5) / 1048576.0 AS x,
          CASE WHEN LEAD((best_bid + best_ask) / 2.0, 10) OVER ({_W})
                    > (best_bid + best_ask) / 2.0 THEN 1 ELSE 0 END AS y,
+         (best_bid + best_ask) / 2.0 AS mid,
          LEAD((best_bid + best_ask) / 2.0, 10) OVER ({_W}) AS fwd
   FROM book
 ),
 grouped AS (
+  -- mid IS NOT NULL: a row with no own midpoint (empty-ask plant) has
+  -- no defined label direction — excluded, not counted as a negative
   SELECT exchange_id, symbol, x,
          CAST(SUM(y) AS BIGINT) AS n_pos_x,
          CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg_x
-  FROM feat WHERE fwd IS NOT NULL AND x IS NOT NULL
+  FROM feat
+  WHERE fwd IS NOT NULL AND x IS NOT NULL AND mid IS NOT NULL
   GROUP BY exchange_id, symbol, x
 ),
 cum AS (
@@ -4136,12 +4166,19 @@ def q_book_feature_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = F.floor(imb * F.lit(1048576.0) + F.lit(0.5)) / F.lit(1048576.0)
     fwd = F.lead(mid, 10).over(w)
+    # mid non-null filter: an empty-ask row has no defined label
+    # direction — excluded, not counted as a negative (ELSE 0)
     feat = book.select(
         *KEYS,
         x.alias("x"),
         F.when(fwd > mid, 1).otherwise(0).alias("y"),
+        mid.alias("mid"),
         fwd.alias("fwd"),
-    ).filter(F.col("fwd").isNotNull() & F.col("x").isNotNull())
+    ).filter(
+        F.col("fwd").isNotNull()
+        & F.col("x").isNotNull()
+        & F.col("mid").isNotNull()
+    )
     from market_microstructure_toolkit_spark.operators.evaluation import (
         exact_auc,
     )

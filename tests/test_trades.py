@@ -460,7 +460,14 @@ class TestPriceClustering:
         assert rows
         assert all(0 <= r.cent_bucket <= 99 for r in rows)
         total = sum(r.n_trades for r in rows)
-        assert total == synthetic_trades(spark, sf_dir).count()
+        # quote-less prints (NULL price, empty-ask plants) have no cent
+        # digit and are excluded from the histogram
+        priced = (
+            synthetic_trades(spark, sf_dir)
+            .filter(F.col("price").isNotNull())
+            .count()
+        )
+        assert total == priced
 
 
 class TestSplitAdjust:

@@ -373,7 +373,28 @@ class TestTrainMatrix:
         per_key = (
             book.groupBy("exchange_id", "symbol").count().collect()
         )
-        n_expected = sum(max(0, r["count"] - 10) for r in per_key)
+        # a row emits iff BOTH mid endpoints of its horizon exist — the
+        # last 10 rows have no horizon, and empty-ask plants (NULL mid)
+        # at either end give an UNDEFINED move, dropped not zero-filled
+        null_mid = F.col("best_bid").isNull() | F.col("best_ask").isNull()
+        all_rows = sorted(
+            book.select(
+                "exchange_id", "symbol", "ts_ms", "raw_nonce",
+                null_mid.alias("nm"),
+            ).collect(),
+            key=lambda r: (r.exchange_id, r.symbol, r.ts_ms, r.raw_nonce),
+        )
+        by_key = {}
+        for r in all_rows:
+            by_key.setdefault((r.exchange_id, r.symbol), []).append(r.nm)
+        n_expected = sum(
+            sum(
+                1
+                for i in range(len(nms) - 10)
+                if not nms[i] and not nms[i + 10]
+            )
+            for nms in by_key.values()
+        )
         assert out.count() == n_expected
         # spot-check one instrument's labels against a python replay
         rows = sorted(
@@ -385,9 +406,16 @@ class TestTrainMatrix:
             .collect(),
             key=lambda r: (r.ts_ms, r.raw_nonce),
         )
-        mids = [(r.best_bid + r.best_ask) / 2.0 for r in rows]
+        mids = [
+            None
+            if r.best_bid is None or r.best_ask is None
+            else (r.best_bid + r.best_ask) / 2.0
+            for r in rows
+        ]
         want = {}
         for i in range(len(rows) - 10):
+            if mids[i] is None or mids[i + 10] is None:
+                continue
             d = mids[i + 10] - mids[i]
             want[(rows[i].ts_ms, rows[i].raw_nonce)] = (
                 1 if d > 0 else (-1 if d < 0 else 0)
@@ -495,9 +523,19 @@ class TestFeatureAuc:
             series.setdefault((r.exchange_id, r.symbol), []).append(r)
         for key, rs in series.items():
             rs.sort(key=lambda r: (r.ts_ms, r.raw_nonce))
-            mids = [(r.best_bid + r.best_ask) / 2.0 for r in rs]
+            mids = [
+                None
+                if r.best_bid is None or r.best_ask is None
+                else (r.best_bid + r.best_ask) / 2.0
+                for r in rs
+            ]
             pairs = []
             for i in range(len(rs) - 10):
+                # rows with no own or no forward midpoint (empty-ask
+                # plants) carry no defined label — excluded, mirroring
+                # the gate's mid/fwd non-null filters
+                if mids[i] is None or mids[i + 10] is None:
+                    continue
                 b = rs[i].bid1_size or 0.0
                 a = rs[i].ask1_size or 0.0
                 if b + a <= 0:
@@ -528,6 +566,11 @@ class TestOhlcRollupLadder:
         assert rows
         assert all(r.rollup_consistent for r in rows)
         for r in rows:
+            if None in (r.low_mid, r.open_mid, r.high_mid):
+                # a bar whose open/close tick has a NULL mid (empty-ask
+                # plant) legitimately carries NULL o/h/l/c — the merge
+                # algebra still holds (rollup_consistent asserted above)
+                continue
             assert r.low_mid <= r.open_mid <= r.high_mid
             assert r.low_mid <= r.close_mid <= r.high_mid
 
@@ -546,9 +589,14 @@ class TestAsofTolerance:
         assert any(not r.matched for r in rows)
         for r in rows:
             if r.matched:
-                assert r.mid is not None
+                assert r.staleness_ms is not None
             else:
                 assert r.mid is None and r.staleness_ms is None
+        # THE round-7 atomic-carry pin: a matched probe whose in-
+        # tolerance snapshot is an empty-ask plant (NULL mid) must
+        # surface that NULL — a per-column carry would back-fill an
+        # older, wrong mid here instead
+        assert any(r.matched and r.mid is None for r in rows)
 
 
 class TestVolumeCurve:
