@@ -65,6 +65,18 @@ def register(name: str, sql: str | None):
     return deco
 
 
+def _stream_parts(n_rows: int, per_part: int = 50_000, lo: int = 8, hi: int = 32) -> str:
+    """Shuffle/state partition count for a DATA-KEYED streaming replay
+    (dedup on content hash, CDC on doc_id): scale with input size
+    instead of pinning a constant. The sf10 decade probe showed the
+    failure mode: 5M docs through 8 fixed state partitions turned the
+    CDC replay's decade ratio super-linear (6.4x for 10x data) — a
+    parallelism ceiling, not a plan defect. Instrument-keyed replays
+    (4 symbols) stay at a small constant instead; a real cluster sizes
+    this by key cardinality x executor count."""
+    return str(max(lo, min(hi, (n_rows + per_part - 1) // per_part)))
+
+
 def _scratch(prefix: str) -> str:
     """Scratch dir for replay chunks / checkpoints / roundtrip files.
 

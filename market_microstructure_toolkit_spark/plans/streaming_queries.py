@@ -24,6 +24,7 @@ from market_microstructure_toolkit_spark.plans.base import (
     _split2,
     _split3,
     _stamp_batch_order,
+    _stream_parts,
     _tape2,
     register,
 )
@@ -345,7 +346,10 @@ def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"dedup_replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # content-hash-keyed state: size-adaptive like the CDC replay
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", _stream_parts(docs.count())
+    )
     try:
         q = (
             stateful_exact_dedup(stream)
@@ -630,7 +634,11 @@ def q_streaming_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"cdc_replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # doc-keyed state: partitions scale with input size (parquet footer
+    # rowcount — a metadata pull), not a pinned constant; see _stream_parts
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", _stream_parts(docs.count())
+    )
     try:
         q = (
             stateful_cdc_apply(stream)
