@@ -495,6 +495,33 @@ def q_book_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("book_corr_segmented", _ROLL_CORR_SQL)
+def q_book_corr_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME rolling-corr surface as ``book_rolling_corr``, computed
+    on the chunk + (W-1)-halo path (``add_rolling_corr_segmented``) and
+    hash-pinned against the identical plain-window oracle — the W10
+    twin of ``book_rv_segmented``'s W5 proof: guarded pair-aligned
+    moments over per-chunk frames whose rows and order are identical to
+    the single-window form, with no per-key global window in any phase
+    (segmented rank + broadcast offsets). One instrument's history fans
+    out across n_chunks cores instead of serializing through one."""
+    book = synthetic_book(spark, sf_dir)
+    w = W.book_window(KEYS, ORDER_COLS)
+    mid2 = F.col("best_bid") + F.col("best_ask")
+    feat = W.add_ofi_l1(book, mode="lobster", out_col="ofi", keys=KEYS, order_col=ORDER_COLS)
+    feat = feat.withColumn(
+        "ret_bps", (mid2 / F.lag(mid2).over(w) - F.lit(1.0)) * F.lit(1e4)
+    )
+    corr = W.add_rolling_corr_segmented(
+        feat, "ofi", "ret_bps", 50, out_col="__c", keys=KEYS,
+        order_col=ORDER_COLS, n_chunks=8,
+    )
+    return corr.select(
+        *IDS,
+        (F.round(F.col("__c"), 6) + F.lit(0.0)).alias("ofi_ret_corr_50"),
+    )
+
+
 _MID_ANOMALY_SQL = f"""{_BOOK_CTE},
 mids AS (
   SELECT exchange_id, symbol, ts_ms, raw_nonce,
