@@ -65,6 +65,20 @@ def register(name: str, sql: str | None):
     return deco
 
 
+def _tape_parts(spark, glob_path: str, hi: int, per_part: int = 50_000) -> str:
+    """Replay partitions for a tape already on disk: parquet footer
+    rowcount (metadata-only) scaled at per_part rows/partition, clamped
+    [2, hi]. ``hi`` encodes the replay's key cardinality ceiling — an
+    instrument-keyed state op (4 symbols) gains nothing past 4 state
+    partitions, while extra partitions cost a Python worker spin-up
+    per micro-batch each (measured both ways: 8 partitions on sf0.1
+    tapes wasted ~2.4s/gate on spin-up; 2 partitions at sf1 halved the
+    state throughput — size-adaptive is the only setting that survives
+    both)."""
+    n = spark.read.parquet(glob_path).count()
+    return _stream_parts(n, per_part=per_part, lo=2, hi=hi)
+
+
 def _stream_parts(n_rows: int, per_part: int = 50_000, lo: int = 8, hi: int = 32) -> str:
     """Shuffle/state partition count for a DATA-KEYED streaming replay
     (dedup on content hash, CDC on doc_id): scale with input size

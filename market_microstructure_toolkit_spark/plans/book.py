@@ -61,10 +61,25 @@ def synthetic_book(spark: SparkSession, sf_dir: str, depth: int = BOOK_DEPTH) ->
         .when(eid % 491 == 490, F.lit(0.0))
         .otherwise(spr_base)
     )
-    best_bid = mid0 - spr * F.lit(0.5)
-    best_ask = mid0 + spr * F.lit(0.5)
-    empty_ask = eid % 499 == 498
-    thin = eid % 503 == 502
+    # STAGED projection: compute spr/best quotes/plant flags ONCE as
+    # attributes. Built inline, every output column re-inlines the
+    # full spr CASE (~22 copies x several modulos per row — measured
+    # 4.2x slower at sf1); as multi-referenced non-cheap aliases,
+    # Catalyst's CollapseProject keeps them single-evaluation.
+    ev = ev.select(
+        "*",
+        spr.alias("__spr"),
+        (eid % 499 == 498).alias("__empty_ask"),
+        (eid % 503 == 502).alias("__thin"),
+    ).select(
+        "*",
+        (mid0 - F.col("__spr") * F.lit(0.5)).alias("__bb"),
+        (mid0 + F.col("__spr") * F.lit(0.5)).alias("__ba"),
+    )
+    best_bid = F.col("__bb")
+    best_ask = F.col("__ba")
+    empty_ask = F.col("__empty_ask")
+    thin = F.col("__thin")
 
     cols = {
         # ts arrives as epoch-nanos (nanosAsLong read); integer-div to

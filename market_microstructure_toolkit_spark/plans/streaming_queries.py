@@ -25,6 +25,7 @@ from market_microstructure_toolkit_spark.plans.base import (
     _split3,
     _stamp_batch_order,
     _stream_parts,
+    _tape_parts,
     _tape2,
     register,
 )
@@ -60,7 +61,9 @@ def q_streaming_ofi_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Streaming ignores AQE — set it explicitly; production replaces
     # this harness value with a key-cardinality-sized count.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", _tape_parts(spark, f"{tape_base}/data/*/", hi=4)
+    )
     try:
         q = (
             stateful_ofi(stream)
@@ -129,7 +132,9 @@ def q_streaming_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"win_replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", _tape_parts(spark, f"{tape_base}/data/*/", hi=4)
+    )
     try:
         q = (
             agg.writeStream.format("memory")
@@ -205,7 +210,9 @@ def q_streaming_alert_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("alert_event_id", F.unix_millis("pt_time").alias("pt_ms"))
     name = f"ssj_replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", _tape_parts(spark, f"{tape_base}/data/*/", hi=8)
+    )
     try:
         q = (
             joined.writeStream.format("memory")
@@ -295,7 +302,9 @@ def q_streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     name = f"sess_replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", _tape_parts(spark, f"{tape_base}/data/*/", hi=8)
+    )
     try:
         q = (
             agg.writeStream.format("memory")
@@ -394,7 +403,9 @@ def q_streaming_trade_signs_replay(spark: SparkSession, sf_dir: str) -> DataFram
     )
     name = f"trade_signs_replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", _tape_parts(spark, f"{tape_base}/data/*/", hi=4)
+    )
     try:
         q = (
             stateful_lee_ready(stream)
@@ -447,7 +458,9 @@ def q_streaming_vpin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"vpin_replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", _tape_parts(spark, f"{tape_base}/data/*/", hi=4)
+    )
     try:
         q = (
             stateful_signed_buckets(stream, 50.0)
@@ -515,7 +528,10 @@ def q_streaming_vpin_two_stage_replay(
         batch_df.coalesce(1).write.parquet(f"{base}/signed/b{batch_id}")
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        _tape_parts(spark, f"{tape_base}/data/*/", hi=4),
+    )
     try:
         q1 = (
             stateful_lee_ready(stream1)
@@ -785,7 +801,9 @@ def q_streaming_late_data_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"late_replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", _tape_parts(spark, f"{tape_base}/data/*/", hi=8)
+    )
     try:
         q = (
             agg.writeStream.format("memory")
@@ -873,7 +891,9 @@ def q_streaming_dedup_watermark_replay(
     )
     name = f"wm_dedup_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", _tape_parts(spark, f"{tape_base}/data/*/", hi=8)
+    )
     try:
         q = (
             stream.writeStream.format("memory")
@@ -970,7 +990,9 @@ def q_streaming_session_window_replay(
     )
     name = f"sesswin_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", _tape_parts(spark, f"{tape_base}/data/*/", hi=8)
+    )
     try:
         q = (
             stream.writeStream.format("memory")
@@ -1054,7 +1076,10 @@ def q_streaming_foreachbatch_upsert(
         state["v"] += 1
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        _stream_parts(docs.count(), lo=2, hi=16),
+    )
     try:
         q = (
             stream.writeStream.foreachBatch(merge)
@@ -1156,7 +1181,9 @@ def q_streaming_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("l_event_id", "r_alert_id")
     name = f"oj_replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", _tape_parts(spark, f"{tape_base}/data/*/", hi=8)
+    )
     try:
         q = (
             joined.writeStream.format("memory")
