@@ -51,7 +51,15 @@ def synthetic_book(spark: SparkSession, sf_dir: str, depth: int = BOOK_DEPTH) ->
 
     # events.parquet ts is TIMESTAMP(NANOS); read_events normalizes it to
     # epoch-nanos BIGINT whatever type the session's reader surfaces.
-    ev = read_events(spark, sf_dir)
+    # spread BEFORE the expression-heavy derivation: the sf fixtures are
+    # single-file parquet (12 MB at sf1 = ONE input split), which would
+    # serialize ~27 columns of per-row arithmetic for 1M rows onto one
+    # core of local[32]. On a cluster the input arrives pre-split and
+    # spread() is a no-op; locally it is one cheap exchange of the 5
+    # narrow source columns.
+    from market_microstructure_toolkit_spark.partitioning import spread
+
+    ev = spread(read_events(spark, sf_dir))
     eid = F.col("event_id")
     mid0 = F.lit(100.0) + F.col("value") * F.lit(0.1)
     spr_base = F.lit(0.02) + (eid % 5).cast("double") * F.lit(0.01)

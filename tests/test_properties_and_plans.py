@@ -127,7 +127,13 @@ def test_asof_join_is_sort_merge_not_pair_join(spark, sf_dir):
 
 def test_row_metrics_is_shuffle_free(spark, sf_dir):
     plan = _plan(spark, sf_dir, "book_row_metrics")
-    assert "Exchange" not in plan  # pure projection: no shuffle at all
+    # pure projection AFTER the fixture spread: the only allowed
+    # exchange is spread()'s round-robin input re-split (a no-op on a
+    # cluster where the input arrives in many file splits) — no keyed
+    # shuffle, no join, nothing the METRICS themselves require
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("Exchange") <= 1  # spread's RoundRobin only
 
 
 def test_window_metrics_single_exchange(spark, sf_dir):
