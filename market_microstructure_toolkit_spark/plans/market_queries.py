@@ -3478,6 +3478,8 @@ m AS (
   -- stating it in the source keeps both engines' semantics explicit.)
   SELECT exchange_id, symbol, -ts_ms AS nts, mid AS mid_fut
   FROM trades WHERE mid IS NOT NULL
+  QUALIFY row_number() OVER (PARTITION BY exchange_id, symbol, ts_ms
+                             ORDER BY raw_nonce ASC) = 1
 ),
 t AS (
   SELECT *, -(ts_ms + {_RSPREAD_DELTA_MS}) AS ntarget,
@@ -4422,9 +4424,15 @@ grid AS (
   FROM book
 ),
 m AS (
+  -- nonce-dedup duplicate-ts snapshots (last written wins): the
+  -- union-carry resolves same-ts ties to the HIGHEST raw_nonce, while
+  -- a plain ASOF JOIN picks arbitrarily among ties — divergence first
+  -- appears at sf1 density, where ms-truncated timestamps collide
   SELECT exchange_id, symbol, ts_ms AS src_ts,
          (best_bid + best_ask) / 2.0 AS mid
   FROM book
+  QUALIFY row_number() OVER (PARTITION BY exchange_id, symbol, ts_ms
+                             ORDER BY raw_nonce DESC) = 1
 ),
 j AS (
   SELECT g.exchange_id, g.symbol, g.grid_ts, m.src_ts, m.mid
