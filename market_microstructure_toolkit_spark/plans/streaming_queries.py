@@ -83,7 +83,13 @@ _STREAM_WINDOW_SQL = f"""{_BOOK_CTE}
 SELECT exchange_id, symbol,
        ts_ms // 86400000 * 86400000 AS window_start_ms,
        COUNT(*) AS n_snapshots,
-       ROUND(AVG((best_bid + best_ask) / 2.0), 6) AS avg_mid,
+       -- mids quantized to 2^-20 BEFORE the mean: the sum of quantized
+       -- summands is exact in any accumulation order (state-merge order
+       -- in the streaming tier is not the scan order), then one
+       -- division; a raw AVG rounded 6dp flipped a boundary case when
+       -- the tape's row order changed (round-7 spread() change)
+       ROUND(AVG(floor((best_bid + best_ask) / 2.0 * 1048576.0 + 0.5)
+                 / 1048576.0), 6) AS avg_mid,
        MIN(best_ask - best_bid) AS min_spread,
        MAX(best_ask - best_bid) AS max_spread
 FROM book
@@ -97,7 +103,10 @@ def q_streaming_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier in complete output mode (every window re-emitted at the final
     trigger == the batch answer), replayed over a 2-micro-batch file
     stream. Hash-matching plain GROUP BY SQL proves the streaming window
-    assignment. avg rounded 6dp (double mean reassociates ~1e-13)."""
+    assignment. The mean runs over 2^-20-quantized mids so its sum is
+    exact in ANY state-merge order (exact to ~85M rows/window) — a raw
+    double AVG rounded 6dp sat one ulp from a rounding boundary and
+    flipped when the tape's row order changed."""
     import time
     import uuid
 
@@ -116,11 +125,14 @@ def q_streaming_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spread = F.col("best_ask") - F.col("best_bid")
     mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
+    # quantized-summand mean (see the oracle SQL comment): exact in any
+    # state-merge order, so the streaming answer is bit-stable
+    mid_q = F.floor(mid * F.lit(1048576.0) + F.lit(0.5)) / F.lit(1048576.0)
     agg = (
         stream.groupBy(*KEYS, F.window("ts", "1 day").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_snapshots"),
-            F.round(F.avg(mid), 6).alias("avg_mid"),
+            F.round(F.avg(mid_q), 6).alias("avg_mid"),
             F.min(spread).alias("min_spread"),
             F.max(spread).alias("max_spread"),
         )
