@@ -99,3 +99,70 @@ class TestAllNullColumns:
         )
         assert D.minhash_signatures(df).count() == 0
         assert D.minhash_lsh_candidates(df).count() == 0
+
+
+class TestRollingSegmentedDegenerate:
+    def test_empty_single_row_and_all_null(self, spark):
+        from market_microstructure_toolkit_spark.operators.window_metrics import (
+            add_rolling_rv_segmented,
+        )
+
+        schema = (
+            "exchange_id string, symbol string, ts_ms long,"
+            " raw_nonce long, r double"
+        )
+        empty = _empty(spark, schema)
+        assert (
+            add_rolling_rv_segmented(
+                empty, ret_col="r", window=5, order_col=["ts_ms", "raw_nonce"]
+            ).count()
+            == 0
+        )
+        one = spark.createDataFrame([("e", "S", 5, 0, 1.0)], schema)
+        got = add_rolling_rv_segmented(
+            one, ret_col="r", window=1, order_col=["ts_ms", "raw_nonce"]
+        ).collect()
+        assert len(got) == 1 and got[0]["rv"] == 1.0  # window=1: r^2
+        nulls = spark.createDataFrame(
+            [("e", "S", i, i, None) for i in range(6)], schema
+        )
+        got = add_rolling_rv_segmented(
+            nulls, ret_col="r", window=3, order_col=["ts_ms", "raw_nonce"]
+        ).collect()
+        # count gate never reaches 3 non-null obs -> all NULL
+        assert len(got) == 6 and all(r["rv"] is None for r in got)
+
+    def test_constant_ts_all_rows_one_segment(self, spark):
+        """Every row shares one order value (zero span): segmentation
+        must not divide by zero and ties stay in one segment; the
+        raw_nonce tiebreak still gives a total order."""
+        from market_microstructure_toolkit_spark.operators.window_metrics import (
+            add_rolling_rv,
+            add_rolling_rv_segmented,
+        )
+
+        schema = (
+            "exchange_id string, symbol string, ts_ms long,"
+            " raw_nonce long, r double"
+        )
+        df = spark.createDataFrame(
+            [("e", "S", 100, i, float(i % 4) / 4.0) for i in range(40)],
+            schema,
+        )
+        plain = {
+            r.raw_nonce: r.rv
+            for r in add_rolling_rv(
+                df, ret_col="r", window=7, order_col=["ts_ms", "raw_nonce"]
+            ).collect()
+        }
+        seg = {
+            r.raw_nonce: r.rv
+            for r in add_rolling_rv_segmented(
+                df,
+                ret_col="r",
+                window=7,
+                order_col=["ts_ms", "raw_nonce"],
+                n_chunks=8,
+            ).collect()
+        }
+        assert plain == seg
