@@ -29,7 +29,7 @@ def main() -> int:
         "|---|---|---|---|"
     )
     for r, name, b, g in rows[:25]:
-        mark = " **>3x**" if r > thresh else ""
+        mark = f" **>{thresh:g}x**" if r > thresh else ""
         print(f"| {name} | {b:.2f}s | {g:.2f}s | {r:.1f}x{mark} |")
     import statistics
 
@@ -41,7 +41,7 @@ def main() -> int:
     )
     totb, totg = sum(bq[n] for _, n, *_ in rows), sum(gq[n] for _, n, *_ in rows)
     print(f"total wall (shared queries): {totb:.1f}s -> {totg:.1f}s "
-          f"({totg / totb:.2f}x for 10x data)")
+          f"({totg / totb:.2f}x)")
     return 0
 
 
