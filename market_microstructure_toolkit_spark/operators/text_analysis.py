@@ -338,19 +338,24 @@ def unigram_logprob(
     stream joins the vocabulary on term (broadcastable when the vocab
     fits, shuffled equi-join otherwise) and aggregates back by document.
     The corpus total rides the vocabulary aggregate as a 1-row broadcast.
-    Mean of logs is order-sensitive in the last ulps -> rounded to 6 dp.
+    Per-token logs are quantized to 2^-26 multiples before the mean so
+    the sum is exact in any accumulation order (ADVICE r7: raw
+    ROUND(AVG(double), 6) is partition-layout-sensitive); 6-dp output
+    rounding kept for presentation.
     """
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     total = toks.agg(F.count(F.lit(1)).alias("total"))
     scored = toks.join(vocab, "term").crossJoin(F.broadcast(total))
+    q = F.lit(float(2**26))
+    lp = F.log(F.col("cnt").cast("double") / F.col("total"))
     return (
         scored.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.round(
-                F.avg(F.log(F.col("cnt").cast("double") / F.col("total"))), 6
-            ).alias("avg_logprob"),
+            F.round(F.avg(F.floor(lp * q + F.lit(0.5)) / q), 6).alias(
+                "avg_logprob"
+            ),
         )
     )
 

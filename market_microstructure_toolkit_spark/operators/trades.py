@@ -164,12 +164,25 @@ def effective_realized_spread(
     (their difference), H trades ahead. Trades within H of the tape end
     (no future mid) are excluded from the realized/impact averages, as
     are unclassified (side 0) trades from all three — a side-0 term
-    would contribute 0 and bias the mean toward zero."""
+    would contribute 0 and bias the mean toward zero.
+
+    Per-trade spreads are quantized to 2^-26 multiples (~1.5e-8, far
+    below the 6-dp output rounding) before averaging, so the mean is
+    exact in ANY accumulation order — a raw AVG(double) is one ulp
+    from a ROUND boundary on some partition layout eventually (ADVICE
+    r7). Impact is the exact difference of the two quantized terms,
+    preserving eff = realized + impact bit-exactly."""
     w = _w(keys, order_cols)
     side = F.col(side_col).cast("double")
     mid_fut = F.lead(mid_col, horizon).over(w)
-    eff = F.lit(2.0) * side * (F.col(price_col) - F.col(mid_col))
-    rlz = F.lit(2.0) * side * (F.col(price_col) - mid_fut)
+    q = F.lit(float(2**26))
+    eff = F.floor(
+        F.lit(2.0) * side * (F.col(price_col) - F.col(mid_col)) * q
+        + F.lit(0.5)
+    ) / q
+    rlz = F.floor(
+        F.lit(2.0) * side * (F.col(price_col) - mid_fut) * q + F.lit(0.5)
+    ) / q
     classified_only = F.col(side_col) != 0
     staged = classified.select(
         *keys,

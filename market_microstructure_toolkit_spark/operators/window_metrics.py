@@ -18,6 +18,8 @@ partition.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
@@ -406,6 +408,72 @@ def with_narrow_window(df, id_cols, input_cols, builder):
     return df.join(F.broadcast(series), list(id_cols))
 
 
+def seg_threshold(default: int = 1_000_000) -> int:
+    """Per-key rowcount above which the series operators dispatch to
+    the segmented scale path instead of the plain per-key window
+    (``SPARK_GRAFT_SEG_THRESHOLD`` overrides). Below it, one key's
+    history fits comfortably in one task and the segmented machinery's
+    broadcast/rank bookkeeping would only add latency; above it, the
+    plain window serializes the key through a single core (and a
+    multi-year single-instrument tape eventually OOMs the sort)."""
+    return int(os.environ.get("SPARK_GRAFT_SEG_THRESHOLD", str(default)))
+
+
+def use_segmented(rows_per_key: int | None, df: DataFrame = None,
+                  keys: tuple[str, ...] = S.PARTITION_KEYS) -> bool:
+    """Size dispatch for plain-vs-segmented window paths. Callers pass
+    ``rows_per_key`` from metadata when they have it (parquet footer
+    rowcount / key cardinality — free); with ``None`` and a ``df``, the
+    max per-key count is measured with one scalar-bounded aggregate
+    job (an extra input pass — prefer the hint on hot paths)."""
+    if rows_per_key is None:
+        if df is None:
+            return False
+        row = (
+            df.groupBy(*keys)
+            .count()
+            .agg(F.max("count").alias("m"))
+            .first()
+        )
+        rows_per_key = row["m"] or 0
+    return rows_per_key > seg_threshold()
+
+
+def _nullsafe_broadcast_join(left: DataFrame, right: DataFrame, cols: list) -> DataFrame:
+    """Inner broadcast join that matches NULL keys the way a window
+    ``partitionBy`` does (NULL forms its own group) — a bare equi-join
+    would silently DROP NULL-key rows, making the segmented paths
+    diverge from their plain-window twins on degenerate input."""
+    ren = {c: f"__r_{c}" for c in cols}
+    r = right.select(
+        *[F.col(c).alias(ren[c]) for c in cols],
+        *[F.col(c) for c in right.columns if c not in cols],
+    )
+    cond = None
+    for c in cols:
+        e = F.col(c).eqNullSafe(F.col(ren[c]))
+        cond = e if cond is None else (cond & e)
+    return left.join(F.broadcast(r), cond).drop(*ren.values())
+
+
+def _segment_expr(seg_col: str, n_segments: int) -> Column:
+    """Range-segment id for the order value, NULL-order-safe: a NULL
+    order value maps to segment 0, because the plain window's default
+    ascending sort puts NULLs FIRST — and within segment 0 the same
+    nulls-first sort reproduces the single-window global order exactly.
+    (Without the guard, floor(NULL/span) is NULL and ``least`` skips
+    NULLs, silently parking NULL-ts rows in the LAST segment.)"""
+    span = (
+        (F.col("__hi") - F.col("__lo")) / F.lit(n_segments) + F.lit(1)
+    ).cast("long")
+    return F.when(F.col(seg_col).isNull(), F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.floor((F.col(seg_col) - F.col("__lo")) / span).cast("long"),
+            F.lit(n_segments - 1).cast("long"),
+        )
+    )
+
+
 def rolling_segmented(
     df: DataFrame,
     agg_builder,
@@ -415,36 +483,47 @@ def rolling_segmented(
     n_chunks: int = 64,
     n_segments: int = 256,
 ) -> DataFrame:
-    """Bounded-frame rolling windows via chunk + (W-1)-row halo — the
-    scale path for ``rowsBetween(-(window-1), 0)`` frames, which
-    otherwise serialize ONE instrument's whole history through one core
-    (SURVEY §4.1; the same risk ``add_cumulative_segmented`` closes for
-    unbounded sums, but a bounded frame needs the previous W-1 ROWS of
-    context, which value-range segments can't guarantee).
+    """Bounded-lookback window pipelines via chunk + (W-1)-row halo —
+    the scale path for ``rowsBetween(-(window-1), 0)`` frames and
+    ``lag`` chains, which otherwise serialize ONE instrument's whole
+    history through one core (SURVEY §4.1; the same risk
+    ``add_cumulative_segmented`` closes for unbounded sums, but a
+    bounded lookback needs the previous W-1 ROWS of context, which
+    value-range segments can't guarantee).
 
     Three phases, all parallel per (key, segment):
 
     1. SEGMENTED RANK — global per-key position without a per-key
        window: range-segment the order domain (``n_segments`` value
-       buckets), per-segment ``row_number`` (parallel), then add each
-       segment's exclusive cumulative count from a config-sized
-       per-segment aggregate (``n_segments`` rows per key, broadcast).
+       buckets; NULL order values map to segment 0 = the plain
+       window's nulls-first position), per-segment ``row_number``
+       (parallel), then add each segment's exclusive cumulative count
+       from a config-sized per-segment aggregate (``n_segments`` rows
+       per key, broadcast, NULL-key-safe joins).
     2. CHUNK + HALO — row-count chunks of C =
        max(window, ceil(n / n_chunks)) rows; the last W-1 rows of each
        chunk are DUPLICATED into the next chunk as halo rows, so every
        original row sees its full W-1 lookback inside its own chunk.
        C >= window guarantees one chunk of halo suffices.
-    3. LOCAL FRAME — the caller's aggregates run over the
-       (keys, chunk)-partitioned window ordered by global position with
-       the same bounded frame; halo rows feed frames but their own
-       outputs are dropped. Frame rows and their order are IDENTICAL to
-       the single-window form, so even floating-point accumulation
-       matches bit-for-bit (pinned by the ``book_rv_segmented`` gate).
+    3. LOCAL STAGES — the caller's window expressions run over the
+       (keys, chunk)-partitioned window ordered by global position;
+       halo rows feed frames/lags but their own outputs are dropped.
+       Frame rows and their order are IDENTICAL to the single-window
+       form, so even floating-point accumulation matches bit-for-bit
+       (pinned by the ``book_rv_segmented`` gate).
 
-    ``agg_builder(w) -> dict[str, Column]``: given the frame WindowSpec,
-    return the output columns (e.g. the W5 count-gated RV, the W10
-    pair-aligned rolling corr). Works for any composition of windowed
-    aggregates over the trailing-rows frame.
+    ``agg_builder(w) -> dict[str, Column] | list[dict]``: ``w`` is the
+    chunk-local base WindowSpec (partition + order, NO frame — apply
+    ``w.rowsBetween(...)`` for frame aggregates, or use ``F.lag(c, k)
+    .over(w)`` directly). A LIST of dicts runs as chained stages: each
+    stage's columns are materialized before the next stage's window
+    expressions may reference them (window-over-window, e.g. lag-based
+    returns feeding a rolling RV). ``window`` must then cover the TOTAL
+    lookback: 1 + sum over stages of (per-stage lookback rows) — e.g.
+    a lag-1 stage feeding a 20-row frame needs ``window=21``. Outputs
+    of stage i are only valid from halo row (cumulative lookback of
+    stages <= i) onward, which the halo sizing guarantees for every
+    surviving row's frame.
     """
     order = [order_col] if isinstance(order_col, str) else list(order_col)
     seg_col = order[0]
@@ -453,14 +532,9 @@ def rolling_segmented(
         F.max(seg_col).alias("__hi"),
         F.count(F.lit(1)).alias("__n"),
     )
-    span = (
-        (F.col("__hi") - F.col("__lo")) / F.lit(n_segments) + F.lit(1)
-    ).cast("long")
-    seg = F.least(
-        F.floor((F.col(seg_col) - F.col("__lo")) / span).cast("long"),
-        F.lit(n_segments - 1).cast("long"),
+    keyed = _nullsafe_broadcast_join(df, bounds, list(keys)).withColumn(
+        "__seg", _segment_expr(seg_col, n_segments)
     )
-    keyed = df.join(F.broadcast(bounds), list(keys)).withColumn("__seg", seg)
     w_seg = Window.partitionBy(*keys, "__seg").orderBy(*order)
     ranked = keyed.withColumn("__rn", F.row_number().over(w_seg))
     seg_counts = keyed.groupBy(*keys, "__seg").agg(
@@ -477,7 +551,7 @@ def rolling_segmented(
         F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__segoff"),
     )
     pos = (
-        ranked.join(F.broadcast(seg_offsets), [*keys, "__seg"])
+        _nullsafe_broadcast_join(ranked, seg_offsets, [*keys, "__seg"])
         .withColumn("__pos", F.col("__rn") + F.col("__segoff") - 1)
         .drop("__seg", "__rn", "__segoff", "__lo", "__hi")
     )
@@ -499,14 +573,14 @@ def rolling_segmented(
         .withColumn("__halo", F.lit(1))
     )
     u = base.unionByName(halo).drop("__n")
-    w_frame = (
-        Window.partitionBy(*keys, "__chunk")
-        .orderBy("__pos")
-        .rowsBetween(-(window - 1), 0)
-    )
+    w_base = Window.partitionBy(*keys, "__chunk").orderBy("__pos")
+    stages = agg_builder(w_base)
+    if isinstance(stages, dict):
+        stages = [stages]
     out = u
-    for name, expr in agg_builder(w_frame).items():
-        out = out.withColumn(name, expr)
+    for stage in stages:
+        for name, expr in stage.items():
+            out = out.withColumn(name, expr)
     return out.filter(F.col("__halo") == 0).drop(
         "__pos", "__chunk", "__halo"
     )
@@ -526,10 +600,11 @@ def add_rolling_rv_segmented(
     ``n_chunks`` cores instead of serializing through one."""
 
     def build(w):
+        wf = w.rowsBetween(-(window - 1), 0)
         r = F.col(ret_col)
         return {
             out_col: F.when(
-                F.count(r).over(w) == window, F.sum(r * r).over(w)
+                F.count(r).over(wf) == window, F.sum(r * r).over(wf)
             )
         }
 
@@ -552,12 +627,13 @@ def add_rolling_corr_segmented(
     pair-aligned moments as :func:`add_rolling_corr`, parallel per key."""
 
     def build(w):
+        wf = w.rowsBetween(-(window - 1), 0)
         pair = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
         x = F.when(pair, F.col(x_col))
         y = F.when(pair, F.col(y_col))
-        cov = F.covar_samp(x, y).over(w)
-        sx = F.stddev_samp(x).over(w)
-        sy = F.stddev_samp(y).over(w)
+        cov = F.covar_samp(x, y).over(wf)
+        sx = F.stddev_samp(x).over(wf)
+        sy = F.stddev_samp(y).over(wf)
         return {out_col: F.when((sx > 0) & (sy > 0), cov / (sx * sy))}
 
     return rolling_segmented(
@@ -604,18 +680,13 @@ def add_cumulative_segmented(
     seg_col = order[0]  # range-segment by the primary order value; ties
     # (equal values, broken by the remaining order cols) land in ONE
     # segment, so the within-segment sort reproduces the single-window
-    # tie order exactly
+    # tie order exactly; NULL order values map to segment 0 (nulls-first)
     bounds = df.groupBy(*keys).agg(
         F.min(seg_col).alias("__lo"), F.max(seg_col).alias("__hi")
     )
-    span = (
-        (F.col("__hi") - F.col("__lo")) / F.lit(n_segments) + F.lit(1)
-    ).cast("long")
-    seg = F.least(
-        F.floor((F.col(seg_col) - F.col("__lo")) / span).cast("long"),
-        F.lit(n_segments - 1).cast("long"),
+    keyed = _nullsafe_broadcast_join(df, bounds, list(keys)).withColumn(
+        "__seg", _segment_expr(seg_col, n_segments)
     )
-    keyed = df.join(F.broadcast(bounds), list(keys)).withColumn("__seg", seg)
     w_local = (
         Window.partitionBy(*keys, "__seg")
         .orderBy(*order)
@@ -647,7 +718,7 @@ def add_cumulative_segmented(
         F.col("__local_cum").isNull() & (F.col("__pcnt") == 0), F.lit(None)
     ).otherwise(F.coalesce(F.col("__local_cum"), F.lit(0.0)) + F.col("__off"))
     out = (
-        local.join(F.broadcast(offsets), [*keys, "__seg"])
+        _nullsafe_broadcast_join(local, offsets, [*keys, "__seg"])
         .withColumn(out_col or f"{col}_cum", cum)
         .drop("__lo", "__hi", "__seg", "__local_cum", "__off", "__pcnt")
     )

@@ -65,6 +65,50 @@ def register(name: str, sql: str | None):
     return deco
 
 
+def q2k_col(c, k: int):
+    """Quantize a double Column to multiples of 2^-k (round-half-up via
+    floor(x*2^k + 0.5)) BEFORE an order-sensitive sum/mean: sums of such
+    binary fractions are exact in ANY accumulation order (while partial
+    sums stay under 2^(53-k)), so AVG/SUM reductions stop being one-ulp-
+    from-a-ROUND-boundary time bombs (ADVICE r7: a raw ROUND(AVG(double),
+    6) survives rounds by luck until any partition/order change flips a
+    boundary value). Pick k so quantum << value scale and
+    n_rows * max|value| < 2^(53-k)."""
+    s = float(2**k)
+    return F.floor(c * F.lit(s) + F.lit(0.5)) / F.lit(s)
+
+
+def q2k_sql(expr: str, k: int) -> str:
+    """DuckDB twin of :func:`q2k_col` (bare decimal literal is fine in
+    DuckDB; Spark-side code must use q2k_col, not this string)."""
+    s = 2**k
+    return f"floor(({expr}) * {s}.0 + 0.5) / {s}.0"
+
+
+def parquet_rows(path: str) -> int:
+    """Footer-only rowcount for a parquet file OR directory of part
+    files — a metadata pull (no Spark job, no data scan), the same
+    signal ``_tape_parts`` sizes streaming state by. Used to size-
+    dispatch the plain-vs-segmented window paths per key."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+        if _os.path.isdir(path)
+        else [path]
+    )
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+def book_rows_per_key(sf_dir: str) -> int:
+    """Approximate per-(exchange, symbol) rowcount of the synthetic book:
+    events footer rowcount over its 4 uniform symbols (user_id % 4)."""
+    return parquet_rows(f"{sf_dir}/events.parquet") // 4
+
+
 def _tape_parts(spark, glob_path: str, hi: int, per_part: int = 50_000) -> str:
     """Replay partitions for a tape already on disk: parquet footer
     rowcount (metadata-only) scaled at per_part rows/partition, clamped

@@ -31,14 +31,27 @@ deterministically when residues coincide at big SFs:
   NULL mid feeding the as-of atomic-carry path).
 - THIN LADDER (``event_id % 503 == 502``): every level >= 2 NULL on
   both sides (walk partial fill, cost-curve exclusion).
+
+``SPARK_GRAFT_PLANTS=0`` (round-8 verdict #1) disables the four plant
+predicates in BOTH the Spark and DuckDB derivations — a BENCH-ONLY
+A/B control to separate the plants' real semantic cost from machine
+variance in round-over-round comparisons. Correctness artifacts are
+always recorded with plants ON (the default); the env var is read at
+derivation/SQL-build time, so set it before importing the plans.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 BOOK_DEPTH = 5
+
+
+def _plants_on() -> bool:
+    return os.environ.get("SPARK_GRAFT_PLANTS", "1") != "0"
 
 #: Window-order columns giving a total order per symbol (ts_ms can tie
 #: after millisecond truncation; event_id is unique).
@@ -64,10 +77,13 @@ def synthetic_book(spark: SparkSession, sf_dir: str, depth: int = BOOK_DEPTH) ->
     mid0 = F.lit(100.0) + F.col("value") * F.lit(0.1)
     spr_base = F.lit(0.02) + (eid % 5).cast("double") * F.lit(0.01)
     # Guard plants: crossed (negated spread), locked (zero spread).
+    plants = _plants_on()
     spr = (
         F.when(eid % 487 == 486, -spr_base)
         .when(eid % 491 == 490, F.lit(0.0))
         .otherwise(spr_base)
+        if plants
+        else spr_base
     )
     # STAGED projection: compute spr/best quotes/plant flags ONCE as
     # attributes. Built inline, every output column re-inlines the
@@ -77,8 +93,8 @@ def synthetic_book(spark: SparkSession, sf_dir: str, depth: int = BOOK_DEPTH) ->
     ev = ev.select(
         "*",
         spr.alias("__spr"),
-        (eid % 499 == 498).alias("__empty_ask"),
-        (eid % 503 == 502).alias("__thin"),
+        ((eid % 499 == 498) if plants else F.lit(False)).alias("__empty_ask"),
+        ((eid % 503 == 502) if plants else F.lit(False)).alias("__thin"),
     ).select(
         "*",
         (mid0 - F.col("__spr") * F.lit(0.5)).alias("__bb"),
@@ -120,9 +136,12 @@ def synthetic_book(spark: SparkSession, sf_dir: str, depth: int = BOOK_DEPTH) ->
 
 
 def book_sql(depth: int = BOOK_DEPTH) -> str:
-    """The identical derivation as DuckDB SQL (for oracle CTEs)."""
-    empty_ask = "event_id % 499 = 498"
-    thin = "event_id % 503 = 502"
+    """The identical derivation as DuckDB SQL (for oracle CTEs);
+    honors SPARK_GRAFT_PLANTS like :func:`synthetic_book` (evaluated
+    when the SQL string is built, i.e. at plans-module import)."""
+    plants = _plants_on()
+    empty_ask = "event_id % 499 = 498" if plants else "FALSE"
+    thin = "event_id % 503 = 502" if plants else "FALSE"
     level_cols = []
     for i in range(1, depth + 1):
         if i == 1:
@@ -142,6 +161,15 @@ def book_sql(depth: int = BOOK_DEPTH) -> str:
                 f"  CASE WHEN NOT ({pad} OR {empty_ask}) THEN 1.0 + CAST((event_id + {i * 11}) % 13 AS DOUBLE) * 0.25 END AS ask{i}_size"
             )
     levels = ",\n".join(level_cols)
+    spr_sql = (
+        """CASE WHEN event_id % 487 = 486
+             THEN -(0.02 + CAST(event_id % 5 AS DOUBLE) * 0.01)
+           WHEN event_id % 491 = 490 THEN 0.0
+           ELSE 0.02 + CAST(event_id % 5 AS DOUBLE) * 0.01
+      END"""
+        if plants
+        else "0.02 + CAST(event_id % 5 AS DOUBLE) * 0.01"
+    )
     return f"""
 SELECT
   epoch_ms(ts) AS ts_ms,
@@ -157,12 +185,7 @@ FROM (
     (100.0 + value * 0.1) - spr * 0.5 AS best_bid,
     (100.0 + value * 0.1) + spr * 0.5 AS best_ask
   FROM (
-    SELECT *,
-      CASE WHEN event_id % 487 = 486
-             THEN -(0.02 + CAST(event_id % 5 AS DOUBLE) * 0.01)
-           WHEN event_id % 491 = 490 THEN 0.0
-           ELSE 0.02 + CAST(event_id % 5 AS DOUBLE) * 0.01
-      END AS spr
+    SELECT *, {spr_sql} AS spr
     FROM events
   )
 )

@@ -1007,7 +1007,7 @@ WITH toks AS (
 vocab AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
 total AS (SELECT COUNT(*) AS total FROM toks)
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       ROUND(AVG(ln(CAST(cnt AS DOUBLE) / total)), 6) AS avg_logprob
+       ROUND(AVG(floor(ln(CAST(cnt AS DOUBLE) / total) * 67108864.0 + 0.5) / 67108864.0), 6) AS avg_logprob
 FROM toks JOIN vocab USING (term) CROSS JOIN total
 GROUP BY doc_id
 """

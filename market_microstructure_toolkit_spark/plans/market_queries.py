@@ -28,6 +28,9 @@ from market_microstructure_toolkit_spark.plans.base import (
     _VPIN_SQL,
     _W,
     _scratch,
+    book_rows_per_key,
+    q2k_col,
+    q2k_sql,
     register,
 )
 
@@ -152,14 +155,34 @@ FROM ofi
 
 @register("book_ofi_lobster_cum", _OFI_LOBSTER_SQL)
 def q_book_ofi_lobster_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LOBSTER-style OFI + running cumulative (W3+W7, plot_cli.py:145-162).
-
-    Sizes are exact binary fractions (multiples of 0.25) so the cumulative
-    sum is order-insensitive-exact — no rounding required for the oracle.
+    """LOBSTER-style OFI + running cumulative (W3+W7, plot_cli.py:145-162),
+    SIZE-DISPATCHED (round-8 verdict #2): below ``seg_threshold()`` rows
+    per key, the plain lag + unbounded-frame running sum; above it, the
+    OFI lag runs on the chunk+halo path (lookback 1 -> window=2) and the
+    running total on the segmented prefix-sum
+    (``add_cumulative_segmented``). Sizes are exact binary fractions
+    (multiples of 0.25) so OFI values — and therefore the cumulative
+    sum — are order-insensitive-exact in EITHER association: the
+    segmented offset+local form is bit-identical to the sequential
+    running sum, no rounding required for the shared oracle.
     """
     book = synthetic_book(spark, sf_dir)
-    out = W.add_ofi_l1(book, mode="lobster", keys=KEYS, order_col=ORDER_COLS)
-    out = W.add_cumulative(out, "ofi_l1", out_col="ofi_l1_cum", keys=KEYS, order_col=ORDER_COLS)
+    if not W.use_segmented(book_rows_per_key(sf_dir)):
+        out = W.add_ofi_l1(book, mode="lobster", keys=KEYS, order_col=ORDER_COLS)
+        out = W.add_cumulative(
+            out, "ofi_l1", out_col="ofi_l1_cum", keys=KEYS, order_col=ORDER_COLS
+        )
+        return out.select(*IDS, "ofi_l1", "ofi_l1_cum")
+    out = W.rolling_segmented(
+        book,
+        lambda w: {"ofi_l1": W.ofi_l1_expr(w, mode="lobster")},
+        window=2,
+        keys=KEYS,
+        order_col=ORDER_COLS,
+    )
+    out = W.add_cumulative_segmented(
+        out, "ofi_l1", out_col="ofi_l1_cum", keys=KEYS, order_col=ORDER_COLS
+    )
     return out.select(*IDS, "ofi_l1", "ofi_l1_cum")
 
 
@@ -186,69 +209,89 @@ FROM quant
 """
 
 
-@register("book_returns_rv", _RV_SQL)
-def q_book_returns_rv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Simple returns (bps) + 20-row realized variance, pandas
-    ``min_periods=window`` semantics (W4/W5, metrics.py:172-193).
+def _rv_surface(
+    spark: SparkSession, sf_dir: str, segmented: bool, n_chunks: int = 8
+) -> DataFrame:
+    """Shared W4/W5 pipeline behind ``book_returns_rv`` (size-dispatched)
+    and ``book_rv_segmented`` (explicit segmented mode): simple returns
+    (bps) + 20-row count-gated realized variance.
 
-    Returns are division-based (bit-identical across engines). For the
-    rolling sum, returns are quantized to multiples of 2^-10 bps first:
-    squares and 20-term sums of such binary fractions stay well under 53
+    Returns are division-based (bit-identical across engines) and
+    quantized to multiples of 2^-10 bps before the rolling sum: squares
+    and 20-term sums of such binary fractions stay well under 53
     mantissa bits, so the window sum is EXACT in any evaluation order —
-    immune to Spark-vs-DuckDB window-aggregation associativity.
-    """
+    immune to Spark-vs-DuckDB (and plain-vs-segmented) associativity.
+
+    In segmented mode the WHOLE pipeline — the lag-based return too, not
+    just the frame aggregate — runs on the chunk+halo path as chained
+    stages (total lookback 1 + 19 -> window=21), so no phase is
+    single-task per key."""
     book = synthetic_book(spark, sf_dir)
     mids = book.select(
         *IDS, ((F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)).alias("mid")
     )
-    w = W.book_window(KEYS, ORDER_COLS)
-    rets = mids.withColumn(
-        "ret_bps", (F.col("mid") / F.lag("mid").over(w) - F.lit(1.0)) * F.lit(1e4)
+
+    def rq_of(c):
+        return F.floor(c * F.lit(1024.0) + F.lit(0.5)) / F.lit(1024.0)
+
+    if not segmented:
+        w = W.book_window(KEYS, ORDER_COLS)
+        rets = mids.withColumn(
+            "ret_bps",
+            (F.col("mid") / F.lag("mid").over(w) - F.lit(1.0)) * F.lit(1e4),
+        )
+        rets = rets.withColumn("__ret_q", rq_of(F.col("ret_bps")))
+        wf = w.rowsBetween(-19, 0)
+        r = F.col("__ret_q")
+        return rets.withColumn(
+            "rv_20",
+            F.when(F.count(r).over(wf) == 20, F.sum(r * r).over(wf)),
+        ).drop("__ret_q")
+
+    def build(w):
+        ret = (F.col("mid") / F.lag("mid").over(w) - F.lit(1.0)) * F.lit(1e4)
+        wf = w.rowsBetween(-19, 0)
+        r = rq_of(F.col("ret_bps"))
+        return [
+            {"ret_bps": ret},
+            {"rv_20": F.when(F.count(r).over(wf) == 20, F.sum(r * r).over(wf))},
+        ]
+
+    out = W.rolling_segmented(
+        mids, build, window=21, keys=KEYS, order_col=ORDER_COLS,
+        n_chunks=n_chunks,
     )
-    rq = F.floor(F.col("ret_bps") * F.lit(1024.0) + F.lit(0.5)) / F.lit(1024.0)
-    rets = rets.withColumn("__ret_q", rq)
-    wf = w.rowsBetween(-19, 0)
-    r = F.col("__ret_q")
-    return rets.withColumn(
-        "rv_20",
-        F.when(F.count(r).over(wf) == 20, F.sum(r * r).over(wf)),
-    ).drop("__ret_q")
+    return out.select(*IDS, "mid", "ret_bps", "rv_20")
+
+
+@register("book_returns_rv", _RV_SQL)
+def q_book_returns_rv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/W5 (metrics.py:172-193), SIZE-DISPATCHED (round-8 verdict #2):
+    below ``seg_threshold()`` rows per key the plain per-key window
+    runs (small series, zero bookkeeping); above it the identical
+    surface computes on the chunk+halo segmented path — chosen from the
+    events parquet footer rowcount (a metadata pull, no extra job).
+    ``book_rv_segmented`` pins the segmented branch explicitly at every
+    SF; both branches share this oracle."""
+    seg = W.use_segmented(book_rows_per_key(sf_dir))
+    return _rv_surface(spark, sf_dir, segmented=seg)
 
 
 @register("book_rv_segmented", _RV_SQL)
 def q_book_rv_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SAME rolling-RV surface as ``book_returns_rv``, computed on
-    the chunk + (W-1)-row-halo path
-    (operators/window_metrics.py::rolling_segmented) and hash-pinned
-    against the identical plain-window oracle — proof that the
-    segmented form is value-identical while one instrument's history
-    fans out across ``n_chunks`` cores instead of serializing through
-    one (SURVEY §4.1's named scale risk, now closed for BOUNDED frames
-    the way ``book_cumsum_segmented`` closed it for unbounded sums).
-    Segmented rank (range-segment row_number + broadcast per-segment
-    count offsets) replaces the global per-key row_number, so no phase
+    """The SAME rolling-RV surface as ``book_returns_rv`` with the
+    segmented branch FORCED — the dispatch's explicit-mode test,
+    hash-pinned against the identical plain-window oracle at every SF:
+    proof that the chunk + (W-1)-row-halo form
+    (operators/window_metrics.py::rolling_segmented) is value-identical
+    while one instrument's history fans out across ``n_chunks`` cores
+    instead of serializing through one (SURVEY §4.1's named scale risk,
+    closed for BOUNDED frames the way ``book_cumsum_segmented`` closed
+    it for unbounded sums). The lag-based return feeds through the
+    segmented path too (chained stages, total lookback 21), so no phase
     of the plan is single-task per key; docs/SCALE_NOTES.md carries the
     single-key 100x probe."""
-    book = synthetic_book(spark, sf_dir)
-    mids = book.select(
-        *IDS, ((F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)).alias("mid")
-    )
-    w = W.book_window(KEYS, ORDER_COLS)
-    rets = mids.withColumn(
-        "ret_bps", (F.col("mid") / F.lag("mid").over(w) - F.lit(1.0)) * F.lit(1e4)
-    )
-    rq = F.floor(F.col("ret_bps") * F.lit(1024.0) + F.lit(0.5)) / F.lit(1024.0)
-    rets = rets.withColumn("__ret_q", rq)
-    out = W.add_rolling_rv_segmented(
-        rets,
-        ret_col="__ret_q",
-        window=20,
-        out_col="rv_20",
-        keys=KEYS,
-        order_col=ORDER_COLS,
-        n_chunks=8,
-    )
-    return out.select(*IDS, "mid", "ret_bps", "rv_20")
+    return _rv_surface(spark, sf_dir, segmented=True)
 
 
 def _sql_size_sum(side: str) -> str:
@@ -469,57 +512,88 @@ FROM feat
 """
 
 
-@register("book_rolling_corr", _ROLL_CORR_SQL)
-def q_book_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W10: rolling Pearson correlation of LOBSTER OFI vs mid returns over
-    50 rows (advanced_plots.py:169), via the ANSI-safe guarded-moment
-    ``add_rolling_corr`` (windowed F.corr raises on a zero-variance
-    window under ANSI — found by the sf1 sweep). Rounded 6dp (O(1)
-    values, ~1e-14 cross-engine moment-accumulation noise)."""
+def _corr_surface(
+    spark: SparkSession, sf_dir: str, segmented: bool, n_chunks: int = 8
+) -> DataFrame:
+    """Shared W10 pipeline behind ``book_rolling_corr`` (size-dispatched)
+    and ``book_corr_segmented`` (explicit segmented mode): rolling
+    Pearson correlation of LOBSTER OFI vs mid returns over 50 rows, via
+    ANSI-safe guarded pair-aligned moments (windowed F.corr raises on a
+    zero-variance window under ANSI — found by the sf1 sweep). Rounded
+    6dp (O(1) values, ~1e-14 cross-engine moment-accumulation noise);
+    + 0.0 folds a signed zero on BOTH engines (a zero-covariance window
+    can round to -0.0 on one engine and 0.0 on the other, and the
+    driver's repr-based hash distinguishes them).
+
+    In segmented mode BOTH lag-derived features (OFI, return) compute
+    inside the chunk+halo path as stage 1, the 50-row moments as stage
+    2 (total lookback 1 + 49 -> window=51) — no per-key global window
+    in any phase."""
     book = synthetic_book(spark, sf_dir)
-    w = W.book_window(KEYS, ORDER_COLS)
     mid2 = F.col("best_bid") + F.col("best_ask")
-    feat = W.add_ofi_l1(book, mode="lobster", out_col="ofi", keys=KEYS, order_col=ORDER_COLS)
-    feat = feat.withColumn(
-        "ret_bps", (mid2 / F.lag(mid2).over(w) - F.lit(1.0)) * F.lit(1e4)
-    )
-    corr = W.add_rolling_corr(
-        feat, "ofi", "ret_bps", 50, out_col="__c", keys=KEYS, order_col=ORDER_COLS
-    )
+
+    def corr_cols(w, wf):
+        ofi_x, ret_y = F.col("ofi"), F.col("ret_bps")
+        pair = ofi_x.isNotNull() & ret_y.isNotNull()
+        x, y = F.when(pair, ofi_x), F.when(pair, ret_y)
+        cov = F.covar_samp(x, y).over(wf)
+        sx = F.stddev_samp(x).over(wf)
+        sy = F.stddev_samp(y).over(wf)
+        return F.when((sx > 0) & (sy > 0), cov / (sx * sy))
+
+    if not segmented:
+        w = W.book_window(KEYS, ORDER_COLS)
+        feat = W.add_ofi_l1(
+            book, mode="lobster", out_col="ofi", keys=KEYS, order_col=ORDER_COLS
+        )
+        feat = feat.withColumn(
+            "ret_bps", (mid2 / F.lag(mid2).over(w) - F.lit(1.0)) * F.lit(1e4)
+        )
+        corr = feat.withColumn("__c", corr_cols(w, w.rowsBetween(-49, 0)))
+    else:
+
+        def build(w):
+            return [
+                {
+                    "ofi": W.ofi_l1_expr(w, mode="lobster"),
+                    "ret_bps": (mid2 / F.lag(mid2).over(w) - F.lit(1.0))
+                    * F.lit(1e4),
+                },
+                {"__c": corr_cols(w, w.rowsBetween(-49, 0))},
+            ]
+
+        corr = W.rolling_segmented(
+            book, build, window=51, keys=KEYS, order_col=ORDER_COLS,
+            n_chunks=n_chunks,
+        )
     return corr.select(
-        # + 0.0 folds a signed zero on BOTH engines: a zero-covariance
-        # window can round to -0.0 on one engine and 0.0 on the other,
-        # and the driver's repr-based hash distinguishes them
         *IDS,
         (F.round(F.col("__c"), 6) + F.lit(0.0)).alias("ofi_ret_corr_50"),
     )
+
+
+@register("book_rolling_corr", _ROLL_CORR_SQL)
+def q_book_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10 (advanced_plots.py:169), SIZE-DISPATCHED (round-8 verdict
+    #2): plain per-key window below ``seg_threshold()`` rows per key
+    (from the events footer rowcount — a metadata pull), chunk+halo
+    segmented path above it. ``book_corr_segmented`` pins the segmented
+    branch explicitly; both branches share this oracle."""
+    seg = W.use_segmented(book_rows_per_key(sf_dir))
+    return _corr_surface(spark, sf_dir, segmented=seg)
 
 
 @register("book_corr_segmented", _ROLL_CORR_SQL)
 def q_book_corr_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SAME rolling-corr surface as ``book_rolling_corr``, computed
-    on the chunk + (W-1)-halo path (``add_rolling_corr_segmented``) and
-    hash-pinned against the identical plain-window oracle — the W10
-    twin of ``book_rv_segmented``'s W5 proof: guarded pair-aligned
-    moments over per-chunk frames whose rows and order are identical to
-    the single-window form, with no per-key global window in any phase
-    (segmented rank + broadcast offsets). One instrument's history fans
+    """The SAME rolling-corr surface as ``book_rolling_corr`` with the
+    segmented branch FORCED — the dispatch's explicit-mode test, the
+    W10 twin of ``book_rv_segmented``'s W5 proof: guarded pair-aligned
+    moments over per-chunk frames whose rows and order are identical
+    to the single-window form, with no per-key global window in ANY
+    phase (segmented rank + broadcast offsets; the OFI and return lags
+    run inside the chunks as stage 1). One instrument's history fans
     out across n_chunks cores instead of serializing through one."""
-    book = synthetic_book(spark, sf_dir)
-    w = W.book_window(KEYS, ORDER_COLS)
-    mid2 = F.col("best_bid") + F.col("best_ask")
-    feat = W.add_ofi_l1(book, mode="lobster", out_col="ofi", keys=KEYS, order_col=ORDER_COLS)
-    feat = feat.withColumn(
-        "ret_bps", (mid2 / F.lag(mid2).over(w) - F.lit(1.0)) * F.lit(1e4)
-    )
-    corr = W.add_rolling_corr_segmented(
-        feat, "ofi", "ret_bps", 50, out_col="__c", keys=KEYS,
-        order_col=ORDER_COLS, n_chunks=8,
-    )
-    return corr.select(
-        *IDS,
-        (F.round(F.col("__c"), 6) + F.lit(0.0)).alias("ofi_ret_corr_50"),
-    )
+    return _corr_surface(spark, sf_dir, segmented=True)
 
 
 _MID_ANOMALY_SQL = f"""{_BOOK_CTE},
@@ -1214,7 +1288,7 @@ diffs AS (
 SELECT exchange_id, symbol,
   ROUND(2.0 * SQRT(GREATEST(-COVAR_SAMP(d, d_prev), 0.0)), 6)
     AS roll_spread_est,
-  ROUND(AVG(CASE WHEN l1_vol > 0 THEN ABS(logret) / l1_vol END) * 1e6, 6)
+  ROUND(AVG({q2k_sql("CASE WHEN l1_vol > 0 THEN ABS(logret) / l1_vol END", 36)}) * 1e6, 6)
     AS amihud_illiq_x1e6,
   COUNT(*) AS n_ticks
 FROM diffs
@@ -1230,8 +1304,10 @@ def q_book_roll_amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
     for readable magnitudes). One instrument-keyed window computes the
     lagged differences, then a partial-aggregating groupBy on the same
     keys — two shuffle-light stages that co-partition at any scale. The
-    covariance/mean reductions are order-sensitive float sums, so both
-    outputs round at 6 dp (repo determinism idiom)."""
+    Amihud summands are quantized to 2^-36 multiples so their mean is
+    exact in any accumulation order (ADVICE r7); the covariance moments
+    can't be made order-free cheaply, so that output keeps the 6-dp
+    rounding idiom."""
     book = synthetic_book(spark, sf_dir)
     w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
     mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
@@ -1256,7 +1332,13 @@ def q_book_roll_amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("roll_spread_est"),
         F.round(
             F.avg(
-                F.when(F.col("l1_vol") > 0, F.abs(F.col("logret")) / F.col("l1_vol"))
+                q2k_col(
+                    F.when(
+                        F.col("l1_vol") > 0,
+                        F.abs(F.col("logret")) / F.col("l1_vol"),
+                    ),
+                    36,
+                )
             )
             * F.lit(1e6),
             6,
@@ -1776,20 +1858,17 @@ _EFF_SPREAD_SQL = f"""{_CLASSIFIED_CTE},
 staged AS (
   SELECT exchange_id, symbol,
     CASE WHEN side <> 0
-         THEN 2.0 * CAST(side AS DOUBLE) * (price - mid) END AS eff,
+         THEN {q2k_sql("2.0 * CAST(side AS DOUBLE) * (price - mid)", 26)}
+    END AS eff,
     CASE WHEN side <> 0
-         THEN 2.0 * CAST(side AS DOUBLE)
-              * (price - LEAD(mid, 20) OVER ({_W})) END AS rlz,
-    CASE WHEN side <> 0
-         THEN (2.0 * CAST(side AS DOUBLE) * (price - mid))
-            - (2.0 * CAST(side AS DOUBLE)
-               * (price - LEAD(mid, 20) OVER ({_W}))) END AS impact
+         THEN {q2k_sql(f"2.0 * CAST(side AS DOUBLE) * (price - LEAD(mid, 20) OVER ({_W}))", 26)}
+    END AS rlz
   FROM classified
 )
 SELECT exchange_id, symbol,
   ROUND(AVG(eff), 6) AS avg_effective_spread,
   ROUND(AVG(rlz), 6) AS avg_realized_spread,
-  ROUND(AVG(impact), 6) AS avg_price_impact,
+  ROUND(AVG(eff - rlz), 6) AS avg_price_impact,
   COUNT(rlz) AS n_classified_with_future
 FROM staged GROUP BY exchange_id, symbol
 """
@@ -1804,7 +1883,9 @@ def q_trade_effective_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a zero term would bias the mean toward zero); tape-end trades with
     no 20-ahead mid drop from the realized/impact averages only. One
     keyed window for the future mid, then a groupBy on the same keys;
-    6-dp rounding absorbs float-sum ordering."""
+    per-trade spreads quantized to 2^-26 multiples so the means are
+    exact in any accumulation order (ADVICE r7), 6-dp output rounding
+    kept for presentation."""
     tape = synthetic_trades(spark, sf_dir)
     classified = T.classify_lee_ready(tape, KEYS, ORDER_COLS)
     return T.effective_realized_spread(classified, 20, KEYS, ORDER_COLS)
@@ -2429,7 +2510,7 @@ rets AS (
 )
 SELECT exchange_id, symbol,
        CAST((ts_ms // 3600000) % 24 AS BIGINT) AS hour_utc,
-       ROUND(AVG(ABS(r)) * 1e4, 6) AS avg_abs_ret_bps,
+       ROUND(AVG({q2k_sql("ABS(r)", 36)}) * 1e4, 6) AS avg_abs_ret_bps,
        COUNT(r) AS n_returns
 FROM rets GROUP BY exchange_id, symbol, (ts_ms // 3600000) % 24
 """
@@ -2442,7 +2523,9 @@ def q_book_intraday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     U-shaped activity profile every execution scheduler calibrates
     against. One keyed window for returns, then a partial-aggregating
     groupBy on (instrument, hour): 24 uniform buckets per instrument,
-    no skew. AVG is order-sensitive -> 6-dp rounding."""
+    no skew. Summands quantized to 2^-36 multiples before the AVG so the
+    sum is exact in any accumulation order (ADVICE r7 — a raw
+    ROUND(AVG(double), 6) is partition-count-sensitive)."""
     book = synthetic_book(spark, sf_dir)
     w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
     mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
@@ -2455,9 +2538,9 @@ def q_book_intraday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour_utc"
     )
     return rets.groupBy(*KEYS, hour).agg(
-        F.round(F.avg(F.abs(F.col("r"))) * F.lit(1e4), 6).alias(
-            "avg_abs_ret_bps"
-        ),
+        F.round(
+            F.avg(q2k_col(F.abs(F.col("r")), 36)) * F.lit(1e4), 6
+        ).alias("avg_abs_ret_bps"),
         F.count("r").alias("n_returns"),
     )
 
@@ -2990,7 +3073,7 @@ alphas AS (
   FROM paired WHERE beta IS NOT NULL
 )
 SELECT exchange_id, symbol,
-  ROUND(AVG(GREATEST(2.0 * (EXP(alpha) - 1.0) / (1.0 + EXP(alpha)), 0.0)), 6)
+  ROUND(AVG({q2k_sql("GREATEST(2.0 * (EXP(alpha) - 1.0) / (1.0 + EXP(alpha)), 0.0)", 36)}), 6)
     AS cs_spread_est,
   COUNT(*) AS n_pairs
 FROM alphas GROUP BY exchange_id, symbol
@@ -3007,8 +3090,9 @@ def q_book_corwin_schultz(spark: SparkSession, sf_dir: str) -> DataFrame:
     floored to zero before averaging (the paper's convention). Input is
     the same OHLC rollup the range-vol estimators use (order-free
     aggregates), one more keyed LAG window, one groupBy on the same
-    keys. The only order-sensitive reduction is the final AVG — rounded
-    at 6 dp."""
+    keys. The per-pair spreads are quantized to 2^-36 multiples before
+    the AVG so the sum is exact in any accumulation order (ADVICE r7),
+    then rounded at 6 dp."""
     book = synthetic_book(spark, sf_dir)
     mids = book.select(
         *IDS,
@@ -3035,7 +3119,9 @@ def q_book_corwin_schultz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = F.lit(2.0) * (F.exp(alpha) - F.lit(1.0)) / (F.lit(1.0) + F.exp(alpha))
     return paired.groupBy(*KEYS).agg(
-        F.round(F.avg(F.greatest(s, F.lit(0.0))), 6).alias("cs_spread_est"),
+        F.round(
+            F.avg(q2k_col(F.greatest(s, F.lit(0.0)), 36)), 6
+        ).alias("cs_spread_est"),
         F.count(F.lit(1)).alias("n_pairs"),
     )
 
@@ -3180,7 +3266,7 @@ binned AS (
   FROM feat WHERE imb IS NOT NULL AND fwd_bps IS NOT NULL
 )
 SELECT exchange_id, symbol, imb_bin,
-  ROUND(AVG(fwd_bps), 6) AS mean_fwd_bps,
+  ROUND(AVG({q2k_sql("fwd_bps", 26)}), 6) AS mean_fwd_bps,
   COUNT(*) AS n_obs
 FROM binned GROUP BY exchange_id, symbol, imb_bin
 """
@@ -3195,7 +3281,8 @@ def q_book_imbalance_cond_returns(spark: SparkSession, sf_dir: str) -> DataFrame
     instruments and dates (the property a signal dashboard needs). A
     monotone mean-return profile across bins is the empirical evidence
     the imbalance signal works; one keyed window (LEAD), one grouped
-    AVG, rounded at 6 dp."""
+    AVG over 2^-26-quantized summands (exact in any accumulation
+    order, ADVICE r7), rounded at 6 dp."""
     book = synthetic_book(spark, sf_dir)
     w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
     bsz = F.coalesce(F.col("bid1_size"), F.lit(0.0))
@@ -3217,7 +3304,9 @@ def q_book_imbalance_cond_returns(spark: SparkSession, sf_dir: str) -> DataFrame
         feat.withColumn("imb_bin", bin_)
         .groupBy(*KEYS, "imb_bin")
         .agg(
-            F.round(F.avg("fwd_bps"), 6).alias("mean_fwd_bps"),
+            F.round(F.avg(q2k_col(F.col("fwd_bps"), 26)), 6).alias(
+                "mean_fwd_bps"
+            ),
             F.count(F.lit(1)).alias("n_obs"),
         )
     )
@@ -3495,9 +3584,9 @@ j AS (
 )
 SELECT exchange_id, symbol,
        COUNT(*) AS n_trades,
-       ROUND(AVG(2.0 * q * (price - mid)), 6) AS avg_effective_spread,
-       ROUND(AVG(2.0 * q * (price - mid_fut)), 6) AS avg_realized_spread,
-       ROUND(AVG(2.0 * q * (mid_fut - mid)), 6) AS avg_price_impact
+       ROUND(AVG({q2k_sql("2.0 * q * (price - mid)", 26)}), 6) AS avg_effective_spread,
+       ROUND(AVG({q2k_sql("2.0 * q * (price - mid_fut)", 26)}), 6) AS avg_realized_spread,
+       ROUND(AVG({q2k_sql("2.0 * q * (mid_fut - mid)", 26)}), 6) AS avg_price_impact
 FROM j GROUP BY exchange_id, symbol
 """
 
@@ -3565,15 +3654,15 @@ def q_trade_realized_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     two_q = F.lit(2.0) * F.col("q")
     return picked.groupBy(*KEYS).agg(
         F.count(F.lit(1)).alias("n_trades"),
-        F.round(F.avg(two_q * (F.col("price") - F.col("mid"))), 6).alias(
-            "avg_effective_spread"
-        ),
-        F.round(F.avg(two_q * (F.col("price") - F.col("mid_fut"))), 6).alias(
-            "avg_realized_spread"
-        ),
-        F.round(F.avg(two_q * (F.col("mid_fut") - F.col("mid"))), 6).alias(
-            "avg_price_impact"
-        ),
+        F.round(
+            F.avg(q2k_col(two_q * (F.col("price") - F.col("mid")), 26)), 6
+        ).alias("avg_effective_spread"),
+        F.round(
+            F.avg(q2k_col(two_q * (F.col("price") - F.col("mid_fut")), 26)), 6
+        ).alias("avg_realized_spread"),
+        F.round(
+            F.avg(q2k_col(two_q * (F.col("mid_fut") - F.col("mid")), 26)), 6
+        ).alias("avg_price_impact"),
     )
 
 

@@ -9,6 +9,7 @@ from market_microstructure_toolkit_spark.functions import arrays as A
 from market_microstructure_toolkit_spark.functions import microstructure as M
 from market_microstructure_toolkit_spark.plans.base import (
     _emb,
+    q2k_col,
     register,
 )
 
@@ -575,7 +576,7 @@ scored AS (
 )
 SELECT label,
        COUNT(*) AS n_vectors,
-       ROUND(AVG(dot / (nv * nc)), 6) AS mean_cos_to_centroid,
+       ROUND(AVG(floor(dot / (nv * nc) * 67108864.0 + 0.5) / 67108864.0), 6) AS mean_cos_to_centroid,
        ROUND(MIN(dot / (nv * nc)), 6) AS min_cos_to_centroid
 FROM scored GROUP BY label
 """
@@ -590,8 +591,9 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side vectors) and each member's cosine to it, reduced to
     mean/min per label. Dim-exploded rows are 64x the vector count but
     map-side partial-aggregated on (label, dim) before the shuffle;
-    the per-vector rescore is one co-keyed join. AVG ordering is the
-    only cross-engine freedom — both cosine reductions round at 6 dp.
+    the per-vector rescore is one co-keyed join. The outer mean runs
+    over 2^-26-quantized cosines (exact in any accumulation order,
+    ADVICE r7); both cosine reductions round at 6 dp.
     On the iid fixture cohesion is near zero by construction; the gate
     pins the MACHINERY (a real corpus shows real separation)."""
     emb = _emb(spark, sf_dir).select(
@@ -616,7 +618,7 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.col("dot") / (F.col("nv") * F.col("nc"))
     return scored.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
-        F.round(F.avg(cos), 6).alias("mean_cos_to_centroid"),
+        F.round(F.avg(q2k_col(cos, 26)), 6).alias("mean_cos_to_centroid"),
         F.round(F.min(cos), 6).alias("min_cos_to_centroid"),
     )
 

@@ -132,6 +132,65 @@ class TestRollingSegmentedDegenerate:
         # count gate never reaches 3 non-null obs -> all NULL
         assert len(got) == 6 and all(r["rv"] is None for r in got)
 
+    def test_null_order_and_null_key_rows_match_plain_window(self, spark):
+        """ADVICE r7: NULL ts_ms rows must land where the plain window's
+        asc-nulls-first sort puts them (segment 0, first), and NULL-key
+        rows must survive the broadcast joins as their own group — both
+        previously silent plain-vs-segmented divergences."""
+        from market_microstructure_toolkit_spark.operators.window_metrics import (
+            add_cumulative,
+            add_cumulative_segmented,
+            add_rolling_rv,
+            add_rolling_rv_segmented,
+        )
+
+        schema = (
+            "exchange_id string, symbol string, ts_ms long,"
+            " raw_nonce long, r double"
+        )
+        rows = [
+            ("e", "S", None, 0, 0.5),   # NULL order value
+            ("e", "S", None, 1, 0.25),
+            ("e", None, 10, 2, 1.0),    # NULL key rows form a group
+            ("e", None, 20, 3, 0.75),
+            ("e", None, 30, 4, 0.5),
+        ] + [("e", "S", 100 + i, 5 + i, float(i % 3) / 4.0) for i in range(20)]
+        df = spark.createDataFrame(rows, schema)
+
+        plain_rv = {
+            r.raw_nonce: r.rv
+            for r in add_rolling_rv(
+                df, ret_col="r", window=3, order_col=["ts_ms", "raw_nonce"]
+            ).collect()
+        }
+        seg_rv = {
+            r.raw_nonce: r.rv
+            for r in add_rolling_rv_segmented(
+                df,
+                ret_col="r",
+                window=3,
+                order_col=["ts_ms", "raw_nonce"],
+                n_chunks=4,
+            ).collect()
+        }
+        assert plain_rv == seg_rv and len(seg_rv) == len(rows)
+
+        plain_cum = {
+            r.raw_nonce: r.r_cum
+            for r in add_cumulative(
+                df, "r", order_col=["ts_ms", "raw_nonce"]
+            ).collect()
+        }
+        seg_cum = {
+            r.raw_nonce: r.r_cum
+            for r in add_cumulative_segmented(
+                df, "r", order_col=["ts_ms", "raw_nonce"], n_segments=4
+            ).collect()
+        }
+        assert len(seg_cum) == len(rows)
+        for k, v in plain_cum.items():
+            assert seg_cum[k] == v, (k, v, seg_cum[k])
+
     def test_constant_ts_all_rows_one_segment(self, spark):
         """Every row shares one order value (zero span): segmentation
         must not divide by zero and ties stay in one segment; the
