@@ -303,7 +303,10 @@ def simhash16(text_col: str = "text") -> Column:
     out = F.lit(0)
     for b in range(16):
         out = out + F.when(votes[f"v{b}"] > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return out
+    # NULL text -> NULL fingerprint, not 0: zero is a VALID fingerprint
+    # class, and bucketing every NULL-text doc into it would mint fake
+    # near-dup candidates (caught by the F7 NULL-text plant).
+    return F.when(toks.isNotNull(), out)
 
 
 def _kgram_hashes(t: Column, k: int) -> Column:
@@ -538,4 +541,83 @@ def contamination_flags(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+) -> DataFrame:
+    """EXACT substring deduplication, Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better") style: find every
+    maximal token span of length >= ``min_tokens`` whose content occurs
+    more than once in the corpus (across documents OR repeated within
+    one) — the spans ExactSubstr removes. The paper builds a suffix
+    array; the relational equivalent for fixed minimum length L is
+    shingle-anchored: a length-M duplicated span is exactly a maximal
+    run of duplicated L-token shingles, so
+
+    1. explode each document into positioned L-token shingles
+       (O(tokens) rows, ``transform`` + ``posexplode``, no UDF);
+    2. corpus-count each shingle (one shuffle on the shingle string,
+       map-side partial agg — boilerplate hot keys are just big counts,
+       never a pair fan-out) and keep those with count > 1;
+    3. semi-join positions to the duplicated-shingle set (Spark
+       broadcasts the dup set when small, shuffles otherwise; AQE
+       splits skewed shingle keys);
+    4. merge overlapping/adjacent anchor positions per document into
+       maximal spans — gaps-and-islands with a doc-keyed LAG window
+       (bounded by document length, never corpus-sized).
+
+    No all-pairs joins and no suffix sort; total volume is O(corpus
+    tokens) at every stage. Returns (id, span_start, span_end,
+    span_tokens), token positions 1-based inclusive — integer-exact
+    output, oracle-friendly. Documents shorter than L tokens (or with
+    NULL text) yield nothing, matching ``len(w) >= L`` on the SQL side.
+    """
+    L = min_tokens
+    w = tokens(text_col)
+    toks = df.select(F.col(id_col).alias("id"), w.alias("w")).filter(
+        F.size("w") >= L
+    )
+    pos_sh = toks.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - F.lit(L - 1)),
+                lambda i: F.concat_ws(" ", F.slice("w", i, L)),
+            )
+        ).alias("p0", "shingle"),
+    ).select("id", (F.col("p0") + 1).cast("long").alias("pos"), "shingle")
+    dup = (
+        pos_sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("shingle")
+    )
+    anchors = pos_sh.join(dup, "shingle").select("id", "pos")
+    wd = Window.partitionBy("id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(wd) <= L, F.lit(0)
+    ).otherwise(F.lit(1))
+    islands = anchors.withColumn("__brk", brk).withColumn(
+        "__island",
+        F.sum("__brk").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("id", "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(L - 1)).alias("span_end"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
     )

@@ -34,7 +34,9 @@ def marker_hits(text_col: str, lang: str) -> Column:
 
 def lang_id_expr(text_col: str = "text") -> Column:
     """Heuristic language ID: argmax of marker-hit counts, deterministic
-    alphabetical tie-break, 'und' (undetermined) when no marker hits."""
+    alphabetical tie-break, 'und' (undetermined) when no marker hits;
+    NULL text -> NULL ('und' means "real text, no markers" — a NULL doc
+    has no prediction at all; F7 NULL-text plant)."""
     langs = sorted(LANG_MARKERS)
     best = F.lit("und")
     best_hits = F.lit(0)
@@ -43,7 +45,8 @@ def lang_id_expr(text_col: str = "text") -> Column:
         h = marker_hits(text_col, lang)
         best = F.when(h >= F.greatest(best_hits, F.lit(1)), F.lit(lang)).otherwise(best)
         best_hits = F.greatest(best_hits, h)
-    return best
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.when(t.isNotNull(), best)
 
 
 #: Small English stopword list for the stopword-ratio quality signal.

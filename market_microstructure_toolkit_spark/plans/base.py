@@ -172,20 +172,80 @@ def _stamp_batch_order(*dirs: str) -> None:
 _TAPE_MEMO: dict[tuple[str, str], str] = {}
 
 
+def _tape_cache_key(sf_dir: str, kind: str) -> str:
+    """Content key for the cross-process tape cache: (sf_dir, kind,
+    plants toggle, hash of the derivation source files). Hashing the
+    source files makes any fixture-derivation change invalidate every
+    cached tape — coarser than a true content hash, but safe by
+    construction, and the win this cache targets (repeated cold benches
+    in one session, where ~10s of the cold streaming subtotal was
+    re-building identical tapes per process) only needs stability
+    within one checkout."""
+    import hashlib
+    import os
+
+    h = hashlib.md5()
+    h.update(f"{os.path.abspath(sf_dir)}|{kind}|".encode())
+    from market_microstructure_toolkit_spark.plans.book import _plants_on
+
+    h.update(b"plants" if _plants_on() else b"noplants")
+    # hash EVERY package source file, not just the known derivation
+    # modules: tape-build closures live in the gate modules (e.g.
+    # streaming_queries' injected-duplicate tape), and missing one
+    # would silently serve a stale tape across an edit
+    import market_microstructure_toolkit_spark as _pkg
+
+    root = os.path.dirname(os.path.abspath(_pkg.__file__))
+    for dirpath, dirnames, filenames in sorted(os.walk(root)):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            if not fn.endswith(".py"):
+                continue
+            try:
+                with open(os.path.join(dirpath, fn), "rb") as f:
+                    h.update(f.read())
+            except Exception:
+                h.update(b"nofile")
+    return h.hexdigest()
+
+
 def _memo_tape(sf_dir: str, kind: str, build) -> str:
     """Memoized replay tape: ``build(base)`` writes the micro-batch
     chunk dirs under ``base`` and returns them in batch order (they get
-    mtime-stamped here). Tapes are pure functions of (sf_dir, kind), so
-    one process writes each once; checkpoints must stay PER-RUN (a
+    mtime-stamped here). Tapes are pure functions of (sf_dir, kind,
+    derivation code), so they are cached at TWO levels: in-process
+    (dict) and CROSS-process under a shared scratch dir keyed by
+    content (round-8 verdict #6 — fresh cold-bench processes were
+    rebuilding identical tapes, ~10s of the cold streaming subtotal).
+    Builds land in a temp dir and publish with one atomic rename, so a
+    half-built tape is never visible. Checkpoints must stay PER-RUN (a
     reused checkpoint replays committed offsets and emits nothing)."""
+    import os
+    import tempfile
+
     key = (sf_dir, kind)
     hit = _TAPE_MEMO.get(key)
     if hit:
         return hit
-    base = _scratch(prefix=f"mmt_tape_{kind}_")
-    _stamp_batch_order(*build(base))
-    _TAPE_MEMO[key] = base
-    return base
+    root = os.path.join(
+        "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir(),
+        "mmt_tape_cache",
+    )
+    os.makedirs(root, exist_ok=True)
+    final = os.path.join(root, _tape_cache_key(sf_dir, kind))
+    if not os.path.isdir(final):
+        base = _scratch(prefix=f"mmt_tape_{kind}_")
+        _stamp_batch_order(*build(base))
+        try:
+            os.rename(base, final)
+        except OSError:  # concurrent builder won the rename, or /dev/shm
+            # unavailable for a cross-device move — fall back to the
+            # per-process dir (still correct, just uncached)
+            if not os.path.isdir(final):
+                _TAPE_MEMO[key] = base
+                return base
+    _TAPE_MEMO[key] = final
+    return final
 
 
 def _split2(df: DataFrame, ts_col: str, base: str) -> list[str]:
@@ -243,13 +303,181 @@ def _tape2(spark: SparkSession, sf_dir: str, kind: str) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# F7 guard-branch plants (round-8 verdict #4): rare pathological rows in the
+# events/documents fixtures, mirroring the F6 book plants — so the corpus/
+# events/streaming gate hashes pin the degenerate-input guard branches, not
+# just the happy path. Independent predicates on large primes; identical
+# CASE chains on both engines; honors SPARK_GRAFT_PLANTS like the book
+# plants (bench A/B only — artifacts always record with plants ON).
+#
+# events (plant on the ORIGINAL event_id, all four independent):
+#   - DUPLICATE id   (id % 487 == 486, id >= 487): event_id -> id - 1.
+#     ts stays unique (verified on the driver fixtures), so (ts,
+#     event_id) remains a total order — uniqueness ASSUMPTIONS break,
+#     window determinism does not.
+#   - NULL value     (id % 491 == 490): NULL measure through aggregates.
+#   - NULL user_id   (id % 499 == 498): sessionization / retention /
+#     grouping with a NULL key (grouped on both engines, dropped by
+#     equi-joins on both).
+#   - OUT-OF-ORDER ts (id % 503 == 502): ts shifted back 2h — arrival
+#     order no longer matches event_id order within a user; exercises
+#     gap/session splits. (No NULL-ts plant: ts is an ORDER BY column
+#     and Spark sorts NULLs first while DuckDB sorts them last — every
+#     oracle would need explicit NULLS FIRST; not worth the sweep.)
+#
+# documents:
+#   - NULL text      (doc_id % 499 == 498)
+#   - EMPTY text     (doc_id % 487 == 486)
+#   - UNICODE edge   (doc_id % 491 == 490): multibyte/astral prefix
+#     (accents, CJK, emoji) through tokenizers, shingles, hashes,
+#     length/quality stats.
+#   - NULL lang      (doc_id % 479 == 478): NULL label through lang-id
+#     confusion / grouping. (479, not 503: the sf0.001/sf0.01 documents
+#     tables have only 500 rows, max doc_id 499 — a 503 modulus never
+#     fires there and the plant would be untested at two of three SFs.)
+# ---------------------------------------------------------------------------
+
+_DOC_UNICODE_PREFIX = "naïve café 日本語 \U0001f916 "
+
+EVENTS_PLANTED_SQL = """
+SELECT
+  CASE WHEN event_id % 487 = 486 AND event_id >= 487
+       THEN event_id - 1 ELSE event_id END AS event_id,
+  CASE WHEN event_id % 503 = 502 THEN ts - INTERVAL 2 HOUR ELSE ts END AS ts,
+  CASE WHEN event_id % 499 = 498 THEN NULL ELSE user_id END AS user_id,
+  event_type,
+  CASE WHEN event_id % 491 = 490 THEN NULL ELSE value END AS value,
+  props
+FROM events
+"""
+
+DOCS_PLANTED_SQL = f"""
+SELECT doc_id,
+  CASE WHEN doc_id % 499 = 498 THEN NULL
+       WHEN doc_id % 487 = 486 THEN ''
+       WHEN doc_id % 491 = 490 THEN '{_DOC_UNICODE_PREFIX}' || text
+       ELSE text END AS text,
+  CASE WHEN doc_id % 479 = 478 THEN NULL ELSE lang END AS lang,
+  source, n_chars
+FROM documents
+"""
+
+
+def plant_events(ev: DataFrame) -> DataFrame:
+    """Spark twin of EVENTS_PLANTED_SQL — apply AFTER read_events (ts is
+    epoch-nanos BIGINT there; 2h = 7.2e12 ns)."""
+    from market_microstructure_toolkit_spark.plans.book import _plants_on
+
+    if not _plants_on():
+        return ev
+    eid = F.col("event_id")
+    return ev.select(
+        F.when((eid % 487 == 486) & (eid >= 487), eid - 1)
+        .otherwise(eid)
+        .alias("event_id"),
+        F.when(eid % 503 == 502, F.col("ts") - F.lit(7_200_000_000_000))
+        .otherwise(F.col("ts"))
+        .alias("ts"),
+        F.when(eid % 499 == 498, F.lit(None)).otherwise(F.col("user_id")).alias("user_id"),
+        F.col("event_type"),
+        F.when(eid % 491 == 490, F.lit(None)).otherwise(F.col("value")).alias("value"),
+        F.col("props"),
+    )
+
+
+def plant_docs(df: DataFrame) -> DataFrame:
+    """Spark twin of DOCS_PLANTED_SQL."""
+    from market_microstructure_toolkit_spark.plans.book import _plants_on
+
+    if not _plants_on():
+        return df
+    did = F.col("doc_id")
+    text = (
+        F.when(did % 499 == 498, F.lit(None).cast("string"))
+        .when(did % 487 == 486, F.lit(""))
+        .when(
+            did % 491 == 490,
+            F.concat(F.lit(_DOC_UNICODE_PREFIX), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+    )
+    lang = F.when(did % 479 == 478, F.lit(None).cast("string")).otherwise(
+        F.col("lang")
+    )
+    return df.select(
+        "doc_id", text.alias("text"), lang.alias("lang"), "source", "n_chars"
+    )
+
+
+def plants_rewrite_sql(sql: str | None) -> str | None:
+    """Route an oracle's raw ``events``/``documents`` references through
+    the planted CTEs (word-boundary rename + prepended CTEs; merges
+    into an existing leading WITH). The book CTE is NOT affected — its
+    derivation reads ``events`` inside its own SQL, which lives in
+    market_queries where this rewrite is not applied (the book carries
+    its own F6 plants)."""
+    import re
+
+    from market_microstructure_toolkit_spark.plans.book import _plants_on
+
+    if sql is None or not _plants_on():
+        return sql
+
+    def sub_outside_book_cte(pattern: str, repl: str, s: str) -> str:
+        # The embedded book-CTE text (streaming replays compose
+        # _BOOK_CTE into their oracles) reads the RAW events table by
+        # design — split on the exact book_sql() text and rename only
+        # outside it.
+        book = book_sql()
+        parts = s.split(book)
+        return book.join(re.sub(pattern, repl, p) for p in parts)
+
+    ctes = []
+    out = sql
+    probe = out.replace(book_sql(), "")
+    if re.search(r"\bevents\b", probe):
+        out = sub_outside_book_cte(r"\bevents\b", "events_planted", out)
+        ctes.append(f"events_planted AS ({EVENTS_PLANTED_SQL})")
+    if re.search(r"\bdocuments\b", probe):
+        out = sub_outside_book_cte(r"\bdocuments\b", "documents_planted", out)
+        ctes.append(f"documents_planted AS ({DOCS_PLANTED_SQL})")
+    if not ctes:
+        return sql
+    cte_block = ", ".join(ctes)
+    stripped = out.lstrip()
+    if stripped.upper().startswith("WITH"):
+        i = out.upper().index("WITH") + 4
+        return out[:i] + " " + cte_block + "," + out[i:]
+    return "WITH " + cte_block + " " + out
+
+
+def register_planted(name: str, sql: str | None):
+    """register() with the F7 plant rewrite applied to the oracle SQL —
+    the registration entry point for the events/corpus/streaming gate
+    modules (their Spark sides consume the planted loaders)."""
+    return register(name, plants_rewrite_sql(sql))
+
+
+def _events_fx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PLANTED events fixture for the events/streaming gate families
+    (the book derivation keeps reading the raw table via read_events —
+    it has its own F6 plants)."""
+    from market_microstructure_toolkit_spark.sources.events import read_events
+
+    return plant_events(read_events(spark, sf_dir))
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents scan, spread over cores (hash/shingle stages are
-    expression-heavy; a single-file local input would otherwise pin them
-    to one task — no-op on an already-split cluster input)."""
+    """documents scan with the F7 plants applied, spread over cores
+    (hash/shingle stages are expression-heavy; a single-file local input
+    would otherwise pin them to one task — no-op on an already-split
+    cluster input)."""
     from market_microstructure_toolkit_spark.partitioning import spread
 
-    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
+    return plant_docs(
+        spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -11,7 +11,8 @@ from market_microstructure_toolkit_spark.plans.base import (
     _docs,
     _emb,
     _scratch,
-    register,
+    plant_docs,
+    register_planted as register,
 )
 
 
@@ -296,9 +297,12 @@ _SIMHASH_SQL = (
     + "\n  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)\n"
     "  GROUP BY doc_id\n"
     ")\n"
-    "SELECT doc_id,\n  "
+    # NULL-text docs keep their row with a NULL fingerprint (0 is a
+    # valid fingerprint class) - LEFT JOIN from documents + text guard,
+    # matching the Spark operator's NULL-preserving semantics
+    "SELECT d.doc_id,\n  CASE WHEN d.text IS NULL THEN NULL ELSE "
     + " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
-    + " AS simhash16\nFROM votes"
+    + " END AS simhash16\nFROM documents d LEFT JOIN votes USING (doc_id)"
 )
 
 
@@ -507,16 +511,20 @@ WITH assets AS (
   SELECT doc_id AS asset_id,
          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
               ELSE 'video' END AS modality,
-         octet_length(encode(text)) AS n_bytes,
-         text
+         COALESCE(octet_length(encode(text)), 0) AS n_bytes,
+         CASE WHEN octet_length(encode(text)) > 0
+              THEN encode(text)::BIT END AS bv
   FROM documents
 ),
 bytes AS (
-  -- corpus is ASCII (verified), so per-character codepoints == utf-8 bytes
+  -- TRUE utf-8 byte stream via the BIT cast (the raw corpus is ASCII,
+  -- but the F7 unicode plant adds multibyte/astral docs — codepoint
+  -- enumeration would diverge from the Spark side's encode() payload);
+  -- b % 8 needs only each byte's low 3 bits
   SELECT asset_id,
-         unnest(list_transform(range(1, length(text) + 1),
-                               i -> ord(substr(text, i, 1)) % 8)) AS b
-  FROM assets
+         get_bit(bv, (8*(i-1)+5)::INT)*4 + get_bit(bv, (8*(i-1)+6)::INT)*2
+           + get_bit(bv, (8*(i-1)+7)::INT) AS b
+  FROM assets, unnest(range(1, n_bytes + 1)) AS u(i)
 ),
 hist AS (
   SELECT asset_id, b AS feature_idx, COUNT(*) AS cnt
@@ -754,8 +762,12 @@ def q_corpus_vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MM_RESIZE_SQL = """
 SELECT doc_id AS asset_id,
        'application/octet-stream' AS mime,
-       LEAST(octet_length(encode(text)),
-             GREATEST(1, octet_length(encode(text)) * 50176
+       -- COALESCE, not raw octet_length: NULL-text assets (F7 plant)
+       -- resize to an EMPTY payload on the Spark side, and DuckDB's
+       -- NULL-ignoring LEAST/GREATEST would otherwise turn the NULL
+       -- length into 1
+       LEAST(COALESCE(octet_length(encode(text)), 0),
+             GREATEST(1, COALESCE(octet_length(encode(text)), 0) * 50176
                          // GREATEST(1, (doc_id % 640 + 1) * (doc_id % 480 + 1))))
          AS n_bytes,
        CAST(224 AS BIGINT) AS width,
@@ -829,7 +841,7 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LEN_QUANTILES_SQL = """
-WITH l AS (SELECT length(text) AS len FROM documents),
+WITH l AS (SELECT length(text) AS len FROM documents WHERE text IS NOT NULL),
 o AS (SELECT len, ROW_NUMBER() OVER (ORDER BY len) AS rn FROM l),
 n AS (SELECT COUNT(*) AS c FROM l)
 SELECT MAX(CASE WHEN rn = CAST(ceil(0.50 * c) AS BIGINT) THEN len END) AS p50,
@@ -856,8 +868,11 @@ def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold is crossed. The smallest len whose cumulative count
     reaches ceil(q*n) is the exact rank-ceil(q*n) order statistic."""
     docs = _docs(spark, sf_dir)
+    # quantiles are defined over docs WITH text: a NULL length has no
+    # rank (DuckDB would sort it last and poison p100 — F7 plant)
     hist = (
-        docs.select(F.length("text").alias("len"))
+        docs.filter(F.col("text").isNotNull())
+        .select(F.length("text").alias("len"))
         .groupBy("len")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -1363,7 +1378,7 @@ def q_documents_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_documents_jsonl,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = plant_docs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     path = _scratch(prefix="mmt_jsonl_rt_")
     write_documents_jsonl(docs, path)
     return read_documents_jsonl(spark, path).select(
@@ -1383,7 +1398,7 @@ def q_documents_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     delete-beats-upsert tie rule at once."""
     from market_microstructure_toolkit_spark.operators.cdc import apply_cdc
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = plant_docs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     did = F.col("doc_id")
     upd = docs.filter((did % 7 == 0) & (did % 13 != 0)).select(
         "doc_id",
@@ -1421,7 +1436,7 @@ def q_documents_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine hash)."""
     from market_microstructure_toolkit_spark.partitioning import compact_files
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = plant_docs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     base = _scratch(prefix="mmt_compact_")
     src, dst = f"{base}/small", f"{base}/compacted"
     docs.repartition(64).write.mode("overwrite").parquet(src)
@@ -1560,7 +1575,7 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LEN_QUANTILES_SRC_SQL = """
-WITH l AS (SELECT source, length(text) AS len FROM documents),
+WITH l AS (SELECT source, length(text) AS len FROM documents WHERE text IS NOT NULL),
 o AS (SELECT source, len,
              ROW_NUMBER() OVER (PARTITION BY source ORDER BY len) AS rn,
              COUNT(*) OVER (PARTITION BY source) AS c
@@ -1591,7 +1606,8 @@ def q_doc_length_quantiles_by_source(
     integer answers, engine-exact."""
     docs = _docs(spark, sf_dir)
     hist = (
-        docs.select("source", F.length("text").alias("len"))
+        docs.filter(F.col("text").isNotNull())
+        .select("source", F.length("text").alias("len"))
         .groupBy("source", "len")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -2105,7 +2121,7 @@ def q_documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         profile_table,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = plant_docs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return profile_table(docs, ["doc_id", "lang", "source", "n_chars"])
 
 
@@ -2194,3 +2210,57 @@ def q_doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("labeled_lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+_SUBSTR_SPANS_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+posed AS (
+  SELECT doc_id, unnest(range(1, len(w) - 3)) AS pos, w
+  FROM toks WHERE len(w) >= 5
+),
+sh AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         array_to_string(list_slice(w, pos, pos + 4), ' ') AS shingle
+  FROM posed
+),
+dup AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1),
+anchors AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (shingle)),
+brk AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+         THEN 0 ELSE 1 END AS brk
+  FROM anchors
+),
+isl AS (
+  SELECT doc_id, pos,
+    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM brk
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + 4 AS span_end,
+       MAX(pos) + 4 - MIN(pos) + 1 AS span_tokens
+FROM isl GROUP BY doc_id, island
+"""
+
+
+@register("dedup_substring_spans", _SUBSTR_SPANS_SQL)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2022 ExactSubstr, the one major
+    production dedup mode the tier lacked — round-8 verdict #7): every
+    maximal token span of >= 5 tokens whose content occurs more than
+    once in the corpus, as (doc_id, span_start, span_end, span_tokens).
+    Shingle-anchored relational formulation instead of the paper's
+    suffix array: duplicated 5-token shingles are the anchors, merged
+    per document by a gaps-and-islands window — O(corpus tokens) rows
+    end to end, one uniform shuffle on the shingle string, no pair
+    fan-out (hot boilerplate shingles are COUNTS, not pairs), doc-keyed
+    windows bounded by document length. Integer-exact output."""
+    from market_microstructure_toolkit_spark.operators.dedup import (
+        substring_dup_spans,
+    )
+
+    return substring_dup_spans(_docs(spark, sf_dir), min_tokens=5)

@@ -5,10 +5,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from market_microstructure_toolkit_spark.sources.events import read_events
 from market_microstructure_toolkit_spark.plans.base import (
+    _events_fx,
     _scratch,
-    register,
+    register_planted as register,
 )
 
 
@@ -34,7 +34,7 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, day), map-side combined), cohorts as a min-aggregate reusing
     the user keying, then an equi-join back — all shuffles on user_id, so
     the stages co-partition at scale. Integer outputs: engine-exact."""
-    ev = read_events(spark, sf_dir)
+    ev = _events_fx(spark, sf_dir)
     day = (F.expr("ts DIV 1000000") / F.lit(86400000)).cast("long")
     days = ev.select("user_id", day.alias("day")).distinct()
     cohorts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
@@ -79,7 +79,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic log sessionization: per-user 30-minute-gap cut via
     lag + running sum of boundaries, then per-session aggregates. One
     shuffle keyed on user_id serves both the window and the groupBy."""
-    ev = read_events(spark, sf_dir)
+    ev = _events_fx(spark, sf_dir)
     ts_ms = F.expr("ts DIV 1000000")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = ev.select(
@@ -121,7 +121,7 @@ def q_events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed log rollup: counts, exact distinct users, and
     integer-cents-exact value sums per (event_type, hour). Partial
     aggregation map-side; distinct expands to a two-phase aggregate."""
-    ev = read_events(spark, sf_dir)
+    ev = _events_fx(spark, sf_dir)
     hour_ms = (F.expr("ts DIV 1000000") / F.lit(3600000)).cast("long") * F.lit(
         3600000
     )
@@ -147,7 +147,7 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction from the props column (the reference's
     only JSON surface is --params CLI parsing; at scale this is
     get_json_object, a codegen'd expression — no Python)."""
-    ev = read_events(spark, sf_dir)
+    ev = _events_fx(spark, sf_dir)
     return ev.select(
         "event_id", "event_type",
         F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
@@ -188,7 +188,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     min + a join back to the events — all three stages co-partition on
     user_id, so at scale the shuffles align and the stage frontiers
     (one row per converted user) stay small relative to the log."""
-    ev = read_events(spark, sf_dir)
+    ev = _events_fx(spark, sf_dir)
     m = ev.select("user_id", "event_type", F.expr("ts DIV 1000000").alias("ms"))
     v = (
         m.filter(F.col("event_type") == "view")
@@ -243,7 +243,7 @@ def q_events_alert_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         interval_join,
     )
 
-    ev = read_events(spark, sf_dir)
+    ev = _events_fx(spark, sf_dir)
     ts_ms = F.expr("ts DIV 1000000")
     pts = ev.select("user_id", ts_ms.alias("t"))
     alerts = ev.filter(F.col("value") > 140).select(
@@ -282,7 +282,7 @@ def q_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus ``approx_ok`` = relative error <= 10% (5 sigma of the 2% rsd,
     absorbing small-cardinality wobble); the oracle asserts TRUE, so an
     HLL regression breaks the hash."""
-    ev = read_events(spark, sf_dir)
+    ev = _events_fx(spark, sf_dir)
     return (
         ev.groupBy("event_type")
         .agg(
@@ -331,7 +331,7 @@ def q_events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile_cont). The rank probe is 3 rows per group broadcast
     against the events — one extra pass, no extra shuffle of the
     data."""
-    ev = read_events(spark, sf_dir).select("event_type", "value")
+    ev = _events_fx(spark, sf_dir).select("event_type", "value")
     qs = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
     agg = ev.groupBy("event_type").agg(
         F.percentile_approx("value", qs, 10000).alias("__approx_q"),
@@ -339,6 +339,11 @@ def q_events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(F.percentile("value", qs), 2), 6).alias("q90_exact"),
         F.round(F.element_at(F.percentile("value", qs), 3), 6).alias("q99_exact"),
         F.count(F.lit(1)).alias("n_events"),
+        # the sketch ranks over NON-NULL values only (the F7 NULL-value
+        # plant makes the two counts differ) — the rank-probe target
+        # must use this count, not n_events, or a ~1% NULL share shifts
+        # the target past the 1e-4 rank bound
+        F.count("value").alias("__n_vals"),
     )
     probes = agg.select(
         "event_type", F.posexplode("__approx_q").alias("__i", "__av")
@@ -356,8 +361,8 @@ def q_events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     target = F.element_at(qs, F.col("__i") + 1)
-    bound = F.col("n_events") * F.lit(1e-4) + F.lit(1.0)
-    t_rank = target * F.col("n_events")
+    bound = F.col("__n_vals") * F.lit(1e-4) + F.lit(1.0)
+    t_rank = target * F.col("__n_vals")
     return (
         agg.join(ranks, "event_type")
         .withColumn(
@@ -406,7 +411,7 @@ def q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-free exact, rounded at 2 dp before the double cast)."""
     from market_microstructure_toolkit_spark.partitioning import salted_join
 
-    ev = read_events(spark, sf_dir).select("user_id", "value")
+    ev = _events_fx(spark, sf_dir).select("user_id", "value")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
@@ -455,7 +460,7 @@ def q_events_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     event exactly at the split must land in v2, not both."""
     from market_microstructure_toolkit_spark.operators.rangejoin import scd2_join
 
-    ev = read_events(spark, sf_dir).select(
+    ev = _events_fx(spark, sf_dir).select(
         "event_id",
         F.expr("ts DIV 1000000").alias("ms"),
         "user_id",
@@ -522,7 +527,7 @@ def q_events_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     property that lets a 100 TB pipeline re-aggregate only the new day.
     Decimal accumulation keeps the sums order-free-exact across the
     batch split."""
-    ev = read_events(spark, sf_dir).select(
+    ev = _events_fx(spark, sf_dir).select(
         "event_id",
         (F.expr("ts DIV 1000000") / F.lit(86400000)).cast("long").alias("day"),
         "event_type",
@@ -590,7 +595,10 @@ WITH ev AS (
   FROM events
 ),
 z AS (
-  SELECT event_id, xb, yb, {_zval_sql('xb', 'yb')} AS zval FROM ev
+  -- NULL dims (planted NULL user_id) get z-value -1: a deterministic
+  -- NULLS-FIRST file slot on both engines (DuckDB would sort NULLs
+  -- last, and the Spark side's offsets equi-join would drop them)
+  SELECT event_id, xb, yb, COALESCE({_zval_sql('xb', 'yb')}, -1) AS zval FROM ev
 ),
 filed AS (
   SELECT *,
@@ -627,7 +635,7 @@ def q_events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     global rank is offset(zval) + its rank WITHIN its z-value (a keyed
     window) — the same bounded-metadata planning pass Delta's OPTIMIZE
     runs, exact where repartitionByRange's sampled cuts are not."""
-    ev = read_events(spark, sf_dir).select(
+    ev = _events_fx(spark, sf_dir).select(
         "event_id",
         (F.col("user_id") % 256).alias("xb"),
         ((F.expr("ts DIV 1000000") / F.lit(60000)).cast("long") % 256).alias(
@@ -641,7 +649,10 @@ def q_events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.shiftright(F.col("yb"), i).bitwiseAND(F.lit(1)), 2 * i + 1
         )
         zval = tx + ty if zval is None else zval + tx + ty
-    z = ev.withColumn("zval", zval.cast("long"))
+    # NULL dims -> z-value -1 (see oracle comment): keeps the bounded
+    # metadata pull sortable, the offsets join lossless, and the NULL
+    # rows in one deterministic leading file on both engines
+    z = ev.withColumn("zval", F.coalesce(zval.cast("long"), F.lit(-1)))
     # bounded metadata pull: at most 2^16 distinct z-values regardless
     # of data size
     bins = sorted(
@@ -700,7 +711,7 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization is a window over the |types|^2-row aggregate — the
     cheap side of the shuffle. Probabilities are integer-ratio exact
     (n / total), so no rounding is needed."""
-    ev = read_events(spark, sf_dir)
+    ev = _events_fx(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "user_id",
@@ -741,7 +752,7 @@ def q_events_cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     level (the classic CUBE correctness trap); decimal accumulation
     keeps every level's sum order-free exact, so the subtotal rows
     hash-check against their own detail rows' arithmetic."""
-    ev = read_events(spark, sf_dir).select(
+    ev = _events_fx(spark, sf_dir).select(
         "event_type",
         (F.expr("ts DIV 1000000") / F.lit(86400000)).cast("long").alias("day"),
         "value",
@@ -787,7 +798,7 @@ def q_events_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFram
     type is the lexicographic MIN event_type (deterministic, no
     hardcoded fixture string); the value sum uses the exact-binary
     quantization idiom, so no rounding is needed."""
-    ev = read_events(spark, sf_dir)
+    ev = _events_fx(spark, sf_dir)
     base = _scratch(prefix="mmt_hivepart_")
     ev.write.partitionBy("event_type").parquet(f"{base}/events")
     part = spark.read.parquet(f"{base}/events")
@@ -824,7 +835,7 @@ def q_events_pivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     #event-types rows — bounded metadata, and REQUIRED at scale: the
     implicit-pivot variant runs a whole extra distinct job and caps at
     spark.sql.pivotMaxValues anyway)."""
-    ev = read_events(spark, sf_dir)
+    ev = _events_fx(spark, sf_dir)
     day = (F.expr("ts DIV 1000000") / F.lit(86400000)).cast("long")
     types = sorted(
         r["event_type"]
@@ -868,7 +879,7 @@ def q_users_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds. One user-keyed window, co-partitioned with any later
     as-of/SCD2 join on the same key; attribute values quantized to
     exact binary so the gate needs no rounding."""
-    ev = read_events(spark, sf_dir)
+    ev = _events_fx(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.expr("ts DIV 1000")
     return ev.select(
@@ -924,7 +935,7 @@ def q_events_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         erasure_report,
     )
 
-    ev = read_events(spark, sf_dir)
+    ev = _events_fx(spark, sf_dir)
     requests = ev.filter(F.col("user_id") % 97 == 0).select("user_id")
     return erasure_report(ev, requests)
 
@@ -978,7 +989,7 @@ def q_events_conversion_attribution(
         touch_attribution,
     )
 
-    ev = read_events(spark, sf_dir)
+    ev = _events_fx(spark, sf_dir)
     conv_type = ev.agg(F.max("event_type").alias("m")).collect()[0]["m"]
     return touch_attribution(ev, conv_type, _ATTR_LOOKBACK_NS)
 
@@ -1032,7 +1043,7 @@ def q_events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         touch_attribution,
     )
 
-    ev = read_events(spark, sf_dir)
+    ev = _events_fx(spark, sf_dir)
     conv_type = ev.agg(F.max("event_type").alias("m")).collect()[0]["m"]
     attributed = (
         touch_attribution(

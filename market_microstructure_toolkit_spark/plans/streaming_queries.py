@@ -9,7 +9,6 @@ from pyspark.sql import functions as F
 from market_microstructure_toolkit_spark.functions import arrays as A
 from market_microstructure_toolkit_spark.plans.book import BOOK_DEPTH
 from market_microstructure_toolkit_spark.plans.book import synthetic_book
-from market_microstructure_toolkit_spark.sources.events import read_events
 from market_microstructure_toolkit_spark.plans.base import (
     IDS,
     KEYS,
@@ -27,7 +26,9 @@ from market_microstructure_toolkit_spark.plans.base import (
     _stream_parts,
     _tape_parts,
     _tape2,
-    register,
+    _events_fx,
+    plant_docs,
+    register_planted as register,
 )
 
 
@@ -187,7 +188,7 @@ def q_streaming_alert_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     import time
     import uuid
 
-    ev = read_events(spark, sf_dir)
+    ev = _events_fx(spark, sf_dir)
     tape_base = _memo_tape(
         sf_dir, "events2", lambda b: _split2(ev, "ts", b)
     )
@@ -285,7 +286,7 @@ def q_streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     import time
     import uuid
 
-    ev = read_events(spark, sf_dir)
+    ev = _events_fx(spark, sf_dir)
     tape_base = _memo_tape(
         sf_dir, "events2", lambda b: _split2(ev, "ts", b)
     )
@@ -615,7 +616,7 @@ def q_streaming_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful_cdc_apply,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = plant_docs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     did = F.col("doc_id")
     payload = ["doc_id", "text", "lang", "source", "n_chars"]
     base = docs.select(
@@ -833,6 +834,7 @@ def q_streaming_late_data_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WM_DEDUP_SQL = """
 SELECT event_id, user_id, event_type FROM events
+WHERE NOT (event_id % 487 = 485 AND event_id >= 972)
 """
 
 
@@ -855,14 +857,26 @@ def q_streaming_dedup_watermark_replay(
     batch boundary is state, not batch-local distinct. The watermark
     delay exceeds the tape's whole span, so no state evicts before its
     duplicate arrives and the streaming answer equals the batch
-    DISTINCT — which is the oracle (fixture event_ids are unique, so
-    the oracle is simply the events projection). Spark 4.1 watermark
-    semantics (batch-lagged late filter) are irrelevant here by
-    construction: nothing is ever late under the over-long delay."""
+    DISTINCT — which is the oracle (the events projection over
+    unique-id rows). Spark 4.1 watermark semantics (batch-lagged late
+    filter) are irrelevant here by construction: nothing is ever late
+    under the over-long delay.
+
+    The F7 duplicate-id plant (two DIFFERENT rows sharing an event_id)
+    is excluded from THIS gate's input on both engines: the injected
+    duplicates are full-row copies, so any surviving representative is
+    value-identical, but a planted pair's survivor depends on
+    micro-batch placement (batch-local dedup picks arbitrarily) — the
+    plant stays live in the batch dedup gates, where the winner is
+    deterministic. Planted pairs carry event_id = v-1 for original ids
+    v % 487 == 486, v >= 973, i.e. event_id % 487 == 485, >= 972; both
+    members share that id, so one predicate drops the whole pair."""
     import uuid
 
-    ev = read_events(spark, sf_dir).select(
-        "event_id", "user_id", "event_type", "ts"
+    ev = (
+        _events_fx(spark, sf_dir)
+        .filter(~((F.col("event_id") % 487 == 485) & (F.col("event_id") >= 972)))
+        .select("event_id", "user_id", "event_type", "ts")
     )
 
     def build(b: str) -> list[str]:
@@ -975,7 +989,7 @@ def q_streaming_session_window_replay(
     for infinite streams."""
     import uuid
 
-    ev = read_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    ev = _events_fx(spark, sf_dir).select("event_id", "user_id", "ts")
     tape_base = _memo_tape(
         sf_dir, "events3_sess", lambda b: _split3(ev, "ts", b)
     )
@@ -1042,7 +1056,7 @@ def q_streaming_foreachbatch_upsert(
 
     from market_microstructure_toolkit_spark.operators.cdc import apply_cdc
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = plant_docs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     did = F.col("doc_id")
     payload = ["doc_id", "text", "lang", "source", "n_chars"]
     upd = docs.filter((did % 7 == 0) & (did % 13 != 0)).select(
@@ -1124,9 +1138,16 @@ matched AS (
   FROM l JOIN r ON l.u = r.u AND r.s >= l.t - 300000 AND r.s <= l.t
 ),
 unmatched AS (
+  -- per-ROW anti-join, not NOT IN on the id: the F7 duplicate-id plant
+  -- makes two different left rows share an event_id, and if one matches
+  -- while the other does not, the unmatched ROW must still emit (the
+  -- stream-stream join keys state on rows, not ids)
   SELECT l.l_event_id, CAST(NULL AS BIGINT) AS r_alert_id
   FROM l CROSS JOIN wm
-  WHERE l.l_event_id NOT IN (SELECT l_event_id FROM matched)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM r
+    WHERE r.u = l.u AND r.s >= l.t - 300000 AND r.s <= l.t
+  )
     AND l.t <= wm.w
 )
 SELECT * FROM matched UNION ALL SELECT * FROM unmatched
@@ -1153,7 +1174,7 @@ def q_streaming_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     both sides."""
     import uuid
 
-    ev = read_events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    ev = _events_fx(spark, sf_dir).select("event_id", "user_id", "ts", "value")
     tape_base = _memo_tape(
         sf_dir, "events3_oj", lambda b: _split3(ev, "ts", b)
     )

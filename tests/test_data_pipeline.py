@@ -963,5 +963,46 @@ class TestLangidConfusion:
             LANG_MARKERS,
         )
 
-        allowed = set(LANG_MARKERS) | {"und"}
+        # F7 plants add NULL-text docs (no prediction at all -> NULL,
+        # distinct from 'und' = real text with no markers) and NULL
+        # labels; both must appear as real matrix cells
+        allowed = set(LANG_MARKERS) | {"und", None}
         assert {r.predicted_lang for r in rows} <= allowed
+        assert any(r.predicted_lang is None for r in rows)
+        assert any(r.labeled_lang is None for r in rows)
+
+
+def test_substring_dup_spans_maximal_merge_and_guards(spark):
+    docs = spark.createDataFrame(
+        [
+            # docs 1/2 share the 7-token phrase "a b c d e f g": three
+            # overlapping duplicated 5-shingles must merge to ONE span
+            (1, "x1 x2 a b c d e f g y1 y2"),
+            (2, "z a b c d e f g"),
+            # internal repetition: same 5-gram at pos 1 and 12, gap 11
+            # > L -> two islands, not one corpus-sized smear
+            (3, "p q r s t m1 m2 m3 m4 m5 m6 p q r s t"),
+            (4, "u1 u2 u3 u4 u5 u6 u7 u8"),  # unique -> no spans
+            (5, "a b c"),  # shorter than L -> contributes nothing
+            (6, None),  # NULL text -> contributes nothing
+            # exactly-adjacent duplicated 5-grams (gap == L) are one
+            # contiguous union -> one merged 10-token span
+            (7, "c1 c2 c3 c4 c5 d1 d2 d3 d4 d5"),
+            (8, "c1 c2 c3 c4 c5"),
+            (9, "d1 d2 d3 d4 d5"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["span_start"]): (r["span_end"], r["span_tokens"])
+        for r in D.substring_dup_spans(docs, min_tokens=5).collect()
+    }
+    assert out == {
+        (1, 3): (9, 7),
+        (2, 2): (8, 7),
+        (3, 1): (5, 5),
+        (3, 12): (16, 5),
+        (7, 1): (10, 10),
+        (8, 1): (5, 5),
+        (9, 1): (5, 5),
+    }

@@ -757,9 +757,14 @@ class TestDocumentsProfile:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("FileScan parquet") == 1
         got = {r.column_name: r for r in df.collect()}
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # the gate profiles the F7-planted fixture (which adds NULL
+        # langs) — compare against the same input
+        from market_microstructure_toolkit_spark.plans.base import plant_docs
+
+        docs = plant_docs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
         assert got["doc_id"].n_distinct == docs.select("doc_id").distinct().count()
         assert got["lang"].n_null == docs.filter("lang IS NULL").count()
+        assert got["lang"].n_null > 0
 
 
 from hypothesis import HealthCheck as _HC2

@@ -224,10 +224,15 @@ def test_doc_length_quantiles_matches_sorted_ranks(spark, sf_dir):
 
     from market_microstructure_toolkit_spark.plans.queries import REGISTRY
 
+    from market_microstructure_toolkit_spark.plans.base import plant_docs
+
     row = REGISTRY["doc_length_quantiles"].spark(spark, sf_dir).collect()[0]
+    # the gate reads the F7-planted fixture and defines quantiles over
+    # docs WITH text — mirror both here
     lens = sorted(
         r["len"]
-        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        for r in plant_docs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        .filter("text IS NOT NULL")
         .selectExpr("length(text) AS len")
         .collect()
     )
