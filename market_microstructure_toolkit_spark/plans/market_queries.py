@@ -730,23 +730,61 @@ targets AS (
   )
   WHERE rn % 50 = 1
 ),
-cand AS (
-  SELECT t.target_id, t.target_ts, b.exchange_id, b.symbol, b.ts_ms,
-         b.raw_nonce, b.best_bid, b.best_ask,
-         abs(b.ts_ms - t.target_ts) AS abs_delta
-  FROM targets t
-  JOIN book b
-    ON b.exchange_id = t.exchange_id AND b.symbol = t.symbol
-   AND abs(b.ts_ms - t.target_ts) <= 3600000
+m AS (
+  -- nonce-dedup duplicate-ts snapshots to the LOWEST raw_nonce: the
+  -- rank-1 pair formulation's ORDER BY (abs_delta, ts_ms, raw_nonce)
+  -- picks it anyway, and DuckDB ASOF is nondeterministic among
+  -- duplicate ordering values
+  SELECT exchange_id, symbol, ts_ms, raw_nonce, best_bid, best_ask
+  FROM book
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY exchange_id, symbol, ts_ms
+                             ORDER BY raw_nonce) = 1
+),
+-- two native ASOF probes (nearest at-or-before / at-or-after) instead
+-- of the former +-1h banded self-join: the band is O(targets x rows
+-- within 1h), which detonates at sf10 tape density (the whole replica
+-- tape spans hours, so EVERY row was a candidate for every target —
+-- the 95 GB OOM the first sf10 probe hit); ASOF is one merge pass
+bwd AS (
+  SELECT t.exchange_id, t.symbol, t.target_id, t.target_ts,
+         m.ts_ms, m.raw_nonce, m.best_bid, m.best_ask
+  FROM targets t ASOF LEFT JOIN m
+    ON t.exchange_id = m.exchange_id AND t.symbol = m.symbol
+   AND m.ts_ms <= t.target_ts
+),
+fwd AS (
+  SELECT t.exchange_id, t.symbol, t.target_id, t.target_ts,
+         m.ts_ms, m.raw_nonce, m.best_bid, m.best_ask
+  FROM targets t ASOF LEFT JOIN m
+    ON t.exchange_id = m.exchange_id AND t.symbol = m.symbol
+   AND m.ts_ms >= t.target_ts
+),
+pick AS (
+  -- nearer candidate wins; equal distance -> backward (the rank-1
+  -- form's ts_ms ASC tiebreak prefers the earlier = backward row)
+  SELECT b.exchange_id, b.symbol, b.target_id, b.target_ts,
+         b.ts_ms AS b_ts, b.raw_nonce AS b_nonce,
+         b.best_bid AS b_bid, b.best_ask AS b_ask,
+         f.ts_ms AS f_ts, f.raw_nonce AS f_nonce,
+         f.best_bid AS f_bid, f.best_ask AS f_ask,
+         (b.ts_ms IS NOT NULL AND (f.ts_ms IS NULL OR
+            b.target_ts - b.ts_ms <= f.ts_ms - f.target_ts)) AS use_b
+  FROM bwd b JOIN fwd f
+    ON b.exchange_id = f.exchange_id AND b.symbol = f.symbol
+   AND b.target_id = f.target_id
 )
-SELECT exchange_id, symbol, target_id, target_ts, ts_ms, raw_nonce,
-       abs_delta, best_bid, best_ask
+SELECT exchange_id, symbol, target_id, target_ts,
+       ts_ms, raw_nonce, abs(ts_ms - target_ts) AS abs_delta,
+       best_bid, best_ask
 FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY exchange_id, symbol, target_id
-                               ORDER BY abs_delta, ts_ms, raw_nonce) AS rk
-  FROM cand
+  SELECT exchange_id, symbol, target_id, target_ts,
+         CASE WHEN use_b THEN b_ts ELSE f_ts END AS ts_ms,
+         CASE WHEN use_b THEN b_nonce ELSE f_nonce END AS raw_nonce,
+         CASE WHEN use_b THEN b_bid ELSE f_bid END AS best_bid,
+         CASE WHEN use_b THEN b_ask ELSE f_ask END AS best_ask
+  FROM pick
 )
-WHERE rk = 1
+WHERE ts_ms IS NOT NULL AND abs(ts_ms - target_ts) <= 3600000
 """
 
 
@@ -760,8 +798,11 @@ def q_book_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     atomic structs, the nearer in-tolerance candidate wins (equal
     distance -> backward; same-ts -> earliest nonce) — NO join operator
     in the plan (pinned by test_asof_join_is_sort_merge_not_pair_join).
-    Oracle stays the rank-1 pair formulation, proving the sort-merge
-    reproduces its exact tie semantics."""
+    Oracle: two native ASOF probes (at-or-before / at-or-after, nonce-
+    deduped) with the rank-1 formulation's exact tie rules — the former
+    +-1h banded self-join oracle was O(targets x band occupancy) and
+    OOMed DuckDB at sf10 tape density (hash-identical at every SF to
+    the banded form it replaced)."""
     from market_microstructure_toolkit_spark.operators.asof import asof_nearest
 
     book = synthetic_book(spark, sf_dir).select(

@@ -25,6 +25,7 @@ every scale factor (round-3 verdict item #3).
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -140,8 +141,12 @@ def main() -> int:
             .config("spark.sql.session.timeZone", "America/New_York")
             # sizing only, never semantics: the default 1g heap OOMs on
             # the sf1 sweep's 1M-row collections (the driver's own gate
-            # runs at sf0.01 where 1g is plenty)
-            .config("spark.driver.memory", "8g")
+            # runs at sf0.01 where 1g is plenty); the sf10 probes
+            # collect 10M-row results and need more — override via env
+            .config(
+                "spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_ORACLE_DRIVER_MEM", "8g"),
+            )
             .getOrCreate()
         )
         spark.sparkContext.setLogLevel("ERROR")
@@ -249,7 +254,6 @@ def main() -> int:
     if artifact:
         import datetime as dt
         import json
-        import os
 
         sf_key = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
         doc = {}
