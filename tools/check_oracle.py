@@ -71,13 +71,39 @@ def canon_hash(pdf) -> tuple[str, list[str], int]:
 FAST_ROWS = 200_000
 
 
-def canon_hash_fast(pdf) -> tuple[str, list[str], int]:
+def canon_hash_fast(pdf, with_sample: bool = False):
     """Vectorized order-insensitive canonicalization: per-row uint64
     hashes (pandas' C siphash over every column, dtype-normalized the
     same way the slow canon's reprs are: integer widths collapse, float
     NaN/None unify) summed mod 2^64 with the row count. Equal row
     multisets -> equal (sum, count) under ANY row order; a mismatch in
-    any cell value perturbs its row hash and therefore the sum."""
+    any cell value perturbs its row hash and therefore the sum.
+
+    Strength bound (round-8 verdict #4). This is NOT a quantized or
+    lossy digest: every cell contributes its full dtype-normalized bit
+    pattern (float64 after -0.0 -> 0.0 and NaN unification — the same
+    two folds the repr canon applies; int64; repr for object scalars).
+    The only way two differing row multisets can agree on both sum and
+    count is a 64-bit hash coincidence: modeling hash_pandas_object's
+    SipHash as a random oracle, a single differing row collides with
+    probability 2^-64, and k differing rows require their hash deltas
+    to cancel mod 2^64 — again 2^-64 for any fixed difference pattern.
+    So per query comparison, P[false "hash-exact"] ~= 2^-64 ~= 5e-20 —
+    far below the per-run chance of a cosmic-ray bit flip. The residual
+    gap vs the repr canon is therefore collision risk only, not
+    sensitivity: no value difference is quantized away. Verified by
+    ``tests/test_sum64_hasher.py`` (single-cell corruptions of a
+    >200k-row frame move the hash; permutations don't) and, on real
+    probe data, by the ``with_sample`` stratum below.
+
+    ``with_sample=True`` additionally repr-canon-hashes a deterministic
+    ~1% stratum (rows whose own content hash is 0 mod 101) and returns
+    ``(hash, cols, n, sample_hash, sample_n)``. Equal multisets select
+    identical strata, so matching frames always produce matching sample
+    hashes; on real data the stratum cross-checks that the fast canon's
+    dtype normalization agrees with the slow repr canon (a systematic
+    per-column divergence — dtype drift, encoding skew — lands in the
+    stratum and fails its repr hash)."""
     import numpy as np
     import pandas as pd
 
@@ -106,8 +132,16 @@ def canon_hash_fast(pdf) -> tuple[str, list[str], int]:
             )
         norm[c] = s
     h = pd.util.hash_pandas_object(pd.DataFrame(norm), index=False)
-    total = int(np.sum(h.values.astype("uint64"), dtype="uint64"))
-    return f"s{total:016x}", cols, len(pdf)
+    hv = h.values.astype("uint64")
+    total = int(np.sum(hv, dtype="uint64"))
+    if not with_sample:
+        return f"s{total:016x}", cols, len(pdf)
+    # deterministic content-keyed ~1% stratum, repr-canon-hashed: the
+    # same rows are selected on both sides iff the multisets agree, and
+    # the slow canon then re-verifies them cell-by-cell via repr
+    idx = np.nonzero(hv % np.uint64(101) == np.uint64(0))[0]
+    sh, _, sn = canon_hash(pdf.iloc[idx])
+    return f"s{total:016x}", cols, len(pdf), sh, sn
 
 
 def dtype_map(pdf) -> dict[str, str]:
@@ -198,14 +232,25 @@ def main() -> int:
             records[name] = {"status": "rows-only", "rows": len(spdf)}
             continue
         dpdf = con.execute(oracles[name]).fetchdf()
-        hasher = (
-            canon_hash_fast
-            if max(len(spdf), len(dpdf)) > FAST_ROWS
-            else canon_hash
-        )
+        fast = max(len(spdf), len(dpdf)) > FAST_ROWS
+        samp = None
         try:
-            sh, scols, srows = hasher(spdf)
-            dh, dcols, drows = hasher(dpdf)
+            if fast:
+                sh, scols, srows, s_samp, s_sn = canon_hash_fast(
+                    spdf, with_sample=True
+                )
+                dh, dcols, drows, d_samp, d_sn = canon_hash_fast(
+                    dpdf, with_sample=True
+                )
+                samp = {
+                    "sample_hash_spark": s_samp,
+                    "sample_hash_duckdb": d_samp,
+                    "sample_rows": s_sn,
+                    "sample_match": s_samp == d_samp and s_sn == d_sn,
+                }
+            else:
+                sh, scols, srows = canon_hash(spdf)
+                dh, dcols, drows = canon_hash(dpdf)
         except Exception as exc:  # noqa: BLE001 - e.g. unhashable cells
             print(f"{name:28s} CANON-ERR {type(exc).__name__}: {exc}")
             records[name] = {
@@ -216,7 +261,7 @@ def main() -> int:
             continue
         ok_cols = scols == dcols
         ok_count = srows == drows
-        ok_hash = sh == dh
+        ok_hash = sh == dh and (samp is None or samp["sample_match"])
         status = "OK " if (ok_cols and ok_count and ok_hash) else "FAIL"
         records[name] = {
             "status": status.strip().lower(),
@@ -227,8 +272,10 @@ def main() -> int:
             "hash_spark": sh,
             "hash_duckdb": dh,
             "hash_match": ok_hash,
-            "hasher": "sum64" if hasher is canon_hash_fast else "repr",
+            "hasher": "sum64+sample" if fast else "repr",
         }
+        if samp is not None:
+            records[name].update(samp)
         if status == "FAIL":
             failures += 1
         print(
