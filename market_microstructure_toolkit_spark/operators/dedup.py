@@ -551,13 +551,17 @@ def substring_dup_spans(
     min_tokens: int = 5,
 ) -> DataFrame:
     """EXACT substring deduplication, Lee et al. 2022 ("Deduplicating
-    Training Data Makes Language Models Better") style: find every
-    maximal token span of length >= ``min_tokens`` whose content occurs
-    more than once in the corpus (across documents OR repeated within
-    one) — the spans ExactSubstr removes. The paper builds a suffix
-    array; the relational equivalent for fixed minimum length L is
-    shingle-anchored: a length-M duplicated span is exactly a maximal
-    run of duplicated L-token shingles, so
+    Training Data Makes Language Models Better") style. Emitted spans
+    are maximal UNIONS of duplicated L-token shingles (L =
+    ``min_tokens``): every L-token window inside a span occurs more
+    than once in the corpus (across documents OR repeated within one),
+    which is removal-mask-equivalent to ExactSubstr — the union of all
+    duplicated >=L substrings covers exactly the same token positions.
+    A span's FULL content need not itself occur twice anywhere: two
+    abutting runs whose halves duplicate against different documents
+    merge into one span (fixture-pinned in the substring tests). The
+    paper builds a suffix array; the relational equivalent for fixed
+    minimum length L is shingle-anchored, so
 
     1. explode each document into positioned L-token shingles
        (O(tokens) rows, ``transform`` + ``posexplode``, no UDF);

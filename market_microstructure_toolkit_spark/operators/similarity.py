@@ -72,9 +72,44 @@ def sign_bucket(vec: Column | str, n_bits: int = 8, offset: int = 0) -> Column:
     return out
 
 
+#: expected-occupancy target for ``auto`` band sizing: the smallest bit
+#: width keeping E[|bucket|] = n / 2^bits at or below this. 100 keeps
+#: per-bucket pair work at C(100,2) ~ 5k rows and total candidate pairs
+#: ~ n_bands * occ * n — LINEAR in corpus size until the bit ceiling.
+AUTO_TARGET_OCC = 100
+
+
+def auto_bits_per_band(
+    n_rows: int, n_bands: int = 4, dim: int = 64
+) -> int:
+    """Corpus-size-adaptive sign-LSH band width (round-9 decade fix).
+
+    A FIXED bucket space is a quadratic time bomb: with 4x8 bits the
+    1024 (band, bucket) groups fill linearly with corpus size, so
+    candidate pairs grow as n^2/1024 — measured 31k -> 3.1M -> 312M
+    pairs across sf0.1 -> sf1 -> sf10 (2k -> 200k vectors), the last
+    OOMing a 128 GB heap. The guard cap (1000/bucket) never fires on
+    uniform mass: occupancy at sf10 was 781-914, just under it.
+
+    Returns the smallest ``bits`` in [8, min(16, dim // n_bands)] with
+    ``n_rows <= AUTO_TARGET_OCC * 2^bits`` — integer thresholds (25 600,
+    51 200, 102 400, ... at the defaults), NOT a float log2, so the
+    DuckDB oracles can reproduce the choice with an exact CASE chain.
+    At the ceiling (n > 100 * 2^16 ~ 6.5M at 64 dims / 4 bands) the
+    sign family's resolution is exhausted: beyond it, raise ``dim``,
+    chain an IVF coarse quantizer in front (see module docstring), or
+    accept occupancy growth bounded by ``max_bucket``.
+    """
+    hi = min(16, dim // n_bands)
+    bits = 8
+    while bits < hi and n_rows > AUTO_TARGET_OCC << bits:
+        bits += 1
+    return bits
+
+
 def lsh_banded_pairs(
     df: DataFrame,
-    bits_per_band: int = 8,
+    bits_per_band: int | str = 8,
     n_bands: int = 4,
     min_cosine: float = 0.0,
     max_bucket: int | None = 1000,
@@ -106,7 +141,15 @@ def lsh_banded_pairs(
 
     Returns (id_a < id_b, cos_sim >= min_cosine), scored by exact cosine
     once per surviving pair.
+
+    ``bits_per_band="auto"`` sizes the band width from the corpus row
+    count via :func:`auto_bits_per_band` (one cheap count job — parquet
+    footer metadata for raw-table inputs). This is the scale path: a
+    fixed width is quadratic in corpus size (see auto_bits_per_band);
+    every gate routing through this generator uses auto.
     """
+    if bits_per_band == "auto":
+        bits_per_band = auto_bits_per_band(df.count(), n_bands=n_bands)
     v = as_double(vec_col)
     bands = F.array(
         *[

@@ -482,6 +482,7 @@ def rolling_segmented(
     order_col: str | list = "ts_ms",
     n_chunks: int = 64,
     n_segments: int = 256,
+    lookahead: int = 0,
 ) -> DataFrame:
     """Bounded-lookback window pipelines via chunk + (W-1)-row halo —
     the scale path for ``rowsBetween(-(window-1), 0)`` frames and
@@ -524,6 +525,14 @@ def rolling_segmented(
     of stage i are only valid from halo row (cumulative lookback of
     stages <= i) onward, which the halo sizing guarantees for every
     surviving row's frame.
+
+    ``lookahead > 0`` additionally duplicates each chunk's FIRST
+    ``lookahead`` rows into the PREVIOUS chunk (a forward halo), so
+    ``F.lead(c, k).over(w)`` for k <= lookahead is exact for every
+    surviving row — the scale path for bounded-lookahead operators
+    (realized spread's mid H trades ahead). Rows within ``lookahead``
+    of the END of a key's series see NULL leads in both the plain and
+    the segmented form (no halo exists past the last row).
     """
     order = [order_col] if isinstance(order_col, str) else list(order_col)
     seg_col = order[0]
@@ -557,6 +566,7 @@ def rolling_segmented(
     )
     chunk_sz = F.greatest(
         F.lit(window).cast("long"),
+        F.lit(lookahead).cast("long"),
         F.ceil(F.col("__n") / F.lit(n_chunks)).cast("long"),
     )
     chunk = (F.col("__pos") / chunk_sz).cast("long")
@@ -572,7 +582,18 @@ def rolling_segmented(
         .withColumn("__chunk", chunk + 1)
         .withColumn("__halo", F.lit(1))
     )
-    u = base.unionByName(halo).drop("__n")
+    u = base.unionByName(halo)
+    if lookahead > 0:
+        halo_fwd = (
+            pos.filter(
+                ((F.col("__pos") % chunk_sz) < F.lit(lookahead))
+                & (chunk > 0)
+            )
+            .withColumn("__chunk", chunk - 1)
+            .withColumn("__halo", F.lit(1))
+        )
+        u = u.unionByName(halo_fwd)
+    u = u.drop("__n")
     w_base = Window.partitionBy(*keys, "__chunk").orderBy("__pos")
     stages = agg_builder(w_base)
     if isinstance(stages, dict):
@@ -721,5 +742,111 @@ def add_cumulative_segmented(
         _nullsafe_broadcast_join(local, offsets, [*keys, "__seg"])
         .withColumn(out_col or f"{col}_cum", cum)
         .drop("__lo", "__hi", "__seg", "__local_cum", "__off", "__pcnt")
+    )
+    return out
+
+
+def add_rolling_rv_reset_segmented(
+    df: DataFrame,
+    price_col: str = "mid",
+    window: int = 20,
+    out_col: str = "rv",
+    keys: tuple[str, ...] = S.PARTITION_KEYS,
+    order_col: str | list = "ts_ms",
+    n_chunks: int = 64,
+) -> DataFrame:
+    """W6 reset-on-gap RV on the chunk+halo path (round-9 dispatch
+    audit). The plain form stacks an UNBOUNDED gap-group window under
+    the bounded frame — un-chunkable as written — but the gap grouping
+    is mathematically redundant: a frame of the last ``window`` ROWS
+    that contains ``window`` non-null returns cannot span a gap (any
+    gap row inside the frame is itself a null return), and when the
+    current gap run is shorter than ``window`` the global frame
+    necessarily includes the gap row, failing the same count gate. So
+    the reset variant IS the W5 gated form over the raw (ungrouped)
+    frame — two chained stages (ratio-log return, then gated frame),
+    total lookback 1 + (window-1) + 1. Value-identical (bit-exact for
+    quantized/exact-binary returns, same frame row set and order
+    otherwise) to :func:`add_rolling_rv_reset`; pinned by
+    tests/test_scale_paths dispatch-parity cases."""
+
+    def build(w):
+        p = F.col(price_col)
+        pp = F.lag(p).over(w)
+        ret = F.when((p > 0) & (pp > 0), F.log(p / pp))
+        wf = w.rowsBetween(-(window - 1), 0)
+        r = F.col("__rvr_ret")
+        return [
+            {"__rvr_ret": ret},
+            {
+                out_col: F.when(
+                    F.count(r).over(wf) == window, F.sum(r * r).over(wf)
+                )
+            },
+        ]
+
+    return rolling_segmented(
+        df, build, window + 1, keys=keys, order_col=order_col,
+        n_chunks=n_chunks,
+    ).drop("__rvr_ret")
+
+
+def add_running_last_segmented(
+    df: DataFrame,
+    col: str,
+    out_col: str | None = None,
+    keys: tuple[str, ...] = S.PARTITION_KEYS,
+    order_col: str | list = "ts_ms",
+    n_segments: int = 64,
+) -> DataFrame:
+    """Running ``last(col, ignorenulls=True)`` (forward-fill) via the
+    same two-phase segmented scan as :func:`add_cumulative_segmented` —
+    the scale path for unbounded carry windows (Lee-Ready tick-sign
+    carry across zero-ticks). Phase 1: per-(key, range-segment) local
+    running last — parallel per key. Phase 2: each segment's carry-in is
+    the latest non-null among ALL prior segments, computed with one tiny
+    per-segment window (``max_by`` over the in-segment order makes the
+    per-segment "last non-null" deterministic, then ``last ignorenulls``
+    over the config-sized segment list). Final: coalesce(local, carry).
+    Deterministic and exactly equal to the one-window form — last() is
+    selection, not accumulation, so there is no float-association
+    caveat at all."""
+    order = [order_col] if isinstance(order_col, str) else list(order_col)
+    seg_col = order[0]
+    out_name = out_col or f"{col}_ffill"
+    bounds = df.groupBy(*keys).agg(
+        F.min(seg_col).alias("__lo"), F.max(seg_col).alias("__hi")
+    )
+    keyed = _nullsafe_broadcast_join(df, bounds, list(keys)).withColumn(
+        "__seg", _segment_expr(seg_col, n_segments)
+    )
+    w_local = (
+        Window.partitionBy(*keys, "__seg")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = keyed.withColumn(
+        "__local_last", F.last(F.col(col), ignorenulls=True).over(w_local)
+    )
+    seg_last = keyed.groupBy(*keys, "__seg").agg(
+        F.max_by(
+            F.col(col),
+            F.when(F.col(col).isNotNull(), F.struct(*[F.col(c) for c in order])),
+        ).alias("__seg_last")
+    )
+    w_carry = (
+        Window.partitionBy(*keys)
+        .orderBy("__seg")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = seg_last.select(
+        *keys,
+        "__seg",
+        F.last("__seg_last", ignorenulls=True).over(w_carry).alias("__carry"),
+    )
+    out = (
+        _nullsafe_broadcast_join(local, carries, [*keys, "__seg"])
+        .withColumn(out_name, F.coalesce(F.col("__local_last"), F.col("__carry")))
+        .drop("__lo", "__hi", "__seg", "__local_last", "__carry")
     )
     return out

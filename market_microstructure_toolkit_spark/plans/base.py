@@ -186,6 +186,17 @@ def _tape_cache_key(sf_dir: str, kind: str) -> str:
 
     h = hashlib.md5()
     h.update(f"{os.path.abspath(sf_dir)}|{kind}|".encode())
+    # fixture identity (size+mtime of every parquet in the sf dir):
+    # regenerating fixtures under the SAME path must invalidate cached
+    # tapes (round-8 advice — the path alone served stale tapes)
+    sfp = os.path.abspath(sf_dir)
+    try:
+        for fn in sorted(os.listdir(sfp)):
+            if fn.endswith(".parquet"):
+                st = os.stat(os.path.join(sfp, fn))
+                h.update(f"{fn}:{st.st_size}:{st.st_mtime_ns}|".encode())
+    except OSError:
+        h.update(b"nodir")
     from market_microstructure_toolkit_spark.plans.book import _plants_on
 
     h.update(b"plants" if _plants_on() else b"noplants")
@@ -227,11 +238,34 @@ def _memo_tape(sf_dir: str, kind: str, build) -> str:
     hit = _TAPE_MEMO.get(key)
     if hit:
         return hit
+    # per-user, 0700 cache root (round-8 advice): a predictable path
+    # under a world-writable parent must not let another uid pre-create
+    # or poison tapes that feed correctness gates
     root = os.path.join(
         "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir(),
-        "mmt_tape_cache",
+        f"mmt_tape_cache_u{os.getuid()}",
     )
-    os.makedirs(root, exist_ok=True)
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.stat(root)
+    if st.st_uid != os.getuid():
+        # someone else owns the path — refuse it, use a private dir
+        root = tempfile.mkdtemp(prefix="mmt_tape_cache_")
+    else:
+        os.chmod(root, 0o700)
+        # age-based eviction so long sessions can't fill /dev/shm: any
+        # entry untouched for >6h is from a previous code state (the
+        # source-hash key changes per edit) and will never hit again
+        import shutil as _sh
+        import time as _time
+
+        cutoff = _time.time() - 6 * 3600
+        try:
+            for ent in os.listdir(root):
+                p = os.path.join(root, ent)
+                if os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                    _sh.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
     final = os.path.join(root, _tape_cache_key(sf_dir, kind))
     if not os.path.isdir(final):
         base = _scratch(prefix=f"mmt_tape_{kind}_")
@@ -244,6 +278,10 @@ def _memo_tape(sf_dir: str, kind: str, build) -> str:
             if not os.path.isdir(final):
                 _TAPE_MEMO[key] = base
                 return base
+    try:
+        os.utime(final)  # keep hot entries out of the age eviction
+    except OSError:
+        pass
     _TAPE_MEMO[key] = final
     return final
 
@@ -410,13 +448,21 @@ def plant_docs(df: DataFrame) -> DataFrame:
     )
 
 
-def plants_rewrite_sql(sql: str | None) -> str | None:
+def plants_rewrite_sql(sql: str | None, name: str = "") -> str | None:
     """Route an oracle's raw ``events``/``documents`` references through
-    the planted CTEs (word-boundary rename + prepended CTEs; merges
+    the planted CTEs (FROM/JOIN-position rename + prepended CTEs; merges
     into an existing leading WITH). The book CTE is NOT affected — its
     derivation reads ``events`` inside its own SQL, which lives in
     market_queries where this rewrite is not applied (the book carries
-    its own F6 plants)."""
+    its own F6 plants).
+
+    Round-9 (round-8 advice): the rename is constrained to table
+    positions (``FROM``/``JOIN`` keyword prefix) instead of every
+    word-boundary occurrence, and any RESIDUAL bare table reference
+    left outside the book CTE and outside ``--`` comments raises at
+    registration time — a column alias, string literal, or other
+    non-table use of the word would otherwise be silently renamed (or
+    silently left reading unplanted data)."""
     import re
 
     from market_microstructure_toolkit_spark.plans.book import _plants_on
@@ -424,24 +470,35 @@ def plants_rewrite_sql(sql: str | None) -> str | None:
     if sql is None or not _plants_on():
         return sql
 
+    book = book_sql()
+
     def sub_outside_book_cte(pattern: str, repl: str, s: str) -> str:
         # The embedded book-CTE text (streaming replays compose
         # _BOOK_CTE into their oracles) reads the RAW events table by
         # design — split on the exact book_sql() text and rename only
         # outside it.
-        book = book_sql()
         parts = s.split(book)
-        return book.join(re.sub(pattern, repl, p) for p in parts)
+        return book.join(
+            re.sub(pattern, repl, p, flags=re.IGNORECASE) for p in parts
+        )
 
     ctes = []
     out = sql
-    probe = out.replace(book_sql(), "")
-    if re.search(r"\bevents\b", probe):
-        out = sub_outside_book_cte(r"\bevents\b", "events_planted", out)
-        ctes.append(f"events_planted AS ({EVENTS_PLANTED_SQL})")
-    if re.search(r"\bdocuments\b", probe):
-        out = sub_outside_book_cte(r"\bdocuments\b", "documents_planted", out)
-        ctes.append(f"documents_planted AS ({DOCS_PLANTED_SQL})")
+    for tbl, planted in (
+        ("events", EVENTS_PLANTED_SQL),
+        ("documents", DOCS_PLANTED_SQL),
+    ):
+        pat = rf"\b(FROM|JOIN)(\s+){tbl}\b"
+        if re.search(pat, out.replace(book, ""), flags=re.IGNORECASE):
+            out = sub_outside_book_cte(pat, rf"\1\2{tbl}_planted", out)
+            ctes.append(f"{tbl}_planted AS ({planted})")
+        residual = re.sub(r"--[^\n]*", "", out.replace(book, ""))
+        if re.search(rf"\b{tbl}\b", residual):
+            raise ValueError(
+                f"plants_rewrite_sql[{name}]: bare '{tbl}' reference in a "
+                f"non-FROM/JOIN position — alias it or route it through "
+                f"{tbl}_planted explicitly"
+            )
     if not ctes:
         return sql
     cte_block = ", ".join(ctes)
@@ -456,7 +513,7 @@ def register_planted(name: str, sql: str | None):
     """register() with the F7 plant rewrite applied to the oracle SQL —
     the registration entry point for the events/corpus/streaming gate
     modules (their Spark sides consume the planted loaders)."""
-    return register(name, plants_rewrite_sql(sql))
+    return register(name, plants_rewrite_sql(sql, name=name))
 
 
 def _events_fx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,6 +541,51 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from market_microstructure_toolkit_spark.partitioning import spread
 
     return spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id")
+
+
+def lsh_keyed_sql(n_bands: int = 4) -> str:
+    """DuckDB twin of ``operators.similarity.lsh_banded_pairs``'s keyed
+    stage with ``bits_per_band="auto"``: emits ``nb`` (the adaptive band
+    width — the SAME integer thresholds as ``auto_bits_per_band``, an
+    exact CASE chain, no float log) and ``keyed`` (vec_id, v, band,
+    bucket) CTE bodies. Bit term i>=8 is gated on ``nb.bits > i`` so one
+    static SQL text reproduces every width the operator can choose.
+
+    Round-9 decade fix: the previous static 4x8-bit SQL (1024 buckets
+    forever) made candidate pairs quadratic in corpus size — 312M pairs
+    at sf10 — in BOTH engines; band resolution must grow with the data.
+    """
+    from market_microstructure_toolkit_spark.operators.similarity import (
+        AUTO_TARGET_OCC,
+    )
+
+    hi = min(16, 64 // n_bands)
+    cases = "\n    ".join(
+        f"WHEN COUNT(*) <= {AUTO_TARGET_OCC << b} THEN {b}"
+        for b in range(8, hi)
+    )
+    terms = []
+    for i in range(hi):
+        gate = f"nb.bits > {i} AND " if i >= 8 else ""
+        terms.append(
+            f"(CASE WHEN {gate}e.embedding[b.band * nb.bits + {i + 1}] > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = "\n    + ".join(terms)
+    bands = ", ".join(str(j) for j in range(n_bands))
+    return f"""nb AS (
+  SELECT CASE
+    {cases}
+    ELSE {hi} END AS bits
+  FROM embeddings
+),
+keyed AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, b.band,
+    {bucket} AS bucket
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest([{bands}]) AS band) b
+  CROSS JOIN nb
+)"""
 
 
 _OFI_STRICT_SQL = f"""{_BOOK_CTE},

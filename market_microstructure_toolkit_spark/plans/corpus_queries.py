@@ -11,6 +11,7 @@ from market_microstructure_toolkit_spark.plans.base import (
     _docs,
     _emb,
     _scratch,
+    lsh_keyed_sql,
     plant_docs,
     register_planted as register,
 )
@@ -590,19 +591,11 @@ def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BANDED_PAIR_CTES = """keyed AS (
-  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, b.band,
-    (CASE WHEN e.embedding[b.band * 8 + 1] > 0 THEN 1 ELSE 0 END)
-    + (CASE WHEN e.embedding[b.band * 8 + 2] > 0 THEN 2 ELSE 0 END)
-    + (CASE WHEN e.embedding[b.band * 8 + 3] > 0 THEN 4 ELSE 0 END)
-    + (CASE WHEN e.embedding[b.band * 8 + 4] > 0 THEN 8 ELSE 0 END)
-    + (CASE WHEN e.embedding[b.band * 8 + 5] > 0 THEN 16 ELSE 0 END)
-    + (CASE WHEN e.embedding[b.band * 8 + 6] > 0 THEN 32 ELSE 0 END)
-    + (CASE WHEN e.embedding[b.band * 8 + 7] > 0 THEN 64 ELSE 0 END)
-    + (CASE WHEN e.embedding[b.band * 8 + 8] > 0 THEN 128 ELSE 0 END) AS bucket
-  FROM embeddings e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
-),
-capped AS (
+_BANDED_PAIR_CTES = (
+    lsh_keyed_sql()
+    + """,
+capped AS ("""
+    + """
   SELECT vec_id, v, band, bucket FROM (
     SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bn FROM keyed
   ) WHERE bn <= 1000
@@ -618,6 +611,7 @@ bandpairs AS (
 pairs AS (
   SELECT id_a, id_b, MIN(cos) AS cos_sim FROM bandpairs GROUP BY id_a, id_b
 )"""
+)
 
 
 _EMB_NN_SQL = (
@@ -644,8 +638,9 @@ SELECT vec_id, nn_id, cos_sim FROM (
 def q_dedup_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup primitive: each vector's single nearest
     LSH-candidate neighbor (candidate canonical pairing). Candidates come
-    from the guarded banded generator (4 bands x 8 bits -> 1024 shuffle
-    keys, hot buckets capped) — the only pair path in the repo; the final
+    from the guarded banded generator (4 bands x auto-width bits — the
+    bucket count grows with the corpus so occupancy stays ~100, hot
+    buckets capped) — the only pair path in the repo; the final
     per-key window rank keeps state at one row per vector, shuffle keyed
     on vec_id."""
     from market_microstructure_toolkit_spark.operators.similarity import (
@@ -654,7 +649,7 @@ def q_dedup_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     pairs = lsh_banded_pairs(
-        emb, bits_per_band=8, n_bands=4, min_cosine=-2.0, max_bucket=1000
+        emb, bits_per_band="auto", n_bands=4, min_cosine=-2.0, max_bucket=1000
     )
     # both directions from ONE evaluation of the bucket self-join — a
     # union of two selects over `pairs` would run the join twice
@@ -1338,8 +1333,8 @@ SELECT id AS vec_id, lab AS cluster_id FROM it12
 @register("dedup_semantic_clusters", _SEMANTIC_CLUSTERS_SQL)
 def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup in embedding space: banded sign-LSH
-    candidate pairs (guarded generator — 4 bands x 8 bits, hot buckets
-    capped) scored by exact cosine, thresholded (>= 0.25 on the
+    candidate pairs (guarded generator — 4 bands x auto-width bits, hot
+    buckets capped) scored by exact cosine, thresholded (>= 0.25 on the
     6-dp-rounded value so the edge set is engine-exact), then resolved
     into connected components — cluster_id = min reachable vec_id; keep
     one representative per cluster to drop semantic near-duplicates.
@@ -1352,7 +1347,7 @@ def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     pairs = (
         lsh_banded_pairs(
-            emb, bits_per_band=8, n_bands=4, min_cosine=-2.0, max_bucket=1000
+            emb, bits_per_band="auto", n_bands=4, min_cosine=-2.0, max_bucket=1000
         )
         .filter(F.round("cos_sim", 6) >= 0.25)
         .select("id_a", "id_b")

@@ -453,13 +453,48 @@ def q_book_rv_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W6 reset-on-gap RV (metrics.py:196-232) via the two-stacked-windows
     plan: running null-count assigns a gap-group id, then the rolling
     sum/count runs inside (keys, gap_grp) so frames never span a gap.
-    Gaps injected every 37th event; returns quantized (exact sums)."""
+    Gaps injected every 37th event; returns quantized (exact sums).
+
+    SIZE-DISPATCHED (round-9 window audit): above ``seg_threshold()``
+    rows per key the gap grouping — an UNBOUNDED running window — is
+    replaced by its chunk+halo equivalent: a 20-row frame holding 20
+    non-null returns cannot span a gap (a gap row in the frame is
+    itself a null return), so the gated RAW frame computes the same
+    value without the gap-group window, as two chained bounded stages
+    (lookback 21). Quantized returns keep the sums bit-identical."""
     book = synthetic_book(spark, sf_dir)
     mid = F.when(
         F.col("raw_nonce") % 37 != 0,
         (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0),
     )
     mids = book.select(*IDS, mid.alias("mid"))
+    if W.use_segmented(book_rows_per_key(sf_dir)):
+
+        def build(w):
+            rq = (
+                F.floor(
+                    (F.col("mid") / F.lag("mid").over(w) - F.lit(1.0))
+                    * F.lit(1e4)
+                    * F.lit(1024.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1024.0)
+            )
+            wf = w.rowsBetween(-19, 0)
+            r = F.col("__ret_q")
+            return [
+                {"__ret_q": rq},
+                {
+                    "rv_reset_20": F.when(
+                        F.count(r).over(wf) == 20, F.sum(r * r).over(wf)
+                    )
+                },
+            ]
+
+        out = W.rolling_segmented(
+            mids, build, window=21, keys=KEYS, order_col=list(ORDER_COLS)
+        )
+        return out.select(*IDS, "mid", "rv_reset_20")
     w = W.book_window(KEYS, ORDER_COLS)
     rq = (
         F.floor(
@@ -1848,7 +1883,10 @@ def q_trade_signs_lee_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
     below, AND exactly on the mid, so every branch is exercised; price
     arithmetic is bit-exact cross-engine (integer modulus + IEEE-754)."""
     tape = synthetic_trades(spark, sf_dir)
-    out = T.classify_lee_ready(tape, KEYS, ORDER_COLS)
+    out = T.classify_lee_ready(
+        tape, KEYS, ORDER_COLS,
+        segmented=W.use_segmented(book_rows_per_key(sf_dir)),
+    )
     return out.select(
         *IDS, F.round("price", 6).alias("price"), "qty", "side"
     )
@@ -1864,8 +1902,9 @@ def q_trade_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
     Trade sizes are exact binary fractions, so the cumulative and
     per-bucket sums are order-free exact: no rounding needed."""
     tape = synthetic_trades(spark, sf_dir)
-    classified = T.classify_lee_ready(tape, KEYS, ORDER_COLS)
-    return T.vpin(classified, 50.0, KEYS, ORDER_COLS)
+    seg = W.use_segmented(book_rows_per_key(sf_dir))
+    classified = T.classify_lee_ready(tape, KEYS, ORDER_COLS, segmented=seg)
+    return T.vpin(classified, 50.0, KEYS, ORDER_COLS, segmented=seg)
 
 
 _KYLE_SQL = f"""{_CLASSIFIED_CTE},
@@ -1891,8 +1930,9 @@ def q_trade_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical keys); the moment reductions are order-sensitive float
     sums -> 6-dp rounding per the repo determinism idiom."""
     tape = synthetic_trades(spark, sf_dir)
-    classified = T.classify_lee_ready(tape, KEYS, ORDER_COLS)
-    return T.kyle_lambda(classified, KEYS, ORDER_COLS)
+    seg = W.use_segmented(book_rows_per_key(sf_dir))
+    classified = T.classify_lee_ready(tape, KEYS, ORDER_COLS, segmented=seg)
+    return T.kyle_lambda(classified, KEYS, ORDER_COLS, segmented=seg)
 
 
 _EFF_SPREAD_SQL = f"""{_CLASSIFIED_CTE},
@@ -1928,8 +1968,11 @@ def q_trade_effective_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact in any accumulation order (ADVICE r7), 6-dp output rounding
     kept for presentation."""
     tape = synthetic_trades(spark, sf_dir)
-    classified = T.classify_lee_ready(tape, KEYS, ORDER_COLS)
-    return T.effective_realized_spread(classified, 20, KEYS, ORDER_COLS)
+    seg = W.use_segmented(book_rows_per_key(sf_dir))
+    classified = T.classify_lee_ready(tape, KEYS, ORDER_COLS, segmented=seg)
+    return T.effective_realized_spread(
+        classified, 20, KEYS, ORDER_COLS, segmented=seg
+    )
 
 
 _BIPOWER_SQL = f"""{_BOOK_CTE},
@@ -2180,7 +2223,10 @@ def q_trade_mrr_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-sensitive -> 6-dp rounding; both engines restrict to the
     common non-null sample (first two prints per instrument drop)."""
     tape = synthetic_trades(spark, sf_dir)
-    classified = T.classify_lee_ready(tape, KEYS, ORDER_COLS)
+    classified = T.classify_lee_ready(
+        tape, KEYS, ORDER_COLS,
+        segmented=W.use_segmented(book_rows_per_key(sf_dir)),
+    )
     w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
     staged = classified.select(
         *KEYS,
@@ -2507,16 +2553,35 @@ def q_book_return_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     an in-plan stack — no re-scan per lag, no second shuffle. CORR is an
     order-sensitive moment -> 6-dp rounding."""
     book = synthetic_book(spark, sf_dir)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
     mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
-    rets = book.select(
-        *KEYS, *ORDER_COLS, F.log(mid / F.lag(mid).over(w)).alias("r")
-    )
-    lagged = rets.select(
-        *KEYS,
-        "r",
-        *[F.lag("r", k).over(w).alias(f"r{k}") for k in range(1, 6)],
-    )
+    if W.use_segmented(book_rows_per_key(sf_dir)):
+        # chunk+halo path (round-9 window audit): the return lag plus
+        # lags 1..5 of it are two chained bounded stages, total
+        # lookback 1 + 5 (+1) = 7 — one instrument's history fans out
+        # instead of serializing; the moment groupBy is unchanged
+        lagged = W.rolling_segmented(
+            book.select(*KEYS, *ORDER_COLS, "best_bid", "best_ask"),
+            lambda w: [
+                {"r": F.log(mid / F.lag(mid).over(w))},
+                {
+                    f"r{k}": F.lag("r", k).over(w)
+                    for k in range(1, 6)
+                },
+            ],
+            window=7,
+            keys=KEYS,
+            order_col=list(ORDER_COLS),
+        )
+    else:
+        w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
+        rets = book.select(
+            *KEYS, *ORDER_COLS, F.log(mid / F.lag(mid).over(w)).alias("r")
+        )
+        lagged = rets.select(
+            *KEYS,
+            "r",
+            *[F.lag("r", k).over(w).alias(f"r{k}") for k in range(1, 6)],
+        )
     agg = lagged.groupBy(*KEYS).agg(
         *[F.corr("r", f"r{k}").alias(f"acf{k}") for k in range(1, 6)],
         *[
@@ -2807,14 +2872,28 @@ def q_book_tsrv(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the subsample grids. Order-sensitive float sums round at 6 dp
     (bipower idiom)."""
     book = synthetic_book(spark, sf_dir)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
     mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
     k = _TSRV_K
-    rets = book.select(
-        *KEYS,
-        F.log(mid / F.lag(mid).over(w)).alias("r1"),
-        F.log(mid / F.lag(mid, k).over(w)).alias("rk"),
-    )
+    if W.use_segmented(book_rows_per_key(sf_dir)):
+        # chunk+halo path (round-9 window audit): both subsample lags
+        # (1 and K) are one bounded stage, lookback K+1
+        rets = W.rolling_segmented(
+            book.select(*KEYS, *ORDER_COLS, "best_bid", "best_ask"),
+            lambda w: {
+                "r1": F.log(mid / F.lag(mid).over(w)),
+                "rk": F.log(mid / F.lag(mid, k).over(w)),
+            },
+            window=k + 1,
+            keys=KEYS,
+            order_col=list(ORDER_COLS),
+        ).select(*KEYS, "r1", "rk")
+    else:
+        w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
+        rets = book.select(
+            *KEYS,
+            F.log(mid / F.lag(mid).over(w)).alias("r1"),
+            F.log(mid / F.lag(mid, k).over(w)).alias("rk"),
+        )
     n = F.count("r1")
     rv_all = F.sum(F.col("r1") * F.col("r1"))
     rv_k_avg = F.sum(F.col("rk") * F.col("rk")) / F.lit(float(k))
@@ -3738,7 +3817,10 @@ def q_trade_sign_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 5-element struct array — no second scan, no join). Integer
     products sum exactly; only the final mean is rounded."""
     tape = synthetic_trades(spark, sf_dir)
-    cls = T.classify_lee_ready(tape, KEYS, ORDER_COLS)
+    cls = T.classify_lee_ready(
+        tape, KEYS, ORDER_COLS,
+        segmented=W.use_segmented(book_rows_per_key(sf_dir)),
+    )
     w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
     lagged = cls.select(
         *KEYS,

@@ -9,6 +9,7 @@ from market_microstructure_toolkit_spark.functions import arrays as A
 from market_microstructure_toolkit_spark.functions import microstructure as M
 from market_microstructure_toolkit_spark.plans.base import (
     _emb,
+    lsh_keyed_sql,
     q2k_col,
     register,
 )
@@ -70,23 +71,10 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_band_sql(band: int, bits: int = 8) -> str:
-    off = band * bits
-    bucket = "\n    + ".join(
-        f"(CASE WHEN embedding[{off + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(bits)
-    )
-    return (
-        f"  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {band} AS band,\n"
-        f"    {bucket} AS bucket\n  FROM embeddings"
-    )
-
-
 _LSH_PAIRS_SQL = (
-    "WITH keyed AS (\n"
-    + "\n  UNION ALL\n".join(_lsh_band_sql(j) for j in range(4))
-    + """
-),
+    "WITH "
+    + lsh_keyed_sql()
+    + """,
 ok AS (SELECT band, bucket FROM keyed GROUP BY band, bucket
        HAVING COUNT(*) <= 1000),
 k2 AS (SELECT keyed.vec_id, keyed.v, keyed.band, keyed.bucket
@@ -111,19 +99,20 @@ JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) eb
 
 @register("similarity_lsh_pairs", _LSH_PAIRS_SQL)
 def q_similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded sign-LSH ANN candidates: 4 bands x 8 sign bits over distinct
+    """Banded sign-LSH ANN candidates: 4 bands x auto-width sign bits
+    (8 at <=25.6k vectors, growing to keep expected occupancy <=100 —
+    see operators.similarity.auto_bits_per_band) over distinct
     coordinate blocks, exact-cosine only WITHIN (band, bucket) groups,
-    pairs dedup'd across bands — |bucket|^2-instead-of-n^2 with 1024
-    shuffle keys instead of 256 global buckets, plus the max_bucket
-    hot-bucket guard (an IVF coarse quantizer slots into the same plan
-    shape)."""
+    pairs dedup'd across bands — |bucket|^2-instead-of-n^2 with the
+    bucket count scaling with the corpus, plus the max_bucket hot-bucket
+    guard (an IVF coarse quantizer slots into the same plan shape)."""
     from market_microstructure_toolkit_spark.operators.similarity import (
         lsh_banded_pairs,
     )
 
     emb = _emb(spark, sf_dir)
     out = lsh_banded_pairs(
-        emb, bits_per_band=8, n_bands=4, min_cosine=-2.0, max_bucket=1000
+        emb, bits_per_band="auto", n_bands=4, min_cosine=-2.0, max_bucket=1000
     )
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 

@@ -33,7 +33,11 @@ _DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Broadcast joins for dimension tables / slice targets.
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
-    "spark.driver.memory": "8g",
+    # sizing only, never semantics: 8g covers every <=sf1 workload; the
+    # sf10 decade probes run 10M-row streaming tapes in this one local
+    # JVM and need more — override via env (mirrors the oracle
+    # harness's SPARK_GRAFT_ORACLE_DRIVER_MEM)
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     # keep stdout/stderr clean for harnesses that parse bench output
     "spark.ui.showConsoleProgress": "false",
     # managed (bucketed) tables land outside the repo checkout

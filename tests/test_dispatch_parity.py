@@ -1,0 +1,139 @@
+"""Round-9 window-dispatch audit: every gate that size-dispatches to a
+segmented scale path must produce IDENTICAL results on both paths.
+
+Forcing the dispatch with SPARK_GRAFT_SEG_THRESHOLD=0 at sf0.001 and
+comparing row-set equality against the plain path (threshold at its
+default, far above the fixture sizes) pins:
+
+- the W6 gap-group <-> gated-raw-frame equivalence (book_rv_reset),
+- the chained-lag chunk pipelines (book_return_acf, book_tsrv),
+- the segmented Lee-Ready carry (add_running_last_segmented) and the
+  VPIN bucket cumsum (trade gates),
+- the forward-halo lookahead (trade_effective_spread's lead-20).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+DISPATCHED = [
+    "book_rv_reset",
+    "book_return_acf",
+    "book_tsrv",
+    "trade_signs_lee_ready",
+    "trade_vpin",
+    "trade_kyle_lambda",
+    "trade_effective_spread",
+    "trade_mrr_decomposition",
+    "trade_sign_autocorrelation",
+    # the round-8 dispatches, re-pinned under the same harness
+    "book_ofi_lobster_cum",
+]
+
+
+def _rows(spark, name):
+    from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+    df = REGISTRY[name].spark(spark, SF_DIR)
+    return sorted(map(repr, df.collect())), df.columns
+
+
+@pytest.mark.parametrize("name", DISPATCHED)
+def test_plain_and_segmented_paths_agree(spark, name):
+    old = os.environ.pop("SPARK_GRAFT_SEG_THRESHOLD", None)
+    try:
+        plain, cols_p = _rows(spark, name)
+        os.environ["SPARK_GRAFT_SEG_THRESHOLD"] = "0"
+        seg, cols_s = _rows(spark, name)
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_SEG_THRESHOLD", None)
+        else:
+            os.environ["SPARK_GRAFT_SEG_THRESHOLD"] = old
+    assert cols_p == cols_s
+    assert len(plain) == len(seg)
+    assert plain == seg
+
+
+def test_running_last_segmented_matches_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from market_microstructure_toolkit_spark.operators.window_metrics import (
+        add_running_last_segmented,
+    )
+
+    rows = [
+        ("A", i, None if i % 3 else f"v{i}") for i in range(200)
+    ] + [("B", i, None) for i in range(50)] + [("C", 0, "only")]
+    df = spark.createDataFrame(rows, "k string, t long, x string")
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = sorted(
+        map(
+            repr,
+            df.withColumn(
+                "ff", F.last("x", ignorenulls=True).over(w)
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            repr,
+            add_running_last_segmented(
+                df, "x", out_col="ff", keys=("k",), order_col="t",
+                n_segments=7,
+            )
+            .select("k", "t", "x", "ff")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_lookahead_halo_matches_lead(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from market_microstructure_toolkit_spark.operators.window_metrics import (
+        rolling_segmented,
+    )
+
+    df = spark.createDataFrame(
+        [("A", i, float(i * i % 97)) for i in range(500)],
+        "k string, t long, x double",
+    )
+    w = Window.partitionBy("k").orderBy("t")
+    want = sorted(
+        map(
+            repr,
+            df.withColumn("nxt", F.lead("x", 7).over(w))
+            .select("k", "t", "nxt")
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(
+            repr,
+            rolling_segmented(
+                df,
+                lambda ww: {"nxt": F.lead("x", 7).over(ww)},
+                window=1,
+                lookahead=7,
+                keys=("k",),
+                order_col="t",
+                n_chunks=9,
+                n_segments=11,
+            )
+            .select("k", "t", "nxt")
+            .collect(),
+        )
+    )
+    assert got == want
