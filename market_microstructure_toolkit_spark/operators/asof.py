@@ -163,6 +163,7 @@ def asof_backward_union(
     target_ts_col: str = "ts_ms",
     snapshot_order_col: str | None = "raw_nonce",
     target_payload_cols: tuple[str, ...] = (),
+    segmented: bool = False,
 ) -> DataFrame:
     """Backward as-of for BIG-BIG inputs: each target row picks the last
     snapshot at-or-before its timestamp, without broadcasting either
@@ -195,6 +196,15 @@ def asof_backward_union(
 
     Returns the target rows + ``value_cols`` carried from the snapshot
     side + ``src_ts_ms`` (the matched snapshot's timestamp).
+
+    ``segmented=True`` (round-9 window audit) replaces the per-key
+    running window — which serializes one instrument's merged
+    snapshot+target stream through a single task — with the two-phase
+    segmented forward-fill (``add_running_last_segmented``): per
+    range-segment local carry in parallel, then a config-sized
+    per-segment carry-in join. The struct carry is selection, not
+    accumulation, so both paths are value-identical (pinned by the
+    dispatch-parity tests).
     """
     tag_order = [ts_col, "__tag"] + (
         [snapshot_order_col] if snapshot_order_col else []
@@ -233,18 +243,34 @@ def asof_backward_union(
         F.lit(None).cast(snaps.schema["__s"].dataType).alias("__s"),
         *[F.col(c).alias(f"__p_{c}") for c in target_payload_cols],
     )
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(*tag_order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    merged = snaps.unionByName(tgts).select(
-        *keys,
-        ts_col,
-        "__tag",
-        *[F.col(f"__p_{c}").alias(c) for c in target_payload_cols],
-        F.last("__s", ignorenulls=True).over(w).alias("__m"),
-    )
+    u = snaps.unionByName(tgts)
+    if segmented:
+        from market_microstructure_toolkit_spark.operators.window_metrics import (
+            add_running_last_segmented,
+        )
+
+        merged = add_running_last_segmented(
+            u, "__s", out_col="__m", keys=tuple(keys), order_col=tag_order
+        ).select(
+            *keys,
+            ts_col,
+            "__tag",
+            *[F.col(f"__p_{c}").alias(c) for c in target_payload_cols],
+            "__m",
+        )
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*tag_order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        merged = u.select(
+            *keys,
+            ts_col,
+            "__tag",
+            *[F.col(f"__p_{c}").alias(c) for c in target_payload_cols],
+            F.last("__s", ignorenulls=True).over(w).alias("__m"),
+        )
     return (
         merged.filter(F.col("__tag") == 1)
         .select(

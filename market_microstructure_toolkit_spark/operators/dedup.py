@@ -199,13 +199,37 @@ def minhash_lsh_candidates(
     return pairs
 
 
+#: corpus-relative doc-frequency guard: "boilerplate" means appearing in
+#: more than 1/AUTO_DF_DIVISOR of the corpus (0.02%), floored at 10 docs
+#: so tiny corpora keep the round-1 behavior. A FIXED cap saturates on a
+#: replicated corpus: at sf10 (500k docs, each sf0.1 text present as
+#: ~100 near-identical replicas) every true-dup fingerprint has df ~100
+#: > 10, so the old guard dropped ALL dup signal — dedup_winnow's output
+#: collapsed 547 pairs (sf1) -> 15 (sf10). Same bug family as the fixed
+#: LSH bucket space. The cap resolves to 10 at every SF <= sf1
+#: (<= 50k docs), so small-SF results are unchanged by construction.
+AUTO_DF_DIVISOR = 5000
+
+
+def auto_doc_freq_cap(n_docs: int, floor: int = 10) -> int:
+    """max(floor, n_docs // AUTO_DF_DIVISOR) — integer arithmetic only,
+    mirrored verbatim by the DuckDB oracles' GREATEST(10, COUNT(*)//5000)."""
+    return max(floor, n_docs // AUTO_DF_DIVISOR)
+
+
+def _resolve_df_cap(df: DataFrame, max_doc_freq) -> int | None:
+    if max_doc_freq == "auto":
+        return auto_doc_freq_cap(df.count())
+    return max_doc_freq
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = 10,
+    max_doc_freq: int | str | None = 10,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
 
@@ -236,6 +260,7 @@ def ngram_jaccard_pairs(
     shingle's doc count — acceptable only on small corpora; MinHash-LSH is
     the 100 TB path).
     """
+    max_doc_freq = _resolve_df_cap(df, max_doc_freq)
     grams = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("g")
     )
@@ -363,7 +388,7 @@ def winnow_candidates(
     k: int = 8,
     w: int = 6,
     min_shared: int = 2,
-    max_doc_freq: int | None = 10,
+    max_doc_freq: int | str | None = 10,
 ) -> DataFrame:
     """Near-dup candidate pairs sharing >= ``min_shared`` winnowed
     fingerprints (inverted-index self-join on fingerprint, count per
@@ -376,6 +401,7 @@ def winnow_candidates(
     ~60M rows to ~33k). This is the standard hot-key guard for
     inverted-index similarity joins at scale.
     """
+    max_doc_freq = _resolve_df_cap(df, max_doc_freq)
     # Two Generate barriers: without them Catalyst collapses the
     # projections and the interpreted HOF chain re-evaluates the md5
     # k-gram array for every reference (~50x slower at sf0.1).

@@ -141,7 +141,9 @@ WITH grams0 AS (
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
   WHERE len(w) >= 3
 ),
-rare AS (SELECT g FROM grams0 GROUP BY g HAVING COUNT(*) <= 10),
+rare AS (SELECT g FROM grams0 GROUP BY g
+         HAVING COUNT(*) <= (SELECT GREATEST(10, COUNT(*) // 5000)
+                             FROM documents)),
 grams AS (SELECT g0.doc_id, g0.g FROM grams0 g0 JOIN rare USING (g)),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
 inter AS (
@@ -162,13 +164,15 @@ WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.05
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard over an inverted shingle index (explode +
     shingle self-join + integer set algebra — engine-exact values). The
-    max_doc_freq=10 hot-shingle guard bounds the self-join fan-out
-    (boilerplate shingle in d docs -> d^2/2 rows) and is mirrored in the
-    oracle's `rare` CTE."""
+    corpus-relative hot-shingle guard (df <= max(10, n_docs // 5000))
+    bounds the self-join fan-out (boilerplate shingle in d docs ->
+    d^2/2 rows) and is mirrored in the oracle's `rare` CTE."""
     from market_microstructure_toolkit_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _docs(spark, sf_dir)
-    return ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.05, max_doc_freq=10)
+    return ngram_jaccard_pairs(
+        docs, shingle_n=3, threshold=0.05, max_doc_freq="auto"
+    )
 
 
 _DECONTAM_SQL = """
@@ -809,7 +813,10 @@ fps AS (
   WHERE len(hs) >= 6
 ),
 rare AS (
-  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 10
+  -- corpus-relative guard (round-9 decade fix): a fixed cap saturates
+  -- when duplication multiplicity scales with the corpus
+  SELECT fp FROM fps GROUP BY fp
+  HAVING COUNT(*) <= (SELECT GREATEST(10, COUNT(*) // 5000) FROM documents)
 ),
 kept AS (
   SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp
@@ -825,14 +832,19 @@ HAVING COUNT(*) >= 2
 def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash) fingerprint dedup: char-8-gram md5 ->
     window-of-6 minima -> distinct fingerprints -> inverted-index
-    self-join, pairs sharing >= 2 rare fingerprints (doc-freq <= 10; boilerplate fingerprints are dropped pre-join — the hot-key guard). Any shared substring of
-    >= 13 chars guarantees a shared fingerprint (MOSS bound k + w - 1)."""
+    self-join, pairs sharing >= 2 rare fingerprints (doc-freq <=
+    max(10, n_docs // 5000), the corpus-RELATIVE hot-key guard — a fixed
+    cap saturates when duplication multiplicity scales with the corpus;
+    boilerplate fingerprints are dropped pre-join). Any shared substring
+    of >= 13 chars guarantees a shared fingerprint (MOSS bound k+w-1)."""
     from market_microstructure_toolkit_spark.operators.dedup import (
         winnow_candidates,
     )
 
     docs = _docs(spark, sf_dir)
-    return winnow_candidates(docs, k=8, w=6, min_shared=2, max_doc_freq=10)
+    return winnow_candidates(
+        docs, k=8, w=6, min_shared=2, max_doc_freq="auto"
+    )
 
 
 _LEN_QUANTILES_SQL = """

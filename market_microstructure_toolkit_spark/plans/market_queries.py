@@ -2487,6 +2487,7 @@ def q_book_cross_asset_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_ts_col="ts_ms",
         snapshot_order_col="raw_nonce",
         target_payload_cols=("tgt_nonce", "own_mid"),
+        segmented=W.use_segmented(book_rows_per_key(sf_dir)),
     )
     return aligned.filter(F.col("src_ts_ms").isNotNull()).select(
         "exchange_id",
@@ -3770,6 +3771,7 @@ def q_trade_realized_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=("mid_fut",),
         target_ts_col="nts",
         target_payload_cols=("q", "price", "mid"),
+        segmented=W.use_segmented(book_rows_per_key(sf_dir)),
     ).filter(F.col("mid_fut").isNotNull())
     two_q = F.lit(2.0) * F.col("q")
     return picked.groupBy(*KEYS).agg(
@@ -4696,6 +4698,7 @@ def q_book_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts_ms",
         value_cols=("mid",),
         target_ts_col="grid_ts",
+        segmented=W.use_segmented(book_rows_per_key(sf_dir)),
     )
     # picked carries the probe time as ts_ms (the union's ts_col) and the
     # matched snapshot's timestamp as src_ts_ms

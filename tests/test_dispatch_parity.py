@@ -30,6 +30,15 @@ DISPATCHED = [
     "trade_effective_spread",
     "trade_mrr_decomposition",
     "trade_sign_autocorrelation",
+    # the as-of union-window carries (segmented forward-fill)
+    "book_cross_asset_align",
+    "trade_realized_spread",
+    "book_asof_tolerance",
+    # corpus-adaptive df guard resolves identically at tiny SFs; the
+    # gates run here to pin that the "auto" plumbing is a no-op below
+    # the floor
+    "dedup_winnow",
+    "dedup_ngram_jaccard",
     # the round-8 dispatches, re-pinned under the same harness
     "book_ofi_lobster_cum",
 ]
