@@ -32,6 +32,7 @@ def pack_assignments(
     id_col: str = "doc_id",
     budget: int = 256,
     n_shards: int = 8,
+    segmented: bool = False,
 ) -> DataFrame:
     """Per-(document, sequence) packing assignment.
 
@@ -45,10 +46,29 @@ def pack_assignments(
     tok = F.size(F.split(F.col(text_col), " ", -1)).cast("long")
     shard = F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard")
     toks = df.select(shard, F.col(id_col), tok.alias("tok"))
-    w = Window.partitionBy("shard").orderBy(id_col)
-    cum = toks.withColumn("end", F.sum("tok").over(w)).withColumn(
-        "start", F.col("end") - F.col("tok")
-    )
+    if segmented:
+        # per-shard rows = corpus / n_shards — grows with data; the
+        # segmented prefix-sum keeps each shard's cumsum parallel
+        # (integer token counts, so the regrouping is exact)
+        from market_microstructure_toolkit_spark.operators.window_metrics import (
+            add_cumulative_segmented,
+        )
+
+        # cast back to long: the segmented scan's null-carry coalesce
+        # promotes the running total to double (exact for token counts
+        # far below 2^53) while the plain window sum stays BIGINT
+        cum = (
+            add_cumulative_segmented(
+                toks, "tok", out_col="end", keys=("shard",), order_col=id_col
+            )
+            .withColumn("end", F.col("end").cast("long"))
+            .withColumn("start", F.col("end") - F.col("tok"))
+        )
+    else:
+        w = Window.partitionBy("shard").orderBy(id_col)
+        cum = toks.withColumn("end", F.sum("tok").over(w)).withColumn(
+            "start", F.col("end") - F.col("tok")
+        )
     b = F.lit(budget)
     spans = cum.withColumn(
         "seq_id",
@@ -74,13 +94,14 @@ def pack_stats(
     id_col: str = "doc_id",
     budget: int = 256,
     n_shards: int = 8,
+    segmented: bool = False,
 ) -> DataFrame:
     """Per-sequence occupancy: (shard, seq_id, n_docs, seq_tokens).
 
     Every sequence except each shard's last holds exactly ``budget``
     tokens — the invariant that proves the interval arithmetic right.
     """
-    spans = pack_assignments(df, text_col, id_col, budget, n_shards)
+    spans = pack_assignments(df, text_col, id_col, budget, n_shards, segmented)
     return spans.groupBy("shard", "seq_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tok_in_seq").alias("seq_tokens"),

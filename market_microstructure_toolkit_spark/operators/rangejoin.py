@@ -131,6 +131,7 @@ def sorted_interval_overlap_pairs(
     right_start: str,
     right_end: str,
     check_contract: bool = True,
+    segmented: bool = False,
 ) -> DataFrame:
     """Overlap join for SORTED interval streams — work proportional to
     the TRUE pair count, with no bin-width parameter at all.
@@ -171,11 +172,23 @@ def sorted_interval_overlap_pairs(
     join it protects); pass ``check_contract=False`` only when the
     caller has already proven strict monotonicity upstream.
     """
+    from market_microstructure_toolkit_spark.operators.window_metrics import (
+        add_cumulative_segmented,
+        add_position_segmented,
+        series_stages,
+    )
+
     if check_contract:
-        wl = Window.partitionBy(*keys).orderBy(left_start)
         ls_type = left.schema[left_start].dataType.simpleString()
         left = (
-            left.withColumn("__prev_ls", F.lag(left_start).over(wl))
+            series_stages(
+                left,
+                lambda w: {"__prev_ls": F.lag(left_start).over(w)},
+                window=2,
+                segmented=segmented,
+                keys=tuple(keys),
+                order_col=left_start,
+            )
             .withColumn(
                 left_start,
                 F.when(
@@ -199,8 +212,15 @@ def sorted_interval_overlap_pairs(
             .drop("__prev_ls")
         )
 
-    wr = Window.partitionBy(*keys).orderBy(right_start)
-    r_idx = right.withColumn("__ridx", F.row_number().over(wr))
+    if segmented:
+        # segmented-rank index (wscale audit): one side's intervals per
+        # key grow with data, so the row_number fans out per segment
+        r_idx = add_position_segmented(
+            right, keys=tuple(keys), order_col=right_start, pos_col="__p0"
+        ).withColumn("__ridx", (F.col("__p0") + 1).cast("int")).drop("__p0")
+    else:
+        wr = Window.partitionBy(*keys).orderBy(right_start)
+        r_idx = right.withColumn("__ridx", F.row_number().over(wr))
 
     run = (
         Window.partitionBy(*keys)
@@ -221,13 +241,25 @@ def sorted_interval_overlap_pairs(
             *keys, F.col(left_probe).alias("__val"), F.lit(l_tag).alias("__tag"),
             F.col(left_start).alias("__probe_ord"),
         )
-        merged = rs.unionByName(ls).select(
-            *keys,
-            "__probe_ord",
-            F.sum(F.when(F.col("__tag") == F.lit(r_tag), 1).otherwise(0))
-            .over(run)
-            .alias("__cnt"),
-        )
+        is_r = F.when(F.col("__tag") == F.lit(r_tag), 1).otherwise(0)
+        u = rs.unionByName(ls)
+        if segmented:
+            # integer 0/1 summands -> the segmented prefix-sum is exact;
+            # cast back to long (the scan's null-carry promotes to
+            # double, exact far below 2^53)
+            merged = add_cumulative_segmented(
+                u.withColumn("__is_r", is_r),
+                "__is_r",
+                out_col="__cnt",
+                keys=tuple(keys),
+                order_col=["__val", "__tag"],
+            ).withColumn("__cnt", F.col("__cnt").cast("long"))
+        else:
+            merged = u.select(
+                *keys,
+                "__probe_ord",
+                F.sum(is_r).over(run).alias("__cnt"),
+            )
         return merged.filter(F.col("__probe_ord").isNotNull()).select(
             *keys, F.col("__probe_ord"), F.col("__cnt")
         )

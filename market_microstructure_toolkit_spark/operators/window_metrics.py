@@ -607,6 +607,102 @@ def rolling_segmented(
     )
 
 
+def add_position_segmented(
+    df: DataFrame,
+    keys: tuple[str, ...] = S.PARTITION_KEYS,
+    order_col: str | list = "ts_ms",
+    pos_col: str = "__pos",
+    n_col: str | None = None,
+    n_segments: int = 256,
+) -> DataFrame:
+    """Global per-key 0-based position (and optionally the per-key row
+    count) WITHOUT a per-key window — the segmented-rank phase of
+    :func:`rolling_segmented`, standalone: range-segment the order
+    domain, per-segment ``row_number`` (parallel per key), then add each
+    segment's exclusive cumulative count from a config-sized
+    per-segment aggregate. Identical to
+    ``row_number().over(partitionBy(keys).orderBy(order)) - 1`` (and
+    ``count().over(partitionBy(keys))``) for any total order — the
+    scale path for positional sampling (W14/W15 slice picks)."""
+    order = [order_col] if isinstance(order_col, str) else list(order_col)
+    seg_col = order[0]
+    bounds = df.groupBy(*keys).agg(
+        F.min(seg_col).alias("__lo"),
+        F.max(seg_col).alias("__hi"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    keyed = _nullsafe_broadcast_join(df, bounds, list(keys)).withColumn(
+        "__seg", _segment_expr(seg_col, n_segments)
+    )
+    w_seg = Window.partitionBy(*keys, "__seg").orderBy(*order)
+    ranked = keyed.withColumn("__rn", F.row_number().over(w_seg))
+    seg_counts = keyed.groupBy(*keys, "__seg").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_off = (
+        Window.partitionBy(*keys)
+        .orderBy("__seg")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg_offsets = seg_counts.select(
+        *keys,
+        "__seg",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__segoff"),
+    )
+    pos = _nullsafe_broadcast_join(
+        ranked, seg_offsets, [*keys, "__seg"]
+    ).withColumn(pos_col, F.col("__rn") + F.col("__segoff") - 1)
+    if n_col:
+        pos = pos.withColumn(n_col, F.col("__n"))
+    return pos.drop("__seg", "__rn", "__segoff", "__lo", "__hi", "__n")
+
+
+def series_stages(
+    df: DataFrame,
+    stages_builder,
+    window: int,
+    *,
+    segmented: bool,
+    keys: tuple[str, ...] = S.PARTITION_KEYS,
+    order_col: str | list = "ts_ms",
+    lookahead: int = 0,
+) -> DataFrame:
+    """The ONE dispatch point for bounded-lookback series gates (round-9
+    window audit): ``stages_builder(w) -> dict | list[dict]`` of window
+    expressions over the base (partition+order) spec ``w``, exactly as
+    :func:`rolling_segmented` takes them. ``segmented=False`` applies the
+    same staged expressions over the plain per-key window (one task per
+    key — fine below the dispatch threshold); ``segmented=True`` routes
+    through the chunk+halo pipeline. Both paths evaluate identical
+    expressions over identical frame rows in identical order, so results
+    are value-identical (bit-exact) — pinned per-gate by
+    tests/test_dispatch_parity.py.
+
+    ``window`` must cover the TOTAL lookback across chained stages
+    (1 + sum of per-stage lookback rows); ``lookahead`` the total
+    forward offset of any ``F.lead`` used.
+    """
+    if segmented:
+        return rolling_segmented(
+            df,
+            stages_builder,
+            window,
+            keys=keys,
+            order_col=order_col,
+            lookahead=lookahead,
+        )
+    order = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = Window.partitionBy(*keys).orderBy(*order)
+    stages = stages_builder(w)
+    if isinstance(stages, dict):
+        stages = [stages]
+    out = df
+    for stage in stages:
+        for name, expr in stage.items():
+            out = out.withColumn(name, expr)
+    return out
+
+
 def add_rolling_rv_segmented(
     df: DataFrame,
     ret_col: str = "ret",

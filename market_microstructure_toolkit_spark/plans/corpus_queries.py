@@ -6,12 +6,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from market_microstructure_toolkit_spark.operators import trades as T
+from market_microstructure_toolkit_spark.operators import window_metrics as W
 from market_microstructure_toolkit_spark.plans.base import (
     _CDC_SQL,
     _docs,
     _emb,
     _scratch,
     lsh_keyed_sql,
+    parquet_rows,
     plant_docs,
     register_planted as register,
 )
@@ -251,7 +253,15 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive a 100 TB corpus by raising n_shards."""
     from market_microstructure_toolkit_spark.operators.packing import pack_stats
 
-    return pack_stats(_docs(spark, sf_dir), budget=256, n_shards=8)
+    return pack_stats(
+        _docs(spark, sf_dir),
+        budget=256,
+        n_shards=8,
+        # per-shard rows = corpus / 8 — size-dispatch the cumsum
+        segmented=W.use_segmented(
+            parquet_rows(f"{sf_dir}/documents.parquet") // 8
+        ),
+    )
 
 
 _REBALANCE_SQL = """

@@ -5,9 +5,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from market_microstructure_toolkit_spark.operators import window_metrics as W
 from market_microstructure_toolkit_spark.plans.base import (
     _events_fx,
     _scratch,
+    parquet_rows,
     register_planted as register,
 )
 
@@ -668,13 +670,27 @@ def q_events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     off = F.broadcast(
         spark.createDataFrame(offsets, "zval long, __off long")
     )
-    wz = Window.partitionBy("zval").orderBy("event_id")
-    filed = z.join(off, "zval").withColumn(
-        "file_id",
-        (
-            (F.col("__off") + F.row_number().over(wz) - 1) / F.lit(per_file)
-        ).cast("long"),
-    )
+    # per-cell rows = data / 2^16 cells — grows with data; the rank
+    # size-dispatches to the segmented-rank phase (mean-occupancy hint)
+    if W.use_segmented(parquet_rows(f"{sf_dir}/events.parquet") // 65536):
+        filed = W.add_position_segmented(
+            z.join(off, "zval"),
+            keys=("zval",),
+            order_col="event_id",
+            pos_col="__p",
+        ).withColumn(
+            "file_id",
+            ((F.col("__off") + F.col("__p")) / F.lit(per_file)).cast("long"),
+        )
+    else:
+        wz = Window.partitionBy("zval").orderBy("event_id")
+        filed = z.join(off, "zval").withColumn(
+            "file_id",
+            (
+                (F.col("__off") + F.row_number().over(wz) - 1)
+                / F.lit(per_file)
+            ).cast("long"),
+        )
     return filed.groupBy("file_id").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min("xb").alias("min_user_bucket"),

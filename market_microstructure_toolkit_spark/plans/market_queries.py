@@ -735,15 +735,26 @@ def q_book_slice_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     linspace rows per instrument series. floor(x+0.5) rounding keeps both
     engines identical (no banker's-rounding divergence)."""
     book = synthetic_book(spark, sf_dir)
-    w = W.book_window(KEYS, ORDER_COLS)
-    wp = Window.partitionBy(*KEYS)
-    numbered = book.select(
-        *IDS,
-        "best_bid",
-        "best_ask",
-        (F.row_number().over(w) - 1).alias("idx"),
-        F.count(F.lit(1)).over(wp).alias("n"),
-    )
+    # positional rank + per-key count; size-dispatched to the
+    # segmented-rank phase (wscale audit)
+    if W.use_segmented(book_rows_per_key(sf_dir)):
+        numbered = W.add_position_segmented(
+            book.select(*IDS, "best_bid", "best_ask"),
+            keys=KEYS,
+            order_col=list(ORDER_COLS),
+            pos_col="idx",
+            n_col="n",
+        )
+    else:
+        w = W.book_window(KEYS, ORDER_COLS)
+        wp = Window.partitionBy(*KEYS)
+        numbered = book.select(
+            *IDS,
+            "best_bid",
+            "best_ask",
+            (F.row_number().over(w) - 1).alias("idx"),
+            F.count(F.lit(1)).over(wp).alias("n"),
+        )
     picks = F.transform(
         F.sequence(F.lit(0), F.lit(19)),
         lambda i: F.floor(
@@ -1385,20 +1396,27 @@ def q_book_roll_amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
     can't be made order-free cheaply, so that output keeps the 6-dp
     rounding idiom."""
     book = synthetic_book(spark, sf_dir)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
     mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
     l1_vol = F.coalesce(F.col("bid1_size"), F.lit(0.0)) + F.coalesce(
         F.col("ask1_size"), F.lit(0.0)
     )
-    staged = book.select(
-        *KEYS, *ORDER_COLS, mid.alias("mid"), l1_vol.alias("l1_vol")
-    ).withColumn("d", F.col("mid") - F.lag("mid").over(w))
-    diffs = staged.select(
-        *KEYS,
-        "d",
-        F.lag("d").over(w).alias("d_prev"),
-        F.log(F.col("mid") / F.lag("mid").over(w)).alias("logret"),
-        "l1_vol",
+    # two chained lag-1 stages (d, logret; then d_prev) -> total
+    # lookback 3; size-dispatched plain <-> chunk+halo (wscale audit)
+    diffs = W.series_stages(
+        book.select(
+            *KEYS, *ORDER_COLS, mid.alias("mid"), l1_vol.alias("l1_vol")
+        ),
+        lambda w: [
+            {
+                "d": F.col("mid") - F.lag("mid").over(w),
+                "logret": F.log(F.col("mid") / F.lag("mid").over(w)),
+            },
+            {"d_prev": F.lag("d").over(w)},
+        ],
+        window=3,
+        segmented=W.use_segmented(book_rows_per_key(sf_dir)),
+        keys=KEYS,
+        order_col=list(ORDER_COLS),
     )
     return diffs.groupBy(*KEYS).agg(
         F.round(
@@ -1851,17 +1869,29 @@ def q_recorder_grid_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("raw_nonce"),
         F.lit(None).cast(snaps.schema["snap"].dataType).alias("snap"),
     )
-    w = (
-        Window.partitionBy("symbol")
-        .orderBy("t", "tag", "raw_nonce")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    merged = snaps.unionByName(ticks).select(
-        "symbol",
-        "t",
-        "tag",
-        F.last("snap", ignorenulls=True).over(w).alias("m"),
-    )
+    u = snaps.unionByName(ticks)
+    # running forward-fill of the snapshot struct onto the grid: size-
+    # dispatched to the segmented carry (selection, value-identical)
+    if W.use_segmented(book_rows_per_key(sf_dir)):
+        merged = W.add_running_last_segmented(
+            u,
+            "snap",
+            out_col="m",
+            keys=("symbol",),
+            order_col=["t", "tag", "raw_nonce"],
+        ).select("symbol", "t", "tag", "m")
+    else:
+        w = (
+            Window.partitionBy("symbol")
+            .orderBy("t", "tag", "raw_nonce")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        merged = u.select(
+            "symbol",
+            "t",
+            "tag",
+            F.last("snap", ignorenulls=True).over(w).alias("m"),
+        )
     return merged.filter(
         (F.col("tag") == 1) & F.col("m").isNotNull()
     ).select(
@@ -2011,17 +2041,19 @@ def q_book_bipower_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the estimators run over the same samples; order-sensitive float
     sums round at 6 dp."""
     book = synthetic_book(spark, sf_dir)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
     mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
-    rets = book.select(
-        *KEYS,
-        *ORDER_COLS,
-        F.log(mid / F.lag(mid).over(w)).alias("r"),
-    )
-    paired = rets.select(
-        *KEYS,
-        "r",
-        F.lag(F.abs(F.col("r"))).over(w).alias("abs_r_prev"),
+    # chained lag-1 stages (return, then lagged |return|) -> total
+    # lookback 3; size-dispatched plain <-> chunk+halo (wscale audit)
+    paired = W.series_stages(
+        book.select(*KEYS, *ORDER_COLS, "best_bid", "best_ask"),
+        lambda w: [
+            {"r": F.log(mid / F.lag(mid).over(w))},
+            {"abs_r_prev": F.lag(F.abs(F.col("r"))).over(w)},
+        ],
+        window=3,
+        segmented=W.use_segmented(book_rows_per_key(sf_dir)),
+        keys=KEYS,
+        order_col=list(ORDER_COLS),
     )
     half_pi = F.lit(1.5707963267948966)
     bv = half_pi * F.sum(F.abs(F.col("r")) * F.col("abs_r_prev"))
@@ -2091,14 +2123,23 @@ def q_book_hayashi_yoshida(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     book = synthetic_book(spark, sf_dir)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
     mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
-    ivl = book.select(
-        *KEYS,
-        F.lag("ts_ms").over(w).alias("s"),
-        F.col("ts_ms").alias("e"),
-        F.log(mid / F.lag(mid).over(w)).alias("r"),
-    ).filter(F.col("s").isNotNull() & (F.col("e") > F.col("s")))
+    # one lag-1 stage (interval start + return); size-dispatched
+    ivl = (
+        W.series_stages(
+            book.select(*KEYS, *ORDER_COLS, "best_bid", "best_ask"),
+            lambda w: {
+                "s": F.lag("ts_ms").over(w),
+                "r": F.log(mid / F.lag(mid).over(w)),
+            },
+            window=2,
+            segmented=W.use_segmented(book_rows_per_key(sf_dir)),
+            keys=KEYS,
+            order_col=list(ORDER_COLS),
+        )
+        .select(*KEYS, "s", F.col("ts_ms").alias("e"), "r")
+        .filter(F.col("s").isNotNull() & (F.col("e") > F.col("s")))
+    )
     syms = sorted(
         r["symbol"] for r in ivl.select("symbol").distinct().collect()
     )
@@ -2132,6 +2173,7 @@ def q_book_hayashi_yoshida(spark: SparkSession, sf_dir: str) -> DataFrame:
         "e_a",
         "s_b",
         "e_b",
+        segmented=W.use_segmented(book_rows_per_key(sf_dir)),
     )
     return pairs.groupBy("exchange_id", "sym_a", "sym_b").agg(
         F.round(F.sum(F.col("r_a") * F.col("r_b")), 6).alias("hy_cov"),
@@ -2227,13 +2269,23 @@ def q_trade_mrr_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         tape, KEYS, ORDER_COLS,
         segmented=W.use_segmented(book_rows_per_key(sf_dir)),
     )
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
-    staged = classified.select(
-        *KEYS,
-        (F.col("price") - F.lag("price").over(w)).alias("dp"),
-        F.col("side").cast("double").alias("x"),
-        F.lag(F.col("side").cast("double")).over(w).alias("xl"),
-    ).filter(F.col("dp").isNotNull() & F.col("xl").isNotNull())
+    # lag-1 of price and sign in one stage; size-dispatched (the
+    # classify carry above already dispatches on the same predicate)
+    staged = (
+        W.series_stages(
+            classified.select(*KEYS, *ORDER_COLS, "price", "side"),
+            lambda w: {
+                "dp": F.col("price") - F.lag("price").over(w),
+                "xl": F.lag(F.col("side").cast("double")).over(w),
+            },
+            window=2,
+            segmented=W.use_segmented(book_rows_per_key(sf_dir)),
+            keys=KEYS,
+            order_col=list(ORDER_COLS),
+        )
+        .select(*KEYS, "dp", F.col("side").cast("double").alias("x"), "xl")
+        .filter(F.col("dp").isNotNull() & F.col("xl").isNotNull())
+    )
     m = staged.groupBy(*KEYS).agg(
         F.var_samp("x").alias("sxx"),
         F.var_samp("xl").alias("sll"),
@@ -2308,17 +2360,22 @@ def q_book_l1_event_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact (bit-identical derivation both engines), so no rounding is
     needed anywhere."""
     book = synthetic_book(spark, sf_dir)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
-    lagged = book.select(
-        *KEYS,
-        "best_bid",
-        "best_ask",
-        "bid1_size",
-        "ask1_size",
-        F.lag("best_bid").over(w).alias("pb"),
-        F.lag("best_ask").over(w).alias("pa"),
-        F.lag("bid1_size").over(w).alias("pbs"),
-        F.lag("ask1_size").over(w).alias("pas"),
+    # four lag-1 columns in one stage; size-dispatched (wscale audit)
+    lagged = W.series_stages(
+        book.select(
+            *KEYS, *ORDER_COLS,
+            "best_bid", "best_ask", "bid1_size", "ask1_size",
+        ),
+        lambda w: {
+            "pb": F.lag("best_bid").over(w),
+            "pa": F.lag("best_ask").over(w),
+            "pbs": F.lag("bid1_size").over(w),
+            "pas": F.lag("ask1_size").over(w),
+        },
+        window=2,
+        segmented=W.use_segmented(book_rows_per_key(sf_dir)),
+        keys=KEYS,
+        order_col=list(ORDER_COLS),
     )
 
     def side_event(price, pprice, size, psize, better, prefix):
@@ -2634,12 +2691,15 @@ def q_book_intraday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum is exact in any accumulation order (ADVICE r7 — a raw
     ROUND(AVG(double), 6) is partition-count-sensitive)."""
     book = synthetic_book(spark, sf_dir)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
     mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
-    rets = book.select(
-        *KEYS,
-        "ts_ms",
-        F.log(mid / F.lag(mid).over(w)).alias("r"),
+    # one lag-1 return stage; size-dispatched (wscale audit)
+    rets = W.series_stages(
+        book.select(*KEYS, *ORDER_COLS, "best_bid", "best_ask"),
+        lambda w: {"r": F.log(mid / F.lag(mid).over(w))},
+        window=2,
+        segmented=W.use_segmented(book_rows_per_key(sf_dir)),
+        keys=KEYS,
+        order_col=list(ORDER_COLS),
     )
     hour = ((F.col("ts_ms") / F.lit(3600000)).cast("long") % 24).alias(
         "hour_utc"
@@ -2763,21 +2823,39 @@ def q_book_realized_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("ord"),
         F.lit(None).cast("double").alias("mid"),
     )
-    w = (
-        Window.partitionBy("exchange_id", "symbol")
-        .orderBy("t", "tag", "ord")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = snaps.unionByName(ticks).select(
-        "exchange_id",
-        "symbol",
-        "t",
-        "tag",
-        F.last("mid", ignorenulls=True).over(w).alias("mid"),
-    )
+    # running forward-fill carry over the snapshot+grid union: size-
+    # dispatched to the segmented two-phase fill (the carry is
+    # selection, not accumulation, so both paths are value-identical)
+    merged = snaps.unionByName(ticks)
+    if W.use_segmented(book_rows_per_key(sf_dir)):
+        filled = W.add_running_last_segmented(
+            merged,
+            "mid",
+            out_col="__fmid",
+            keys=("exchange_id", "symbol"),
+            order_col=["t", "tag", "ord"],
+        ).select(
+            "exchange_id", "symbol", "t", "tag",
+            F.col("__fmid").alias("mid"),
+        )
+    else:
+        w = (
+            Window.partitionBy("exchange_id", "symbol")
+            .orderBy("t", "tag", "ord")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = merged.select(
+            "exchange_id",
+            "symbol",
+            "t",
+            "tag",
+            F.last("mid", ignorenulls=True).over(w).alias("mid"),
+        )
     samples = filled.filter(
         (F.col("tag") == 1) & F.col("mid").isNotNull()
     ).select("exchange_id", "symbol", "t", "mid")
+    # wscale: bounded — per-key rows here = the config-sized grid
+    # (500 ticks per exchange x instruments), not data-sized
     ws = Window.partitionBy("exchange_id", "symbol").orderBy("t")
     srets = samples.select(
         "exchange_id",
@@ -3132,14 +3210,18 @@ def q_book_rv_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 10 sums, and the k-arms unpivot in-plan from the single agg row
     per instrument. Order-sensitive sums round at 6 dp."""
     book = synthetic_book(spark, sf_dir)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
     mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
-    rets = book.select(
-        *KEYS,
-        *[
-            F.log(mid / F.lag(mid, k).over(w)).alias(f"r{k}")
+    # one stage with lags 1..10 -> total lookback 11; size-dispatched
+    rets = W.series_stages(
+        book.select(*KEYS, *ORDER_COLS, "best_bid", "best_ask"),
+        lambda w: {
+            f"r{k}": F.log(mid / F.lag(mid, k).over(w))
             for k in range(1, _SIG_MAX_K + 1)
-        ],
+        },
+        window=_SIG_MAX_K + 1,
+        segmented=W.use_segmented(book_rows_per_key(sf_dir)),
+        keys=KEYS,
+        order_col=list(ORDER_COLS),
     )
     agg = rets.groupBy(*KEYS).agg(
         *[
@@ -3223,15 +3305,24 @@ def q_book_corwin_schultz(spark: SparkSession, sf_dir: str) -> DataFrame:
     ohlc = mids.groupBy(*KEYS, "bucket_ms").agg(
         F.max("mid").alias("h"), F.min("mid").alias("l")
     )
-    w = Window.partitionBy(*KEYS).orderBy("bucket_ms")
-    hp, lp = F.lag("h").over(w), F.lag("l").over(w)
+    # lag-1 over the 1s bucket series (per-key rows = tape seconds —
+    # grows with data); size-dispatched, window=2
     lr = F.log(F.col("h") / F.col("l"))
+    hp, lp = F.col("hp"), F.col("lp")
     lrp = F.log(hp / lp)
     beta = lr * lr + lrp * lrp
     g = F.log(F.greatest(F.col("h"), hp) / F.least(F.col("l"), lp))
     gamma = g * g
     k = F.lit(3.0) - F.lit(2.0) * F.sqrt(F.lit(2.0))
-    paired = ohlc.select(
+    lagged = W.series_stages(
+        ohlc,
+        lambda w: {"hp": F.lag("h").over(w), "lp": F.lag("l").over(w)},
+        window=2,
+        segmented=W.use_segmented(book_rows_per_key(sf_dir)),
+        keys=KEYS,
+        order_col="bucket_ms",
+    )
+    paired = lagged.select(
         *KEYS, beta.alias("beta"), gamma.alias("gamma")
     ).filter(F.col("beta").isNotNull())
     alpha = (
@@ -3341,26 +3432,43 @@ def q_book_ofi_predictive_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
     beta rounds at 8 dp (slopes are small: size units per mid tick),
     R^2 at 6 dp."""
     book = synthetic_book(spark, sf_dir)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
     bid, ask = F.col("best_bid"), F.col("best_ask")
     bsz = F.coalesce(F.col("bid1_size"), F.lit(0.0))
     asz = F.coalesce(F.col("ask1_size"), F.lit(0.0))
-    bid_p, ask_p = F.lag(bid).over(w), F.lag(ask).over(w)
-    bsz_p, asz_p = F.lag(bsz).over(w), F.lag(asz).over(w)
-    ofi = (
-        F.when(bid > bid_p, bsz)
-        .when(bid == bid_p, bsz - bsz_p)
-        .otherwise(-bsz_p)
-    ) - (
-        F.when(ask < ask_p, asz)
-        .when(ask == ask_p, asz - asz_p)
-        .otherwise(-asz_p)
-    )
     mid = (bid + ask) / F.lit(2.0)
-    fwd = F.lead(mid).over(w) - mid
-    feat = book.select(
-        *KEYS, ofi.alias("ofi"), fwd.alias("fwd_ret")
-    ).filter(F.col("ofi").isNotNull() & F.col("fwd_ret").isNotNull())
+
+    # lag-1 OFI + lead-1 forward return in one stage; size-dispatched
+    # (window=2, forward halo of 1)
+    def _stage(w):
+        bid_p, ask_p = F.lag(bid).over(w), F.lag(ask).over(w)
+        bsz_p, asz_p = F.lag(bsz).over(w), F.lag(asz).over(w)
+        ofi = (
+            F.when(bid > bid_p, bsz)
+            .when(bid == bid_p, bsz - bsz_p)
+            .otherwise(-bsz_p)
+        ) - (
+            F.when(ask < ask_p, asz)
+            .when(ask == ask_p, asz - asz_p)
+            .otherwise(-asz_p)
+        )
+        return {"ofi": ofi, "fwd_ret": F.lead(mid).over(w) - mid}
+
+    feat = (
+        W.series_stages(
+            book.select(
+                *KEYS, *ORDER_COLS,
+                "best_bid", "best_ask", "bid1_size", "ask1_size",
+            ),
+            _stage,
+            window=2,
+            lookahead=1,
+            segmented=W.use_segmented(book_rows_per_key(sf_dir)),
+            keys=KEYS,
+            order_col=list(ORDER_COLS),
+        )
+        .select(*KEYS, "ofi", "fwd_ret")
+        .filter(F.col("ofi").isNotNull() & F.col("fwd_ret").isNotNull())
+    )
     return feat.groupBy(*KEYS).agg(
         F.round(
             F.covar_samp("ofi", "fwd_ret") / F.var_samp("ofi"), 8
@@ -3405,15 +3513,29 @@ def q_book_imbalance_cond_returns(spark: SparkSession, sf_dir: str) -> DataFrame
     AVG over 2^-26-quantized summands (exact in any accumulation
     order, ADVICE r7), rounded at 6 dp."""
     book = synthetic_book(spark, sf_dir)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
     bsz = F.coalesce(F.col("bid1_size"), F.lit(0.0))
     asz = F.coalesce(F.col("ask1_size"), F.lit(0.0))
     imb = (bsz - asz) / F.nullif(bsz + asz, F.lit(0.0))
     mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
-    fwd = F.lit(1e4) * (F.lead(mid).over(w) / mid - F.lit(1.0))
-    feat = book.select(
-        *KEYS, imb.alias("imb"), fwd.alias("fwd_bps")
-    ).filter(F.col("imb").isNotNull() & F.col("fwd_bps").isNotNull())
+    # lead-1 forward return; size-dispatched (forward halo of 1)
+    feat = (
+        W.series_stages(
+            book.select(
+                *KEYS, *ORDER_COLS,
+                "best_bid", "best_ask", "bid1_size", "ask1_size",
+            ),
+            lambda w: {
+                "fwd_bps": F.lit(1e4) * (F.lead(mid).over(w) / mid - F.lit(1.0))
+            },
+            window=1,
+            lookahead=1,
+            segmented=W.use_segmented(book_rows_per_key(sf_dir)),
+            keys=KEYS,
+            order_col=list(ORDER_COLS),
+        )
+        .select(*KEYS, imb.alias("imb"), "fwd_bps")
+        .filter(F.col("imb").isNotNull() & F.col("fwd_bps").isNotNull())
+    )
     bin_ = F.least(
         F.greatest(
             F.floor((F.col("imb") + F.lit(1.0)) * F.lit(5.0)).cast("long"),
@@ -3823,15 +3945,20 @@ def q_trade_sign_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         tape, KEYS, ORDER_COLS,
         segmented=W.use_segmented(book_rows_per_key(sf_dir)),
     )
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
-    lagged = cls.select(
-        *KEYS,
-        *[
-            (F.col("side") * F.lag("side", k).over(w))
-            .cast("double")
-            .alias(f"__p{k}")
+    # one stage with sign-product lags 1..5 -> lookback 6; dispatched
+    # on the same predicate as the classify carry above
+    lagged = W.series_stages(
+        cls.select(*KEYS, *ORDER_COLS, "side"),
+        lambda w: {
+            f"__p{k}": (F.col("side") * F.lag("side", k).over(w)).cast(
+                "double"
+            )
             for k in range(1, _SIGN_ACF_MAX_LAG + 1)
-        ],
+        },
+        window=_SIGN_ACF_MAX_LAG + 1,
+        segmented=W.use_segmented(book_rows_per_key(sf_dir)),
+        keys=KEYS,
+        order_col=list(ORDER_COLS),
     )
     prods = lagged.select(
         *KEYS,
@@ -3932,12 +4059,22 @@ def q_book_nonce_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate for the base step broadcast back, integer output —
     engine-exact."""
     book = synthetic_book(spark, sf_dir, depth=1)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
-    d = book.select(
-        *KEYS,
-        (F.col("raw_nonce") - F.lag("raw_nonce").over(w)).alias("dn"),
-        (F.col("ts_ms") - F.lag("ts_ms").over(w)).alias("dt"),
-    ).filter(F.col("dn").isNotNull())
+    # lag-1 diffs; size-dispatched (wscale audit)
+    d = (
+        W.series_stages(
+            book.select(*KEYS, *ORDER_COLS),
+            lambda w: {
+                "dn": F.col("raw_nonce") - F.lag("raw_nonce").over(w),
+                "dt": F.col("ts_ms") - F.lag("ts_ms").over(w),
+            },
+            window=2,
+            segmented=W.use_segmented(book_rows_per_key(sf_dir)),
+            keys=KEYS,
+            order_col=list(ORDER_COLS),
+        )
+        .select(*KEYS, "dn", "dt")
+        .filter(F.col("dn").isNotNull())
+    )
     step = d.groupBy(*KEYS).agg(F.min("dn").alias("min_step"))
     gap = F.col("dn") > F.col("min_step")
     return (
@@ -3991,16 +4128,37 @@ def q_trade_split_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact mantissa shift — engine-identical with no accumulation
     error. Same instrument-keyed shuffle every other series op rides."""
     trades = synthetic_trades(spark, sf_dir)
-    wdesc = (
-        Window.partitionBy(*KEYS)
-        .orderBy(*[F.col(c).desc() for c in ORDER_COLS])
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     is_split = F.when(F.col("raw_nonce") % 997 == 0, 1).otherwise(0)
-    k = trades.withColumn(
-        "n_future_splits",
-        F.coalesce(F.sum(is_split).over(wdesc), F.lit(0)).cast("long"),
-    )
+    if W.use_segmented(book_rows_per_key(sf_dir)):
+        # the descending exclusive running sum = per-key total minus the
+        # ASCENDING inclusive cumsum — integer summands, so the
+        # segmented prefix-sum is exact and the identity holds row-wise
+        tot = trades.groupBy(*KEYS).agg(F.sum(is_split).alias("__tot"))
+        cum = W.add_cumulative_segmented(
+            trades.withColumn("__is_split", is_split),
+            "__is_split",
+            out_col="__cum",
+            keys=KEYS,
+            order_col=list(ORDER_COLS),
+        )
+        k = (
+            cum.join(F.broadcast(tot), list(KEYS))
+            .withColumn(
+                "n_future_splits",
+                (F.col("__tot") - F.col("__cum")).cast("long"),
+            )
+            .drop("__is_split", "__cum", "__tot")
+        )
+    else:
+        wdesc = (
+            Window.partitionBy(*KEYS)
+            .orderBy(*[F.col(c).desc() for c in ORDER_COLS])
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        k = trades.withColumn(
+            "n_future_splits",
+            F.coalesce(F.sum(is_split).over(wdesc), F.lit(0)).cast("long"),
+        )
     # 2^-20 quantization instead of ROUND(6): decimal rounding of a
     # binary double at a .5 ulp boundary is half-up in DuckDB and
     # half-even in Spark (observed: 12.5931875 -> .593188 vs .593187);
@@ -4058,7 +4216,6 @@ def q_book_train_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     'no-move' class). One instrument-keyed window pass, co-partitioned
     with every other series op; features exact-binary quantized."""
     book = synthetic_book(spark, sf_dir, depth=1)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
     mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
     denom = F.coalesce(F.col("bid1_size"), F.lit(0.0)) + F.coalesce(
         F.col("ask1_size"), F.lit(0.0)
@@ -4070,14 +4227,26 @@ def q_book_train_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     def q20(c):
         return F.floor(c * F.lit(1048576.0) + F.lit(0.5)) / F.lit(1048576.0)
 
-    feat = book.select(
+    # lead-H label; size-dispatched (forward halo of H)
+    feat = W.series_stages(
+        book.select(
+            *KEYS, *ORDER_COLS,
+            "best_bid", "best_ask", "bid1_size", "ask1_size",
+        ),
+        lambda w: {"mid_fwd": F.lead(mid, _TRAIN_MATRIX_H).over(w)},
+        window=1,
+        lookahead=_TRAIN_MATRIX_H,
+        segmented=W.use_segmented(book_rows_per_key(sf_dir)),
+        keys=KEYS,
+        order_col=list(ORDER_COLS),
+    ).select(
         *KEYS,
         "ts_ms",
         "raw_nonce",
         mid.alias("mid"),
         (F.col("best_ask") - F.col("best_bid")).alias("spread"),
         imb.alias("imb_l1"),
-        F.lead(mid, _TRAIN_MATRIX_H).over(w).alias("mid_fwd"),
+        "mid_fwd",
     )
     # both mid endpoints must exist: an empty-ask plant at either end
     # of the horizon gives an UNDEFINED move — dropped, because the
@@ -4227,15 +4396,27 @@ def q_book_time_weighted_mid(spark: SparkSession, sf_dir: str) -> DataFrame:
     end. The final hourless tail quote of each instrument drops (no
     prevailing interval), matching the oracle's NULL-lead filter."""
     book = synthetic_book(spark, sf_dir, depth=1)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
     mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
-    seg = book.select(
-        *KEYS,
-        "ts_ms",
-        mid.alias("mid"),
-        (F.lead("ts_ms").over(w) - F.col("ts_ms")).alias("dt_ms"),
-        F.expr("ts_ms DIV 3600000").alias("hour_bucket"),
-    ).filter(F.col("dt_ms").isNotNull())
+    # lead-1 prevailing interval; size-dispatched (forward halo of 1)
+    seg = (
+        W.series_stages(
+            book.select(*KEYS, *ORDER_COLS, "best_bid", "best_ask"),
+            lambda w: {"dt_ms": F.lead("ts_ms").over(w) - F.col("ts_ms")},
+            window=1,
+            lookahead=1,
+            segmented=W.use_segmented(book_rows_per_key(sf_dir)),
+            keys=KEYS,
+            order_col=list(ORDER_COLS),
+        )
+        .select(
+            *KEYS,
+            "ts_ms",
+            mid.alias("mid"),
+            "dt_ms",
+            F.expr("ts_ms DIV 3600000").alias("hour_bucket"),
+        )
+        .filter(F.col("dt_ms").isNotNull())
+    )
     return seg.groupBy(*KEYS, "hour_bucket").agg(
         (
             F.sum((F.col("mid") * F.col("dt_ms")).cast("decimal(28,6)")).cast(
@@ -4303,32 +4484,60 @@ def q_book_delta_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     bandwidth win (the fixture's books change one field per tick,
     ~25% of slots)."""
     book = synthetic_book(spark, sf_dir, depth=1)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     enc = {f: F.coalesce(F.col(f), F.lit(-1.0)) for f in _DELTA_FIELDS}
-    deltas = book.select(
+    seg_on = W.use_segmented(book_rows_per_key(sf_dir))
+    # lag-1 delta encode; size-dispatched (wscale audit)
+    deltas = W.series_stages(
+        book.select(*KEYS, *ORDER_COLS, *_DELTA_FIELDS),
+        lambda w: {
+            **{f"e_{f}": enc[f] for f in _DELTA_FIELDS},
+            **{
+                f"d_{f}": F.when(
+                    F.lag(enc[f]).over(w).isNull()
+                    | (enc[f] != F.lag(enc[f]).over(w)),
+                    enc[f],
+                )
+                for f in _DELTA_FIELDS
+            },
+        },
+        window=2,
+        segmented=seg_on,
+        keys=KEYS,
+        order_col=list(ORDER_COLS),
+    ).select(
         *KEYS,
         "ts_ms",
         "raw_nonce",
-        *[enc[f].alias(f"e_{f}") for f in _DELTA_FIELDS],
-        *[
-            F.when(
-                F.lag(enc[f]).over(w).isNull()
-                | (enc[f] != F.lag(enc[f]).over(w)),
-                enc[f],
-            ).alias(f"d_{f}")
-            for f in _DELTA_FIELDS
-        ],
+        *[f"e_{f}" for f in _DELTA_FIELDS],
+        *[f"d_{f}" for f in _DELTA_FIELDS],
     )
-    recon = deltas.select(
-        "*",
-        *[
-            F.last(F.col(f"d_{f}"), ignorenulls=True)
-            .over(wrun)
-            .alias(f"r_{f}")
-            for f in _DELTA_FIELDS
-        ],
-    )
+    if seg_on:
+        # four independent forward-fill carries on the segmented path
+        # (selection, value-identical to the running-last window)
+        recon = deltas
+        for f in _DELTA_FIELDS:
+            recon = W.add_running_last_segmented(
+                recon,
+                f"d_{f}",
+                out_col=f"r_{f}",
+                keys=KEYS,
+                order_col=list(ORDER_COLS),
+            )
+    else:
+        wrun = (
+            Window.partitionBy(*KEYS)
+            .orderBy(*ORDER_COLS)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        recon = deltas.select(
+            "*",
+            *[
+                F.last(F.col(f"d_{f}"), ignorenulls=True)
+                .over(wrun)
+                .alias(f"r_{f}")
+                for f in _DELTA_FIELDS
+            ],
+        )
     n_deltas = None
     ok = None
     for f in _DELTA_FIELDS:
@@ -4399,7 +4608,6 @@ def q_book_feature_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties get the standard half-credit; rational arithmetic until the
     final 6dp round."""
     book = synthetic_book(spark, sf_dir, depth=1)
-    w = Window.partitionBy(*KEYS).orderBy(*ORDER_COLS)
     mid = (F.col("best_bid") + F.col("best_ask")) / F.lit(2.0)
     denom = F.coalesce(F.col("bid1_size"), F.lit(0.0)) + F.coalesce(
         F.col("ask1_size"), F.lit(0.0)
@@ -4408,19 +4616,34 @@ def q_book_feature_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         denom > 0, F.coalesce(F.col("bid1_size"), F.lit(0.0)) / denom
     )
     x = F.floor(imb * F.lit(1048576.0) + F.lit(0.5)) / F.lit(1048576.0)
-    fwd = F.lead(mid, 10).over(w)
-    # mid non-null filter: an empty-ask row has no defined label
-    # direction — excluded, not counted as a negative (ELSE 0)
-    feat = book.select(
-        *KEYS,
-        x.alias("x"),
-        F.when(fwd > mid, 1).otherwise(0).alias("y"),
-        mid.alias("mid"),
-        fwd.alias("fwd"),
-    ).filter(
-        F.col("fwd").isNotNull()
-        & F.col("x").isNotNull()
-        & F.col("mid").isNotNull()
+    # lead-10 label; size-dispatched (forward halo of 10). mid non-null
+    # filter: an empty-ask row has no defined label direction —
+    # excluded, not counted as a negative (ELSE 0)
+    feat = (
+        W.series_stages(
+            book.select(
+                *KEYS, *ORDER_COLS,
+                "best_bid", "best_ask", "bid1_size", "ask1_size",
+            ),
+            lambda w: {"fwd": F.lead(mid, 10).over(w)},
+            window=1,
+            lookahead=10,
+            segmented=W.use_segmented(book_rows_per_key(sf_dir)),
+            keys=KEYS,
+            order_col=list(ORDER_COLS),
+        )
+        .select(
+            *KEYS,
+            x.alias("x"),
+            F.when(F.col("fwd") > mid, 1).otherwise(0).alias("y"),
+            mid.alias("mid"),
+            "fwd",
+        )
+        .filter(
+            F.col("fwd").isNotNull()
+            & F.col("x").isNotNull()
+            & F.col("mid").isNotNull()
+        )
     )
     from market_microstructure_toolkit_spark.operators.evaluation import (
         exact_auc,

@@ -41,6 +41,29 @@ DISPATCHED = [
     "dedup_ngram_jaccard",
     # the round-8 dispatches, re-pinned under the same harness
     "book_ofi_lobster_cum",
+    # the round-9 window-audit sweep: every remaining growth-class
+    # per-key ordered window now dispatches through series_stages /
+    # the segmented carries / the segmented-rank positional phase
+    "book_roll_amihud",
+    "book_bipower_jump",
+    "book_hayashi_yoshida",
+    "book_l1_event_inference",
+    "book_intraday_seasonality",
+    "book_realized_cov_matrix",
+    "recorder_grid_sample",
+    "book_rv_signature",
+    "book_corwin_schultz",
+    "book_ofi_predictive_r2",
+    "book_imbalance_cond_returns",
+    "book_nonce_gap_audit",
+    "trade_split_adjust",
+    "book_train_matrix",
+    "book_time_weighted_mid",
+    "book_delta_reconstruct",
+    "book_feature_auc",
+    "book_slice_sample",
+    "pack_sequences",
+    "events_zorder_layout",
 ]
 
 
