@@ -33,6 +33,26 @@ def main() -> None:
     # warm the JVM + parquet footers once
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # Drift canary (round-8 verdict #2b): a fixed, deterministic,
+    # data-independent CPU-bound query timed at the start of every
+    # recorded bench. Absolute bench numbers on this host drift up to
+    # ~1.2x across sessions on identical code (measured: 81 s cold
+    # spread, docs/RATIO_r8.md); the canary pins the machine's speed at
+    # artifact time so cross-round comparisons can normalize by
+    # canary_s instead of arguing about drift. Two runs, second
+    # recorded (the first absorbs codegen compilation); ~200M-row
+    # whole-stage-codegen hash aggregate, zero I/O, constant size.
+    from pyspark.sql import functions as F  # noqa: E402
+
+    canary_s = None
+    for _ in range(2):
+        tc = time.perf_counter()
+        # % 1e6 bounds the ANSI-mode sum far below long overflow
+        spark.range(0, 1_000_000_000, 1, 32).select(
+            F.sum(F.xxhash64(F.col("id")) % F.lit(1_000_000)).alias("s")
+        ).collect()
+        canary_s = round(time.perf_counter() - tc, 3)
+
     # SPARK_GRAFT_BENCH_WARM=1: run each query twice, report the second
     # (steady-state) time. Default stays cold/one-shot — the driver's
     # protocol — but at this scale one-shot numbers are dominated by
@@ -151,6 +171,7 @@ def main() -> None:
         "warm": warm,
         "queries": timings,
         "plan_audit_flagged": len(audit_flags),
+        "canary_s": canary_s,
     }
     if warm:
         detail["queries_cold"] = cold_timings
@@ -174,6 +195,7 @@ def main() -> None:
         "n_plan_flags": len(audit_flags),
         "detail": os.path.basename(detail_path),
         "sf": sf_val,
+        "canary_s": canary_s,
     }
     # the timings line must be the ONLY stdout line and must not be torn
     # by late stderr flushes: drain stderr first, then emit compact JSON

@@ -38,6 +38,7 @@ def asof_nearest(
     target_ts_col: str = "target_ts",
     target_id_col: str = "target_id",
     tiebreak_cols: tuple[str, ...] = ("ts_ms", "raw_nonce"),
+    segmented: bool = False,
 ) -> DataFrame:
     """For each target row, the nearest snapshot within ``tolerance_ms``.
 
@@ -107,29 +108,60 @@ def asof_nearest(
     # target (__is_t) so a zero-distance snapshot is seen; same-ts
     # snapshots sort by tiebreaks DESCENDING so the carried last = the
     # EARLIEST tiebreak (the rank-1 row of the pair formulation).
-    carry = Window.partitionBy(*keys).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wb = carry.orderBy(
-        F.col("__uts").asc(),
-        F.col("__is_t").asc(),
-        *[F.col(f"__tb_{c}").desc_nulls_first() for c in extra_tb],
-    )
-    # Forward: descending event time (last carried = earliest at-or-
-    # after); same-ts ordering mirrors backward.
-    wf = carry.orderBy(
-        F.col("__uts").desc(),
-        F.col("__is_t").asc(),
-        *[F.col(f"__tb_{c}").desc_nulls_first() for c in extra_tb],
-    )
-    both = u.select(
-        *keys,
-        target_id_col,
-        target_ts_col,
-        "__is_t",
-        F.last("__snap", ignorenulls=True).over(wb).alias("__b"),
-        F.last("__snap", ignorenulls=True).over(wf).alias("__f"),
-    ).filter(F.col("__is_t") == 1)
+    if segmented:
+        # Segmented scale path (round-9 window audit): each carry is a
+        # running last-non-null over an ORDER that is plain-ascending
+        # after direction encoding — backward keeps __uts, forward
+        # negates it, and the desc_nulls_first tiebreaks negate too
+        # (asc default = nulls first, matching desc_nulls_first on the
+        # original sign). Two two-phase segmented fills replace the two
+        # single-task-per-key windows; the struct carry is selection,
+        # so both paths are value-identical (dispatch-parity-pinned).
+        from market_microstructure_toolkit_spark.operators.window_metrics import (
+            add_running_last_segmented,
+        )
+
+        enc = u.withColumn("__o_b", F.col("__uts")).withColumn(
+            "__o_f", -F.col("__uts")
+        )
+        for c in extra_tb:
+            enc = enc.withColumn(f"__o_tb_{c}", -F.col(f"__tb_{c}"))
+        tb_enc = [f"__o_tb_{c}" for c in extra_tb]
+        enc = add_running_last_segmented(
+            enc, "__snap", out_col="__b", keys=tuple(keys),
+            order_col=["__o_b", "__is_t", *tb_enc],
+        )
+        enc = add_running_last_segmented(
+            enc, "__snap", out_col="__f", keys=tuple(keys),
+            order_col=["__o_f", "__is_t", *tb_enc],
+        )
+        both = enc.select(
+            *keys, target_id_col, target_ts_col, "__is_t", "__b", "__f"
+        ).filter(F.col("__is_t") == 1)
+    else:
+        carry = Window.partitionBy(*keys).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wb = carry.orderBy(
+            F.col("__uts").asc(),
+            F.col("__is_t").asc(),
+            *[F.col(f"__tb_{c}").desc_nulls_first() for c in extra_tb],
+        )
+        # Forward: descending event time (last carried = earliest at-or-
+        # after); same-ts ordering mirrors backward.
+        wf = carry.orderBy(
+            F.col("__uts").desc(),
+            F.col("__is_t").asc(),
+            *[F.col(f"__tb_{c}").desc_nulls_first() for c in extra_tb],
+        )
+        both = u.select(
+            *keys,
+            target_id_col,
+            target_ts_col,
+            "__is_t",
+            F.last("__snap", ignorenulls=True).over(wb).alias("__b"),
+            F.last("__snap", ignorenulls=True).over(wf).alias("__f"),
+        ).filter(F.col("__is_t") == 1)
     db = F.col(target_ts_col) - F.col(f"__b.{ts_col}")
     df_ = F.col(f"__f.{ts_col}") - F.col(target_ts_col)
     valid_b = F.col("__b").isNotNull() & (db <= tolerance_ms)

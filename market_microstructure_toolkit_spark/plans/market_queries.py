@@ -865,7 +865,13 @@ def q_book_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts_ms") + 1500).alias("target_ts"),
         )
     )
-    out = asof_nearest(book, targets, tolerance_ms=3_600_000, keys=KEYS)
+    out = asof_nearest(
+        book,
+        targets,
+        tolerance_ms=3_600_000,
+        keys=KEYS,
+        segmented=W.use_segmented(book_rows_per_key(sf_dir)),
+    )
     return out.select(
         "exchange_id", "symbol", "target_id", "target_ts",
         "ts_ms", "raw_nonce", "abs_delta", "best_bid", "best_ask",
@@ -3664,18 +3670,31 @@ def q_trade_volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     remedy (add_cumulative_segmented) if one instrument's tape becomes
     the task bottleneck."""
     trades = synthetic_trades(spark, sf_dir)
-    w = (
-        Window.partitionBy(*KEYS)
-        .orderBy(*ORDER_COLS)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    bars = trades.withColumn(
-        "bar_id",
-        F.floor(
-            (F.sum("qty").over(w) - F.col("qty"))
-            / F.lit(_VOLUME_BAR_THRESHOLD)
-        ).cast("long"),
-    )
+    # exact-binary qty prefix sum; size-dispatched to the segmented
+    # scan (same remedy the dollar bars already ride)
+    if W.use_segmented(book_rows_per_key(sf_dir)):
+        bars = W.add_cumulative_segmented(
+            trades, "qty", out_col="__cum", keys=KEYS,
+            order_col=list(ORDER_COLS),
+        ).withColumn(
+            "bar_id",
+            F.floor(
+                (F.col("__cum") - F.col("qty")) / F.lit(_VOLUME_BAR_THRESHOLD)
+            ).cast("long"),
+        ).drop("__cum")
+    else:
+        w = (
+            Window.partitionBy(*KEYS)
+            .orderBy(*ORDER_COLS)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        bars = trades.withColumn(
+            "bar_id",
+            F.floor(
+                (F.sum("qty").over(w) - F.col("qty"))
+                / F.lit(_VOLUME_BAR_THRESHOLD)
+            ).cast("long"),
+        )
     wa = Window.partitionBy(*KEYS, "bar_id").orderBy(*ORDER_COLS)
     wd = Window.partitionBy(*KEYS, "bar_id").orderBy(
         *[F.col(c).desc() for c in ORDER_COLS]

@@ -64,6 +64,8 @@ DISPATCHED = [
     "book_slice_sample",
     "pack_sequences",
     "events_zorder_layout",
+    "book_asof_join",
+    "trade_volume_bars",
 ]
 
 

@@ -30,7 +30,9 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def one_run(plants_on: bool, sf_dir: str, warm: bool, tag: str) -> dict:
+def one_run(
+    plants_on: bool, sf_dir: str, warm: bool, tag: str, repo: str = REPO
+) -> dict:
     detail = os.path.join(
         tempfile.gettempdir(), f"bench_detail_{tag}_{os.getpid()}.json"
     )
@@ -44,7 +46,7 @@ def one_run(plants_on: bool, sf_dir: str, warm: bool, tag: str) -> dict:
     if warm:
         env["SPARK_GRAFT_BENCH_WARM"] = "1"
     proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
+        [sys.executable, os.path.join(repo, "bench.py")],
         env=env,
         capture_output=True,
         text=True,
@@ -78,6 +80,15 @@ def main() -> None:
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
     ap.add_argument("--warm", action="store_true")
+    ap.add_argument(
+        "--ab-repo",
+        default=None,
+        help="path to a SECOND checkout of the repo (e.g. a git-archive "
+        "export of an older commit); runs its bench.py as the "
+        "interleaved B arm — the missing round-over-round CODE control "
+        "(round-8 verdict #2a). Totals are additionally reported over "
+        "the SHARED query set, since registries differ across rounds.",
+    )
     args = ap.parse_args()
 
     on_runs: list[dict] = []
@@ -86,6 +97,10 @@ def main() -> None:
         on_runs.append(one_run(True, args.sf_dir, args.warm, f"on{i}"))
         if args.ab_plants:
             off_runs.append(one_run(False, args.sf_dir, args.warm, f"off{i}"))
+        if args.ab_repo:
+            off_runs.append(
+                one_run(True, args.sf_dir, args.warm, f"b{i}", repo=args.ab_repo)
+            )
 
     qs = sorted(on_runs[0]["queries"])
     out = {
@@ -94,7 +109,10 @@ def main() -> None:
         "sf": on_runs[0]["sf"],
         "warm": args.warm,
         "protocol": "median over fresh-process runs"
-        + (", interleaved plants on/off A/B" if args.ab_plants else ""),
+        + (", interleaved plants on/off A/B" if args.ab_plants else "")
+        + (
+            f", interleaved code A/B vs {args.ab_repo}" if args.ab_repo else ""
+        ),
         "total_query_s_runs": [r["total_query_s"] for r in on_runs],
         "total_query_s": round(
             statistics.median(r["total_query_s"] for r in on_runs), 3
@@ -117,6 +135,16 @@ def main() -> None:
         }
         out["plants_delta_total_s"] = round(
             out["total_query_s"] - out["total_query_s_plants_off"], 3
+        )
+        # registries differ across rounds: the comparable total is over
+        # the SHARED query set only
+        shared = sorted(set(qs) & set(qs_off))
+        out["n_shared_queries"] = len(shared)
+        out["total_query_s_shared_a"] = round(
+            sum(out["queries"][q] for q in shared), 3
+        )
+        out["total_query_s_shared_b"] = round(
+            sum(out["queries_plants_off"][q] for q in shared), 3
         )
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
