@@ -2281,3 +2281,146 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return substring_dup_spans(_docs(spark, sf_dir), min_tokens=5)
+
+
+_PIPELINE_SQL = (
+    """
+WITH h1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+canon1 AS (SELECT MIN(doc_id) AS doc_id FROM h1 GROUP BY h),
+s1 AS (SELECT d.* FROM documents d JOIN canon1 USING (doc_id)),
+pairs AS (
+  SELECT id_a, id_b FROM ("""
+    + _MINHASH_SQL.replace("FROM documents", "FROM s1")
+    + """) mh
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS MATERIALIZED (SELECT doc_id AS id FROM s1),
+"""
+    + _minlabel_rounds_sql(12)
+    + """,
+canon2 AS (SELECT id AS doc_id FROM it12 WHERE id = lab),
+s2 AS (SELECT s1.* FROM s1 JOIN canon2 USING (doc_id)),
+bench AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+  FROM (SELECT string_split(text, ' ') AS w FROM documents
+        WHERE doc_id % 50 = 0)
+  WHERE len(w) >= 3
+),
+corp AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM s2
+        WHERE doc_id % 50 != 0)
+  WHERE len(w) >= 3
+),
+contam AS (
+  SELECT c.doc_id FROM corp c JOIN bench USING (g)
+  GROUP BY c.doc_id HAVING COUNT(*) >= 2
+),
+s3 AS (
+  SELECT t.* FROM (SELECT * FROM s2 WHERE doc_id % 50 != 0) t
+  ANTI JOIN contam USING (doc_id)
+),
+q AS ("""
+    + _QUALITY_SQL.replace("FROM documents", "FROM s3")
+    + """),
+s4 AS (
+  SELECT s3.* FROM s3 JOIN q USING (doc_id) WHERE q.quality_score >= 0.5
+),
+s5 AS (
+  SELECT * FROM s4
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 31, 2) < 'f8'
+),
+packed AS ("""
+    + _PACK_SQL.replace("FROM documents", "FROM s5")
+    + """)
+SELECT * FROM packed
+"""
+)
+
+
+@register("corpus_pipeline_e2e", _PIPELINE_SQL)
+def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-corpus build as ONE composition (round-9
+    verdict ask #5): exact dedup (min doc per md5(text); NULL/empty
+    texts group like any other content hash) -> MinHash-LSH near-dup
+    clusters keeping each cluster's min-id canonical -> benchmark
+    decontamination (every 50th raw doc plays the eval set; survivors
+    sharing >= 2 distinct 3-gram shingles drop, and eval docs never
+    enter the output) -> quality filter (score >= 0.5) -> train-split
+    selection (md5 bucket < 'f8') -> sequence packing (8 shards, 256
+    tokens). Output = the packed-sequence occupancy report, so the gate
+    hashes the FINAL artifact of the pipeline — any semantic drift at
+    ANY stage boundary moves it.
+
+    Composition shape at 100 TB: the exact-dedup survivor set is
+    localCheckpoint'd ONCE because three consumers branch from it (LSH
+    candidate generation, cluster vertices, the survivor join) — without
+    it each branch re-runs the scan + hash-aggregate; every later stage
+    is single-consumer lazy composition (anti-join, semi-joins,
+    map-side filters) with no materialization between stages, and the
+    packing cumsum size-dispatches to the segmented scan like the
+    standalone gate. Verified on the executed plan: stages 2-6 read the
+    checkpointed survivors (ExistingRDD), and the raw corpus parquet
+    appears exactly twice post-checkpoint (the eval-set shingle build +
+    its count), not once per stage."""
+    from market_microstructure_toolkit_spark.operators.dedup import (
+        contamination_flags,
+        dedup_clusters,
+        minhash_lsh_candidates,
+    )
+    from market_microstructure_toolkit_spark.operators.packing import (
+        pack_stats,
+    )
+    from market_microstructure_toolkit_spark.operators.text_analysis import (
+        quality_features,
+        split_expr,
+    )
+
+    docs = _docs(spark, sf_dir)
+    # stage 1: exact dedup (one shuffle on the content hash)
+    canon1 = (
+        docs.select("doc_id", F.md5(F.col("text")).alias("__h"))
+        .groupBy("__h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s1 = docs.join(canon1, "doc_id").localCheckpoint()
+    # stage 2: near-dup clusters over the exact survivors
+    pairs = minhash_lsh_candidates(s1, k=8, rows_per_band=2, shingle_n=3)
+    canon2 = (
+        dedup_clusters(s1, pairs)
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id")
+    )
+    s2 = s1.join(canon2, "doc_id")
+    # stage 3: decontamination (broadcast eval shingles, anti-join)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = s2.filter(F.col("doc_id") % 50 != 0)
+    flagged = contamination_flags(
+        corpus, bench, shingle_n=3, min_shared=2
+    ).select("doc_id")
+    s3 = corpus.join(flagged, "doc_id", "left_anti")
+    # stage 4: quality gate (map-side expressions, one semi-join)
+    keepq = (
+        quality_features(s3)
+        .filter(F.col("quality_score") >= 0.5)
+        .select("doc_id")
+    )
+    s4 = s3.join(keepq, "doc_id")
+    # stage 5: train-split selection (pure map over the id)
+    s5 = s4.filter(split_expr() == F.lit("train"))
+    # stage 6: pack the survivors
+    return pack_stats(
+        s5,
+        budget=256,
+        n_shards=8,
+        segmented=W.use_segmented(
+            parquet_rows(f"{sf_dir}/documents.parquet") // 8
+        ),
+    )
