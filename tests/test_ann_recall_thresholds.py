@@ -1,0 +1,66 @@
+"""ANN recall floors (round-9 verdict ask #7).
+
+The recall GATES hash Spark against a DuckDB oracle that computes the
+same algorithm — they catch implementation divergence, but a change
+made consistently to both sides (fewer probes, coarser codebooks, a
+bucketing bug mirrored into the oracle) would silently degrade recall
+while staying hash-green. These tests pin the measured recall values
+themselves, so a real retrieval regression fails an assertion, not a
+vibe.
+
+Measured baselines (2026-08-15, near-uniform synthetic embeddings —
+honest recall is LOW by construction; see the gate docstrings):
+
+    sf0.1 (20k vectors):  IVF single-probe 0.1, 3-probe 0.5,
+                          PQ ADC 0.1, PQ reranked 0.3
+    sf1   (200k vectors): IVF single-probe 0.1, 3-probe 0.6,
+                          PQ ADC 0.0, PQ reranked 0.2
+
+Floors sit AT the measured values at sf0.1 (any drop is a regression);
+the cross-metric invariants (multi-probe beats single-probe, rerank
+never hurts ADC) hold at every SF.
+"""
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def _one(spark, name):
+    from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY[name].spark(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    return rows[0].asDict()
+
+
+@pytest.fixture(scope="module")
+def recalls(spark):
+    return {
+        "ivf": _one(spark, "similarity_ann_recall"),
+        "mp": _one(spark, "similarity_ann_recall_multiprobe"),
+        "pq": _one(spark, "similarity_pq_recall"),
+    }
+
+
+def test_ivf_single_probe_floor(recalls):
+    assert recalls["ivf"]["recall_at_10"] >= 0.1
+
+
+def test_multiprobe_floor(recalls):
+    assert recalls["mp"]["recall_at_10"] >= 0.5
+
+
+def test_multiprobe_beats_single_probe(recalls):
+    # the whole point of probing 3 cells instead of 1
+    assert recalls["mp"]["recall_at_10"] > recalls["ivf"]["recall_at_10"]
+
+
+def test_pq_rerank_floor(recalls):
+    assert recalls["pq"]["recall_at_10_reranked"] >= 0.3
+
+
+def test_pq_rerank_never_hurts_adc(recalls):
+    assert (
+        recalls["pq"]["recall_at_10_reranked"] >= recalls["pq"]["recall_at_10"]
+    )
