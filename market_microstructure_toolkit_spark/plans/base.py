@@ -150,6 +150,30 @@ def _scratch(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
+def replay_to_parquet(spark, df, base: str, name: str, await_s: int = 300):
+    """Run an availableNow replay into a PARQUET scratch sink and read
+    the result back lazily — the scale-safe twin of the memory sink for
+    replays whose output is INPUT-sized (per-trade signs, per-event OFI,
+    per-doc dedup/CDC emissions). The memory sink materializes every
+    emitted row in the DRIVER heap: fine at sf0.1, an 8 GB driver OOM
+    at the sf10 decade probe (10M-row tapes) — the round-9 decade's bug
+    class. The parquet sink lands rows executor-side (append mode,
+    which every per-row stateful op here uses); downstream aggregation
+    then reads a columnar scan via the sink's transaction log instead
+    of a driver-resident table. Memory sinks remain correct — and are
+    kept — for complete-mode or output-bounded replays (windowed
+    aggregates, session rollups)."""
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", f"{base}/out_{name}")
+        .option("checkpointLocation", f"{base}/ckpt_{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(await_s)
+    return spark.read.parquet(f"{base}/out_{name}")
+
+
 def _stamp_batch_order(*dirs: str) -> None:
     """Pin the micro-batch replay order: give every file under each dir
     an explicit mtime, strictly increasing by 2s per dir in argument

@@ -23,6 +23,7 @@ from market_microstructure_toolkit_spark.plans.base import (
     _split2,
     _split3,
     _stamp_batch_order,
+    replay_to_parquet,
     _stream_parts,
     _tape_parts,
     _tape2,
@@ -66,18 +67,12 @@ def q_streaming_ofi_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.shuffle.partitions", _tape_parts(spark, f"{tape_base}/data/*/", hi=4)
     )
     try:
-        q = (
-            stateful_ofi(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{base}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        # input-sized output (one row per book event) -> parquet sink;
+        # the memory sink OOMed the 8g driver at the sf10 decade
+        out = replay_to_parquet(spark, stateful_ofi(stream), base, name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
+    return out
 
 
 _STREAM_WINDOW_SQL = f"""{_BOOK_CTE}
@@ -227,18 +222,11 @@ def q_streaming_alert_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         "spark.sql.shuffle.partitions", _tape_parts(spark, f"{tape_base}/data/*/", hi=8)
     )
     try:
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", f"{base}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        # join output scales with the alert-hit mass -> parquet sink
+        out = replay_to_parquet(spark, joined, base, name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
+    return out
 
 
 _STREAM_SESSION_SQL = """
@@ -373,18 +361,13 @@ def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.shuffle.partitions", _stream_parts(docs.count())
     )
     try:
-        q = (
-            stateful_exact_dedup(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{base}/ckpt")
-            .trigger(availableNow=True)
-            .start()
+        # input-sized output (every kept doc) -> parquet sink
+        out = replay_to_parquet(
+            spark, stateful_exact_dedup(stream), base, name
         )
-        q.awaitTermination(300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
+    return out
 
 
 @register("streaming_trade_signs_replay", _TRADE_SIGNS_SQL)
@@ -420,18 +403,13 @@ def q_streaming_trade_signs_replay(spark: SparkSession, sf_dir: str) -> DataFram
         "spark.sql.shuffle.partitions", _tape_parts(spark, f"{tape_base}/data/*/", hi=4)
     )
     try:
-        q = (
-            stateful_lee_ready(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{base}/ckpt")
-            .trigger(availableNow=True)
-            .start()
+        # input-sized output (one row per trade) -> parquet sink
+        out = replay_to_parquet(
+            spark, stateful_lee_ready(stream), base, name
         )
-        q.awaitTermination(300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name).select(
+    return out.select(
         *IDS, F.round("price", 6).alias("price"), "qty", "side"
     )
 
@@ -475,18 +453,14 @@ def q_streaming_vpin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.shuffle.partitions", _tape_parts(spark, f"{tape_base}/data/*/", hi=4)
     )
     try:
-        q = (
-            stateful_signed_buckets(stream, 50.0)
-            .writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{base}/ckpt")
-            .trigger(availableNow=True)
-            .start()
+        # input-sized output (one signed+bucketed row per trade) ->
+        # parquet sink; THE sf10-decade OOM site (10M rows in the 8g
+        # driver heap via the memory sink)
+        rows = replay_to_parquet(
+            spark, stateful_signed_buckets(stream, 50.0), base, name
         )
-        q.awaitTermination(300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    rows = spark.table(name)
     qty, side = F.col("qty"), F.col("side")
     return rows.groupBy(*KEYS, "bucket").agg(
         F.sum(F.when(side > 0, qty).otherwise(F.lit(0.0))).alias("buy_vol"),
@@ -573,18 +547,12 @@ def q_streaming_vpin_two_stage_replay(
             .parquet(f"{base}/signed/*/")
         )
         name = f"vpin2_replay_{uuid.uuid4().hex[:8]}"
-        q2 = (
-            stateful_volume_buckets(stream2, 50.0)
-            .writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{base}/ckpt2")
-            .trigger(availableNow=True)
-            .start()
+        # input-sized output (per-trade rows) -> parquet sink
+        rows = replay_to_parquet(
+            spark, stateful_volume_buckets(stream2, 50.0), base, name
         )
-        q2.awaitTermination(300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    rows = spark.table(name)
     qty, side = F.col("qty"), F.col("side")
     return rows.groupBy(*KEYS, "bucket").agg(
         F.sum(F.when(side > 0, qty).otherwise(F.lit(0.0))).alias("buy_vol"),
@@ -669,18 +637,12 @@ def q_streaming_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.shuffle.partitions", _stream_parts(docs.count())
     )
     try:
-        q = (
-            stateful_cdc_apply(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{base_dir}/ckpt")
-            .trigger(availableNow=True)
-            .start()
+        # input-sized output (per-doc emissions) -> parquet sink
+        emitted = replay_to_parquet(
+            spark, stateful_cdc_apply(stream), base_dir, name
         )
-        q.awaitTermination(300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    emitted = spark.table(name)
     w = Window.partitionBy("doc_id").orderBy(
         F.col("ver").desc(), F.col("op").asc()
     )
@@ -921,17 +883,11 @@ def q_streaming_dedup_watermark_replay(
         "spark.sql.shuffle.partitions", _tape_parts(spark, f"{tape_base}/data/*/", hi=8)
     )
     try:
-        q = (
-            stream.writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{base}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        # input-sized output (every unique event) -> parquet sink
+        out = replay_to_parquet(spark, stream, base, name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
+    return out
 
 
 _SESSION_GAP_US = 1_800_000_000  # 30 min
@@ -1020,18 +976,12 @@ def q_streaming_session_window_replay(
         "spark.sql.shuffle.partitions", _tape_parts(spark, f"{tape_base}/data/*/", hi=8)
     )
     try:
-        q = (
-            stream.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", f"{base}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        # session rows scale with user cardinality (which scales with
+        # data) -> parquet sink
+        out = replay_to_parquet(spark, stream, base, name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
+    return out
 
 
 @register("streaming_foreachbatch_upsert", _CDC_SQL)
@@ -1218,14 +1168,8 @@ def q_streaming_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         "spark.sql.shuffle.partitions", _tape_parts(spark, f"{tape_base}/data/*/", hi=8)
     )
     try:
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{base}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        # input-sized output (one row per left event) -> parquet sink
+        out = replay_to_parquet(spark, joined, base, name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
+    return out
