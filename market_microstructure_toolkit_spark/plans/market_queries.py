@@ -4940,7 +4940,12 @@ def q_book_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts_ms",
         value_cols=("mid",),
         target_ts_col="grid_ts",
-        segmented=W.use_segmented(book_rows_per_key(sf_dir)),
+        # measured (r9 threshold probe): THIS union's carry is so narrow
+        # (one double) that the plain 4-task window beats the segmented
+        # machinery 8x at 2.5M rows/key (1.1s vs 8.6s at sf10), unlike
+        # the sibling as-of gates where segmented wins 1.7-2.3x at the
+        # same size — dispatch at 4x the default threshold instead
+        segmented=book_rows_per_key(sf_dir) > 4 * W.seg_threshold(),
     )
     # picked carries the probe time as ts_ms (the union's ts_col) and the
     # matched snapshot's timestamp as src_ts_ms
