@@ -117,6 +117,26 @@ def asof_nearest(
         # original sign). Two two-phase segmented fills replace the two
         # single-task-per-key windows; the struct carry is selection,
         # so both paths are value-identical (dispatch-parity-pinned).
+        #
+        # CONTRACT (round-9 advice): direction-by-negation requires
+        # NUMERIC ts/tiebreak columns and NON-NULL ts values. A string
+        # tiebreak can't negate at all, and a NULL __uts would flip
+        # position between DESC (nulls last) and negated-ASC (nulls
+        # first), silently diverging from the plain path. Types are
+        # asserted here; NULL ts stays a documented caller contract
+        # (checking it costs a data scan — every call site derives ts
+        # from non-null event time).
+        from pyspark.sql.types import NumericType
+
+        for _c in ("__uts", *[f"__tb_{c}" for c in extra_tb]):
+            _dt = u.schema[_c].dataType
+            if not isinstance(_dt, NumericType):
+                raise TypeError(
+                    f"asof_nearest(segmented=True): order/tiebreak column "
+                    f"{_c!r} is {_dt.simpleString()}, not numeric — the "
+                    f"negation encoding only preserves order for numeric "
+                    f"non-null columns; use segmented=False"
+                )
         from market_microstructure_toolkit_spark.operators.window_metrics import (
             add_running_last_segmented,
         )

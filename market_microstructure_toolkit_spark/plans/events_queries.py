@@ -9,7 +9,6 @@ from market_microstructure_toolkit_spark.operators import window_metrics as W
 from market_microstructure_toolkit_spark.plans.base import (
     _events_fx,
     _scratch,
-    parquet_rows,
     register_planted as register,
 )
 
@@ -670,9 +669,12 @@ def q_events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     off = F.broadcast(
         spark.createDataFrame(offsets, "zval long, __off long")
     )
-    # per-cell rows = data / 2^16 cells — grows with data; the rank
-    # size-dispatches to the segmented-rank phase (mean-occupancy hint)
-    if W.use_segmented(parquet_rows(f"{sf_dir}/events.parquet") // 65536):
+    # per-cell rows grow with data; the rank size-dispatches to the
+    # segmented-rank phase on the MAX cell occupancy — the exact
+    # histogram is already in hand from the offsets collect above, and
+    # spatial data concentrates (a mean-occupancy hint would leave a
+    # hot cell serialized on one task; round-9 verdict #1 skew audit)
+    if W.use_segmented(max((c for _, c in bins), default=0)):
         filed = W.add_position_segmented(
             z.join(off, "zval"),
             keys=("zval",),

@@ -49,6 +49,31 @@ from market_microstructure_toolkit_spark.plans import streaming_queries  # noqa:
 from market_microstructure_toolkit_spark.plans.similarity_queries import (  # noqa: F401,E402
     _pq_adc_from,
 )
+
+
+def _rotate_registry() -> None:
+    """Deterministically rotate the registry's insertion order by round
+    (round-9 verdict #2): the driver's independent correctness gate
+    samples the FIRST 50 entries, and with a fixed order it had audited
+    the identical 50 gates since round 4 while the other ~129 rested on
+    the builder's own harness. Rotating the dict start by
+    ``50 * (round % 4)`` exposes a fresh stratum to the driver each
+    round — a pure reordering: zero semantic change, every gate keeps
+    its name, callable, and oracle. ``SPARK_GRAFT_ROUND`` overrides for
+    reproducing an earlier round's sample (0 restores the historical
+    order)."""
+    import os
+
+    rnd = int(os.environ.get("SPARK_GRAFT_ROUND", "10"))
+    off = (50 * (rnd % 4)) % max(1, len(REGISTRY))
+    if off == 0:
+        return
+    items = list(REGISTRY.items())
+    REGISTRY.clear()
+    REGISTRY.update(items[off:] + items[:off])
+
+
+_rotate_registry()
 from market_microstructure_toolkit_spark.plans.book import (  # noqa: F401,E402
     BOOK_DEPTH,
     ORDER_COLS,

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from market_microstructure_toolkit_spark.functions import arrays as A
 from market_microstructure_toolkit_spark.plans.book import BOOK_DEPTH
 from market_microstructure_toolkit_spark.plans.book import synthetic_book
+from market_microstructure_toolkit_spark.plans.book import synthetic_trades
 from market_microstructure_toolkit_spark.plans.base import (
     IDS,
     KEYS,
@@ -17,6 +18,7 @@ from market_microstructure_toolkit_spark.plans.base import (
     _OFI_STRICT_SQL,
     _TRADE_SIGNS_SQL,
     _VPIN_SQL,
+    _VPIN_SKEW_SQL,
     _docs,
     _memo_tape,
     _scratch,
@@ -456,6 +458,73 @@ def q_streaming_vpin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         # input-sized output (one signed+bucketed row per trade) ->
         # parquet sink; THE sf10-decade OOM site (10M rows in the 8g
         # driver heap via the memory sink)
+        rows = replay_to_parquet(
+            spark, stateful_signed_buckets(stream, 50.0), base, name
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    qty, side = F.col("qty"), F.col("side")
+    return rows.groupBy(*KEYS, "bucket").agg(
+        F.sum(F.when(side > 0, qty).otherwise(F.lit(0.0))).alias("buy_vol"),
+        F.sum(F.when(side < 0, qty).otherwise(F.lit(0.0))).alias("sell_vol"),
+        F.sum(qty).alias("total_vol"),
+        F.count(F.lit(1)).alias("n_trades"),
+    ).withColumn(
+        "vpin",
+        F.abs(F.col("buy_vol") - F.col("sell_vol")) / F.col("total_vol"),
+    )
+
+
+@register("streaming_vpin_skewed_replay", _VPIN_SKEW_SQL)
+def q_streaming_vpin_skewed_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``streaming_vpin_replay`` under a HOT KEY (round-9 verdict #6):
+    the tape's symbol collapses to S0 for 90% of prints
+    (``raw_nonce % 10 <> 0`` — the same per-row remap in the oracle's
+    trades CTE), so the keyed state shuffle funnels ~90% of the stream
+    through one state partition. Keyed ordered state is inherently
+    sequential PER KEY — the scale question this gate pins is whether
+    the hot key degrades gracefully (Arrow-batched state op streams the
+    key's groups batch-by-batch; measured at sf1: within ~1.1x of the
+    uniform twin's wall, docs/SCALE_NOTES.md round-10 table) rather
+    than OOMing a partition or wedging the micro-batch. A production
+    remedy past graceful degradation is composite state keys
+    (symbol × volume-epoch) — the volume clock is associative over a
+    carried offset — documented, not needed at the measured scales."""
+    import uuid
+
+    from market_microstructure_toolkit_spark.streaming.trade_stream import (
+        stateful_signed_buckets,
+    )
+
+    def build(b: str) -> list[str]:
+        t = synthetic_trades(spark, sf_dir)
+        skewed = t.withColumn(
+            "symbol",
+            F.when(F.col("raw_nonce") % 10 != 0, F.lit("S0")).otherwise(
+                F.col("symbol")
+            ),
+        ).select(*t.columns)
+        return _split2(skewed, "ts_ms", b)
+
+    tape_base = _memo_tape(sf_dir, "trades2skew", build)
+    base = _scratch(prefix="mmt_stream_vpin_skew_")
+    stream = (
+        spark.readStream.schema(
+            "exchange_id string, symbol string, ts_ms long, raw_nonce long,"
+            " mid double, price double, qty double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tape_base}/data/*/")
+    )
+    name = f"vpin_skew_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        _tape_parts(spark, f"{tape_base}/data/*/", hi=4),
+    )
+    try:
         rows = replay_to_parquet(
             spark, stateful_signed_buckets(stream, 50.0), base, name
         )

@@ -64,3 +64,62 @@ def test_pq_rerank_never_hurts_adc(recalls):
     assert (
         recalls["pq"]["recall_at_10_reranked"] >= recalls["pq"]["recall_at_10"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Clustered regime (round-10, round-9 verdict #4): the uniform floors above
+# are honest but insensitive (a floor of 0.1 barely regresses). On a
+# mixture-of-Gaussians twin (tools/make_clustered_embeddings.py — 8 tight
+# clusters aligned with the 8 IVF cells) recall sits where a WORKING IVF
+# should: measured at sf0.1 with sigma 0.30 -> IVF single-probe 0.9,
+# 3-probe 1.0, PQ ADC 0.1, PQ reranked 0.3. Here a bucketing, assignment,
+# or probing bug craters the number instead of nudging it. The uniform
+# floors stay as the adversarial case.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def clustered_recalls(spark, tmp_path_factory):
+    from tools.make_clustered_embeddings import make_clustered_dir
+
+    d = make_clustered_dir(
+        SF_DIR, str(tmp_path_factory.mktemp("clustered") / "sf")
+    )
+    from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+    out = {}
+    for key, name in [
+        ("ivf", "similarity_ann_recall"),
+        ("mp", "similarity_ann_recall_multiprobe"),
+        ("pq", "similarity_pq_recall"),
+    ]:
+        rows = REGISTRY[name].spark(spark, d).collect()
+        assert len(rows) == 1
+        out[key] = rows[0].asDict()
+    return out
+
+
+def test_clustered_ivf_floor(clustered_recalls):
+    assert clustered_recalls["ivf"]["recall_at_10"] >= 0.9
+
+
+def test_clustered_multiprobe_floor(clustered_recalls):
+    assert clustered_recalls["mp"]["recall_at_10"] >= 1.0
+
+
+def test_clustered_multiprobe_beats_single(clustered_recalls):
+    assert (
+        clustered_recalls["mp"]["recall_at_10"]
+        > clustered_recalls["ivf"]["recall_at_10"]
+    )
+
+
+def test_clustered_pq_rerank_floor(clustered_recalls):
+    assert clustered_recalls["pq"]["recall_at_10_reranked"] >= 0.3
+
+
+def test_clustered_pq_rerank_never_hurts_adc(clustered_recalls):
+    assert (
+        clustered_recalls["pq"]["recall_at_10_reranked"]
+        >= clustered_recalls["pq"]["recall_at_10"]
+    )
