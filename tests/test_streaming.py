@@ -367,3 +367,25 @@ class TestStreamStreamOuterJoin:
             for r in out.filter(F.col("r_alert_id").isNotNull()).collect()
         }
         assert matched_ids and null_ids.isdisjoint(matched_ids)
+
+
+def test_replay_to_parquet_empty_output_returns_empty_frame(
+    spark, book_chunks_dir, tmp_path
+):
+    """An all-rows-filtered replay commits only _spark_metadata; the
+    sink read must return an EMPTY frame with the stream's schema, not
+    raise 'unable to infer schema' (round-9 advice — the memory sink it
+    replaced returned an empty table)."""
+    from market_microstructure_toolkit_spark.plans.base import (
+        replay_to_parquet,
+    )
+
+    stream = read_book_stream(
+        spark, f"{book_chunks_dir}/chunk_*", BOOK_DEPTH,
+        max_files_per_trigger=1,
+    ).filter(F.lit(False))
+    out = replay_to_parquet(
+        spark, stream, str(tmp_path / "empty_replay"), "empty"
+    )
+    assert out.count() == 0
+    assert len(out.columns) > 0
