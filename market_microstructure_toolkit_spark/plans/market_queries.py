@@ -1142,8 +1142,16 @@ def _vwap_carry_sql() -> str:
     ask_cols = ", ".join(
         f"ask{i}_price, ask{i}_size" for i in range(1, depth + 1)
     )
+    # AS MATERIALIZED below is a pure optimization fence (DuckDB): the
+    # recursive members reference prox/sz0/rows_ via scalar subqueries
+    # and joins, and an INLINED single-reference CTE chain re-derives
+    # the 10M-row book build on EVERY recursion step at sf10 (measured:
+    # >20 min wall, 48 re-scans). Materializing the 24-row intermediates
+    # (and s0, whose two consumers nn+numbered would each rebuild the
+    # book) collapses the recursion to config-sized work. Values are
+    # byte-identical — the fence changes evaluation count, not results.
     return f"""{_BOOK_CTE.replace("WITH ", "WITH RECURSIVE ")},
-s0 AS (SELECT * FROM book WHERE symbol = 'S0'),
+s0 AS MATERIALIZED (SELECT * FROM book WHERE symbol = 'S0'),
 nn AS (SELECT COUNT(*) AS n FROM s0),
 numbered AS (
   SELECT *, row_number() OVER (ORDER BY ts_ms, raw_nonce) - 1 AS pos FROM s0
@@ -1153,13 +1161,13 @@ sl AS (
   FROM generate_series(0, 23) t(s), nn
 ),
 picked AS (SELECT sl.s, r.* FROM sl JOIN numbered r ON r.pos = sl.pos),
-prox AS (
+prox AS MATERIALIZED (
   SELECT s, GREATEST(0.0, {proxy.replace('r.', '')}) AS w,
          (best_bid + best_ask) / 2.0 AS mid, ts_ms, {ask_cols}
   FROM picked
 ),
 tot AS (SELECT SUM(w) AS total FROM prox),
-sz0 AS (
+sz0 AS MATERIALIZED (
   SELECT s, CASE WHEN total <= 0 THEN 100.0 / 24 ELSE 100.0 * (w / total) END AS sz
   FROM prox, tot
 ),
@@ -1171,7 +1179,7 @@ ssum(s, acc) AS (
 ),
 errv AS (SELECT 100.0 - acc AS err FROM ssum WHERE s = 23),
 jmax AS (SELECT s AS j FROM sz0 ORDER BY sz DESC, s LIMIT 1),
-rows_ AS (
+rows_ AS MATERIALIZED (
   SELECT p.s + 1 AS sn, p.mid, p.ts_ms, {ask_cols},
          z.sz + CASE WHEN abs(e.err) > 1e-9 AND p.s = m.j THEN e.err ELSE 0.0 END AS sz
   FROM prox p JOIN sz0 z ON z.s = p.s, errv e, jmax m

@@ -54,15 +54,33 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/root/repo/testdata_sf1")
     ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset of fact tables to synthesize "
+        "(dims are always copied); default = all. Lets a century-scale "
+        "probe (replicas=1000) build only the tables its gates read.",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
+    facts = [*PK, "lineitem"]
+    if args.tables:
+        want = set(args.tables.split(","))
+        unknown = want - set(facts)
+        if unknown:
+            raise SystemExit(f"unknown tables: {sorted(unknown)}")
+        facts = [t for t in facts if t in want]
+    # stride sources must include FK referents even when not emitted
+    need = set(facts) | {ref for t in facts for ref in FK.get(t, {}).values()}
     tables = {
         t: pq.read_table(f"{SRC}/{t}.parquet")
-        for t in [*COPY, *PK, "lineitem"]
+        for t in [*COPY, *[f for f in [*PK, "lineitem"] if f in need]]
     }
     stride = {}
     for t, cols in PK.items():
+        if t not in tables:
+            continue
         # one stride per table: max over its own-key columns, so event_id
         # and user_id shift by the same amount is NOT wanted — stride is
         # per (table, column) for multi-key tables
@@ -74,9 +92,15 @@ def main() -> None:
         pq.write_table(tables[t], f"{args.out}/{t}.parquet")
         print(t, "copied", tables[t].num_rows)
 
-    for t in [*PK, "lineitem"]:
+    for t in facts:
         base = tables[t]
-        reps = []
+        # stream one replica per row group instead of concat-in-memory:
+        # replicas=1000 (sf100) would otherwise hold the whole 100M-row
+        # fact table in RAM before the single write. Output rows are
+        # identical either way; per-replica row groups additionally give
+        # footer stats the dispatch hints can read per key stripe.
+        writer = None
+        total = 0
         for i in range(args.replicas):
             tab = base
             shifts: dict[str, int] = {}
@@ -104,12 +128,17 @@ def main() -> None:
                     ]
                     col = pa.chunked_array([pa.array(rotated, type=col.type)])
                 cols.append(col)
-            reps.append(pa.table(dict(zip(tab.column_names, cols)), schema=None))
-        out = pa.concat_tables(
-            [r.cast(base.schema.remove_metadata()) for r in reps]
-        )
-        pq.write_table(out, f"{args.out}/{t}.parquet")
-        print(t, "->", out.num_rows, "rows")
+            rep = pa.table(
+                dict(zip(tab.column_names, cols)), schema=None
+            ).cast(base.schema.remove_metadata())
+            if writer is None:
+                writer = pq.ParquetWriter(
+                    f"{args.out}/{t}.parquet", rep.schema
+                )
+            writer.write_table(rep)
+            total += rep.num_rows
+        writer.close()
+        print(t, "->", total, "rows")
 
 
 if __name__ == "__main__":
