@@ -38,6 +38,16 @@ _DEFAULT_CONFS: dict[str, str] = {
     # JVM and need more — override via env (mirrors the oracle
     # harness's SPARK_GRAFT_ORACLE_DRIVER_MEM)
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # sizing only, never semantics: the 1g default caps collect() at
+    # ~1 GiB of task results, which a WIDE input-sized result (the
+    # 25-column book roundtrip gates, ~2.1 GiB serialized at sf10's
+    # 10M rows) exceeds while narrow 10M-row collects pass. Oracle
+    # value probes are the only full-result collects in the repo; on a
+    # production cluster results this size go through a sink, not the
+    # driver (plans/base.py:replay_to_parquet is exactly that pattern).
+    "spark.driver.maxResultSize": os.environ.get(
+        "SPARK_GRAFT_MAX_RESULT", "4g"
+    ),
     # keep stdout/stderr clean for harnesses that parse bench output
     "spark.ui.showConsoleProgress": "false",
     # managed (bucketed) tables land outside the repo checkout
