@@ -61,10 +61,28 @@ def _rotate_registry() -> None:
     round — a pure reordering: zero semantic change, every gate keeps
     its name, callable, and oracle. ``SPARK_GRAFT_ROUND`` overrides for
     reproducing an earlier round's sample (0 restores the historical
-    order)."""
+    order).
+
+    The round number defaults to the latest ``round`` in the driver's
+    ``PROGRESS.jsonl`` heartbeat, so the rotation advances every round
+    WITHOUT a manual bump of a hardcoded default (the failure mode: a
+    stale constant freezes the driver's sample on one stratum again —
+    exactly what the rotation exists to prevent). Falls back to 10 (the
+    round that introduced rotation) when the file is absent."""
+    import json
     import os
 
-    rnd = int(os.environ.get("SPARK_GRAFT_ROUND", "10"))
+    rnd = 0
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "..", "..",
+                               "PROGRESS.jsonl")) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    rnd = int(json.loads(line).get("round", 0)) or rnd
+    except (OSError, ValueError):
+        pass
+    rnd = int(os.environ.get("SPARK_GRAFT_ROUND", str(rnd or 10)))
     off = (50 * (rnd % 4)) % max(1, len(REGISTRY))
     if off == 0:
         return
