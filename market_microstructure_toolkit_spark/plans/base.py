@@ -202,6 +202,26 @@ def _scratch(prefix: str) -> str:
 LAST_PROGRESS: list = []
 
 
+def await_replay(q, name: str, await_s: int = 300) -> None:
+    """Await an availableNow replay with the SAME loud-timeout contract
+    as :func:`replay_to_parquet` — ``awaitTermination(timeout)`` returns
+    False on timeout WITHOUT stopping the query, so a bare call at a
+    memory-sink site silently hands a partially-filled table to a
+    correctness gate once a tape outgrows the ceiling (exactly how the
+    parquet path failed at the sf100 century probe before the guard).
+    ``SPARK_GRAFT_REPLAY_AWAIT_S`` raises the ceiling for century-scale
+    tapes without weakening the default."""
+    import os as _os
+
+    await_s = int(_os.environ.get("SPARK_GRAFT_REPLAY_AWAIT_S", await_s))
+    if not q.awaitTermination(await_s):
+        q.stop()
+        raise TimeoutError(
+            f"await_replay[{name}]: availableNow replay still running "
+            f"after {await_s}s — refusing to read a partial result"
+        )
+
+
 def replay_to_parquet(spark, df, base: str, name: str, await_s: int = 300):
     """Run an availableNow replay into a PARQUET scratch sink and read
     the result back lazily — the scale-safe twin of the memory sink for
@@ -222,17 +242,9 @@ def replay_to_parquet(spark, df, base: str, name: str, await_s: int = 300):
         .trigger(availableNow=True)
         .start()
     )
-    # awaitTermination(timeout) returns False on timeout WITHOUT stopping
-    # the query — proceeding would read a partially-committed sink and
-    # hand incomplete rows to a correctness gate (round-9 advice; the
-    # helper exists precisely for 10M-row tapes where a slow replay is
-    # plausible). Fail loudly instead.
-    if not q.awaitTermination(await_s):
-        q.stop()
-        raise TimeoutError(
-            f"replay_to_parquet[{name}]: availableNow replay still "
-            f"running after {await_s}s — refusing to read a partial sink"
-        )
+    # loud-timeout contract shared with every replay await site
+    # (round-9 advice; see await_replay)
+    await_replay(q, f"replay_to_parquet[{name}]", await_s)
     # expose the finished replay's per-batch progress for the scale
     # decomposition tools (batch count vs per-batch state throughput —
     # round-9 verdict #3); recentProgress caps at ~100 entries, enough

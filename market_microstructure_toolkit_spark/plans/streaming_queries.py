@@ -25,6 +25,7 @@ from market_microstructure_toolkit_spark.plans.base import (
     _split2,
     _split3,
     _stamp_batch_order,
+    await_replay,
     replay_to_parquet,
     _stream_parts,
     _tape_parts,
@@ -154,7 +155,7 @@ def q_streaming_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_replay(q, "memory-sink replay")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
@@ -317,7 +318,7 @@ def q_streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_replay(q, "memory-sink replay")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
@@ -596,7 +597,7 @@ def q_streaming_vpin_two_stage_replay(
             .trigger(availableNow=True)
             .start()
         )
-        q1.awaitTermination(300)
+        await_replay(q1, "foreachBatch replay")
         import os
 
         # numeric batch order — lexicographic would scramble 'b10' < 'b2'
@@ -857,7 +858,7 @@ def q_streaming_late_data_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_replay(q, "memory-sink replay")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
@@ -1134,7 +1135,7 @@ def q_streaming_foreachbatch_upsert(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_replay(q, "memory-sink replay")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(f"{base_dir}/tbl/v{state['v']}")
