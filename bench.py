@@ -18,6 +18,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Rotation-invariant bench (round-10 verdict #2): the registry
+    # rotation exists for the DRIVER's correctness sample, but letting it
+    # reorder bench execution made per-query numbers incomparable across
+    # rounds — JVM warm-up migrated to whichever stratum ran first
+    # (dedup_simhash read 6.0 s in r10 purely from running ~15th in a
+    # cold JVM vs 1.07 s warmed). Pin the bench process to canonical
+    # order unless the caller explicitly overrides.
+    os.environ.setdefault("SPARK_GRAFT_ROUND", "0")
     from market_microstructure_toolkit_spark.session import get_spark
     from market_microstructure_toolkit_spark.plans.queries import REGISTRY
 

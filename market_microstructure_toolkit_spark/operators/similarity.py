@@ -199,6 +199,7 @@ def pq_adc_scores(
     sub_dim: int = 8,
     n_cents: int = 16,
     query_vec_id: int = 0,
+    cents_sub: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization compression + asymmetric-distance scoring
     (Jégou, Douze & Schmid 2011) over an (vec_id, label, v:
@@ -216,16 +217,24 @@ def pq_adc_scores(
     rounding. Extracted from the similarity_pq_* gates (round-6
     verdict #2); their DuckDB oracles pin this exact code.
 
+    Optional ``cents_sub`` overrides the sampled codebook with TRAINED
+    per-subspace centroids — a (m, cid, scv: array<double>[sub_dim])
+    frame such as :func:`pq_train_codebooks` returns (round-10 verdict
+    #4: sampled codebooks leave the PQ recall floor insensitive even on
+    clustered data; a trained codebook quantizes the cluster structure
+    and recall becomes a sharp regression signal).
+
     Returns (vec_id, label, adc_dist) for every corpus vector."""
     m_col = F.explode(F.sequence(F.lit(1), F.lit(m))).alias("m")
     sub = f"slice(v, (m - 1) * {sub_dim} + 1, {sub_dim})"
     csub = f"slice(cv, (m - 1) * {sub_dim} + 1, {sub_dim})"
-    cents = emb.filter(F.col("vec_id").between(1, n_cents)).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    cents_sub = cents.select(
-        "cid", F.explode(F.sequence(F.lit(1), F.lit(m))).alias("m"), "cv"
-    ).select("cid", "m", F.expr(csub).alias("scv"))
+    if cents_sub is None:
+        cents = emb.filter(F.col("vec_id").between(1, n_cents)).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        )
+        cents_sub = cents.select(
+            "cid", F.explode(F.sequence(F.lit(1), F.lit(m))).alias("m"), "cv"
+        ).select("cid", "m", F.expr(csub).alias("scv"))
     subs = emb.select("vec_id", "label", m_col, "v").select(
         "vec_id", "label", "m", F.expr(sub).alias("sv")
     )
@@ -257,6 +266,74 @@ def pq_adc_scores(
         .groupBy("vec_id", "label")
         .agg(F.sum("qd").alias("adc_dist"))
     )
+
+
+def pq_train_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    n_cents: int = 16,
+    steps: int = 2,
+) -> DataFrame:
+    """Lloyd-refined PQ codebooks (round-10 verdict #4): the sampled
+    codebook (vectors 1..n_cents) is only the INIT; each step assigns
+    every vector's subvector to its nearest per-subspace centroid and
+    recomputes each live centroid as the cluster's elementwise mean,
+    QUANTIZED to 2^-16 multiples — the repo's cross-engine determinism
+    pattern. The mean is the single order-sensitive reduction in the
+    loop; quantizing it several orders of magnitude above double
+    reordering error makes Spark and the DuckDB oracle land on
+    bit-identical codebooks, so every downstream assignment/ADC compare
+    is exact. Centroids that starve (no assigned vectors) drop out of
+    the group-by on BOTH engines identically — fewer live centroids,
+    same semantics.
+
+    At 100 TB this is the standard production shape: train on a bounded
+    sample (here the corpus IS the sample), broadcast the ≤ m*n_cents
+    centroid rows each step, one aggregation per step — no stage's
+    output grows with corpus size except the linear assignment scan.
+
+    Returns (m, cid, scv: array<double>[sub_dim])."""
+    sub = f"slice(v, (m - 1) * {sub_dim} + 1, {sub_dim})"
+    csub = f"slice(cv, (m - 1) * {sub_dim} + 1, {sub_dim})"
+    subs = emb.select(
+        "vec_id", F.explode(F.sequence(F.lit(1), F.lit(m))).alias("m"), "v"
+    ).select("vec_id", "m", F.expr(sub).alias("sv"))
+    cents_sub = (
+        emb.filter(F.col("vec_id").between(1, n_cents))
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        .select(
+            "cid", F.explode(F.sequence(F.lit(1), F.lit(m))).alias("m"), "cv"
+        )
+        .select("m", "cid", F.expr(csub).alias("scv"))
+    )
+    fold = F.aggregate(
+        F.zip_with("sv", "scv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
+    for _ in range(steps):
+        d = subs.join(F.broadcast(cents_sub), "m").select(
+            "vec_id", "m", "cid", "sv", fold.alias("dist")
+        )
+        assign = (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "m", "cid", "sv")
+        )
+        cents_sub = assign.groupBy("m", "cid").agg(
+            F.array(
+                *[
+                    F.floor(
+                        F.avg(F.col("sv")[i]) * F.lit(65536.0) + F.lit(0.5)
+                    )
+                    / F.lit(65536.0)
+                    for i in range(sub_dim)
+                ]
+            ).alias("scv")
+        )
+    return cents_sub
 
 
 def ivf_centroid_dists(emb: DataFrame, n_cents: int = 8) -> DataFrame:

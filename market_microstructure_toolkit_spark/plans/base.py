@@ -209,13 +209,22 @@ def await_replay(q, name: str, await_s: int = 300) -> None:
     memory-sink site silently hands a partially-filled table to a
     correctness gate once a tape outgrows the ceiling (exactly how the
     parquet path failed at the sf100 century probe before the guard).
-    ``SPARK_GRAFT_REPLAY_AWAIT_S`` raises the ceiling for century-scale
-    tapes without weakening the default."""
+    ``SPARK_GRAFT_REPLAY_AWAIT_S`` RAISES the ceiling for century-scale
+    tapes without weakening the default — it is a floor, never a
+    reduction, so a call site that passes a larger per-site ceiling
+    keeps it (round-10 ADVICE #4)."""
+    import contextlib
     import os as _os
 
-    await_s = int(_os.environ.get("SPARK_GRAFT_REPLAY_AWAIT_S", await_s))
+    await_s = max(
+        await_s, int(_os.environ.get("SPARK_GRAFT_REPLAY_AWAIT_S", "0"))
+    )
     if not q.awaitTermination(await_s):
-        q.stop()
+        # best-effort stop: if the stuck query's thread errors inside
+        # stop(), the informative TimeoutError below must still
+        # propagate (round-10 ADVICE #3)
+        with contextlib.suppress(Exception):
+            q.stop()
         raise TimeoutError(
             f"await_replay[{name}]: availableNow replay still running "
             f"after {await_s}s — refusing to read a partial result"

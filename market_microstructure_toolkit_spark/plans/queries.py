@@ -78,12 +78,32 @@ def _rotate_registry() -> None:
                                "PROGRESS.jsonl")) as fh:
             for line in fh:
                 line = line.strip()
-                if line:
+                if not line:
+                    continue
+                try:
                     rnd = int(json.loads(line).get("round", 0)) or rnd
-    except (OSError, ValueError):
+                except Exception:
+                    # a malformed heartbeat line ("round": null, a non-
+                    # object JSON value, trailing garbage) must degrade
+                    # to the previous good round, never crash package
+                    # import (round-10 ADVICE #1)
+                    continue
+    except OSError:
         pass
     rnd = int(os.environ.get("SPARK_GRAFT_ROUND", str(rnd or 10)))
-    off = (50 * (rnd % 4)) % max(1, len(REGISTRY))
+    # Offset schedule (round-10 verdict #1): ``50*(rnd%4)`` deferred the
+    # never-driver-sampled strata — entries 50-99 (trade/TPC-H/events)
+    # would not have surfaced until round 13, and 150-179 (streaming)
+    # until round 12+. Rounds >= 11 walk a PRIORITY list that fronts the
+    # unverified strata first: round 11 -> offset 50, round 12 -> 150,
+    # then the cycle continues so every stratum keeps recurring. Rounds
+    # <= 10 keep the historical formula so SPARK_GRAFT_ROUND can
+    # reproduce any earlier round's driver sample bit-for-bit.
+    if rnd >= 11:
+        off = [50, 150, 0, 100][(rnd - 11) % 4]
+    else:
+        off = 50 * (rnd % 4)
+    off %= max(1, len(REGISTRY))
     if off == 0:
         return
     items = list(REGISTRY.items())

@@ -450,9 +450,23 @@ def q_similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     concentration-of-measure worst case; the further remedies are a
     trained codebook, more centroids, OPQ rotation, deeper candidate
     lists."""
-    adc = _pq_adc(spark, sf_dir)
+    return _recall_from_adc(_pq_adc(spark, sf_dir), spark, sf_dir)
+
+
+def _recall_from_adc(
+    adc: DataFrame, spark: SparkSession, sf_dir: str, n_cand: int = 100
+) -> DataFrame:
+    """Shared recall@10 measurement (ADC-only and ADC+rerank vs the
+    exact L2 top-10) — used by both the sampled-codebook (n_cand=100,
+    the historical driver-pinned depth) and the trained-codebook
+    (n_cand=1000) PQ recall gates. Candidate depth is the production
+    recall/cost knob: the rerank fetches n_cand exact vectors whatever
+    the corpus size, so deepening it is O(1) vs corpus — at sf1 the
+    trained codebook measured rerank recall 0.6 at depth 100 vs 1.0 at
+    depth 1000 (within-cluster ADC ties get arbitrary candidate order;
+    depth must cover the tie group, not the corpus)."""
     top_adc = adc.orderBy("adc_dist", "vec_id").limit(10).select("vec_id")
-    cand = adc.orderBy("adc_dist", "vec_id").limit(100).select("vec_id")
+    cand = adc.orderBy("adc_dist", "vec_id").limit(n_cand).select("vec_id")
     emb = _emb(spark, sf_dir).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -542,6 +556,166 @@ def q_similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l2_dist", "vec_id")
         .limit(10)
     )
+
+
+def _pq_train_ctes(steps: int) -> tuple[str, str]:
+    """DuckDB twin of ``operators.similarity.pq_train_codebooks`` —
+    generates the Lloyd-step CTE chain so the oracle trains the SAME
+    codebook the Spark plan trains (init = sampled vectors 1..C per
+    subspace; each step = nearest-centroid assignment + per-cluster
+    elementwise mean quantized to 2^-16, the cross-engine determinism
+    pattern). Returns (ctes_sql, final_centroid_cte_name)."""
+    sd, m_, nc = _PQ_SUB, _PQ_M, _PQ_TRAINED_C
+    parts = [
+        f"""emb AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+mm AS (SELECT UNNEST(range(1, {m_} + 1)) AS m),
+subs AS (
+  SELECT e.vec_id, e.label, mm.m,
+    list_transform(range(1, {sd} + 1), i -> e.v[(mm.m - 1) * {sd} + i]) AS sv
+  FROM emb e CROSS JOIN mm
+),
+c0 AS (
+  SELECT mm.m, e.vec_id AS cid,
+    list_transform(range(1, {sd} + 1), i -> e.v[(mm.m - 1) * {sd} + i]) AS scv
+  FROM emb e CROSS JOIN mm WHERE e.vec_id BETWEEN 1 AND {nc}
+)"""
+    ]
+    prev = "c0"
+    for s in range(1, steps + 1):
+        parts.append(
+            f"""d{s} AS (
+  SELECT s.vec_id, s.m, c.cid,
+    list_sum(list_transform(range(1, {sd} + 1),
+      i -> (s.sv[i] - c.scv[i]) * (s.sv[i] - c.scv[i]))) AS dist
+  FROM subs s JOIN {prev} c USING (m)
+),
+a{s} AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT vec_id, m, cid,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+    FROM d{s}
+  ) WHERE rn = 1
+),
+c{s} AS (
+  SELECT m, cid, list(qx ORDER BY dim) AS scv FROM (
+    SELECT a.m, a.cid, u.i AS dim,
+      FLOOR(AVG(s.sv[u.i]) * 65536.0 + 0.5) / 65536.0 AS qx
+    FROM a{s} a JOIN subs s USING (vec_id, m), UNNEST(range(1, {sd} + 1)) u(i)
+    GROUP BY a.m, a.cid, u.i
+  ) GROUP BY m, cid
+)"""
+        )
+        prev = f"c{s}"
+    return ",\n".join(parts), prev
+
+
+#: Trained-codebook budget: 128 centroids/subspace (half the one-byte
+#: code ceiling of 256) — measured on the clustered sf0.1 fixture at
+#: rerank depth 100: 16 cents -> reranked recall 0.5 (within-cluster
+#: code collisions cap ADC resolution), 64 -> 0.5, 128 -> 0.8 with ADC
+#: itself at 0.3. More Lloyd steps do NOT substitute for centroid
+#: budget (16 cents at 8 steps measured 0.4): with tight clusters the
+#: codebook needs enough cells to SPLIT each cluster per subspace, not
+#: better-placed coarse cells. Steps=2 suffices once the budget is
+#: there; rerank depth 1000 (still O(1) exact fetches vs corpus) then
+#: covers the residual tie group -> reranked 1.0 at sf0.1 AND sf1.
+_PQ_TRAINED_STEPS = 2
+_PQ_TRAINED_C = 128
+_TRAIN_CTES, _TRAIN_FINAL = _pq_train_ctes(_PQ_TRAINED_STEPS)
+
+_PQ_TRAINED_RECALL_SQL = f"""WITH {_TRAIN_CTES},
+dT AS (
+  SELECT s.vec_id, s.m, c.cid,
+    list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+      i -> (s.sv[i] - c.scv[i]) * (s.sv[i] - c.scv[i]))) AS dist
+  FROM subs s JOIN {_TRAIN_FINAL} c USING (m)
+),
+codes AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT vec_id, m, cid,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+    FROM dT
+  ) WHERE rn = 1
+),
+dq AS (
+  SELECT m, cid, floor(dist * 1048576.0 + 0.5) / 1048576.0 AS qd
+  FROM dT WHERE vec_id = 0
+),
+adc AS (
+  SELECT c.vec_id, SUM(q.qd) AS adc_dist
+  FROM codes c JOIN dq q USING (m, cid)
+  WHERE c.vec_id != 0
+  GROUP BY c.vec_id
+),
+top_adc AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT 10),
+cand AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT 1000),
+exact AS (
+  SELECT e.vec_id,
+    list_sum(list_transform(range(1, 65),
+      i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i]))) AS dist
+  FROM emb e, (SELECT v AS qv FROM emb WHERE vec_id = 0) q
+  WHERE e.vec_id != 0
+),
+top_exact AS (SELECT vec_id FROM exact ORDER BY dist, vec_id LIMIT 10),
+top_rerank AS (
+  SELECT c.vec_id FROM cand c JOIN exact e USING (vec_id)
+  ORDER BY e.dist, c.vec_id LIMIT 10
+)
+SELECT
+  (SELECT COUNT(*) FROM top_adc JOIN top_exact USING (vec_id)) / 10.0
+    AS recall_at_10,
+  (SELECT COUNT(*) FROM top_rerank JOIN top_exact USING (vec_id)) / 10.0
+    AS recall_at_10_reranked
+"""
+
+
+@register("similarity_pq_recall_trained", _PQ_TRAINED_RECALL_SQL)
+def q_similarity_pq_recall_trained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@10 of a TRAINED-codebook PQ scan (round-10 verdict #4):
+    identical measurement to ``similarity_pq_recall`` but the codebook
+    is Lloyd-refined for {_PQ_TRAINED_STEPS} steps from the sampled
+    init (``operators/similarity.py:pq_train_codebooks``) instead of
+    frozen at it. On clustered corpora the refined centroids converge
+    toward the cluster projections, so quantization error collapses to
+    within-cluster noise and recall becomes a SHARP regression signal —
+    the clustered-fixture floor test pins the reranked value (vs the
+    sampled codebook's insensitive 0.3). Cross-engine determinism: the
+    per-cluster mean (the only order-sensitive reduction in training)
+    is quantized to 2^-16 on both engines, so codebooks, assignments
+    and ADC sums compare exactly. At 100 TB training runs on a bounded
+    sample with ≤ m*n_cents broadcast centroid rows per step; encode
+    and scan keep the production PQ plan shape (broadcast map + lookup
+    sum, no shuffle grows with the corpus)."""
+    from market_microstructure_toolkit_spark.operators.similarity import (
+        pq_adc_scores,
+        pq_train_codebooks,
+    )
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = pq_train_codebooks(
+        emb,
+        m=_PQ_M,
+        sub_dim=_PQ_SUB,
+        n_cents=_PQ_TRAINED_C,
+        steps=_PQ_TRAINED_STEPS,
+    )
+    adc = pq_adc_scores(
+        emb,
+        m=_PQ_M,
+        sub_dim=_PQ_SUB,
+        n_cents=_PQ_TRAINED_C,
+        query_vec_id=0,
+        cents_sub=cents,
+    )
+    return _recall_from_adc(adc, spark, sf_dir, n_cand=1000)
 
 
 _EMB_LABEL_SQL = """

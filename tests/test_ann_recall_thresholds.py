@@ -72,7 +72,9 @@ def test_pq_rerank_never_hurts_adc(recalls):
 # mixture-of-Gaussians twin (tools/make_clustered_embeddings.py — 8 tight
 # clusters aligned with the 8 IVF cells) recall sits where a WORKING IVF
 # should: measured at sf0.1 with sigma 0.30 -> IVF single-probe 0.9,
-# 3-probe 1.0, PQ ADC 0.1, PQ reranked 0.3. Here a bucketing, assignment,
+# 3-probe 1.0, PQ ADC 0.1, PQ reranked 0.3; trained-codebook PQ
+# (round-10 #4: Lloyd-refined, 128 cents/subspace, 1000-deep rerank)
+# ADC 0.3, reranked 1.0 (sf1: 0.1 / 1.0). Here a bucketing, assignment,
 # or probing bug craters the number instead of nudging it. The uniform
 # floors stay as the adversarial case.
 # ---------------------------------------------------------------------------
@@ -92,6 +94,7 @@ def clustered_recalls(spark, tmp_path_factory):
         ("ivf", "similarity_ann_recall"),
         ("mp", "similarity_ann_recall_multiprobe"),
         ("pq", "similarity_pq_recall"),
+        ("pq_trained", "similarity_pq_recall_trained"),
     ]:
         rows = REGISTRY[name].spark(spark, d).collect()
         assert len(rows) == 1
@@ -116,6 +119,43 @@ def test_clustered_multiprobe_beats_single(clustered_recalls):
 
 def test_clustered_pq_rerank_floor(clustered_recalls):
     assert clustered_recalls["pq"]["recall_at_10_reranked"] >= 0.3
+
+
+def test_clustered_trained_pq_rerank_floor(clustered_recalls):
+    """Round-10 verdict #4: the SAMPLED-codebook floor of 0.3 is too
+    loose to catch a real ADC bug. The trained codebook (Lloyd-refined,
+    128 centroids/subspace, 1000-deep rerank — measured 1.0 on this
+    fixture, deterministic: no RNG anywhere in train/encode/scan) pins
+    a floor of 0.9 with one recall-step of margin."""
+    assert clustered_recalls["pq_trained"]["recall_at_10_reranked"] >= 0.9
+
+
+def test_clustered_trained_beats_sampled(clustered_recalls):
+    # the point of training: on clustered data the refined codebook must
+    # strictly out-rank the frozen sampled one
+    assert (
+        clustered_recalls["pq_trained"]["recall_at_10_reranked"]
+        > clustered_recalls["pq"]["recall_at_10_reranked"]
+    )
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir("testdata_sf1"),
+    reason="sf1 fixture not built in this checkout",
+)
+def test_clustered_trained_pq_floor_sf1(spark, tmp_path_factory):
+    """The trained-PQ floor must hold at 10x the vectors (round-10 #4
+    'Done' criterion: green at sf0.1 AND sf1): 200k clustered vectors,
+    measured reranked recall 1.0 — the 1000-deep rerank covers the
+    within-cluster ADC tie group at this density too."""
+    from tools.make_clustered_embeddings import make_clustered_dir
+    from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+    d = make_clustered_dir(
+        "testdata_sf1", str(tmp_path_factory.mktemp("clustered_sf1") / "sf")
+    )
+    rows = REGISTRY["similarity_pq_recall_trained"].spark(spark, d).collect()
+    assert rows[0]["recall_at_10_reranked"] >= 0.9
 
 
 def test_clustered_pq_rerank_never_hurts_adc(clustered_recalls):

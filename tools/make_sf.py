@@ -137,6 +137,10 @@ def main() -> None:
                 )
             writer.write_table(rep)
             total += rep.num_rows
+        if writer is None:
+            raise SystemExit(
+                f"{t}: no replicas written — --replicas must be >= 1"
+            )
         writer.close()
         print(t, "->", total, "rows")
 
