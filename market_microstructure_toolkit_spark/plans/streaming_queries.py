@@ -490,13 +490,22 @@ def q_streaming_vpin_skewed_replay(
     key's groups batch-by-batch; measured at sf1: within ~1.1x of the
     uniform twin's wall, docs/SCALE_NOTES.md round-10 table) rather
     than OOMing a partition or wedging the micro-batch. A production
-    remedy past graceful degradation is composite state keys
-    (symbol × volume-epoch) — the volume clock is associative over a
-    carried offset — documented, not needed at the measured scales."""
+    remedy past graceful degradation is composite state keys: set
+    ``SPARK_GRAFT_VPIN_COMPOSITE=1`` and the state key becomes
+    (symbol × time-epoch) — the op carries within-epoch accumulators
+    only, and the associative cross-epoch composition (volume clock =
+    exact sum, tick carry = last-non-null) runs as a batch pass over
+    one summary row per epoch (round-10 verdict #5; implementation
+    ``streaming/trade_stream.py:stateful_signed_buckets_composite`` /
+    ``compose_epoch_buckets``). Output is hash-identical either way —
+    the oracle does not change; A/B walls in REPLAY_DECOMP_r11."""
+    import os
     import uuid
 
     from market_microstructure_toolkit_spark.streaming.trade_stream import (
+        compose_epoch_buckets,
         stateful_signed_buckets,
+        stateful_signed_buckets_composite,
     )
 
     def build(b: str) -> list[str]:
@@ -520,15 +529,37 @@ def q_streaming_vpin_skewed_replay(
         .parquet(f"{tape_base}/data/*/")
     )
     name = f"vpin_skew_{uuid.uuid4().hex[:8]}"
+    composite = os.environ.get("SPARK_GRAFT_VPIN_COMPOSITE", "") == "1"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # composite mode spreads the hot key over ~EPOCHS groups per batch,
+    # so it WANTS shuffle width; single-key mode has ≤ n_symbols live
+    # groups and extra partitions are pure scheduling overhead
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        _tape_parts(spark, f"{tape_base}/data/*/", hi=4),
+        _tape_parts(spark, f"{tape_base}/data/*/", hi=32 if composite else 4),
     )
     try:
-        rows = replay_to_parquet(
-            spark, stateful_signed_buckets(stream, 50.0), base, name
-        )
+        if composite:
+            lo, hi = (
+                spark.read.parquet(f"{tape_base}/data/*/")
+                .agg(F.min("ts_ms"), F.max("ts_ms"))
+                .first()
+            )
+            # ~256 epochs across the tape: enough groups to saturate
+            # local[32] per micro-batch, few enough that the composer's
+            # summary window stays trivially small
+            epoch_ms = max(1, -(-(int(hi) - int(lo) + 1) // 256))
+            emitted = replay_to_parquet(
+                spark,
+                stateful_signed_buckets_composite(stream, epoch_ms),
+                base,
+                name,
+            )
+            rows = compose_epoch_buckets(emitted, 50.0)
+        else:
+            rows = replay_to_parquet(
+                spark, stateful_signed_buckets(stream, 50.0), base, name
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     qty, side = F.col("qty"), F.col("side")

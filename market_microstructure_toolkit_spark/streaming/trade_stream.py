@@ -19,7 +19,8 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING, Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -290,4 +291,189 @@ def stateful_signed_buckets(
         stateStructType=SIGNED_BUCKET_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+#: composite-key (symbol x time-epoch) emission: within-epoch volume
+#: clock + within-epoch tick carry; cross-epoch composition happens in
+#: compose_epoch_buckets over #epochs summary rows, not #trades rows
+EPOCH_BUCKET_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("exchange_id", StringType()),
+        StructField("symbol", StringType()),
+        StructField("ts_ms", LongType()),
+        StructField("raw_nonce", LongType()),
+        StructField("mid", DoubleType()),
+        StructField("price", DoubleType()),
+        StructField("qty", DoubleType()),
+        StructField("epoch", LongType()),
+        StructField("pre_vol", DoubleType()),
+        StructField("carried", IntegerType()),
+    ]
+)
+
+
+def stateful_signed_buckets_composite(
+    stream: DataFrame, epoch_ms: int
+) -> DataFrame:
+    """Composite-state-key half of the hot-key VPIN remedy (round-10
+    verdict #5, sketched in ``streaming_vpin_skewed_replay``'s
+    docstring): the state key becomes (exchange_id, symbol, epoch)
+    with ``epoch = floor(ts_ms / epoch_ms)``, so a symbol that
+    receives 90% of the tape no longer serializes through ONE state
+    partition — each micro-batch spreads the hot symbol over however
+    many epochs the batch's time span covers, and the state op's
+    per-group work parallelizes across cores.
+
+    The op carries only WITHIN-epoch accumulators (last price, tick
+    carry, cumulative volume) and emits per row the within-epoch
+    pre-trade volume ``pre_vol`` plus the within-epoch tick carry
+    ``carried`` (0 = none yet; the epoch's FIRST row can never see the
+    previous epoch's closing price from inside the group, so its raw
+    tick is deliberately left to the composer). Both cross-epoch
+    compositions are associative — the volume clock is a sum (exact:
+    trade sizes are binary fractions), the tick carry a last-non-null —
+    so :func:`compose_epoch_buckets` finishes the job over one summary
+    row per epoch. Semantics of the composition are proven identical
+    to :func:`stateful_signed_buckets` by hash parity in the gate's
+    oracle and ``tests/test_skew_dispatch.py``."""
+
+    def fn(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        frames = [f for f in pdfs if len(f)]
+        if not frames:
+            return
+        df = pd.concat(frames, ignore_index=True).sort_values(
+            ["ts_ms", "raw_nonce"], kind="mergesort"
+        )
+        last_price, tick_sign, cum0 = (
+            state.get if state.exists else (np.nan, 0, 0.0)
+        )
+        price = df["price"].to_numpy(dtype=np.float64)
+        qty = df["qty"].to_numpy(dtype=np.float64)
+        prev = np.concatenate(([last_price], price[:-1]))
+        with np.errstate(invalid="ignore"):
+            raw = np.where(price > prev, 1, np.where(price < prev, -1, 0))
+        raw[np.isnan(prev)] = 0  # epoch's first-ever row: unknown here
+        idx = np.arange(len(raw))
+        nz = np.where(raw != 0, idx, -1)
+        carry_idx = np.maximum.accumulate(nz)
+        carried = np.where(
+            carry_idx >= 0, raw[np.maximum(carry_idx, 0)], tick_sign
+        )
+        pre = cum0 + np.cumsum(qty) - qty
+        out = df.assign(pre_vol=pre, carried=carried.astype("int32"))
+        state.update(
+            (float(price[-1]), int(carried[-1]), float(cum0 + qty.sum()))
+        )
+        yield out[
+            [
+                "exchange_id",
+                "symbol",
+                "ts_ms",
+                "raw_nonce",
+                "mid",
+                "price",
+                "qty",
+                "epoch",
+                "pre_vol",
+                "carried",
+            ]
+        ]
+
+    keyed = stream.withColumn(
+        "epoch", F.floor(F.col("ts_ms") / F.lit(int(epoch_ms)))
+    )
+    return keyed.groupBy(
+        "exchange_id", "symbol", "epoch"
+    ).applyInPandasWithState(
+        fn,
+        outputStructType=EPOCH_BUCKET_OUTPUT_SCHEMA,
+        stateStructType=SIGNED_BUCKET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def compose_epoch_buckets(
+    rows: DataFrame, bucket_volume: float
+) -> DataFrame:
+    """Batch composition of :func:`stateful_signed_buckets_composite`'s
+    within-epoch emissions into EXACTLY the single-key operator's
+    output. Cost shape: one map-side-combinable aggregate to one
+    summary row per (symbol, epoch), one per-symbol window over those
+    ~#epochs rows (hundreds, not millions), one broadcast join back.
+
+    Composition rules (both associative, hence key-splittable):
+
+    - volume clock: global pre-trade volume = sum of prior epochs'
+      totals + within-epoch ``pre_vol``. Trade sizes are exact binary
+      fractions, so the re-association is bit-identical.
+    - tick carry: the true sign at row i is the FIRST non-null of
+      (within-epoch carry at i, the epoch's first-row raw tick
+      — computable only here, as sign(first price − previous epoch's
+      last price) — and the carry flowing in from prior epochs, itself
+      a last-non-null over per-epoch closing signals)."""
+    keys = ["exchange_id", "symbol"]
+    order = F.struct("ts_ms", "raw_nonce")
+    carried_n = F.nullif(F.col("carried"), F.lit(0))
+    summ = rows.groupBy(*keys, "epoch").agg(
+        F.sum("qty").alias("epoch_qty"),
+        F.min_by(F.col("price"), order).alias("first_price"),
+        F.max_by(F.col("price"), order).alias("last_price"),
+        F.max_by(carried_n, order).alias("carry_end"),
+    )
+    we = Window.partitionBy(*keys).orderBy("epoch")
+    prior = we.rowsBetween(Window.unboundedPreceding, -1)
+    prev_close = F.lag("last_price").over(we)
+    first_raw = (
+        F.when(F.col("first_price") > prev_close, F.lit(1))
+        .when(F.col("first_price") < prev_close, F.lit(-1))
+        .cast("int")
+    )
+    summ = summ.withColumn("first_raw", first_raw).select(
+        *keys,
+        "epoch",
+        "first_raw",
+        F.coalesce(F.sum("epoch_qty").over(prior), F.lit(0.0)).alias(
+            "epoch_offset"
+        ),
+        # the epoch's closing signal: its own last carry, else its
+        # first-row raw; carry_in = last non-null closing signal before
+        F.last(
+            F.coalesce(F.col("carry_end"), first_raw), ignorenulls=True
+        )
+        .over(prior)
+        .alias("carry_in"),
+    )
+    joined = rows.join(F.broadcast(summ), [*keys, "epoch"])
+    true_sign = F.coalesce(
+        F.nullif(F.col("carried"), F.lit(0)),
+        F.col("first_raw"),
+        F.col("carry_in"),
+    )
+    price, mid, qty = F.col("price"), F.col("mid"), F.col("qty")
+    side = (
+        F.when(price > mid, F.lit(1))
+        .when(price < mid, F.lit(-1))
+        .otherwise(F.coalesce(true_sign, F.lit(0)))
+        .cast("int")
+    )
+    bucket = F.floor(
+        (F.col("epoch_offset") + F.col("pre_vol")) / F.lit(bucket_volume)
+    ).cast("long")
+    return joined.select(
+        "exchange_id",
+        "symbol",
+        "ts_ms",
+        "raw_nonce",
+        "mid",
+        "price",
+        "qty",
+        side.alias("side"),
+        bucket.alias("bucket"),
     )

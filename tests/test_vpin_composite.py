@@ -1,0 +1,108 @@
+"""Composite-state-key VPIN (round-10 verdict #5): the hot-key remedy
+splits the state key into (symbol, time-epoch) and re-composes across
+epochs in batch. These tests pin the COMPOSITION math directly — the
+within-epoch emissions are reconstructed with plain batch windows (no
+streaming machinery), composed via ``compose_epoch_buckets``, and
+compared row-for-row against the single-pass batch reference
+(``classify_lee_ready`` + ``add_volume_buckets``). The streaming e2e
+twin is hash-checked against the DuckDB oracle by
+``streaming_vpin_skewed_replay`` under ``SPARK_GRAFT_VPIN_COMPOSITE=1``
+(green at sf0.001/0.01/0.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+BUCKET_VOLUME = 50.0
+KEYS = ["exchange_id", "symbol"]
+ORDER = ["ts_ms", "raw_nonce"]
+
+
+def _within_epoch_emissions(tape, epoch_ms):
+    """Batch reconstruction of what stateful_signed_buckets_composite
+    emits: within-epoch pre-trade volume and within-epoch tick carry
+    (0 until the first price CHANGE inside the epoch — the first row's
+    raw tick is cross-epoch information the op cannot see)."""
+    t = tape.withColumn("epoch", F.floor(F.col("ts_ms") / F.lit(epoch_ms)))
+    w = Window.partitionBy(*KEYS, "epoch").orderBy(*ORDER)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag("price").over(w)  # null on the epoch's first row
+    raw = F.when(F.col("price") > prev, F.lit(1)).when(
+        F.col("price") < prev, F.lit(-1)
+    )
+    return t.select(
+        *KEYS,
+        *ORDER,
+        "mid",
+        "price",
+        "qty",
+        "epoch",
+        (
+            F.sum("qty").over(run) - F.col("qty")
+        ).alias("pre_vol"),
+        F.coalesce(F.last(raw, ignorenulls=True).over(run), F.lit(0))
+        .cast("int")
+        .alias("carried"),
+    )
+
+
+def _reference(tape):
+    from market_microstructure_toolkit_spark.operators import trades as T
+
+    out = T.classify_lee_ready(tape, KEYS, ORDER)
+    return T.add_volume_buckets(out, BUCKET_VOLUME, KEYS, ORDER)
+
+
+def _tape(spark, skewed):
+    from market_microstructure_toolkit_spark.plans.book import (
+        synthetic_trades,
+    )
+
+    t = synthetic_trades(spark, SF_DIR)
+    if skewed:
+        t = t.withColumn(
+            "symbol",
+            F.when(F.col("raw_nonce") % 10 != 0, F.lit("S0")).otherwise(
+                F.col("symbol")
+            ),
+        )
+    return t.select(
+        "exchange_id", "symbol", "ts_ms", "raw_nonce", "mid", "price", "qty"
+    )
+
+
+def _assert_composition_exact(spark, tape, epoch_ms):
+    from market_microstructure_toolkit_spark.streaming.trade_stream import (
+        compose_epoch_buckets,
+    )
+
+    composed = compose_epoch_buckets(
+        _within_epoch_emissions(tape, epoch_ms), BUCKET_VOLUME
+    )
+    ref = _reference(tape).select(*composed.columns)
+    # row-exact both directions (side and bucket are ints; pre-volume
+    # re-association is bit-exact on binary-fraction trade sizes)
+    assert composed.exceptAll(ref).count() == 0
+    assert ref.exceptAll(composed).count() == 0
+
+
+def test_composition_uniform(spark):
+    tape = _tape(spark, skewed=False)
+    lo, hi = tape.agg(F.min("ts_ms"), F.max("ts_ms")).first()
+    _assert_composition_exact(spark, tape, max(1, (hi - lo + 1) // 256))
+
+
+def test_composition_hot_key(spark):
+    tape = _tape(spark, skewed=True)
+    lo, hi = tape.agg(F.min("ts_ms"), F.max("ts_ms")).first()
+    _assert_composition_exact(spark, tape, max(1, (hi - lo + 1) // 256))
+
+
+def test_composition_degenerate_epochs(spark):
+    """epoch_ms=1 (every trade its own epoch, worst-case composition) —
+    the cross-epoch rules alone must reproduce the reference."""
+    tape = _tape(spark, skewed=True).limit(2000)
+    _assert_composition_exact(spark, tape, 1)
