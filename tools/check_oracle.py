@@ -8,8 +8,14 @@ order-insensitive value hash. Both sides are materialized through PANDAS
 (DuckDB HUGEINT -> float64) and unhashable cells (array columns) fail HERE
 before they fail in the real gate.
 
-Usage: python tools/check_oracle.py [--vanilla] [--artifact PATH] [sf_dir]
-       [query ...]
+Usage: python tools/check_oracle.py [--vanilla] [--spool] [--artifact PATH]
+       [sf_dir] [query ...]
+
+``--spool`` is the century-scale transport: the Spark result spools to
+scratch parquet (distributed write) and both engines hash in bounded
+Arrow chunks — same (sum64, count, 1%-repr-stratum) triple as the
+in-memory path, O(chunk) driver memory. Required at sf100 where
+input-sized outputs (100M rows) OOM a toPandas.
 
 ``--vanilla`` runs the Spark side on a bare SparkSession with NONE of the
 repo's session confs (and a non-UTC JVM/session timezone), emulating the
@@ -71,6 +77,163 @@ def canon_hash(pdf) -> tuple[str, list[str], int]:
 FAST_ROWS = 200_000
 
 
+def _row_hashes(pdf):
+    """Per-row uint64 content hashes with the fast canon's dtype
+    normalization (int widths collapse, -0.0 -> 0.0, one NaN pattern,
+    None/NaN unified and non-str object scalars reprified). Row hashes
+    depend ONLY on row values, so hashing a frame in chunks yields the
+    identical multiset — the property the --spool path relies on."""
+    import numpy as np
+    import pandas as pd
+
+    norm = {}
+    for c in pdf.columns:
+        s = pdf[c]
+        if s.dtype.kind in "iu":
+            s = s.astype("int64")
+        elif s.dtype.kind == "f":
+            # normalize -0.0 -> 0.0 (the + 0.0 identity) and collapse
+            # every NaN to ONE bit pattern — the hash is bit-based,
+            # while the slow canon's repr treats all NaNs as "nan"
+            v = s.astype("float64").to_numpy(copy=True)
+            v[np.isnan(v)] = np.float64("nan")
+            s = pd.Series(v + 0.0, index=s.index)
+        elif s.dtype == object:
+            # unify None/NaN and stringify non-str scalars the way the
+            # slow canon's repr does (DuckDB fetchdf yields object cols
+            # for VARCHAR with NULLs and for HUGEINT)
+            s = s.map(
+                lambda v: "∅"
+                if v is None or (isinstance(v, float) and v != v)
+                else (v if isinstance(v, str) else repr(v))
+            )
+        norm[c] = s
+    h = pd.util.hash_pandas_object(pd.DataFrame(norm), index=False)
+    return h.values.astype("uint64")
+
+
+def _norm_time(pdf):
+    """Unify timestamp representation across transports: an Arrow/
+    parquet roundtrip surfaces Spark timestamps tz-aware (UTC) where
+    ``toPandas``/``fetchdf`` surface them naive, and batch readers mix
+    ns/us units. Convert every datetime column to tz-naive UTC
+    microseconds so --spool hashes the same VALUES the in-memory path
+    hashes. Micros (not nanos) because SCD2-style far-future sentinels
+    (9999-12-31) overflow datetime64[ns]."""
+    out = pdf
+    for c in pdf.columns:
+        s = pdf[c]
+        if s.dtype.kind == "M":
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            if out is pdf:
+                out = pdf.copy()
+            out[c] = s.astype("datetime64[us]")
+    return out
+
+
+def canon_hash_batches(batches, columns):
+    """Chunked canonicalization for results too large to materialize on
+    the driver (the sf100 century probes: 100M-row input-sized outputs
+    OOM a toPandas at ~8 GB/frame). Buffers chunks only until the total
+    passes FAST_ROWS; below that it reproduces the exact repr canon
+    (``canon_hash``), above it the exact fast canon with its 1%
+    repr-verified stratum (``canon_hash_fast(with_sample=True)``) —
+    per-row hashes are chunking-invariant, so the (sum, count, sample)
+    triple is identical to the in-memory computation at O(chunk)
+    memory. Returns (hash, cols, n, sample_hash|None, sample_n|None)."""
+    import numpy as np
+    import pandas as pd
+
+    cols = sorted(columns)
+    buf: list = []
+    samples: list = []
+    total = 0
+    n = 0
+    streaming = False
+
+    def accum(pdf) -> None:
+        nonlocal total
+        hv = _row_hashes(pdf)
+        total = (total + int(np.sum(hv, dtype="uint64"))) % (1 << 64)
+        idx = np.nonzero(hv % np.uint64(101) == np.uint64(0))[0]
+        if len(idx):
+            samples.append(pdf.iloc[idx])
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        pdf = _norm_time(pdf[cols])
+        n += len(pdf)
+        if not streaming:
+            buf.append(pdf)
+            if n > FAST_ROWS:
+                streaming = True
+                for b in buf:
+                    accum(b)
+                buf.clear()
+        else:
+            accum(pdf)
+    if not streaming:
+        full = (
+            pd.concat(buf, ignore_index=True)
+            if buf
+            else pd.DataFrame({c: [] for c in cols})
+        )
+        h, c, n2 = canon_hash(full)
+        return h, c, n2, None, None
+    samp = (
+        pd.concat(samples, ignore_index=True)
+        if samples
+        else pd.DataFrame({c: [] for c in cols})
+    )
+    sh, _, sn = canon_hash(samp)
+    return f"s{total:016x}", cols, n, sh, sn
+
+
+def _spark_spool(spark, df, chunk_rows: int = 1_048_576):
+    """Spool a Spark result to scratch parquet (DISTRIBUTED write — the
+    driver never holds the frame) and yield pandas chunks via pyarrow.
+    Context manager yielding (columns, batch_iterator); the scratch dir
+    is reclaimed on exit."""
+    import contextlib
+    import shutil
+    import tempfile
+
+    import pyarrow.dataset as pads
+
+    @contextlib.contextmanager
+    def cm():
+        scratch = tempfile.mkdtemp(prefix="mmt_oracle_spool_")
+        try:
+            df.write.mode("overwrite").parquet(scratch)
+            dset = pads.dataset(scratch)
+            yield (
+                dset.schema.names,
+                (b.to_pandas() for b in dset.to_batches(batch_size=chunk_rows)),
+            )
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    return cm()
+
+
+def _duckdb_batches(con, sql: str, chunk_rows: int = 1_048_576):
+    """Chunked DuckDB materialization: record-batch reader, never one
+    giant fetchdf."""
+    reader = con.execute(sql).fetch_record_batch(chunk_rows)
+
+    def it():
+        while True:
+            try:
+                b = reader.read_next_batch()
+            except StopIteration:
+                return
+            yield b.to_pandas()
+
+    return reader.schema.names, it()
+
+
 def canon_hash_fast(pdf, with_sample: bool = False):
     """Vectorized order-insensitive canonicalization: per-row uint64
     hashes (pandas' C siphash over every column, dtype-normalized the
@@ -109,30 +272,7 @@ def canon_hash_fast(pdf, with_sample: bool = False):
 
     cols = sorted(pdf.columns)
     pdf = pdf[cols]
-    norm = {}
-    for c in cols:
-        s = pdf[c]
-        if s.dtype.kind in "iu":
-            s = s.astype("int64")
-        elif s.dtype.kind == "f":
-            # normalize -0.0 -> 0.0 (the + 0.0 identity) and collapse
-            # every NaN to ONE bit pattern — the hash is bit-based,
-            # while the slow canon's repr treats all NaNs as "nan"
-            v = s.astype("float64").to_numpy(copy=True)
-            v[np.isnan(v)] = np.float64("nan")
-            s = pd.Series(v + 0.0, index=s.index)
-        elif s.dtype == object:
-            # unify None/NaN and stringify non-str scalars the way the
-            # slow canon's repr does (DuckDB fetchdf yields object cols
-            # for VARCHAR with NULLs and for HUGEINT)
-            s = s.map(
-                lambda v: "∅"
-                if v is None or (isinstance(v, float) and v != v)
-                else (v if isinstance(v, str) else repr(v))
-            )
-        norm[c] = s
-    h = pd.util.hash_pandas_object(pd.DataFrame(norm), index=False)
-    hv = h.values.astype("uint64")
+    hv = _row_hashes(pdf)
     total = int(np.sum(hv, dtype="uint64"))
     if not with_sample:
         return f"s{total:016x}", cols, len(pdf)
@@ -157,6 +297,9 @@ def main() -> int:
     vanilla = "--vanilla" in argv
     if vanilla:
         argv.remove("--vanilla")
+    spool = "--spool" in argv
+    if spool:
+        argv.remove("--spool")
     artifact = None
     if "--artifact" in argv:
         i = argv.index("--artifact")
@@ -223,6 +366,75 @@ def main() -> int:
         if only and name not in only:
             continue
         flush_partial()
+        if spool:
+            # century-scale path (round-10 verdict #3 follow-through):
+            # the Spark result spools to scratch parquet (distributed
+            # write) and BOTH engines hash in bounded Arrow chunks — a
+            # 100M-row result costs O(chunk) driver memory instead of
+            # an ~8 GB toPandas that OOMs the JVM
+            try:
+                with _spark_spool(spark, fn(spark, sf_dir)) as (sn_, sit):
+                    sh, scols, srows, s_samp, s_sn = canon_hash_batches(
+                        sit, sn_
+                    )
+            except Exception as exc:  # noqa: BLE001
+                print(f"{name:28s} SPARK-ERR {type(exc).__name__}: {exc}")
+                records[name] = {
+                    "status": "spark-err",
+                    "err": f"{type(exc).__name__}: {exc}"[:300],
+                }
+                failures += 1
+                continue
+            if name not in oracles:
+                print(f"{name:28s} rows-only: {srows} rows")
+                records[name] = {"status": "rows-only", "rows": srows}
+                continue
+            try:
+                dn_, dit = _duckdb_batches(con, oracles[name])
+                dh, dcols, drows, d_samp, d_sn = canon_hash_batches(dit, dn_)
+            except Exception as exc:  # noqa: BLE001
+                print(f"{name:28s} ORACLE-ERR {type(exc).__name__}: {exc}")
+                records[name] = {
+                    "status": "canon-err",
+                    "err": f"{type(exc).__name__}: {exc}"[:300],
+                }
+                failures += 1
+                continue
+            samp = None
+            if s_samp is not None or d_samp is not None:
+                samp = {
+                    "sample_hash_spark": s_samp,
+                    "sample_hash_duckdb": d_samp,
+                    "sample_rows": s_sn,
+                    "sample_match": s_samp == d_samp and s_sn == d_sn,
+                }
+            ok_cols = scols == dcols
+            ok_count = srows == drows
+            ok_hash = sh == dh and (samp is None or samp["sample_match"])
+            status = "OK " if (ok_cols and ok_count and ok_hash) else "FAIL"
+            records[name] = {
+                "status": status.strip().lower(),
+                "rows_spark": srows,
+                "rows_duckdb": drows,
+                "rows_match": ok_count,
+                "schema_match": ok_cols,
+                "hash_spark": sh,
+                "hash_duckdb": dh,
+                "hash_match": ok_hash,
+                "hasher": (
+                    "sum64+sample+spool" if s_samp is not None else "repr+spool"
+                ),
+            }
+            if samp is not None:
+                records[name].update(samp)
+            if status == "FAIL":
+                failures += 1
+            print(
+                f"{name:28s} {status} rows {srows}/{drows} "
+                f"cols={'=' if ok_cols else sorted(set(scols) ^ set(dcols))} "
+                f"hash {sh}/{dh}"
+            )
+            continue
         try:
             spdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001
