@@ -107,6 +107,66 @@ def auto_bits_per_band(
     return bits
 
 
+def lsh_keyed(
+    df: DataFrame,
+    bits_per_band: int | str = 8,
+    n_bands: int = 4,
+    max_bucket: int | None = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The bucketing stage of :func:`lsh_banded_pairs`, exposed so
+    stage-level instrumentation (``tools/nn_decompose.py``, round-10
+    verdict #6) times the exact lineage the pair stage consumes.
+    Returns (id, v, nrm, band, bucket) with hot buckets already dropped.
+
+    The per-vector norm folds HERE — once per vector, before the band
+    explode — not per pair: the per-pair cosine used to fold both
+    operands' norms per pair, 3 x dim multiply-adds times
+    O(occupancy x n x bands) pairs; precomputing leaves one dot fold
+    per pair at a bit-identical value (same l2_norm expression over the
+    same array; measured walls in docs/SCALE_NOTES.md)."""
+    if bits_per_band == "auto":
+        bits_per_band = auto_bits_per_band(df.count(), n_bands=n_bands)
+    v = as_double(vec_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                sign_bucket(v, bits_per_band, j * bits_per_band).alias(
+                    "bucket"
+                ),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    keyed = df.select(
+        F.col(id_col),
+        v.alias("v"),
+        l2_norm(v).alias("nrm"),
+        F.explode(bands).alias("bb"),
+    ).select(
+        id_col,
+        "v",
+        "nrm",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    if max_bucket is not None:
+        # count window riding the bucket shuffle the pair stage needs
+        # anyway — an aggregate + semi-join would re-evaluate the keyed
+        # lineage per branch (no CSE across self-join/semi-join branches)
+        keyed = (
+            keyed.withColumn(
+                "__n",
+                F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
+            )
+            .filter(F.col("__n") <= max_bucket)
+            .drop("__n")
+        )
+    return keyed
+
+
 def lsh_banded_pairs(
     df: DataFrame,
     bits_per_band: int | str = 8,
@@ -148,41 +208,31 @@ def lsh_banded_pairs(
     fixed width is quadratic in corpus size (see auto_bits_per_band);
     every gate routing through this generator uses auto.
     """
-    if bits_per_band == "auto":
-        bits_per_band = auto_bits_per_band(df.count(), n_bands=n_bands)
-    v = as_double(vec_col)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                sign_bucket(v, bits_per_band, j * bits_per_band).alias(
-                    "bucket"
-                ),
-            )
-            for j in range(n_bands)
-        ]
+    keyed = lsh_keyed(
+        df,
+        bits_per_band=bits_per_band,
+        n_bands=n_bands,
+        max_bucket=max_bucket,
+        id_col=id_col,
+        vec_col=vec_col,
     )
-    keyed = df.select(
-        F.col(id_col), v.alias("v"), F.explode(bands).alias("bb")
-    ).select(id_col, "v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    if max_bucket is not None:
-        # count window riding the bucket shuffle the pair stage needs
-        # anyway — an aggregate + semi-join would re-evaluate the keyed
-        # lineage per branch (no CSE across self-join/semi-join branches)
-        keyed = keyed.withColumn(
-            "__n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-        ).filter(F.col("__n") <= max_bucket).drop("__n")
     # postings-list pair generation: one evaluation of the keyed lineage,
     # pairs emitted map-side after the bucket groupBy; group size (and so
     # the collected vector array) is bounded by max_bucket
     from market_microstructure_toolkit_spark.operators.dedup import grouped_pairs
 
     scored = grouped_pairs(
-        keyed, ["band", "bucket"], F.struct(F.col(id_col).alias("id"), "v")
+        keyed,
+        ["band", "bucket"],
+        F.struct(F.col(id_col).alias("id"), "v", "nrm"),
     ).select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
-        cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        F.when(
+            (F.col("a.nrm") > 0) & (F.col("b.nrm") > 0),
+            dot(F.col("a.v"), F.col("b.v"))
+            / (F.col("a.nrm") * F.col("b.nrm")),
+        ).alias("cos_sim"),
     )
     # a pair colliding in k bands appears k times with an identical score;
     # min() dedups deterministically without a second join

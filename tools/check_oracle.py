@@ -112,23 +112,64 @@ def _row_hashes(pdf):
     return h.values.astype("uint64")
 
 
-def _norm_time(pdf):
-    """Unify timestamp representation across transports: an Arrow/
-    parquet roundtrip surfaces Spark timestamps tz-aware (UTC) where
-    ``toPandas``/``fetchdf`` surface them naive, and batch readers mix
-    ns/us units. Convert every datetime column to tz-naive UTC
-    microseconds so --spool hashes the same VALUES the in-memory path
-    hashes. Micros (not nanos) because SCD2-style far-future sentinels
-    (9999-12-31) overflow datetime64[ns]."""
+def _int_bool_nullable(t):
+    """types_mapper for Arrow->pandas chunk conversion: force every
+    integer/bool column to its NULLABLE pandas dtype regardless of
+    whether THIS chunk contains nulls. Without it, pyarrow surfaces a
+    null-free chunk as int64 and a null-bearing chunk of the SAME
+    column as float64 — chunk-dependent dtypes hash the same integer
+    differently per chunk (found on trade_dollar_bars at sf100: bar_id
+    has nulls in some row groups only)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return pd.Int64Dtype()
+    if pa.types.is_boolean(t):
+        return pd.BooleanDtype()
+    return None
+
+
+def _norm_transport(pdf):
+    """Unify transport-dependent column representations before hashing
+    a --spool chunk:
+
+    - timestamps: an Arrow/parquet roundtrip surfaces Spark timestamps
+      tz-aware (UTC) where ``toPandas``/``fetchdf`` surface them naive,
+      and batch readers mix ns/us units -> tz-naive UTC microseconds
+      (micros, not nanos: SCD2 far-future sentinels overflow ns).
+    - nullable Int64/boolean (from :func:`_int_bool_nullable`) and
+      categorical: canonicalize to object strings ("∅" for null,
+      repr otherwise) — chunk-invariant and engine-invariant.
+    """
+    import pandas as pd
+
     out = pdf
     for c in pdf.columns:
         s = pdf[c]
         if s.dtype.kind == "M":
             if getattr(s.dtype, "tz", None) is not None:
                 s = s.dt.tz_convert("UTC").dt.tz_localize(None)
-            if out is pdf:
-                out = pdf.copy()
-            out[c] = s.astype("datetime64[us]")
+            s = s.astype("datetime64[us]")
+        elif isinstance(s.dtype, pd.CategoricalDtype):
+            s = s.astype(object)
+        elif s.dtype.kind in "iub" and not isinstance(
+            s.dtype, __import__("numpy").dtype
+        ):
+            # pandas masked extension dtype (Int64/boolean)
+            s = pd.Series(
+                [
+                    "∅" if v is None else repr(int(v))
+                    for v in s.to_numpy(dtype=object, na_value=None)
+                ],
+                index=s.index,
+                dtype=object,
+            )
+        else:
+            continue
+        if out is pdf:
+            out = pdf.copy()
+        out[c] = s
     return out
 
 
@@ -163,7 +204,7 @@ def canon_hash_batches(batches, columns):
     for pdf in batches:
         if not len(pdf):
             continue
-        pdf = _norm_time(pdf[cols])
+        pdf = _norm_transport(pdf[cols])
         n += len(pdf)
         if not streaming:
             buf.append(pdf)
@@ -210,7 +251,10 @@ def _spark_spool(spark, df, chunk_rows: int = 1_048_576):
             dset = pads.dataset(scratch)
             yield (
                 dset.schema.names,
-                (b.to_pandas() for b in dset.to_batches(batch_size=chunk_rows)),
+                (
+                    b.to_pandas(types_mapper=_int_bool_nullable)
+                    for b in dset.to_batches(batch_size=chunk_rows)
+                ),
             )
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
@@ -229,7 +273,7 @@ def _duckdb_batches(con, sql: str, chunk_rows: int = 1_048_576):
                 b = reader.read_next_batch()
             except StopIteration:
                 return
-            yield b.to_pandas()
+            yield b.to_pandas(types_mapper=_int_bool_nullable)
 
     return reader.schema.names, it()
 
