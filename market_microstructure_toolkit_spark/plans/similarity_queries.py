@@ -700,13 +700,18 @@ def q_similarity_pq_recall_trained(
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
+    # the recall measurement references the ADC lineage four ways
+    # (top-10, candidates, and their joins); without a cut the 2-step
+    # training chain re-executes per reference. The codebook is ≤
+    # m x n_cents = 1024 tiny rows — the repo's justified-checkpoint
+    # shape (bounded, reused, expensive to recompute)
     cents = pq_train_codebooks(
         emb,
         m=_PQ_M,
         sub_dim=_PQ_SUB,
         n_cents=_PQ_TRAINED_C,
         steps=_PQ_TRAINED_STEPS,
-    )
+    ).localCheckpoint(eager=True)
     adc = pq_adc_scores(
         emb,
         m=_PQ_M,
