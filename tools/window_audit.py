@@ -274,9 +274,19 @@ RULES: dict[tuple[str, str], tuple[str, str]] = {
         "segmented-internal",
         "(key, segment) local fill + config-sized carry window",
     ),
-    ("similarity.py", "lsh_banded_pairs"): (
+    ("similarity.py", "lsh_keyed"): (
         "guard-unordered",
         "bucket-size count guard (max_bucket) ahead of pair generation",
+    ),
+    ("similarity.py", "pq_train_codebooks"): (
+        "config-bounded",
+        "Lloyd-step argmin per (vector, subspace) over K centroids: "
+        "rows = K (config)",
+    ),
+    ("trade_stream.py", "compose_epoch_buckets"): (
+        "config-bounded",
+        "per-symbol window over EPOCH SUMMARIES: rows = n_epochs "
+        "(~256, epoch_ms targets it), not trades",
     ),
     ("similarity.py", "pq_adc_scores"): (
         "config-bounded",
