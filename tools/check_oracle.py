@@ -377,6 +377,20 @@ def main() -> int:
         spark = get_spark("check-oracle")
 
     con = duckdb.connect()
+    # an in-memory DuckDB has NO temp directory, so it cannot spill and
+    # a century-scale oracle (corpus_curation at sf100: distinct + joins
+    # over 5M multi-KB docs) dies with "Out of Memory Error" instead of
+    # going out-of-core. Point temp at disk and cap the resident set
+    # below the JVM's share of the box.
+    import tempfile as _tf
+
+    _spill = _tf.mkdtemp(prefix="mmt_duck_spill_")
+    con.execute(f"SET temp_directory='{_spill}'")
+    con.execute(
+        "SET memory_limit='"
+        + os.environ.get("SPARK_GRAFT_DUCK_MEM", "64GB")
+        + "'"
+    )
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
