@@ -429,6 +429,30 @@ def winnow_candidates(
     )
 
 
+def _ensure_checkpoint_dir(spark) -> None:
+    """Point the SparkContext at a reliable checkpoint directory if none
+    is set yet. ``SPARK_GRAFT_CKPT_DIR`` overrides; otherwise a temp dir
+    is created and removed at interpreter exit. On a real cluster this
+    would be an HDFS/S3 path set at session build time — the env var is
+    that hook."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    sc = spark.sparkContext
+    try:
+        if sc._jsc.sc().getCheckpointDir().isDefined():
+            return
+    except Exception:  # pragma: no cover - py4j surface drift
+        pass
+    d = os.environ.get("SPARK_GRAFT_CKPT_DIR")
+    if not d:
+        d = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    sc.setCheckpointDir(d)
+
+
 def dedup_clusters(
     df: DataFrame,
     pairs: DataFrame,
@@ -452,13 +476,30 @@ def dedup_clusters(
     early would silently hand back unconverged labels that diverge from
     the oracle's recursive-CTE fixpoint. ``max_iters`` is only a runaway
     guard and RAISES if hit. Each round is two id-keyed joins + one
-    partial-aggregated groupBy; ``localCheckpoint`` truncates the
-    lineage so plans don't grow with iteration count — the standard
-    Spark iterative-algorithm guard.
+    partial-aggregated groupBy; per-round checkpointing truncates the
+    lineage so plans don't grow with iteration count (each round
+    references the previous labels TWICE, so an untruncated plan tree
+    doubles per round) — the standard Spark iterative-algorithm guard.
+
+    Checkpoint storage is SIZE-DISPATCHED (round-11 verdict #2): the
+    mirrored edge set always persists ``DISK_ONLY`` (its one-time
+    materialization is the dispatch probe), and the per-round label
+    frames use in-memory ``localCheckpoint`` below
+    ``SPARK_GRAFT_CC_DISK_ROWS`` edges (default 20M) and reliable
+    disk-backed ``checkpoint()`` above it — at century scale the old
+    always-local path pinned >70 GB of edge+label blocks in storage
+    memory. ``SPARK_GRAFT_CC_DISK=1/0`` forces either mode; results are
+    hash-identical across modes (pinned in
+    ``tests/test_cc_disk_checkpoint.py``).
     """
+    import os
+
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
     # both directions from ONE evaluation of the (possibly expensive)
     # pair plan — a union of two selects over `pairs` would run the
-    # candidate-generation join twice before the checkpoint
+    # candidate-generation join twice before the materialization
     edges = (
         pairs.select(
             F.explode(
@@ -473,8 +514,19 @@ def dedup_clusters(
             ).alias("e")
         )
         .select("e.*")
-        .localCheckpoint()
+        .persist(StorageLevel.DISK_ONLY)
     )
+    n_edges = edges.count()  # materializes once; doubles as dispatch probe
+    force = os.environ.get("SPARK_GRAFT_CC_DISK", "").strip()
+    if force in ("0", "1"):
+        disk_mode = force == "1"
+    else:
+        disk_mode = n_edges >= int(
+            os.environ.get("SPARK_GRAFT_CC_DISK_ROWS", "20000000")
+        )
+    if disk_mode:
+        _ensure_checkpoint_dir(spark)
+
     labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("lab"))
     converged = False
     for _ in range(max_iters):
@@ -484,7 +536,7 @@ def dedup_clusters(
             .agg(F.min("lab").alias("nlab"))
         )
         # eager checkpoint: materializes the round fully in one job; the
-        # short-circuit convergence count then reads checkpointed blocks.
+        # short-circuit convergence count then reads checkpointed data.
         # (A lazy checkpoint is a trap here — limit(1) only materializes
         # the partitions it touches, so later rounds recompute the rest
         # through the un-truncated lineage; measured slower at sf0.1.)
@@ -510,12 +562,25 @@ def dedup_clusters(
                     | (F.col("__plab") < F.col("lab"))
                 ).alias("__chg"),
             )
-        ).localCheckpoint()
+        )
+        if disk_mode:
+            # persist-then-checkpoint: the reliable checkpoint's file
+            # write reads the DISK_ONLY blocks instead of recomputing
+            # the two joins (the classic Dataset.checkpoint
+            # double-compute), and the blocks are released as soon as
+            # the checkpoint files exist — per-round storage footprint
+            # is one label set on local disk, zero executor heap
+            cached = new.persist(StorageLevel.DISK_ONLY)
+            new = cached.checkpoint(eager=True)
+            cached.unpersist()
+        else:
+            new = new.localCheckpoint()
         changed = new.filter(F.col("__chg")).limit(1).count()
         labels = new.drop("__chg")
         if changed == 0:
             converged = True
             break
+    edges.unpersist()
     if not converged:
         raise RuntimeError(
             f"dedup_clusters: no fixpoint after {max_iters} rounds "
