@@ -489,23 +489,31 @@ def q_streaming_vpin_skewed_replay(
     the hot key degrades gracefully (Arrow-batched state op streams the
     key's groups batch-by-batch; measured at sf1: within ~1.1x of the
     uniform twin's wall, docs/SCALE_NOTES.md round-10 table) rather
-    than OOMing a partition or wedging the micro-batch. A production
-    remedy past graceful degradation is composite state keys: set
-    ``SPARK_GRAFT_VPIN_COMPOSITE=1`` and the state key becomes
+    than OOMing a partition or wedging the micro-batch. The production
+    remedy past graceful degradation is composite state keys — now the
+    SKEW-DISPATCHED DEFAULT (round-11 verdict #4): when the tape's
+    hottest key carries >= ``SPARK_GRAFT_VPIN_COMPOSITE_ROWS`` rows
+    (default 4M; hint = one column-pruned batch scan,
+    ``trade_stream.tape_max_rows_per_key``), the state key becomes
     (symbol × time-epoch) — the op carries within-epoch accumulators
     only, and the associative cross-epoch composition (volume clock =
     exact sum, tick carry = last-non-null) runs as a batch pass over
     one summary row per epoch (round-10 verdict #5; implementation
     ``streaming/trade_stream.py:stateful_signed_buckets_composite`` /
-    ``compose_epoch_buckets``). Output is hash-identical either way —
-    the oracle does not change; A/B walls in REPLAY_DECOMP_r11."""
-    import os
+    ``compose_epoch_buckets``). Small/uniform tapes keep the plain
+    per-symbol key (epoch composition is pure overhead there);
+    ``SPARK_GRAFT_VPIN_COMPOSITE=1/0`` forces either path. Output is
+    hash-identical either way — the oracle does not change; A/B walls
+    in REPLAY_DECOMP_r11, dispatch pinned in
+    ``tests/test_vpin_composite.py``."""
     import uuid
 
     from market_microstructure_toolkit_spark.streaming.trade_stream import (
         compose_epoch_buckets,
         stateful_signed_buckets,
         stateful_signed_buckets_composite,
+        tape_max_rows_per_key,
+        use_composite_vpin,
     )
 
     def build(b: str) -> list[str]:
@@ -529,7 +537,9 @@ def q_streaming_vpin_skewed_replay(
         .parquet(f"{tape_base}/data/*/")
     )
     name = f"vpin_skew_{uuid.uuid4().hex[:8]}"
-    composite = os.environ.get("SPARK_GRAFT_VPIN_COMPOSITE", "") == "1"
+    composite = use_composite_vpin(
+        tape_max_rows_per_key(spark, f"{tape_base}/data/*/")
+    )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # composite mode spreads the hot key over ~EPOCHS groups per batch,
     # so it WANTS shuffle width; single-key mode has ≤ n_symbols live

@@ -126,10 +126,17 @@ def stateful_lee_ready(stream: DataFrame) -> DataFrame:
 __all__ = [
     "BUCKETED_OUTPUT_SCHEMA",
     "BUCKET_STATE_SCHEMA",
+    "EPOCH_BUCKET_OUTPUT_SCHEMA",
+    "SIGNED_BUCKET_STATE_SCHEMA",
     "TRADE_SIGNS_OUTPUT_SCHEMA",
     "TRADE_STATE_SCHEMA",
+    "compose_epoch_buckets",
     "stateful_lee_ready",
+    "stateful_signed_buckets",
+    "stateful_signed_buckets_composite",
     "stateful_volume_buckets",
+    "tape_max_rows_per_key",
+    "use_composite_vpin",
 ]
 
 
@@ -476,4 +483,47 @@ def compose_epoch_buckets(
         "qty",
         side.alias("side"),
         bucket.alias("bucket"),
+    )
+
+
+def tape_max_rows_per_key(
+    spark, tape_glob: str, key: str = "symbol"
+) -> int:
+    """Rows on the HOTTEST state key across a recorded tape — the skew
+    hint for the streaming VPIN state-key dispatch. One column-pruned
+    batch scan over the tape parquet (reads only ``key``); mirrors the
+    batch tier's max-not-average rule (``plans/base.py:
+    book_rows_per_key``): keyed ordered state is sequential PER KEY, so
+    the wall of the stateful pass is proportional to the hottest key's
+    row count, never the average."""
+    row = (
+        spark.read.parquet(tape_glob)
+        .groupBy(key)
+        .count()
+        .agg(F.max("count"))
+        .first()
+    )
+    return int(row[0] or 0)
+
+
+def use_composite_vpin(max_rows_per_key: int) -> bool:
+    """Dispatch the VPIN state key: plain per-symbol state below the
+    threshold, composite (symbol x time-epoch) state above it
+    (round-11 verdict #4 — the flag becomes a skew-dispatched default).
+
+    ``SPARK_GRAFT_VPIN_COMPOSITE=1/0`` still forces either path;
+    otherwise composite engages when the hottest key carries at least
+    ``SPARK_GRAFT_VPIN_COMPOSITE_ROWS`` rows (default 4M — the sf10
+    hot-key tape's 9M-row S0 dispatches composite, measured 5.4x faster
+    at hash parity, REPLAY_DECOMP_r11.json; the sf10 uniform tape's
+    2.5M-rows-per-key stays single-key where epoch composition is pure
+    overhead). Dispatch changes the physical plan only — both paths are
+    hash-identical (tests/test_vpin_composite.py)."""
+    import os
+
+    force = os.environ.get("SPARK_GRAFT_VPIN_COMPOSITE", "").strip()
+    if force in ("0", "1"):
+        return force == "1"
+    return max_rows_per_key >= int(
+        os.environ.get("SPARK_GRAFT_VPIN_COMPOSITE_ROWS", "4000000")
     )

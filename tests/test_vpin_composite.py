@@ -106,3 +106,66 @@ def test_composition_degenerate_epochs(spark):
     the cross-epoch rules alone must reproduce the reference."""
     tape = _tape(spark, skewed=True).limit(2000)
     _assert_composition_exact(spark, tape, 1)
+
+
+def test_dispatch_force_overrides(monkeypatch):
+    from market_microstructure_toolkit_spark.streaming.trade_stream import (
+        use_composite_vpin,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_VPIN_COMPOSITE", "1")
+    assert use_composite_vpin(0)
+    monkeypatch.setenv("SPARK_GRAFT_VPIN_COMPOSITE", "0")
+    assert not use_composite_vpin(10**9)
+
+
+def test_dispatch_threshold_default(monkeypatch):
+    """Default 4M-row threshold: the sf10 hot-key tape (~9M rows on S0)
+    dispatches composite; the sf10 uniform tape (~2.5M rows/key) and
+    every <=sf1 tape stay single-key."""
+    from market_microstructure_toolkit_spark.streaming.trade_stream import (
+        use_composite_vpin,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_VPIN_COMPOSITE", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_VPIN_COMPOSITE_ROWS", raising=False)
+    assert use_composite_vpin(9_000_000)
+    assert not use_composite_vpin(2_500_000)
+    monkeypatch.setenv("SPARK_GRAFT_VPIN_COMPOSITE_ROWS", "100")
+    assert use_composite_vpin(101)
+
+
+def test_hint_reports_hot_key_rows(spark, tmp_path, monkeypatch):
+    """tape_max_rows_per_key measures the MAX per-key count on a skewed
+    tape (not the average), mirroring the batch tier's rule."""
+    from market_microstructure_toolkit_spark.streaming.trade_stream import (
+        tape_max_rows_per_key,
+    )
+
+    d = str(tmp_path / "tape")
+    _tape(spark, skewed=True).write.parquet(d)
+    n = _tape(spark, skewed=True).count()
+    mx = tape_max_rows_per_key(spark, d)
+    assert mx >= int(0.85 * n), (mx, n)
+    d2 = str(tmp_path / "tape_uniform")
+    _tape(spark, skewed=False).write.parquet(d2)
+    assert tape_max_rows_per_key(spark, d2) < int(0.5 * n)
+
+
+def test_auto_dispatch_composite_hash_parity(spark, monkeypatch):
+    """End-to-end: with the row threshold lowered so the sf0.001 skewed
+    tape auto-dispatches composite, the gate's rows equal the forced
+    single-key run — dispatch is a physical-plan decision only."""
+    from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+    gate = REGISTRY["streaming_vpin_skewed_replay"].spark
+
+    monkeypatch.setenv("SPARK_GRAFT_VPIN_COMPOSITE", "0")
+    single = sorted(map(repr, gate(spark, SF_DIR).collect()))
+
+    monkeypatch.delenv("SPARK_GRAFT_VPIN_COMPOSITE", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_VPIN_COMPOSITE_ROWS", "1")
+    auto = sorted(map(repr, gate(spark, SF_DIR).collect()))
+
+    assert auto == single
+    assert len(auto) > 0
