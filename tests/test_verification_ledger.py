@@ -66,3 +66,42 @@ def test_checked_in_ledger_is_current():
         f"ledger missing gates {missing} — regenerate with "
         "python tools/verification_ledger.py"
     )
+
+
+def test_ledger_not_older_than_newest_correctness_artifact():
+    """Round-11 verdict #3 (wrong-list item): the committed ledger went
+    stale because CORRECTNESS_r11.json landed after generation. Pin the
+    invariant structurally: every driver round with a checked-in
+    CORRECTNESS artifact must be reflected in the ledger's
+    driver_rounds union — if a round's artifact exists but no gate
+    credits that round, the ledger predates it and needs a regen."""
+    import glob
+    import re
+
+    with open(os.path.join(REPO, "docs", "verification_ledger.json")) as f:
+        ledger = json.load(f)
+    gates = ledger["gates"] if "gates" in ledger else ledger
+    credited = set()
+    for rec in gates.values():
+        credited.update(rec.get("driver_rounds", []))
+    on_disk = set()
+    for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", p)
+        with open(p) as f:
+            art = json.load(f)
+        any_green = any(
+            isinstance(v, dict)
+            and v.get("rows_match")
+            and v.get("schema_match")
+            and v.get("hash_match")
+            for v in art.values()
+        )
+        if m and any_green:
+            on_disk.add(int(m.group(1)))
+    stale = on_disk - set(map(int, credited))
+    assert stale == set(), (
+        f"driver round(s) {sorted(stale)} have CORRECTNESS artifacts on "
+        "disk but are not credited in docs/verification_ledger.json — "
+        "regenerate with `python tools/verification_ledger.py` and "
+        "commit"
+    )
