@@ -334,7 +334,16 @@ def pq_train_codebooks(
     loop; quantizing it several orders of magnitude above double
     reordering error makes Spark and the DuckDB oracle land on
     bit-identical codebooks, so every downstream assignment/ADC compare
-    is exact. Centroids that starve (no assigned vectors) drop out of
+    is exact. Boundary assumption (round-11 ADVICE #2, accepted): the
+    rounding is only deterministic while the partition-order float
+    error of ``avg`` (~1e-13 relative) stays far from a
+    ``(k + 0.5) / 65536`` rounding boundary (~7.6e-6 spacing) — a
+    cluster mean landing within ~1e-12 of a boundary could quantize
+    differently across runs/engines and cascade into different
+    codebooks. Measured green across every sweep (sf0.001..sf1, both
+    engines, repeated runs); the exact-sum alternative (quantize inputs
+    first, mean = exact-binary sum / count) is the upgrade path if a
+    boundary hit is ever observed. Centroids that starve (no assigned vectors) drop out of
     the group-by on BOTH engines identically — fewer live centroids,
     same semantics.
 

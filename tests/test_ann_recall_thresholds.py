@@ -139,8 +139,18 @@ def test_clustered_trained_beats_sampled(clustered_recalls):
     )
 
 
+_SF1_DIR = __import__("os").path.join(
+    __import__("os").path.dirname(
+        __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+    ),
+    "testdata_sf1",
+)
+
+
 @pytest.mark.skipif(
-    not __import__("os").path.isdir("testdata_sf1"),
+    # anchored to the repo root, not the CWD (round-11 ADVICE #4: a
+    # relative check silently skips when pytest runs from elsewhere)
+    not __import__("os").path.isdir(_SF1_DIR),
     reason="sf1 fixture not built in this checkout",
 )
 def test_clustered_trained_pq_floor_sf1(spark, tmp_path_factory):
@@ -152,7 +162,7 @@ def test_clustered_trained_pq_floor_sf1(spark, tmp_path_factory):
     from market_microstructure_toolkit_spark.plans.queries import REGISTRY
 
     d = make_clustered_dir(
-        "testdata_sf1", str(tmp_path_factory.mktemp("clustered_sf1") / "sf")
+        _SF1_DIR, str(tmp_path_factory.mktemp("clustered_sf1") / "sf")
     )
     rows = REGISTRY["similarity_pq_recall_trained"].spark(spark, d).collect()
     assert rows[0]["recall_at_10_reranked"] >= 0.9

@@ -386,9 +386,27 @@ def main() -> int:
 
     _spill = _tf.mkdtemp(prefix="mmt_duck_spill_")
     con.execute(f"SET temp_directory='{_spill}'")
+    # row order is irrelevant here — every comparison canonicalizes
+    # (sorted repr / order-invariant sum64) — so let DuckDB drop
+    # insertion-order preservation: pipeline breakers become streaming
+    # operators and century-scale oracles spill a fraction as much
+    # (the sf100 banded-pair CTEs exhausted a 60GB temp volume with
+    # order preservation on)
+    con.execute("SET preserve_insertion_order=false")
+    # default the resident cap to ~60% of PHYSICAL RAM (round-11 ADVICE
+    # #3: a hardcoded 64GB can EXCEED a smaller box's memory, raising
+    # DuckDB's own 80%-of-RAM default instead of lowering it and
+    # risking OOM before spill engages); SPARK_GRAFT_DUCK_MEM overrides
+    try:
+        _ram_gb = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        ) // (1 << 30)
+        _duck_default = f"{max(1, int(_ram_gb * 0.6))}GB"
+    except (ValueError, OSError, AttributeError):
+        _duck_default = "8GB"
     con.execute(
         "SET memory_limit='"
-        + os.environ.get("SPARK_GRAFT_DUCK_MEM", "64GB")
+        + os.environ.get("SPARK_GRAFT_DUCK_MEM", _duck_default)
         + "'"
     )
     for t in (
@@ -479,8 +497,19 @@ def main() -> int:
                 "hash_spark": sh,
                 "hash_duckdb": dh,
                 "hash_match": ok_hash,
+                # each side picks its canon regime from its OWN row
+                # count; when the two straddle FAST_ROWS (only possible
+                # under a row-count mismatch, already a FAIL) the hash
+                # fields are format-incomparable — record both regimes
+                # so the artifact is diagnosable (round-11 ADVICE #1)
                 "hasher": (
-                    "sum64+sample+spool" if s_samp is not None else "repr+spool"
+                    ("sum64+sample+spool" if s_samp is not None else "repr+spool")
+                    if (s_samp is None) == (d_samp is None)
+                    else "spool DIVERGED spark:%s/duckdb:%s"
+                    % (
+                        "sum64" if s_samp is not None else "repr",
+                        "sum64" if d_samp is not None else "repr",
+                    )
                 ),
             }
             if samp is not None:
