@@ -187,11 +187,16 @@ def _scratch(prefix: str) -> str:
     by construction, so the checkpoint's durability guarantee buys
     nothing here and the disk round-trip is pure overhead. A production
     stream points checkpointLocation at durable storage instead.
+    ``SPARK_GRAFT_SCRATCH_DIR`` overrides the root — the century sweeps
+    replay 100M-row tapes whose scratch would otherwise compete with
+    the JVM heap for physical RAM via tmpfs.
     """
     import os
     import tempfile
 
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    base = os.environ.get("SPARK_GRAFT_SCRATCH_DIR") or (
+        "/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
     return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
@@ -372,7 +377,8 @@ def _memo_tape(sf_dir: str, kind: str, build) -> str:
     # under a world-writable parent must not let another uid pre-create
     # or poison tapes that feed correctness gates
     root = os.path.join(
-        "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir(),
+        os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
+        or ("/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()),
         f"mmt_tape_cache_u{os.getuid()}",
     )
     os.makedirs(root, mode=0o700, exist_ok=True)
