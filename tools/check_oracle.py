@@ -344,15 +344,32 @@ def main() -> int:
     spool = "--spool" in argv
     if spool:
         argv.remove("--spool")
+    # --phase spark|duck|both (spool mode only): century gates need the
+    # 64g Spark JVM and a near-RAM DuckDB memory cap, which cannot
+    # co-reside. phase=spark spools + hashes every Spark result and
+    # writes them to <artifact>.sparkside.json, then the PROCESS exits
+    # (releasing the JVM heap entirely); phase=duck reloads that file,
+    # runs only the DuckDB twins, and writes the merged artifact — so a
+    # failed oracle can be retried without re-running Spark.
+    phase = "both"
+    if "--phase" in argv:
+        i = argv.index("--phase")
+        phase = argv[i + 1]
+        del argv[i : i + 2]
+        assert phase in ("spark", "duck", "both"), phase
     artifact = None
     if "--artifact" in argv:
         i = argv.index("--artifact")
         artifact = argv[i + 1]
         del argv[i : i + 2]
+    if phase != "both":
+        assert spool and artifact, "--phase requires --spool and --artifact"
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
-    if vanilla:
+    if phase == "duck":
+        spark = None  # never start the JVM — that is the point
+    elif vanilla:
         from pyspark.sql import SparkSession
 
         spark = (
@@ -375,6 +392,20 @@ def main() -> int:
         from market_microstructure_toolkit_spark.session import get_spark
 
         spark = get_spark("check-oracle")
+
+    import json as _json
+
+    sparkside_path = (artifact + ".sparkside.json") if artifact else None
+    sparkside_in: dict = {}
+    if phase == "duck":
+        with open(sparkside_path) as f:
+            sparkside_in = _json.load(f)
+    sparkside_out: dict = {}
+    if phase == "spark" and sparkside_path and os.path.exists(sparkside_path):
+        # merge semantics mirror the artifact: a restricted spark-phase
+        # run must not drop earlier gates' spooled hashes
+        with open(sparkside_path) as f:
+            sparkside_out = _json.load(f)
 
     con = duckdb.connect()
     # an in-memory DuckDB has NO temp directory, so it cannot spill and
@@ -448,18 +479,38 @@ def main() -> int:
             # write) and BOTH engines hash in bounded Arrow chunks — a
             # 100M-row result costs O(chunk) driver memory instead of
             # an ~8 GB toPandas that OOMs the JVM
-            try:
-                with _spark_spool(spark, fn(spark, sf_dir)) as (sn_, sit):
-                    sh, scols, srows, s_samp, s_sn = canon_hash_batches(
-                        sit, sn_
-                    )
-            except Exception as exc:  # noqa: BLE001
-                print(f"{name:28s} SPARK-ERR {type(exc).__name__}: {exc}")
-                records[name] = {
-                    "status": "spark-err",
-                    "err": f"{type(exc).__name__}: {exc}"[:300],
+            if phase == "duck":
+                sp = sparkside_in.get(name)
+                if sp is None:
+                    print(f"{name:28s} SKIP (no spark-side record)")
+                    continue
+                sh, scols, srows = sp["hash"], sp["cols"], sp["rows"]
+                s_samp, s_sn = sp.get("sample_hash"), sp.get("sample_rows")
+            else:
+                try:
+                    with _spark_spool(spark, fn(spark, sf_dir)) as (sn_, sit):
+                        sh, scols, srows, s_samp, s_sn = canon_hash_batches(
+                            sit, sn_
+                        )
+                except Exception as exc:  # noqa: BLE001
+                    print(f"{name:28s} SPARK-ERR {type(exc).__name__}: {exc}")
+                    records[name] = {
+                        "status": "spark-err",
+                        "err": f"{type(exc).__name__}: {exc}"[:300],
+                    }
+                    failures += 1
+                    continue
+            if phase == "spark":
+                sparkside_out[name] = {
+                    "hash": sh,
+                    "cols": list(scols),
+                    "rows": srows,
+                    "sample_hash": s_samp,
+                    "sample_rows": s_sn,
                 }
-                failures += 1
+                with open(sparkside_path, "w") as f:
+                    _json.dump(sparkside_out, f, indent=1, sort_keys=True)
+                print(f"{name:28s} SPARK-SIDE rows {srows} hash {sh}")
                 continue
             if name not in oracles:
                 print(f"{name:28s} rows-only: {srows} rows")
