@@ -1,0 +1,415 @@
+"""Sharded / decomposed DuckDB oracles for century-scale gates.
+
+The monolithic DuckDB twins of the pair-generating sf100 gates exceed
+this box: ``similarity_lsh_pairs`` needs >62 GB of out-of-core spill
+for the 258M-pair bucket join, and ``dedup_semantic_clusters`` layers
+twelve min-label rounds on top of the same join. The Spark sides
+complete (disk-backed checkpointing, round-12); only the single-process
+oracle is the ceiling.
+
+The order-invariant sum64 canon makes an EXACT decomposition possible:
+``canon_hash_batches`` folds per-row hashes with modular addition and
+samples rows by a content-deterministic predicate (row_hash % 101 == 0),
+so hashing the CONCATENATION of disjoint shard results is bit-identical
+to hashing the full result. Each gate here therefore runs its oracle as
+K disjoint DuckDB queries (sharded on ``id_a % K`` — every output row
+has exactly one id_a, so shards are disjoint and covering) whose batch
+iterators are chained into ONE hasher call. The bucket-size caps inside
+the LSH SQL stay global: the shard predicate references a non-partition
+column, so it cannot (and does not) push below the COUNT(*) OVER /
+HAVING that computes bucket occupancy — each shard sees the same capped
+bucket set, verified by shard-vs-full hash equality at sf0.1/sf1
+(``tests/test_century_shard_oracle.py``).
+
+``dedup_semantic_clusters`` additionally decomposes in TWO STAGES,
+because its final output (the global fixpoint) cannot be sharded:
+
+- stage A verifies the thresholded EDGE SET: Spark writes the pairs to
+  parquet and hashes them (--phase spark); DuckDB recomputes them in K
+  shards from the raw embeddings and must hash-match (--phase duck).
+- stage B verifies the FIXPOINT: DuckDB runs the gate's own twelve
+  min-label pointer-doubling rounds reading the stage-A edge parquet
+  (mirroring the direction itself — nothing is trusted from Spark but
+  the already-verified pair set) and the final labels must hash-match
+  the gate's spooled Spark result.
+
+Together the stages are a full independent verification with bounded
+intermediates: stage A's per-shard join is ~1/K of the monolith, stage
+B's per-round state is one label row per node.
+
+Usage:
+  python tools/century_shard_oracle.py SF_DIR --phase spark \
+      --artifact ORACLE_SF100_r12.json [--gates g1,g2]
+  python tools/century_shard_oracle.py SF_DIR --phase duck \
+      --artifact ORACLE_SF100_r12.json [--shards 16]
+
+--phase spark writes edge parquet + hashes into <artifact>.sparkside.json
+(same file check_oracle --phase spark uses; the final-labels record for
+dedup_semantic_clusters must already be there from the gate's own spark
+phase). --phase duck runs the sharded oracles with no JVM in the
+process and merges records into the artifact.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tools.check_oracle import canon_hash_batches  # noqa: E402
+
+EDGE_DIR_KEY = "__edges_dir__"
+
+
+def _edges_dir(artifact: str) -> str:
+    root = os.environ.get("SPARK_GRAFT_CENTURY_SCRATCH", "/tmp")
+    tag = os.path.basename(artifact).replace(".", "_")
+    return os.path.join(root, f"mmt_century_edges_{tag}")
+
+
+def _duck_con(sf_dir: str):
+    import duckdb
+    import tempfile
+
+    con = duckdb.connect()
+    spill = tempfile.mkdtemp(prefix="mmt_duck_spill_")
+    con.execute(f"SET temp_directory='{spill}'")
+    con.execute("SET preserve_insertion_order=false")
+    try:
+        ram_gb = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        ) // (1 << 30)
+        default = f"{max(1, int(ram_gb * 0.6))}GB"
+    except (ValueError, OSError, AttributeError):
+        default = "8GB"
+    con.execute(
+        "SET memory_limit='"
+        + os.environ.get("SPARK_GRAFT_DUCK_MEM", default)
+        + "'"
+    )
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+    return con
+
+
+def _sharded_batches(con, sql_for_shard, k: int):
+    """Chain K disjoint shard queries into one (names, batches) pair.
+    Shards run strictly sequentially — the canon fold is
+    order-invariant, and one bounded query at a time is the point."""
+    import pyarrow as pa
+
+    names_holder: list = []
+
+    def gen():
+        for i in range(k):
+            cur = con.execute(sql_for_shard(i))
+            reader = cur.fetch_record_batch(1_048_576)
+            if not names_holder:
+                names_holder.extend(reader.schema.names)
+            while True:
+                try:
+                    b = reader.read_next_batch()
+                except StopIteration:
+                    break
+                yield pa.Table.from_batches([b]).to_pandas()
+            print(f"  shard {i + 1}/{k} done", flush=True)
+
+    # pull the first shard's schema eagerly so names are known
+    it = gen()
+    first = []
+    try:
+        first.append(next(it))
+    except StopIteration:
+        pass
+
+    def full():
+        yield from first
+        yield from it
+
+    if not names_holder:
+        # zero-row result: names from a LIMIT 0 probe of shard 0
+        cur = con.execute(
+            f"SELECT * FROM ({sql_for_shard(0)}) __probe LIMIT 0"
+        )
+        names_holder.extend(cur.fetch_record_batch(1).schema.names)
+    return names_holder, full()
+
+
+# ---------------------------------------------------------------- gates
+
+
+def _lsh_pairs_shard_sql():
+    from market_microstructure_toolkit_spark.plans.similarity_queries import (
+        _LSH_PAIRS_SQL,
+    )
+
+    def make(k: int):
+        def for_shard(i: int) -> str:
+            return (
+                f"SELECT * FROM ({_LSH_PAIRS_SQL}) __t "
+                f"WHERE (__t.id_a % {k}) = {i}"
+            )
+
+        return for_shard
+
+    return make
+
+
+def _semantic_edges_shard_sql():
+    from market_microstructure_toolkit_spark.plans.corpus_queries import (
+        _BANDED_PAIR_CTES,
+    )
+
+    def make(k: int):
+        def for_shard(i: int) -> str:
+            return (
+                "WITH "
+                + _BANDED_PAIR_CTES
+                + "\nSELECT id_a, id_b FROM pairs "
+                f"WHERE ROUND(cos_sim, 6) >= 0.25 AND (id_a % {k}) = {i}"
+            )
+
+        return for_shard
+
+    return make
+
+
+def _semantic_fixpoint_sql(edges_glob: str) -> str:
+    from market_microstructure_toolkit_spark.plans.corpus_queries import (
+        _minlabel_rounds_sql,
+    )
+
+    return (
+        "WITH edges AS MATERIALIZED (\n"
+        f"  SELECT id_a AS src, id_b AS dst FROM read_parquet('{edges_glob}')\n"
+        "  UNION ALL\n"
+        f"  SELECT id_b AS src, id_a AS dst FROM read_parquet('{edges_glob}')\n"
+        "),\n"
+        "nodes AS MATERIALIZED (SELECT vec_id AS id FROM embeddings),\n"
+        + _minlabel_rounds_sql(12)
+        + "\nSELECT id AS vec_id, lab AS cluster_id FROM it12"
+    )
+
+
+def spark_phase(sf_dir: str, artifact: str, gates: list[str]) -> None:
+    """Write the semantic-clusters edge parquet + its hash into the
+    sparkside sidecar (the only Spark work this tool owns)."""
+    if "dedup_semantic_clusters" not in gates:
+        return
+    import shutil
+
+    import pyarrow.dataset as pads
+    from pyspark.sql import functions as F
+
+    from market_microstructure_toolkit_spark.operators.similarity import (
+        lsh_banded_pairs,
+    )
+    from market_microstructure_toolkit_spark.plans.corpus_queries import _emb
+    from market_microstructure_toolkit_spark.session import get_spark
+
+    spark = get_spark("century-shard-spark")
+    edir = _edges_dir(artifact)
+    shutil.rmtree(edir, ignore_errors=True)
+    emb = _emb(spark, sf_dir)
+    pairs = (
+        lsh_banded_pairs(
+            emb, bits_per_band="auto", n_bands=4, min_cosine=-2.0,
+            max_bucket=1000,
+        )
+        .filter(F.round("cos_sim", 6) >= 0.25)
+        .select("id_a", "id_b")
+    )
+    pairs.write.parquet(edir)
+    dset = pads.dataset(edir)
+    h, cols, n, samp, sn = canon_hash_batches(
+        (b.to_pandas() for b in dset.to_batches(batch_size=1_048_576)),
+        dset.schema.names,
+    )
+    side_path = artifact + ".sparkside.json"
+    side = {}
+    if os.path.exists(side_path):
+        with open(side_path) as f:
+            side = json.load(f)
+    side["dedup_semantic_clusters.edges"] = {
+        "hash": h,
+        "cols": list(cols),
+        "rows": n,
+        "sample_hash": samp,
+        "sample_rows": sn,
+        EDGE_DIR_KEY: edir,
+    }
+    with open(side_path, "w") as f:
+        json.dump(side, f, indent=1, sort_keys=True)
+    print(f"edges -> {edir}: rows {n} hash {h}")
+
+
+def _compare(name, side_rec, dh, dcols, drows, d_samp, d_sn, note):
+    sh, scols, srows = side_rec["hash"], side_rec["cols"], side_rec["rows"]
+    s_samp, s_sn = side_rec.get("sample_hash"), side_rec.get("sample_rows")
+    ok_cols = sorted(scols) == sorted(dcols)
+    ok_count = srows == drows
+    samp_ok = s_samp == d_samp and s_sn == d_sn
+    ok_hash = sh == dh and samp_ok
+    ok = ok_cols and ok_count and ok_hash
+    print(
+        f"{name:34s} {'OK ' if ok else 'FAIL'} rows {srows}/{drows} "
+        f"cols={'=' if ok_cols else 'DIFF'} hash {sh}/{dh}"
+    )
+    return ok, {
+        "status": "ok" if ok else "fail",
+        "rows_spark": srows,
+        "rows_duckdb": drows,
+        "rows_match": ok_count,
+        "schema_match": ok_cols,
+        "hash_spark": sh,
+        "hash_duckdb": dh,
+        "hash_match": ok_hash,
+        "sample_hash_spark": s_samp,
+        "sample_hash_duckdb": d_samp,
+        "sample_rows": s_sn,
+        "sample_match": samp_ok,
+        "hasher": note,
+    }
+
+
+def duck_phase(
+    sf_dir: str, artifact: str, gates: list[str], shards: int
+) -> int:
+    side_path = artifact + ".sparkside.json"
+    with open(side_path) as f:
+        side = json.load(f)
+    con = _duck_con(sf_dir)
+    records: dict[str, dict] = {}
+    failures = 0
+
+    if "similarity_lsh_pairs" in gates:
+        rec = side.get("similarity_lsh_pairs")
+        if rec is None:
+            print("similarity_lsh_pairs: no spark-side record, skip")
+        else:
+            names, batches = _sharded_batches(
+                con, _lsh_pairs_shard_sql()(shards), shards
+            )
+            dh, dcols, drows, d_samp, d_sn = canon_hash_batches(
+                batches, names
+            )
+            ok, records["similarity_lsh_pairs"] = _compare(
+                "similarity_lsh_pairs",
+                rec, dh, dcols, drows, d_samp, d_sn,
+                f"sum64+sample+spool+sharded{shards}",
+            )
+            failures += 0 if ok else 1
+
+    if "dedup_semantic_clusters" in gates:
+        erec = side.get("dedup_semantic_clusters.edges")
+        frec = side.get("dedup_semantic_clusters")
+        if erec is None or frec is None:
+            print("dedup_semantic_clusters: missing spark-side records, skip")
+        else:
+            # stage A: thresholded edge set, sharded
+            names, batches = _sharded_batches(
+                con, _semantic_edges_shard_sql()(shards), shards
+            )
+            dh, dcols, drows, d_samp, d_sn = canon_hash_batches(
+                batches, names
+            )
+            ok_a, rec_a = _compare(
+                "dedup_semantic_clusters[edges]",
+                erec, dh, dcols, drows, d_samp, d_sn,
+                f"sum64+sample+spool+sharded{shards}",
+            )
+            # stage B: fixpoint over the (now verified) edge parquet
+            glob = os.path.join(erec[EDGE_DIR_KEY], "*.parquet")
+            cur = con.execute(_semantic_fixpoint_sql(glob))
+            reader = cur.fetch_record_batch(1_048_576)
+            import pyarrow as pa
+
+            def fp_batches():
+                while True:
+                    try:
+                        b = reader.read_next_batch()
+                    except StopIteration:
+                        return
+                    yield pa.Table.from_batches([b]).to_pandas()
+
+            dh, dcols, drows, d_samp, d_sn = canon_hash_batches(
+                fp_batches(), reader.schema.names
+            )
+            ok_b, rec_b = _compare(
+                "dedup_semantic_clusters[fixpoint]",
+                frec, dh, dcols, drows, d_samp, d_sn,
+                "sum64+sample+spool+2stage",
+            )
+            ok = ok_a and ok_b
+            records["dedup_semantic_clusters"] = {
+                **rec_b,
+                "status": "ok" if ok else "fail",
+                "hash_match": ok_a and ok_b,
+                "hasher": (
+                    f"2stage: edges sharded{shards} "
+                    f"({'ok' if ok_a else 'FAIL'}) + fixpoint-on-verified-"
+                    f"edges ({'ok' if ok_b else 'FAIL'})"
+                ),
+                "edges": rec_a,
+            }
+            failures += 0 if ok else 1
+
+    print("FAILURES:", failures)
+    if records:
+        import datetime as dt
+
+        sf_key = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        doc = {}
+        if os.path.exists(artifact):
+            with open(artifact) as f:
+                doc = json.load(f)
+        doc.setdefault("sfs", {}).setdefault(sf_key, {}).update(records)
+        doc["generated_utc"] = dt.datetime.now(dt.timezone.utc).isoformat(
+            timespec="seconds"
+        )
+        doc["n_queries"] = {k: len(v) for k, v in doc["sfs"].items()}
+        doc["n_failures"] = {
+            k: sum(
+                1
+                for r in v.values()
+                if r.get("status") not in ("ok", "rows-only")
+            )
+            for k, v in doc["sfs"].items()
+        }
+        with open(artifact, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"artifact -> {artifact} (sf {sf_key}, {len(records)} gates)")
+    return 1 if failures else 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir")
+    ap.add_argument("--phase", choices=["spark", "duck"], required=True)
+    ap.add_argument("--artifact", required=True)
+    ap.add_argument("--shards", type=int, default=16)
+    ap.add_argument(
+        "--gates",
+        default="similarity_lsh_pairs,dedup_semantic_clusters",
+    )
+    args = ap.parse_args()
+    gates = [g for g in args.gates.split(",") if g]
+    if args.phase == "spark":
+        spark_phase(args.sf_dir, args.artifact, gates)
+        return 0
+    return duck_phase(args.sf_dir, args.artifact, gates, args.shards)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
