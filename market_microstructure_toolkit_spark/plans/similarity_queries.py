@@ -85,9 +85,10 @@ pairs AS (
     ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT p.id_a, p.id_b,
-       ROUND(list_dot_product(ea.v, eb.v)
+       FLOOR(list_dot_product(ea.v, eb.v)
              / (sqrt(list_dot_product(ea.v, ea.v))
-                * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos_sim
+                * sqrt(list_dot_product(eb.v, eb.v)))
+             * 65536.0 + 0.5) / 65536.0 AS cos_sim
 FROM pairs p
 JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) ea
   ON ea.vec_id = p.id_a
@@ -105,7 +106,15 @@ def q_similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     coordinate blocks, exact-cosine only WITHIN (band, bucket) groups,
     pairs dedup'd across bands — |bucket|^2-instead-of-n^2 with the
     bucket count scaling with the corpus, plus the max_bucket hot-bucket
-    guard (an IVF coarse quantizer slots into the same plan shape)."""
+    guard (an IVF coarse quantizer slots into the same plan shape).
+
+    cos_sim is quantized to 2^-16 multiples via FLOOR(x*65536+0.5)/65536
+    — every step of that formula is exact in IEEE-754 given bit-
+    identical x (power-of-two multiply shifts the exponent; +0.5 and
+    FLOOR are exact), unlike decimal ROUND(x, 6) whose double->decimal
+    conversion differs between engines on boundary values: the sf100
+    sweep (258M pairs) surfaced exactly that — row counts and the pair
+    SET hash-exact, a handful of 6-dp roundings apart (round-12)."""
     from market_microstructure_toolkit_spark.operators.similarity import (
         lsh_banded_pairs,
     )
@@ -114,7 +123,14 @@ def q_similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = lsh_banded_pairs(
         emb, bits_per_band="auto", n_bands=4, min_cosine=-2.0, max_bucket=1000
     )
-    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    return out.select(
+        "id_a",
+        "id_b",
+        (
+            F.floor(F.col("cos_sim") * F.lit(65536.0) + F.lit(0.5))
+            / F.lit(65536.0)
+        ).alias("cos_sim"),
+    )
 
 
 def _ivf_dists(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -106,7 +106,8 @@ def test_fixpoint_on_edge_parquet_equals_gate_sql(tmp_path):
         + f" TO '{edir}/part.parquet' (FORMAT parquet)"
     )
     full = _hash_sql(con, _SEMANTIC_CLUSTERS_SQL)
-    staged = _hash_sql(
-        con, cso._semantic_fixpoint_sql(f"{edir}/*.parquet")
+    names, batches = cso._semantic_fixpoint_batches(
+        con, f"{edir}/*.parquet"
     )
+    staged = cso.canon_hash_batches(batches, names)
     assert staged == full

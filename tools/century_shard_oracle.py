@@ -184,21 +184,74 @@ def _semantic_edges_shard_sql():
     return make
 
 
-def _semantic_fixpoint_sql(edges_glob: str) -> str:
-    from market_microstructure_toolkit_spark.plans.corpus_queries import (
-        _minlabel_rounds_sql,
-    )
+def _semantic_fixpoint_batches(con, edges_glob: str, max_rounds: int = 64):
+    """Min-label propagation with pointer doubling, iterated to the
+    EXACT fixpoint via temp tables (one statement per round, previous
+    round dropped — bounded memory, bounded disk).
 
-    return (
-        "WITH edges AS MATERIALIZED (\n"
-        f"  SELECT id_a AS src, id_b AS dst FROM read_parquet('{edges_glob}')\n"
-        "  UNION ALL\n"
-        f"  SELECT id_b AS src, id_a AS dst FROM read_parquet('{edges_glob}')\n"
-        "),\n"
-        "nodes AS MATERIALIZED (SELECT vec_id AS id FROM embeddings),\n"
-        + _minlabel_rounds_sql(12)
-        + "\nSELECT id AS vec_id, lab AS cluster_id FROM it12"
+    The gates' monolithic oracle unrolls 12 rounds as CTEs — verified
+    sufficient through sf10, and a shortfall cannot pass silently (the
+    hashes diverge, which is exactly how the sf100 run surfaced it: a
+    63M-edge / 2M-node graph needs more than 12 doubling rounds). The
+    century path must match Spark's run-to-convergence semantics, so it
+    iterates like ``operators.dedup.dedup_clusters`` does and stops on
+    changed == 0. Returns (names, batch_iterator) over the final
+    labels."""
+    import pyarrow as pa
+
+    con.execute("DROP TABLE IF EXISTS __cc_edges")
+    con.execute(
+        "CREATE TEMP TABLE __cc_edges AS "
+        f"SELECT id_a AS src, id_b AS dst FROM read_parquet('{edges_glob}') "
+        "UNION ALL "
+        f"SELECT id_b AS src, id_a AS dst FROM read_parquet('{edges_glob}')"
     )
+    con.execute("DROP TABLE IF EXISTS __cc_it0")
+    con.execute(
+        "CREATE TEMP TABLE __cc_it0 AS "
+        "SELECT vec_id AS id, vec_id AS lab FROM embeddings"
+    )
+    k = 0
+    while True:
+        if k >= max_rounds:
+            raise RuntimeError(
+                f"fixpoint not reached after {max_rounds} rounds"
+            )
+        con.execute(f"DROP TABLE IF EXISTS __cc_it{k + 1}")
+        con.execute(
+            f"""CREATE TEMP TABLE __cc_it{k + 1} AS
+  SELECT n.id,
+         LEAST(n.lab, COALESCE(nb.mlab, n.lab), COALESCE(ll.lab, n.lab))
+           AS lab
+  FROM __cc_it{k} n
+  LEFT JOIN (SELECT e.dst AS id, MIN(x.lab) AS mlab
+             FROM __cc_edges e JOIN __cc_it{k} x ON x.id = e.src
+             GROUP BY e.dst) nb ON nb.id = n.id
+  LEFT JOIN __cc_it{k} ll ON ll.id = n.lab"""
+        )
+        changed = con.execute(
+            f"SELECT COUNT(*) FROM __cc_it{k + 1} b "
+            f"JOIN __cc_it{k} a USING (id) WHERE a.lab <> b.lab"
+        ).fetchone()[0]
+        con.execute(f"DROP TABLE __cc_it{k}")
+        k += 1
+        print(f"  fixpoint round {k}: {changed} changed", flush=True)
+        if changed == 0:
+            break
+    cur = con.execute(
+        f"SELECT id AS vec_id, lab AS cluster_id FROM __cc_it{k}"
+    )
+    reader = cur.fetch_record_batch(1_048_576)
+
+    def batches():
+        while True:
+            try:
+                b = reader.read_next_batch()
+            except StopIteration:
+                return
+            yield pa.Table.from_batches([b]).to_pandas()
+
+    return reader.schema.names, batches()
 
 
 def spark_phase(sf_dir: str, artifact: str, gates: list[str]) -> None:
@@ -316,34 +369,42 @@ def duck_phase(
         if erec is None or frec is None:
             print("dedup_semantic_clusters: missing spark-side records, skip")
         else:
-            # stage A: thresholded edge set, sharded
-            names, batches = _sharded_batches(
-                con, _semantic_edges_shard_sql()(shards), shards
-            )
-            dh, dcols, drows, d_samp, d_sn = canon_hash_batches(
-                batches, names
-            )
-            ok_a, rec_a = _compare(
-                "dedup_semantic_clusters[edges]",
-                erec, dh, dcols, drows, d_samp, d_sn,
-                f"sum64+sample+spool+sharded{shards}",
-            )
+            prior = {}
+            if os.path.exists(artifact):
+                with open(artifact) as f:
+                    prior = (
+                        json.load(f)
+                        .get("sfs", {})
+                        .get(sf_dir.rstrip("/").rsplit("sf", 1)[-1], {})
+                        .get("dedup_semantic_clusters", {})
+                        .get("edges", {})
+                    )
+            if (
+                os.environ.get("SPARK_GRAFT_FIXPOINT_ONLY") == "1"
+                and prior.get("status") == "ok"
+            ):
+                # the edge stage already verified in a prior run of this
+                # artifact — reuse its record, re-run only the fixpoint
+                ok_a, rec_a = True, prior
+                print("dedup_semantic_clusters[edges]     OK (prior run)")
+            else:
+                # stage A: thresholded edge set, sharded
+                names, batches = _sharded_batches(
+                    con, _semantic_edges_shard_sql()(shards), shards
+                )
+                dh, dcols, drows, d_samp, d_sn = canon_hash_batches(
+                    batches, names
+                )
+                ok_a, rec_a = _compare(
+                    "dedup_semantic_clusters[edges]",
+                    erec, dh, dcols, drows, d_samp, d_sn,
+                    f"sum64+sample+spool+sharded{shards}",
+                )
             # stage B: fixpoint over the (now verified) edge parquet
             glob = os.path.join(erec[EDGE_DIR_KEY], "*.parquet")
-            cur = con.execute(_semantic_fixpoint_sql(glob))
-            reader = cur.fetch_record_batch(1_048_576)
-            import pyarrow as pa
-
-            def fp_batches():
-                while True:
-                    try:
-                        b = reader.read_next_batch()
-                    except StopIteration:
-                        return
-                    yield pa.Table.from_batches([b]).to_pandas()
-
+            fp_names, fp_batches = _semantic_fixpoint_batches(con, glob)
             dh, dcols, drows, d_samp, d_sn = canon_hash_batches(
-                fp_batches(), reader.schema.names
+                fp_batches, fp_names
             )
             ok_b, rec_b = _compare(
                 "dedup_semantic_clusters[fixpoint]",
