@@ -34,22 +34,16 @@ def _con():
 
 
 def _hash_sql(con, sql):
-    import pyarrow as pa
+    """Hash via check_oracle's OWN duck transport — the transport the
+    real spool comparison uses. The first sf100 run failed precisely
+    because the shard tool used a different Arrow->pandas mapping than
+    the spark spool side (plain ints vs nullable-Int64 repr strings);
+    hashing the monolith through _duckdb_batches pins that the sharded
+    transport matches it bit-for-bit."""
+    from tools.check_oracle import _duckdb_batches, canon_hash_batches
 
-    from tools.check_oracle import canon_hash_batches
-
-    cur = con.execute(sql)
-    reader = cur.fetch_record_batch(65536)
-
-    def batches():
-        while True:
-            try:
-                b = reader.read_next_batch()
-            except StopIteration:
-                return
-            yield pa.Table.from_batches([b]).to_pandas()
-
-    return canon_hash_batches(batches(), reader.schema.names)
+    names, batches = _duckdb_batches(con, sql, chunk_rows=65536)
+    return canon_hash_batches(batches, names)
 
 
 def test_lsh_pairs_shards_equal_monolith():

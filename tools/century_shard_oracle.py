@@ -60,7 +60,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from tools.check_oracle import canon_hash_batches  # noqa: E402
+from tools.check_oracle import (  # noqa: E402
+    _int_bool_nullable,
+    canon_hash_batches,
+)
 
 EDGE_DIR_KEY = "__edges_dir__"
 
@@ -121,7 +124,9 @@ def _sharded_batches(con, sql_for_shard, k: int):
                     b = reader.read_next_batch()
                 except StopIteration:
                     break
-                yield pa.Table.from_batches([b]).to_pandas()
+                yield pa.Table.from_batches([b]).to_pandas(
+                    types_mapper=_int_bool_nullable
+                )
             print(f"  shard {i + 1}/{k} done", flush=True)
 
     # pull the first shard's schema eagerly so names are known
@@ -249,7 +254,9 @@ def _semantic_fixpoint_batches(con, edges_glob: str, max_rounds: int = 64):
                 b = reader.read_next_batch()
             except StopIteration:
                 return
-            yield pa.Table.from_batches([b]).to_pandas()
+            yield pa.Table.from_batches([b]).to_pandas(
+                types_mapper=_int_bool_nullable
+            )
 
     return reader.schema.names, batches()
 
@@ -270,22 +277,33 @@ def spark_phase(sf_dir: str, artifact: str, gates: list[str]) -> None:
     from market_microstructure_toolkit_spark.plans.corpus_queries import _emb
     from market_microstructure_toolkit_spark.session import get_spark
 
-    spark = get_spark("century-shard-spark")
     edir = _edges_dir(artifact)
-    shutil.rmtree(edir, ignore_errors=True)
-    emb = _emb(spark, sf_dir)
-    pairs = (
-        lsh_banded_pairs(
-            emb, bits_per_band="auto", n_bands=4, min_cosine=-2.0,
-            max_bucket=1000,
+    if not (
+        os.environ.get("SPARK_GRAFT_EDGES_REUSE") == "1"
+        and os.path.isdir(edir)
+    ):
+        spark = get_spark("century-shard-spark")
+        shutil.rmtree(edir, ignore_errors=True)
+        emb = _emb(spark, sf_dir)
+        pairs = (
+            lsh_banded_pairs(
+                emb, bits_per_band="auto", n_bands=4, min_cosine=-2.0,
+                max_bucket=1000,
+            )
+            .filter(F.round("cos_sim", 6) >= 0.25)
+            .select("id_a", "id_b")
         )
-        .filter(F.round("cos_sim", 6) >= 0.25)
-        .select("id_a", "id_b")
-    )
-    pairs.write.parquet(edir)
+        pairs.write.parquet(edir)
     dset = pads.dataset(edir)
+    # the SAME Arrow->pandas transport as every other side of a spool
+    # comparison (_int_bool_nullable -> _norm_transport repr-strings):
+    # the first sf100 run hashed duck ints numerically and spark ints
+    # as repr strings — identical VALUES, different hashes (round-12)
     h, cols, n, samp, sn = canon_hash_batches(
-        (b.to_pandas() for b in dset.to_batches(batch_size=1_048_576)),
+        (
+            b.to_pandas(types_mapper=_int_bool_nullable)
+            for b in dset.to_batches(batch_size=1_048_576)
+        ),
         dset.schema.names,
     )
     side_path = artifact + ".sparkside.json"
