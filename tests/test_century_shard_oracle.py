@@ -105,3 +105,16 @@ def test_fixpoint_on_edge_parquet_equals_gate_sql(tmp_path):
     )
     staged = cso.canon_hash_batches(batches, names)
     assert staged == full
+
+
+def test_e2e_staged_equals_monolith():
+    import tools.century_shard_oracle as cso
+    from market_microstructure_toolkit_spark.plans.corpus_queries import (
+        _PIPELINE_SQL,
+    )
+
+    con = _con()
+    full = _hash_sql(con, _PIPELINE_SQL)
+    names, batches = cso._e2e_staged_batches(con, contam_shards=3)
+    staged = cso.canon_hash_batches(batches, names)
+    assert staged == full

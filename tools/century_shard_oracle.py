@@ -261,6 +261,152 @@ def _semantic_fixpoint_batches(con, edges_glob: str, max_rounds: int = 64):
     return reader.schema.names, batches()
 
 
+def _e2e_staged_batches(con, contam_shards: int = 8):
+    """corpus_pipeline_e2e's oracle executed as staged temp tables —
+    the SAME computation as the gate's monolithic ``_PIPELINE_SQL``
+    (identical SQL fragments, identical textual FROM-substitutions),
+    restructured so each stage materializes, spills independently, and
+    FREES its operators before the next begins. The monolith hit an
+    unspillable allocation at sf100 even under a 100 GB cap: all six
+    stages' pipelines live simultaneously in one query. Differences
+    from the monolith, both convergence-safe: the min-label rounds
+    iterate to the exact changed==0 fixpoint (the unrolled 12 are a
+    verified-through-sf10 artifact), and the contamination shingle join
+    runs in ``contam_shards`` doc_id slices accumulated by INSERT (the
+    corpus side explodes to ~1e9 shingles at sf100; sharding bounds the
+    probe-side working set; disjoint+covering since contam groups by
+    doc_id). Staged == monolith pinned at sf0.01 in
+    tests/test_century_shard_oracle.py. Returns (names, batches) over
+    the final packed report."""
+    import pyarrow as pa
+
+    from market_microstructure_toolkit_spark.plans.corpus_queries import (
+        _MINHASH_SQL,
+        _PACK_SQL,
+        _QUALITY_SQL,
+    )
+
+    con.execute("DROP TABLE IF EXISTS e2e_s1")
+    con.execute(
+        """CREATE TEMP TABLE e2e_s1 AS
+WITH h1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+canon1 AS (SELECT MIN(doc_id) AS doc_id FROM h1 GROUP BY h)
+SELECT d.* FROM documents d JOIN canon1 USING (doc_id)"""
+    )
+    con.execute("DROP TABLE IF EXISTS e2e_pairs")
+    con.execute(
+        "CREATE TEMP TABLE e2e_pairs AS SELECT id_a, id_b FROM ("
+        + _MINHASH_SQL.replace("FROM documents", "FROM e2e_s1")
+        + ") mh"
+    )
+    # min-label propagation to the exact fixpoint (temp-table rounds)
+    con.execute("DROP TABLE IF EXISTS e2e_edges")
+    con.execute(
+        "CREATE TEMP TABLE e2e_edges AS "
+        "SELECT id_a AS src, id_b AS dst FROM e2e_pairs "
+        "UNION ALL SELECT id_b, id_a FROM e2e_pairs"
+    )
+    con.execute("DROP TABLE IF EXISTS e2e_it0")
+    con.execute(
+        "CREATE TEMP TABLE e2e_it0 AS SELECT doc_id AS id, doc_id AS lab "
+        "FROM e2e_s1"
+    )
+    k = 0
+    while True:
+        if k >= 64:
+            raise RuntimeError("e2e fixpoint not reached after 64 rounds")
+        con.execute(f"DROP TABLE IF EXISTS e2e_it{k + 1}")
+        con.execute(
+            f"""CREATE TEMP TABLE e2e_it{k + 1} AS
+  SELECT n.id,
+         LEAST(n.lab, COALESCE(nb.mlab, n.lab), COALESCE(ll.lab, n.lab))
+           AS lab
+  FROM e2e_it{k} n
+  LEFT JOIN (SELECT e.dst AS id, MIN(x.lab) AS mlab
+             FROM e2e_edges e JOIN e2e_it{k} x ON x.id = e.src
+             GROUP BY e.dst) nb ON nb.id = n.id
+  LEFT JOIN e2e_it{k} ll ON ll.id = n.lab"""
+        )
+        changed = con.execute(
+            f"SELECT COUNT(*) FROM e2e_it{k + 1} b "
+            f"JOIN e2e_it{k} a USING (id) WHERE a.lab <> b.lab"
+        ).fetchone()[0]
+        con.execute(f"DROP TABLE e2e_it{k}")
+        k += 1
+        print(f"  e2e fixpoint round {k}: {changed} changed", flush=True)
+        if changed == 0:
+            break
+    con.execute("DROP TABLE IF EXISTS e2e_s2")
+    con.execute(
+        f"""CREATE TEMP TABLE e2e_s2 AS
+SELECT s1.* FROM e2e_s1 s1
+JOIN (SELECT id AS doc_id FROM e2e_it{k} WHERE id = lab) c USING (doc_id)"""
+    )
+    con.execute("DROP TABLE e2e_edges")
+    con.execute(f"DROP TABLE e2e_it{k}")
+    con.execute("DROP TABLE IF EXISTS e2e_bench")
+    con.execute(
+        """CREATE TEMP TABLE e2e_bench AS
+SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+FROM (SELECT string_split(text, ' ') AS w FROM documents
+      WHERE doc_id % 50 = 0)
+WHERE len(w) >= 3"""
+    )
+    con.execute("DROP TABLE IF EXISTS e2e_contam")
+    con.execute(
+        "CREATE TEMP TABLE e2e_contam (doc_id BIGINT)"
+    )
+    for i in range(contam_shards):
+        con.execute(
+            f"""INSERT INTO e2e_contam
+SELECT c.doc_id FROM (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM e2e_s2
+        WHERE doc_id % 50 != 0 AND doc_id % {contam_shards} = {i})
+  WHERE len(w) >= 3
+) c JOIN e2e_bench USING (g)
+GROUP BY c.doc_id HAVING COUNT(*) >= 2"""
+        )
+        print(f"  e2e contam shard {i + 1}/{contam_shards}", flush=True)
+    con.execute("DROP TABLE e2e_bench")
+    con.execute("DROP TABLE IF EXISTS e2e_s3")
+    con.execute(
+        """CREATE TEMP TABLE e2e_s3 AS
+SELECT t.* FROM (SELECT * FROM e2e_s2 WHERE doc_id % 50 != 0) t
+ANTI JOIN e2e_contam USING (doc_id)"""
+    )
+    con.execute("DROP TABLE e2e_s2")
+    con.execute("DROP TABLE e2e_contam")
+    con.execute("DROP TABLE IF EXISTS e2e_s5")
+    con.execute(
+        "CREATE TEMP TABLE e2e_s5 AS "
+        "SELECT s3.* FROM e2e_s3 s3 JOIN ("
+        + _QUALITY_SQL.replace("FROM documents", "FROM e2e_s3")
+        + """) q USING (doc_id)
+WHERE q.quality_score >= 0.5
+  AND substr(md5(CAST(s3.doc_id AS VARCHAR)), 31, 2) < 'f8'"""
+    )
+    con.execute("DROP TABLE e2e_s3")
+    cur = con.execute(
+        _PACK_SQL.replace("FROM documents", "FROM e2e_s5")
+    )
+    reader = cur.fetch_record_batch(1_048_576)
+
+    def batches():
+        while True:
+            try:
+                b = reader.read_next_batch()
+            except StopIteration:
+                return
+            yield pa.Table.from_batches([b]).to_pandas(
+                types_mapper=_int_bool_nullable
+            )
+
+    return reader.schema.names, batches()
+
+
 def spark_phase(sf_dir: str, artifact: str, gates: list[str]) -> None:
     """Write the semantic-clusters edge parquet + its hash into the
     sparkside sidecar (the only Spark work this tool owns)."""
@@ -378,6 +524,22 @@ def duck_phase(
                 "similarity_lsh_pairs",
                 rec, dh, dcols, drows, d_samp, d_sn,
                 f"sum64+sample+spool+sharded{shards}",
+            )
+            failures += 0 if ok else 1
+
+    if "corpus_pipeline_e2e" in gates:
+        rec = side.get("corpus_pipeline_e2e")
+        if rec is None:
+            print("corpus_pipeline_e2e: no spark-side record, skip")
+        else:
+            names, batches = _e2e_staged_batches(con)
+            dh, dcols, drows, d_samp, d_sn = canon_hash_batches(
+                batches, names
+            )
+            ok, records["corpus_pipeline_e2e"] = _compare(
+                "corpus_pipeline_e2e",
+                rec, dh, dcols, drows, d_samp, d_sn,
+                "sum64+sample+spool+staged",
             )
             failures += 0 if ok else 1
 
