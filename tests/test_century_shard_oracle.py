@@ -108,13 +108,15 @@ def test_fixpoint_on_edge_parquet_equals_gate_sql(tmp_path):
 
 
 def test_e2e_staged_equals_monolith():
+    """Staged == the gate's REGISTERED oracle — i.e. the monolith AFTER
+    the plants rewrite. Comparing against the raw module constant would
+    miss the planted documents CTE, which is exactly the sf100 bug this
+    pins (stage-1 survivor counts off by the planted-doc count)."""
     import tools.century_shard_oracle as cso
-    from market_microstructure_toolkit_spark.plans.corpus_queries import (
-        _PIPELINE_SQL,
-    )
+    from market_microstructure_toolkit_spark.plans.queries import REGISTRY
 
     con = _con()
-    full = _hash_sql(con, _PIPELINE_SQL)
+    full = _hash_sql(con, REGISTRY["corpus_pipeline_e2e"].sql)
     names, batches = cso._e2e_staged_batches(con, contam_shards=3)
     staged = cso.canon_hash_batches(batches, names)
     assert staged == full

@@ -280,18 +280,34 @@ def _e2e_staged_batches(con, contam_shards: int = 8):
     the final packed report."""
     import pyarrow as pa
 
+    from market_microstructure_toolkit_spark.plans.base import (
+        DOCS_PLANTED_SQL,
+    )
+    from market_microstructure_toolkit_spark.plans.book import _plants_on
     from market_microstructure_toolkit_spark.plans.corpus_queries import (
         _MINHASH_SQL,
         _PACK_SQL,
         _QUALITY_SQL,
     )
 
+    # the gate's Spark side reads _docs() = PLANTED documents, and the
+    # registry rewrites every oracle's raw `documents` through the
+    # planted CTE (plants_rewrite_sql) — the staged oracle must see the
+    # same rows or stage 1 diverges by exactly the planted-doc count
+    # (~20k at sf100, found the hard way this round)
+    con.execute("DROP VIEW IF EXISTS e2e_docs")
+    if _plants_on():
+        con.execute(f"CREATE TEMP VIEW e2e_docs AS {DOCS_PLANTED_SQL}")
+    else:
+        con.execute(
+            "CREATE TEMP VIEW e2e_docs AS SELECT * FROM documents"
+        )
     con.execute("DROP TABLE IF EXISTS e2e_s1")
     con.execute(
         """CREATE TEMP TABLE e2e_s1 AS
-WITH h1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+WITH h1 AS (SELECT doc_id, md5(text) AS h FROM e2e_docs),
 canon1 AS (SELECT MIN(doc_id) AS doc_id FROM h1 GROUP BY h)
-SELECT d.* FROM documents d JOIN canon1 USING (doc_id)"""
+SELECT d.* FROM e2e_docs d JOIN canon1 USING (doc_id)"""
     )
     con.execute("DROP TABLE IF EXISTS e2e_pairs")
     con.execute(
@@ -349,7 +365,7 @@ JOIN (SELECT id AS doc_id FROM e2e_it{k} WHERE id = lab) c USING (doc_id)"""
         """CREATE TEMP TABLE e2e_bench AS
 SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(w) - 1),
                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
-FROM (SELECT string_split(text, ' ') AS w FROM documents
+FROM (SELECT string_split(text, ' ') AS w FROM e2e_docs
       WHERE doc_id % 50 = 0)
 WHERE len(w) >= 3"""
     )
