@@ -26,6 +26,19 @@ def main() -> None:
     # cold JVM vs 1.07 s warmed). Pin the bench process to canonical
     # order unless the caller explicitly overrides.
     os.environ.setdefault("SPARK_GRAFT_ROUND", "0")
+    # Pin the replay scratch + tape-cache root to the /dev/shm default
+    # (round-12 verdict #2a): a shell still carrying the century-sweep
+    # SPARK_GRAFT_SCRATCH_DIR override silently moves every streaming
+    # replay's checkpoint, parquet scratch sink, AND memoized tape off
+    # tmpfs onto disk — the exact signature of r12's streaming-only
+    # 1.5-2.2x bench slowdown on untouched files. Recorded benches must
+    # be environment-invariant; SPARK_GRAFT_BENCH_SCRATCH_DIR is the
+    # explicit escape hatch when a bench genuinely needs custom scratch.
+    bench_scratch = os.environ.get("SPARK_GRAFT_BENCH_SCRATCH_DIR")
+    if bench_scratch:
+        os.environ["SPARK_GRAFT_SCRATCH_DIR"] = bench_scratch
+    else:
+        os.environ.pop("SPARK_GRAFT_SCRATCH_DIR", None)
     from market_microstructure_toolkit_spark.session import get_spark
     from market_microstructure_toolkit_spark.plans.queries import REGISTRY
 

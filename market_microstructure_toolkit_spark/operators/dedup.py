@@ -482,15 +482,22 @@ def dedup_clusters(
     doubles per round) — the standard Spark iterative-algorithm guard.
 
     Checkpoint storage is SIZE-DISPATCHED (round-11 verdict #2): the
-    mirrored edge set always persists ``DISK_ONLY`` (its one-time
-    materialization is the dispatch probe), and the per-round label
-    frames use in-memory ``localCheckpoint`` below
+    mirrored edge set persists ``MEMORY_AND_DISK`` (its one-time
+    materialization is the dispatch probe; evictable-with-spill, so
+    small edge sets stay memory-speed and century-scale sets overflow
+    to disk under execution pressure instead of pinning heap), and the
+    per-round label frames use in-memory ``localCheckpoint`` below
     ``SPARK_GRAFT_CC_DISK_ROWS`` edges (default 20M) and reliable
     disk-backed ``checkpoint()`` above it — at century scale the old
     always-local path pinned >70 GB of edge+label blocks in storage
-    memory. ``SPARK_GRAFT_CC_DISK=1/0`` forces either mode; results are
+    memory (non-evictable: localCheckpoint blocks cannot be recomputed).
+    ``SPARK_GRAFT_CC_DISK=1/0`` forces either mode; results are
     hash-identical across modes (pinned in
-    ``tests/test_cc_disk_checkpoint.py``).
+    ``tests/test_cc_disk_checkpoint.py``). Reliable checkpoint files
+    are reclaimed by the ContextCleaner — ``get_spark`` sets
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` at
+    session build (a foreign session without it strands one label set
+    per round on local disk for the app's lifetime).
     """
     import os
 
@@ -514,7 +521,15 @@ def dedup_clusters(
             ).alias("e")
         )
         .select("e.*")
-        .persist(StorageLevel.DISK_ONLY)
+        # MEMORY_AND_DISK, not DISK_ONLY (round-12 verdict #3): a plain
+        # persist is evictable-with-spill, so small edge sets stay at
+        # memory speed (the unconditional DISK_ONLY cost dedup_clusters
+        # 1.3x at sf0.1) while century-scale sets overflow to disk
+        # instead of pinning heap — the unified memory manager evicts
+        # cached blocks whenever execution needs the space. DISK_ONLY
+        # was only ever needed for the NON-evictable localCheckpoint
+        # label blocks, which the disk_mode dispatch below handles.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_edges = edges.count()  # materializes once; doubles as dispatch probe
     force = os.environ.get("SPARK_GRAFT_CC_DISK", "").strip()
@@ -529,58 +544,63 @@ def dedup_clusters(
 
     labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("lab"))
     converged = False
-    for _ in range(max_iters):
-        nbr = (
-            edges.join(labels, edges.src == labels.id)
-            .groupBy("dst")
-            .agg(F.min("lab").alias("nlab"))
-        )
-        # eager checkpoint: materializes the round fully in one job; the
-        # short-circuit convergence count then reads checkpointed data.
-        # (A lazy checkpoint is a trap here — limit(1) only materializes
-        # the partitions it touches, so later rounds recompute the rest
-        # through the un-truncated lineage; measured slower at sf0.1.)
-        # The shortcut joins against the PREVIOUS round's checkpointed
-        # labels (label-of-label), not this round's in-flight result —
-        # one-step-stale pointer jumping still halves chain length per
-        # round and avoids re-evaluating the un-checkpointed step twice.
-        l2 = labels.select(
-            F.col("id").alias("__pid"), F.col("lab").alias("__plab")
-        )
-        new = (
-            labels.join(nbr, labels.id == nbr.dst, "left")
-            .join(l2, F.col("lab") == F.col("__pid"), "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("lab"),
-                    F.coalesce("nlab", "lab"),
-                    F.coalesce("__plab", "lab"),
-                ).alias("lab"),
-                (
-                    (F.col("nlab") < F.col("lab"))
-                    | (F.col("__plab") < F.col("lab"))
-                ).alias("__chg"),
+    try:
+        for _ in range(max_iters):
+            nbr = (
+                edges.join(labels, edges.src == labels.id)
+                .groupBy("dst")
+                .agg(F.min("lab").alias("nlab"))
             )
-        )
-        if disk_mode:
-            # persist-then-checkpoint: the reliable checkpoint's file
-            # write reads the DISK_ONLY blocks instead of recomputing
-            # the two joins (the classic Dataset.checkpoint
-            # double-compute), and the blocks are released as soon as
-            # the checkpoint files exist — per-round storage footprint
-            # is one label set on local disk, zero executor heap
-            cached = new.persist(StorageLevel.DISK_ONLY)
-            new = cached.checkpoint(eager=True)
-            cached.unpersist()
-        else:
-            new = new.localCheckpoint()
-        changed = new.filter(F.col("__chg")).limit(1).count()
-        labels = new.drop("__chg")
-        if changed == 0:
-            converged = True
-            break
-    edges.unpersist()
+            # eager checkpoint: materializes the round fully in one job; the
+            # short-circuit convergence count then reads checkpointed data.
+            # (A lazy checkpoint is a trap here — limit(1) only materializes
+            # the partitions it touches, so later rounds recompute the rest
+            # through the un-truncated lineage; measured slower at sf0.1.)
+            # The shortcut joins against the PREVIOUS round's checkpointed
+            # labels (label-of-label), not this round's in-flight result —
+            # one-step-stale pointer jumping still halves chain length per
+            # round and avoids re-evaluating the un-checkpointed step twice.
+            l2 = labels.select(
+                F.col("id").alias("__pid"), F.col("lab").alias("__plab")
+            )
+            new = (
+                labels.join(nbr, labels.id == nbr.dst, "left")
+                .join(l2, F.col("lab") == F.col("__pid"), "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("lab"),
+                        F.coalesce("nlab", "lab"),
+                        F.coalesce("__plab", "lab"),
+                    ).alias("lab"),
+                    (
+                        (F.col("nlab") < F.col("lab"))
+                        | (F.col("__plab") < F.col("lab"))
+                    ).alias("__chg"),
+                )
+            )
+            if disk_mode:
+                # persist-then-checkpoint: the reliable checkpoint's file
+                # write reads the DISK_ONLY blocks instead of recomputing
+                # the two joins (the classic Dataset.checkpoint
+                # double-compute), and the blocks are released as soon as
+                # the checkpoint files exist — per-round storage footprint
+                # is one label set on local disk, zero executor heap
+                cached = new.persist(StorageLevel.DISK_ONLY)
+                new = cached.checkpoint(eager=True)
+                cached.unpersist()
+            else:
+                new = new.localCheckpoint()
+            changed = new.filter(F.col("__chg")).limit(1).count()
+            labels = new.drop("__chg")
+            if changed == 0:
+                converged = True
+                break
+    finally:
+        # always release the MEMORY_AND_DISK edge blocks — an
+        # exception mid-round (e.g. checkpoint IO failure) would
+        # otherwise leave them pinned for the session lifetime
+        edges.unpersist()
     if not converged:
         raise RuntimeError(
             f"dedup_clusters: no fixpoint after {max_iters} rounds "

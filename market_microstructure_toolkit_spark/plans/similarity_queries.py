@@ -123,13 +123,20 @@ def q_similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = lsh_banded_pairs(
         emb, bits_per_band="auto", n_bands=4, min_cosine=-2.0, max_bucket=1000
     )
+    # NaN passthrough (ADVICE r12): Spark's F.floor returns LongType, so
+    # floor(NaN*65536+0.5)/65536 silently becomes 0.0 while DuckDB's
+    # FLOOR propagates NaN — a zero-norm embedding (cos_sim NaN) would
+    # diverge between engines. Quantize only finite values.
+    quant = (
+        F.floor(F.col("cos_sim") * F.lit(65536.0) + F.lit(0.5))
+        / F.lit(65536.0)
+    )
     return out.select(
         "id_a",
         "id_b",
-        (
-            F.floor(F.col("cos_sim") * F.lit(65536.0) + F.lit(0.5))
-            / F.lit(65536.0)
-        ).alias("cos_sim"),
+        F.when(F.isnan(F.col("cos_sim")), F.col("cos_sim"))
+        .otherwise(quant)
+        .alias("cos_sim"),
     )
 
 

@@ -512,7 +512,7 @@ def q_streaming_vpin_skewed_replay(
         compose_epoch_buckets,
         stateful_signed_buckets,
         stateful_signed_buckets_composite,
-        tape_max_rows_per_key,
+        tape_max_rows_per_key_cached,
         use_composite_vpin,
     )
 
@@ -537,8 +537,10 @@ def q_streaming_vpin_skewed_replay(
         .parquet(f"{tape_base}/data/*/")
     )
     name = f"vpin_skew_{uuid.uuid4().hex[:8]}"
+    # hint memoized beside the content-keyed tape (round-12 verdict
+    # #4): no per-invocation groupBy rescan of the tape parquet
     composite = use_composite_vpin(
-        tape_max_rows_per_key(spark, f"{tape_base}/data/*/")
+        tape_max_rows_per_key_cached(spark, tape_base)
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # composite mode spreads the hot key over ~EPOCHS groups per batch,

@@ -52,6 +52,12 @@ _DEFAULT_CONFS: dict[str, str] = {
     "spark.ui.showConsoleProgress": "false",
     # managed (bucketed) tables land outside the repo checkout
     "spark.sql.warehouse.dir": "/tmp/mmt_spark_warehouse",
+    # reliable checkpoint() files (the disk-dispatched connected-
+    # components path, operators/dedup.py) are otherwise never deleted
+    # for the app's lifetime — one stranded label set per CC round. The
+    # ContextCleaner reads this at SparkContext construction, so it must
+    # be a session-build conf, not a runtime set.
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
 }
 
 

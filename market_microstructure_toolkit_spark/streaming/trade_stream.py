@@ -136,6 +136,7 @@ __all__ = [
     "stateful_signed_buckets_composite",
     "stateful_volume_buckets",
     "tape_max_rows_per_key",
+    "tape_max_rows_per_key_cached",
     "use_composite_vpin",
 ]
 
@@ -504,6 +505,52 @@ def tape_max_rows_per_key(
         .first()
     )
     return int(row[0] or 0)
+
+
+#: in-process skew-hint memo: (tape_base, key) -> max rows on hottest key
+_SKEW_HINT_MEMO: dict[tuple[str, str], int] = {}
+
+
+def tape_max_rows_per_key_cached(
+    spark, tape_base: str, key: str = "symbol"
+) -> int:
+    """``tape_max_rows_per_key`` memoized BESIDE the tape it describes
+    (round-12 verdict #4): the hint is a pure function of the tape
+    contents, and tapes are content-keyed + memoized (``plans/base.py:
+    _memo_tape``), so re-scanning the tape parquet on every gate
+    invocation was pure waste (a full groupBy over a 90M-row tape per
+    call at sf100; ~1.4 s of ``streaming_vpin_skewed_replay``'s sf0.1
+    wall). Two cache levels mirror the tape's own: an in-process dict
+    and a sidecar JSON inside the tape dir (atomic tmp+rename publish,
+    so concurrent readers never see a torn file; the sidecar ages out
+    with the tape dir itself). Falls back to the live scan when the
+    sidecar is unreadable or the dir is not writable."""
+    import json
+    import os
+    import tempfile
+
+    memo_key = (tape_base, key)
+    hit = _SKEW_HINT_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
+    sidecar = os.path.join(tape_base, f"_skew_hint_{key}.json")
+    try:
+        with open(sidecar) as f:
+            val = int(json.load(f)["max_rows_per_key"])
+        _SKEW_HINT_MEMO[memo_key] = val
+        return val
+    except (OSError, ValueError, KeyError, TypeError):
+        pass
+    val = tape_max_rows_per_key(spark, f"{tape_base}/data/*/", key)
+    try:
+        fd, tmp = tempfile.mkstemp(dir=tape_base, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"key": key, "max_rows_per_key": val}, f)
+        os.rename(tmp, sidecar)
+    except OSError:
+        pass  # read-only / vanished tape dir: stay correct, uncached
+    _SKEW_HINT_MEMO[memo_key] = val
+    return val
 
 
 def use_composite_vpin(max_rows_per_key: int) -> bool:

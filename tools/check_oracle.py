@@ -456,6 +456,7 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
+    duck_skips: list[str] = []
     records: dict[str, dict] = {}
 
     def flush_partial() -> None:
@@ -482,7 +483,13 @@ def main() -> int:
             if phase == "duck":
                 sp = sparkside_in.get(name)
                 if sp is None:
+                    # loud, exit-code-visible (ADVICE r12): a spark
+                    # phase that crashed mid-sweep (or a typoed gate
+                    # name) must not yield a green duck phase silently
+                    # covering fewer gates than intended
                     print(f"{name:28s} SKIP (no spark-side record)")
+                    duck_skips.append(name)
+                    failures += 1
                     continue
                 sh, scols, srows = sp["hash"], sp["cols"], sp["rows"]
                 s_samp, s_sn = sp.get("sample_hash"), sp.get("sample_rows")
@@ -653,6 +660,11 @@ def main() -> int:
                     print(f"  spark:  {a[:240]}")
                     print(f"  duckdb: {b[:240]}")
                     break
+    if duck_skips:
+        print(
+            f"DUCK-PHASE SKIPS (counted as failures): {len(duck_skips)} "
+            f"— {', '.join(duck_skips[:20])}"
+        )
     print("FAILURES:", failures)
     if artifact:
         import datetime as dt
