@@ -429,6 +429,12 @@ def winnow_candidates(
     )
 
 
+#: dispatch record of the most recent dedup_clusters call in this
+#: process: {"n_edges": int, "disk_mode": bool, "forced": "0"|"1"|None}
+#: — read by the threshold-boundary tests and century diagnostics
+LAST_CC_DISPATCH: dict = {}
+
+
 def _ensure_checkpoint_dir(spark) -> None:
     """Point the SparkContext at a reliable checkpoint directory if none
     is set yet. ``SPARK_GRAFT_CKPT_DIR`` overrides; otherwise a temp dir
@@ -539,6 +545,17 @@ def dedup_clusters(
         disk_mode = n_edges >= int(
             os.environ.get("SPARK_GRAFT_CC_DISK_ROWS", "20000000")
         )
+    # observable dispatch record (round-12 verdict #7): boundary tests
+    # pin the DECISION itself, not just result parity, so a future
+    # threshold bump cannot silently flip a never-exercised path
+    LAST_CC_DISPATCH.clear()
+    LAST_CC_DISPATCH.update(
+        {
+            "n_edges": n_edges,
+            "disk_mode": disk_mode,
+            "forced": force if force in ("0", "1") else None,
+        }
+    )
     if disk_mode:
         _ensure_checkpoint_dir(spark)
 

@@ -192,11 +192,36 @@ def _scratch(prefix: str) -> str:
     the JVM heap for physical RAM via tmpfs.
     """
     import os
+    import shutil
     import tempfile
+    import time
 
     base = os.environ.get("SPARK_GRAFT_SCRATCH_DIR") or (
         "/dev/shm" if os.path.isdir("/dev/shm") else None
     )
+    # Opportunistic age eviction (round 13): scratch dirs cannot be
+    # removed when their gate returns — the returned DataFrame lazily
+    # reads the scratch parquet — so they leak until process exit and
+    # beyond (a measured 8 GB of dead mmt_* dirs from prior sessions
+    # sat on this box's tmpfs, shrinking the page cache every run
+    # after). Any sibling mmt_* dir untouched for >6h is from a dead
+    # session; sweep it here, the same cutoff the tape cache uses. The
+    # tape cache root (mmt_tape_cache_*) manages its own eviction and
+    # is skipped.
+    scan = base or tempfile.gettempdir()
+    cutoff = time.time() - 6 * 3600
+    try:
+        for ent in os.listdir(scan):
+            if not ent.startswith("mmt_") or ent.startswith("mmt_tape_cache_"):
+                continue
+            p = os.path.join(scan, ent)
+            try:
+                if os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
+    except OSError:
+        pass
     return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 

@@ -99,6 +99,77 @@ def test_auto_dispatch_threshold_env(spark):
             os.environ["SPARK_GRAFT_CC_DISK"] = old_force
 
 
+def test_dispatch_boundary_straddle(spark):
+    """Round-12 verdict #7: the SAME graph run with the edge threshold
+    set one past its mirrored edge count (local path) and exactly at it
+    (disk path, >= semantics) must (a) record the intended dispatch
+    decision and (b) produce identical labels. 4 pairs mirror to 8
+    edges; threshold 9 -> local, 8 -> disk."""
+    from market_microstructure_toolkit_spark.operators import dedup as D
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (5, 6)], "id_a long, id_b long"
+    )
+    old_rows = os.environ.get("SPARK_GRAFT_CC_DISK_ROWS")
+    old_force = os.environ.pop("SPARK_GRAFT_CC_DISK", None)
+    outs = {}
+    try:
+        for thresh, want_disk in ((9, False), (8, True), (7, True)):
+            os.environ["SPARK_GRAFT_CC_DISK_ROWS"] = str(thresh)
+            out = sorted(
+                (r["doc_id"], r["cluster_id"])
+                for r in dedup_clusters(docs, pairs).collect()
+            )
+            assert D.LAST_CC_DISPATCH["n_edges"] == 8
+            assert D.LAST_CC_DISPATCH["disk_mode"] is want_disk, thresh
+            assert D.LAST_CC_DISPATCH["forced"] is None
+            outs[thresh] = out
+    finally:
+        if old_rows is None:
+            os.environ.pop("SPARK_GRAFT_CC_DISK_ROWS", None)
+        else:
+            os.environ["SPARK_GRAFT_CC_DISK_ROWS"] = old_rows
+        if old_force is not None:
+            os.environ["SPARK_GRAFT_CC_DISK"] = old_force
+    assert outs[9] == outs[8] == outs[7]
+    assert outs[9] == [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)]
+
+
+def test_dispatch_force_overrides_probe(spark):
+    """SPARK_GRAFT_CC_DISK=0/1 overrides the count probe in BOTH
+    directions and is recorded as forced."""
+    from market_microstructure_toolkit_spark.operators import dedup as D
+
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    old_rows = os.environ.get("SPARK_GRAFT_CC_DISK_ROWS")
+    old_force = os.environ.get("SPARK_GRAFT_CC_DISK")
+    try:
+        # tiny graph, threshold 1 would dispatch disk — force local
+        os.environ["SPARK_GRAFT_CC_DISK_ROWS"] = "1"
+        os.environ["SPARK_GRAFT_CC_DISK"] = "0"
+        dedup_clusters(docs, pairs).collect()
+        assert D.LAST_CC_DISPATCH == {
+            "n_edges": 2, "disk_mode": False, "forced": "0"
+        }
+        # huge threshold would dispatch local — force disk
+        os.environ["SPARK_GRAFT_CC_DISK_ROWS"] = "1000000000"
+        os.environ["SPARK_GRAFT_CC_DISK"] = "1"
+        dedup_clusters(docs, pairs).collect()
+        assert D.LAST_CC_DISPATCH["disk_mode"] is True
+        assert D.LAST_CC_DISPATCH["forced"] == "1"
+    finally:
+        for k, v in (
+            ("SPARK_GRAFT_CC_DISK_ROWS", old_rows),
+            ("SPARK_GRAFT_CC_DISK", old_force),
+        ):
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
 def test_gate_hash_parity_sf001(spark):
     """dedup_clusters gate at sf0.001: disk and local checkpoint modes
     hash-identical on real data."""

@@ -152,6 +152,54 @@ def test_hint_reports_hot_key_rows(spark, tmp_path, monkeypatch):
     assert tape_max_rows_per_key(spark, d2) < int(0.5 * n)
 
 
+def test_dispatch_exact_boundary(monkeypatch):
+    """>= semantics at the threshold itself (round-12 verdict #7): a
+    future default bump must not silently flip the at-threshold path."""
+    from market_microstructure_toolkit_spark.streaming.trade_stream import (
+        use_composite_vpin,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_VPIN_COMPOSITE", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_VPIN_COMPOSITE_ROWS", "100")
+    assert not use_composite_vpin(99)
+    assert use_composite_vpin(100)
+    assert use_composite_vpin(101)
+
+
+def test_gate_boundary_straddle_hash_parity(spark, monkeypatch):
+    """Gate-level straddle on the REAL sf0.001 skewed tape: threshold
+    set to the tape's actual hottest-key count (composite engages, >=)
+    vs one above it (single-key) — identical rows either way."""
+    from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+    from market_microstructure_toolkit_spark.streaming import trade_stream as ts
+
+    gate = REGISTRY["streaming_vpin_skewed_replay"].spark
+    monkeypatch.delenv("SPARK_GRAFT_VPIN_COMPOSITE", raising=False)
+
+    # prime the gate once so the memoized tape + hint sidecar exist,
+    # then read the hint the dispatch will actually consume
+    ts._SKEW_HINT_MEMO.clear()
+    monkeypatch.setenv("SPARK_GRAFT_VPIN_COMPOSITE_ROWS", "1")
+    baseline = sorted(map(repr, gate(spark, SF_DIR).collect()))
+    keys = list(ts._SKEW_HINT_MEMO)
+    assert len(keys) == 1, keys  # exactly the gate's tape
+    tape_base = keys[0][0]
+    hint = ts.tape_max_rows_per_key_cached(spark, tape_base)
+    assert hint > 0
+
+    monkeypatch.setenv("SPARK_GRAFT_VPIN_COMPOSITE_ROWS", str(hint))
+    at = sorted(map(repr, gate(spark, SF_DIR).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_VPIN_COMPOSITE_ROWS", str(hint + 1))
+    above = sorted(map(repr, gate(spark, SF_DIR).collect()))
+
+    monkeypatch.setenv("SPARK_GRAFT_VPIN_COMPOSITE_ROWS", str(hint))
+    assert ts.use_composite_vpin(hint)  # at-threshold -> composite
+    monkeypatch.setenv("SPARK_GRAFT_VPIN_COMPOSITE_ROWS", str(hint + 1))
+    assert not ts.use_composite_vpin(hint)  # above -> single-key
+    assert at == above == baseline
+    assert len(at) > 0
+
+
 def test_cached_hint_equals_live_scan(spark, tmp_path):
     """The tape-sidecar memo (round-12 verdict #4) returns EXACTLY the
     live scan's value — first call computes + publishes the sidecar,
