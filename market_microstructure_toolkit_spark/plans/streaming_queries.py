@@ -275,7 +275,6 @@ def q_streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     session_window.end = last event + gap, so the emitted end subtracts
     the gap back to the last event's timestamp."""
     import time
-    import uuid
 
     ev = _events_fx(spark, sf_dir)
     tape_base = _memo_tape(
@@ -304,24 +303,36 @@ def q_streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_events",
         )
     )
-    name = f"sess_replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions", _tape_parts(spark, f"{tape_base}/data/*/", hi=8)
     )
+    # Complete-mode output goes through foreachBatch to DISTRIBUTED
+    # parquet, one versioned dir per epoch, last version read back —
+    # the standard complete-to-external-store recipe. The old memory
+    # sink collected the FULL per-epoch result into driver-heap Rows:
+    # fine for the 120-row windowed-metrics output, fatal at sf100
+    # where complete-mode session state (no watermark eviction) already
+    # strains the heap and the session table itself is millions of
+    # rows. Checkpoint isolation comes from the per-run _scratch dir.
+    last_epoch = {"v": -1}
+
+    def _sink(bdf, epoch_id: int) -> None:
+        bdf.write.mode("overwrite").parquet(f"{base}/out/v{epoch_id}")
+        last_epoch["v"] = epoch_id
+
     try:
         q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
+            agg.writeStream.foreachBatch(_sink)
             .outputMode("complete")
             .option("checkpointLocation", f"{base}/ckpt")
             .trigger(availableNow=True)
             .start()
         )
-        await_replay(q, "memory-sink replay")
+        await_replay(q, "foreachBatch complete replay")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
+    return spark.read.parquet(f"{base}/out/v{last_epoch['v']}")
 
 
 _STREAM_DEDUP_SQL = """

@@ -107,4 +107,17 @@ def get_spark(app_name: str = "mmt-spark", **extra_conf: str) -> SparkSession:
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Century-scale streaming state: SPARK_GRAFT_STATE_STORE=rocksdb
+    # swaps the default heap-backed HDFS state store for RocksDB
+    # (native memory + local disk, bundled rocksdbjni). The heap store
+    # OOMed a 40 GB driver on streaming_sessionize_replay at sf100 —
+    # complete-mode session_window state (no watermark eviction) holds
+    # every open session of a 100M-event tape on-heap. Runtime conf,
+    # read per query start, so it also applies to a reused session.
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").strip().lower() == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     return spark

@@ -389,3 +389,30 @@ def test_replay_to_parquet_empty_output_returns_empty_frame(
     )
     assert out.count() == 0
     assert len(out.columns) > 0
+
+
+def test_sessionize_gate_rocksdb_state_parity(spark, sf_dir):
+    """The RocksDB state store (the century-scale state path,
+    SPARK_GRAFT_STATE_STORE=rocksdb) produces EXACTLY the rows of the
+    default heap store on the sessionize replay gate — a storage-
+    provider decision, never a semantic one. Also exercises the
+    foreachBatch complete-mode parquet sink that replaced the
+    driver-heap memory sink (round 13: the heap store + memory sink
+    OOMed a 40 GB driver at sf100)."""
+    from market_microstructure_toolkit_spark.plans.queries import REGISTRY
+
+    gate = REGISTRY["streaming_sessionize_replay"].spark
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = spark.conf.get(key)
+    heap = sorted(map(repr, gate(spark, sf_dir).collect()))
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        rocks = sorted(map(repr, gate(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set(key, default)
+    assert rocks == heap
+    assert len(rocks) > 0
