@@ -559,8 +559,24 @@ def dedup_clusters(
     if disk_mode:
         _ensure_checkpoint_dir(spark)
 
-    labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("lab"))
+    # TOUCHED-ONLY iteration (round 13, guide §1.2 "don't compute things
+    # you throw away"): only nodes with an incident edge can ever leave
+    # their identity label — an untouched node's neighbor min is NULL and
+    # its label-of-label is itself, so every original round recomputed
+    # (and checkpointed) an unchanged identity row per singleton. The
+    # loop now runs over edges' endpoint set ∩ df (labels always take
+    # values inside this set: they start there and propagate by min over
+    # it, so restricting the label-of-label side is lossless); singletons
+    # rejoin as identity labels in the final coalesce, which is part of
+    # the returned lazy plan, not an extra job.
+    touched = edges.select(F.col("dst").alias("id")).distinct()
+    labels = (
+        df.select(F.col(id_col).alias("id"))
+        .join(touched, "id", "leftsemi")
+        .withColumn("lab", F.col("id"))
+    )
     converged = False
+    first_round = True
     try:
         for _ in range(max_iters):
             nbr = (
@@ -577,25 +593,38 @@ def dedup_clusters(
             # labels (label-of-label), not this round's in-flight result —
             # one-step-stale pointer jumping still halves chain length per
             # round and avoids re-evaluating the un-checkpointed step twice.
-            l2 = labels.select(
-                F.col("id").alias("__pid"), F.col("lab").alias("__plab")
-            )
-            new = (
-                labels.join(nbr, labels.id == nbr.dst, "left")
-                .join(l2, F.col("lab") == F.col("__pid"), "left")
-                .select(
+            # Round 1 skips the shortcut join outright: labels are the
+            # identity map, so label-of-label is a provable no-op there
+            # (one join and one shuffle saved on the biggest round).
+            if first_round:
+                new = labels.join(nbr, labels.id == nbr.dst, "left").select(
                     "id",
                     F.least(
-                        F.col("lab"),
-                        F.coalesce("nlab", "lab"),
-                        F.coalesce("__plab", "lab"),
+                        F.col("lab"), F.coalesce("nlab", "lab")
                     ).alias("lab"),
-                    (
-                        (F.col("nlab") < F.col("lab"))
-                        | (F.col("__plab") < F.col("lab"))
-                    ).alias("__chg"),
+                    (F.col("nlab") < F.col("lab")).alias("__chg"),
                 )
-            )
+            else:
+                l2 = labels.select(
+                    F.col("id").alias("__pid"), F.col("lab").alias("__plab")
+                )
+                new = (
+                    labels.join(nbr, labels.id == nbr.dst, "left")
+                    .join(l2, F.col("lab") == F.col("__pid"), "left")
+                    .select(
+                        "id",
+                        F.least(
+                            F.col("lab"),
+                            F.coalesce("nlab", "lab"),
+                            F.coalesce("__plab", "lab"),
+                        ).alias("lab"),
+                        (
+                            (F.col("nlab") < F.col("lab"))
+                            | (F.col("__plab") < F.col("lab"))
+                        ).alias("__chg"),
+                    )
+                )
+            first_round = False
             if disk_mode:
                 # persist-then-checkpoint: the reliable checkpoint's file
                 # write reads the DISK_ONLY blocks instead of recomputing
@@ -623,8 +652,15 @@ def dedup_clusters(
             f"dedup_clusters: no fixpoint after {max_iters} rounds "
             "(component diameter exceeds max_iters; raise the cap)"
         )
-    return labels.select(
-        F.col("id").alias(id_col), F.col("lab").alias("cluster_id")
+    # singletons (no incident edge) cluster with themselves — identity
+    # labels attach lazily here instead of riding every loop round
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("lab", "id").alias("cluster_id"),
+        )
     )
 
 

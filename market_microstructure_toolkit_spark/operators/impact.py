@@ -141,6 +141,40 @@ def _require_single_series(df: DataFrame) -> None:
         )
 
 
+def _count_single_series(df: DataFrame, narrow: DataFrame | None = None) -> int:
+    """Row count + single-series contract in ONE aggregate job (round 13,
+    guide §1.2/§2.3): the former ``_require_single_series`` distinct-limit
+    probe and the separate ``count()`` each cost a full scheduled scan per
+    simulator call; a single hash aggregate computing ``count(*)`` and
+    ``count_distinct(keys)`` together halves that fixed cost. Both are
+    partial-aggregated map-side, so at scale the job moves a handful of
+    rows per partition. ``narrow`` optionally points the scan at an
+    already-projected frame (must still carry the key columns).
+
+    Raises the same error as :func:`_require_single_series` on a
+    multi-instrument frame; returns the row count.
+    """
+    src = narrow if narrow is not None else df
+    keys = _series_keys(df)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    if keys:
+        # distinct over a STRUCT of the keys: a struct is never NULL even
+        # when a field is, so null-keyed rows count as a series exactly
+        # like the old ``select(keys).distinct()`` probe did
+        aggs.append(
+            F.count_distinct(F.struct(*[F.col(k) for k in keys])).alias(
+                "__g"
+            )
+        )
+    row = src.agg(*aggs).collect()[0]
+    if keys and row["__g"] > 1:
+        raise ValueError(
+            "impact simulators take a single-instrument recording; "
+            f"filter {keys} before simulating (got multiple series)"
+        )
+    return int(row["__n"])
+
+
 def _numbered(df: DataFrame) -> DataFrame:
     """Attach 0-based positional index over the time-ordered series.
 
@@ -212,17 +246,22 @@ def _slice_table(
 # ---------------------------------------------------------------------------
 
 def simulate_twap_naive(
-    df: DataFrame, side: Side, total_qty: float, slices: int, depth: int
+    df: DataFrame, side: Side, total_qty: float, slices: int, depth: int,
+    want_summary: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Equal slices at linspace rows; walk each; no book feedback across
     slices (impact.py:205-207). Returns (summary_df, per_slice_df).
 
     The per-slice walk is fully distributed (each picked row walks its own
     ladder inside one codegen stage); only the O(slices) summary reduces.
+
+    ``want_summary=False`` skips the summary's aggregate job entirely and
+    returns ``(None, per_slice_df)`` — the per-slice gates discard the
+    summary, and its eager ``agg().collect()`` was a full extra
+    evaluation of the walk lineage per call (round 13, guide §1.2).
     """
     assert side in ("buy", "sell")
-    _require_single_series(df)
-    n = df.count()
+    n = _count_single_series(df)
     picks = _linspace_picks(n, slices)
     if not picks:
         empty = df.sparkSession.createDataFrame([], "slice int")
@@ -252,6 +291,9 @@ def simulate_twap_naive(
         F.col("__pos"),
         F.col("__mid"),
     )
+
+    if not want_summary:
+        return None, per_slice.drop("__pos", "__mid")
 
     first_pos, last_pos = picks[0], picks[-1]
     agg = per_slice.agg(
@@ -402,28 +444,45 @@ def simulate_twap_naive_grouped(
 def simulate_vwap_onbook(
     df: DataFrame, side: Side, total_qty: float, depth: int
 ) -> DataFrame:
-    """One-shot walk of the FIRST snapshot; mids from first/last rows."""
+    """One-shot walk of the FIRST snapshot; mids from first/last rows.
+
+    One scan total (round 13, guide §1.2/§2.3): the former four jobs —
+    single-series probe, count, first-row top-1, last-row top-1 — fuse
+    into a single hash aggregate (``count`` + ``count_distinct`` +
+    ``min_by``/``max_by`` over the (ts_ms, raw_nonce) total order; ties
+    impossible, so the picks equal the old orderBy().limit(1) rows). The
+    ladder walk then runs on the one collected row via a local 1-row
+    frame — same ``_slice_table`` expression, identical arithmetic.
+    """
     assert side in ("buy", "sell")
-    _require_single_series(df)
-    n = df.count()
-    if n == 0:
-        return df.sparkSession.createDataFrame([], "side string")
-    # min-ts row via TakeOrderedAndProject (distributed top-1), not a
-    # single-partition row_number window; full (ts_ms, raw_nonce) order so
-    # millisecond-tied rows don't make the pick nondeterministic
+    keys = _series_keys(df)
     order = _series_order(df)
-    first = df.orderBy(*order).limit(1)
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.min_by(F.struct(*df.columns), F.struct(*order)).alias("__first"),
+        F.max_by(_mid_col(), F.struct(*order)).alias("__mid_close"),
+    ]
+    if keys:
+        aggs.append(
+            F.count_distinct(F.struct(*[F.col(k) for k in keys])).alias(
+                "__g"
+            )
+        )
+    probe = df.agg(*aggs).collect()[0]
+    if keys and probe["__g"] > 1:
+        raise ValueError(
+            "impact simulators take a single-instrument recording; "
+            f"filter {keys} before simulating (got multiple series)"
+        )
+    if probe["__n"] == 0:
+        return df.sparkSession.createDataFrame([], "side string")
+    first = df.sparkSession.createDataFrame([probe["__first"]], df.schema)
     walked = _slice_table(first, side, F.lit(float(total_qty)), depth, "skip")
     row = walked.select(
         "ts_ms", _iso_expr(walked).alias("iso"), "filled_qty", "fill_cost",
         "levels_touched", "__mid"
     ).collect()[0]
-    mid_close = (
-        df.orderBy(*[F.col(c).desc() for c in order])
-        .limit(1)
-        .select(_mid_col().alias("m"))
-        .collect()[0]["m"]
-    )
+    mid_close = probe["__mid_close"]
     filled, cost = row["filled_qty"], row["fill_cost"]
     vwap = cost / filled if filled and filled > 0 else None
     return df.sparkSession.createDataFrame(
@@ -573,7 +632,9 @@ def _slice_sizes(cfg: TwapConfig) -> list[float]:
     return [cfg.target_qty * (d / total) for d in draws]
 
 
-def simulate_twap_real(df: DataFrame, cfg: TwapConfig) -> tuple[DataFrame, DataFrame]:
+def simulate_twap_real(
+    df: DataFrame, cfg: TwapConfig, want_summary: bool = True
+) -> tuple[DataFrame, DataFrame]:
     """Jittered schedule + nearest-row as-of + stop-at-first-blank walk +
     fees (impact_twap.py:191-311). Returns (summary_df, per_slice_df).
 
@@ -582,17 +643,23 @@ def simulate_twap_real(df: DataFrame, cfg: TwapConfig) -> tuple[DataFrame, DataF
     applied driver-side with the seeded RNG, and each jittered target maps
     back to its nearest row — the reference's monotone two-pointer breaks
     ties toward the LATER row, so the rank orders (abs_delta, ts desc).
+
+    ``want_summary=False`` skips the summary aggregate job and returns
+    ``(None, per_slice_df)`` — the per-slice gates discard the summary,
+    and its eager ``agg().collect()`` re-evaluated the full walk lineage
+    once per call (round 13, guide §1.2).
     """
     assert cfg.side in ("buy", "sell")
-    _require_single_series(df)
     sizes = _slice_sizes(cfg)
     if not sizes:
         raise ValueError("No slices generated")
     # Positions come from a narrow projection (keys + order cols): the
     # row_number sort then moves a few bytes/row, not the full wide book
     # row, and partitions by instrument instead of one global task.
+    # Count + single-series contract fused into one aggregate over the
+    # same narrow projection (round 13).
     ts_only = df.select(*_series_keys(df), *_series_order(df))
-    n = ts_only.count()
+    n = _count_single_series(df, narrow=ts_only)
     if n == 0:
         raise ValueError("empty input")
 
@@ -685,6 +752,9 @@ def simulate_twap_real(df: DataFrame, cfg: TwapConfig) -> tuple[DataFrame, DataF
         "__mid",
     )
 
+    if not want_summary:
+        return None, per_slice.drop("fill_cost", "__mid")
+
     agg = per_slice.agg(
         F.sum("filled_qty").alias("filled"),
         F.sum("fill_cost").alias("notional_prefee"),
@@ -749,8 +819,8 @@ def simulate_vwap_real(df: DataFrame, cfg: VwapConfig) -> tuple[DataFrame, DataF
     runs driver-side — bounded by config, correct at any data scale.
     """
     assert cfg.side in ("buy", "sell")
-    _require_single_series(df)
-    n = df.count()
+    # count + single-series contract in one aggregate job (round 13)
+    n = _count_single_series(df)
     if n == 0:
         raise ValueError("Empty dataframe")
     idx = _vwap_bucket_indices(n, cfg.slices)

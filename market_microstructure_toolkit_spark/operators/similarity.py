@@ -114,6 +114,7 @@ def lsh_keyed(
     max_bucket: int | None = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """The bucketing stage of :func:`lsh_banded_pairs`, exposed so
     stage-level instrumentation (``tools/nn_decompose.py``, round-10
@@ -127,7 +128,13 @@ def lsh_keyed(
     per pair at a bit-identical value (same l2_norm expression over the
     same array; measured walls in docs/SCALE_NOTES.md)."""
     if bits_per_band == "auto":
-        bits_per_band = auto_bits_per_band(df.count(), n_bands=n_bands)
+        # ``n_rows`` is the caller's metadata hint (parquet footer
+        # rowcount for raw-table inputs — free); without it, one
+        # column-pruned count job measures the frame (round 13: every
+        # gate passes the hint, so the per-invocation count job is gone)
+        if n_rows is None:
+            n_rows = df.count()
+        bits_per_band = auto_bits_per_band(n_rows, n_bands=n_bands)
     v = as_double(vec_col)
     bands = F.array(
         *[
@@ -175,6 +182,7 @@ def lsh_banded_pairs(
     max_bucket: int | None = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Banded multi-probe sign-LSH: the 100 TB candidate generator.
 
@@ -215,6 +223,7 @@ def lsh_banded_pairs(
         max_bucket=max_bucket,
         id_col=id_col,
         vec_col=vec_col,
+        n_rows=n_rows,
     )
     # postings-list pair generation: one evaluation of the keyed lineage,
     # pairs emitted map-side after the bucket groupBy; group size (and so
@@ -296,11 +305,17 @@ def pq_adc_scores(
     d = subs.join(F.broadcast(cents_sub), "m").select(
         "vec_id", "label", "m", "cid", fold.alias("dist")
     )
-    w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
+    # argmin via min(struct(dist, cid)): identical row to the former
+    # row_number-over-(dist, cid) window (cid is unique per group, so the
+    # struct order is total and the pick deterministic), but the n_cents
+    # candidate rows per (vec, m) collapse MAP-SIDE in the partial
+    # aggregate — the broadcast join leaves them colocated — so the
+    # exchange moves 1/n_cents the rows and the per-group sort is gone
+    # (round 13, guide §2.3 "aggregate before you shuffle")
     codes = (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "m", "cid")
+        d.groupBy("vec_id", "label", "m")
+        .agg(F.min(F.struct("dist", "cid")).alias("__mn"))
+        .select("vec_id", "label", "m", F.col("__mn.cid").alias("cid"))
     )
     dq = d.filter(F.col("vec_id") == query_vec_id).select(
         "m",
@@ -371,15 +386,23 @@ def pq_train_codebooks(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
     for _ in range(steps):
         d = subs.join(F.broadcast(cents_sub), "m").select(
             "vec_id", "m", "cid", "sv", fold.alias("dist")
         )
+        # argmin via min(struct(dist, cid, sv)) — same row as the former
+        # row_number window ((dist, cid) is already total; sv rides along
+        # and never participates in a tie), candidates collapse map-side,
+        # no per-group sort (round 13, guide §2.3)
         assign = (
-            d.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "m", "cid", "sv")
+            d.groupBy("vec_id", "m")
+            .agg(F.min(F.struct("dist", "cid", "sv")).alias("__mn"))
+            .select(
+                "vec_id",
+                "m",
+                F.col("__mn.cid").alias("cid"),
+                F.col("__mn.sv").alias("sv"),
+            )
         )
         cents_sub = assign.groupBy("m", "cid").agg(
             F.array(
@@ -416,10 +439,21 @@ def ivf_centroid_dists(emb: DataFrame, n_cents: int = 8) -> DataFrame:
 
 def ivf_assign(dists: DataFrame) -> DataFrame:
     """Nearest-centroid cell assignment: argmin per vector over its
-    centroid distances (ties break on cid for determinism)."""
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    centroid distances (ties break on cid for determinism).
+
+    Implemented as ``min(struct(dist, cid, v))`` rather than a
+    row_number window: identical pick ((dist, cid) is a total order per
+    vector — cid is unique), but the n_cents candidate rows collapse in
+    the map-side partial aggregate (the broadcast centroid join leaves
+    them colocated), so the exchange moves one row per vector and the
+    per-group sort disappears (round 13, guide §2.3)."""
     return (
-        dists.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "v", "cid")
+        dists.groupBy("vec_id", "label")
+        .agg(F.min(F.struct("dist", "cid", "v")).alias("__mn"))
+        .select(
+            "vec_id",
+            "label",
+            F.col("__mn.v").alias("v"),
+            F.col("__mn.cid").alias("cid"),
+        )
     )

@@ -103,6 +103,48 @@ def parquet_rows(path: str) -> int:
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
+def parquet_col_range(path: str, col: str) -> tuple[int, int] | None:
+    """(min, max) of an INTEGER column straight from the parquet
+    ROW-GROUP STATISTICS of a file or directory of part files — a
+    metadata pull, no Spark job. Integer min/max stats are exact (no
+    string-truncation caveat), so on success this equals
+    ``agg(min(col), max(col))`` over the raw scan. Returns None when the
+    column is missing or any row group lacks exact stats (caller falls
+    back to the Spark aggregate). Only valid for columns the planted
+    projections pass through UNCHANGED (doc_id, event_id, ts) — never
+    for derived or plant-modified columns."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+        if _os.path.isdir(path)
+        else [path]
+    )
+    lo: int | None = None
+    hi: int | None = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        try:
+            idx = md.schema.names.index(col)
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mn, mx = st.min, st.max
+            if not isinstance(mn, int) or not isinstance(mx, int):
+                return None
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+    if lo is None or hi is None:
+        return None
+    return lo, hi
+
+
 _KEY_HIST_MEMO: dict[tuple, int] = {}
 
 
@@ -163,9 +205,75 @@ def _tape_parts(spark, glob_path: str, hi: int, per_part: int = 50_000) -> str:
     per micro-batch each (measured both ways: 8 partitions on sf0.1
     tapes wasted ~2.4s/gate on spin-up; 2 partitions at sf1 halved the
     state throughput — size-adaptive is the only setting that survives
-    both)."""
-    n = spark.read.parquet(glob_path).count()
+    both).
+
+    The rowcount is read from the parquet FOOTERS via pyarrow — a pure
+    metadata pull, no Spark job (round 13: the former
+    ``spark.read.parquet(glob).count()`` spent a full scheduled job per
+    replay gate on a number the footers already hold; ~12 gates paid it
+    every bench run)."""
+    n = _glob_parquet_rows(glob_path)
     return _stream_parts(n, per_part=per_part, lo=2, hi=hi)
+
+
+def _glob_parquet_rows(glob_path: str) -> int:
+    """Footer rowcount summed over every part file matched by a glob of
+    chunk DIRS (the replay-tape layout ``<base>/data/*/``) or plain
+    files. Metadata-only; no Spark job."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    pats = [
+        _os.path.join(glob_path, "*.parquet"),
+        glob_path if glob_path.endswith(".parquet") else None,
+    ]
+    files: list[str] = []
+    for pat in pats:
+        if pat:
+            files.extend(_glob.glob(pat))
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in sorted(set(files)))
+
+
+def _glob_parquet_col_range(
+    glob_path: str, col: str
+) -> tuple[int, int] | None:
+    """(min, max) of an INT64 column over every part file matched by a
+    chunk-dir glob, read from the parquet ROW-GROUP STATISTICS — a pure
+    metadata pull, no Spark job. Returns None (caller falls back to a
+    Spark aggregate) when any row group lacks exact min/max stats or the
+    column is absent. Integer statistics are exact (no string truncation
+    caveat), so on success this equals ``agg(min(col), max(col))``."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(_os.path.join(glob_path, "*.parquet")))
+    if not files:
+        return None
+    lo: int | None = None
+    hi: int | None = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        try:
+            idx = md.schema.names.index(col)
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            cmd = md.row_group(rg).column(idx)
+            st = cmd.statistics
+            if st is None or not st.has_min_max:
+                return None
+            mn, mx = st.min, st.max
+            if not isinstance(mn, int) or not isinstance(mx, int):
+                return None
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+    if lo is None or hi is None:
+        return None
+    return lo, hi
 
 
 def _stream_parts(n_rows: int, per_part: int = 50_000, lo: int = 8, hi: int = 32) -> str:

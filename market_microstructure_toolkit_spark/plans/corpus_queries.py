@@ -13,10 +13,26 @@ from market_microstructure_toolkit_spark.plans.base import (
     _emb,
     _scratch,
     lsh_keyed_sql,
+    parquet_col_range,
     parquet_rows,
     plant_docs,
     register_planted as register,
 )
+
+
+def _docs_id_range(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(min, max) doc_id — from parquet row-group statistics when exact
+    (a metadata pull; plants never touch doc_id, so the raw-file stats
+    ARE the planted frame's range), else one Spark aggregate fallback
+    (round 13, guide §1.2: three gates each paid a full scheduled
+    min/max scan per invocation for this constant)."""
+    rng = parquet_col_range(f"{sf_dir}/documents.parquet", "doc_id")
+    if rng is None:
+        row = _docs(spark, sf_dir).agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        rng = (row["lo"], row["hi"])
+    return rng
 
 
 _DEDUP_EXACT_SQL = """
@@ -169,11 +185,22 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-relative hot-shingle guard (df <= max(10, n_docs // 5000))
     bounds the self-join fan-out (boilerplate shingle in d docs ->
     d^2/2 rows) and is mirrored in the oracle's `rare` CTE."""
-    from market_microstructure_toolkit_spark.operators.dedup import ngram_jaccard_pairs
+    from market_microstructure_toolkit_spark.operators.dedup import (
+        auto_doc_freq_cap,
+        ngram_jaccard_pairs,
+    )
 
     docs = _docs(spark, sf_dir)
     return ngram_jaccard_pairs(
-        docs, shingle_n=3, threshold=0.05, max_doc_freq="auto"
+        docs,
+        shingle_n=3,
+        threshold=0.05,
+        # same integer as "auto" (plants are row-preserving, so the
+        # parquet footer rowcount == docs.count()), minus the Spark
+        # count job "auto" schedules per invocation (round 13)
+        max_doc_freq=auto_doc_freq_cap(
+            parquet_rows(f"{sf_dir}/documents.parquet")
+        ),
     )
 
 
@@ -667,7 +694,13 @@ def q_dedup_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     pairs = lsh_banded_pairs(
-        emb, bits_per_band="auto", n_bands=4, min_cosine=-2.0, max_bucket=1000
+        emb,
+        bits_per_band="auto",
+        n_bands=4,
+        min_cosine=-2.0,
+        max_bucket=1000,
+        # footer rowcount hint: kills the auto-width count job (r13)
+        n_rows=parquet_rows(f"{sf_dir}/embeddings.parquet"),
     )
     # both directions from ONE evaluation of the bucket self-join — a
     # union of two selects over `pairs` would run the join twice
@@ -852,12 +885,21 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate fingerprints are dropped pre-join). Any shared substring
     of >= 13 chars guarantees a shared fingerprint (MOSS bound k+w-1)."""
     from market_microstructure_toolkit_spark.operators.dedup import (
+        auto_doc_freq_cap,
         winnow_candidates,
     )
 
     docs = _docs(spark, sf_dir)
     return winnow_candidates(
-        docs, k=8, w=6, min_shared=2, max_doc_freq="auto"
+        docs,
+        k=8,
+        w=6,
+        min_shared=2,
+        # footer-rowcount "auto" (row-preserving plants): same cap, no
+        # per-invocation Spark count job (round 13)
+        max_doc_freq=auto_doc_freq_cap(
+            parquet_rows(f"{sf_dir}/documents.parquet")
+        ),
     )
 
 
@@ -1373,7 +1415,13 @@ def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     pairs = (
         lsh_banded_pairs(
-            emb, bits_per_band="auto", n_bands=4, min_cosine=-2.0, max_bucket=1000
+            emb,
+            bits_per_band="auto",
+            n_bands=4,
+            min_cosine=-2.0,
+            max_bucket=1000,
+            # footer rowcount hint: kills the auto-width count job (r13)
+            n_rows=parquet_rows(f"{sf_dir}/embeddings.parquet"),
         )
         .filter(F.round("cos_sim", 6) >= 0.25)
         .select("id_a", "id_b")
@@ -1729,10 +1777,9 @@ def q_documents_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     data; the scan stays one pass with column pruning intact on both
     generations."""
     docs = _docs(spark, sf_dir)
-    rng = docs.agg(
-        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
-    ).collect()[0]
-    mid = (rng["lo"] + rng["hi"]) // 2
+    # footer-stats range (plants never touch doc_id) — no Spark job (r13)
+    lo, hi = _docs_id_range(spark, sf_dir)
+    mid = (lo + hi) // 2
     base = _scratch(prefix="mmt_schemaevo_")
     docs.filter(F.col("doc_id") <= mid).select("doc_id", "lang").write.parquet(
         f"{base}/gen/v1"
@@ -1798,7 +1845,8 @@ def q_documents_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing. v2 is derived in-plan (delete/modify/insert by doc_id
     modulus), identically in the SQL CTE."""
     docs = _docs(spark, sf_dir)
-    max_id = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    # footer-stats max (plants never touch doc_id) — no Spark job (r13)
+    max_id = _docs_id_range(spark, sf_dir)[1]
     v2 = (
         docs.filter(F.col("doc_id") % 97 != 0)
         .withColumn(
@@ -2043,10 +2091,9 @@ def q_documents_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     docs = _docs(spark, sf_dir)
-    rng = docs.agg(
-        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
-    ).collect()[0]
-    mid = (rng["lo"] + rng["hi"]) // 2
+    # footer-stats range (plants never touch doc_id) — no Spark job (r13)
+    lo, hi = _docs_id_range(spark, sf_dir)
+    mid = (lo + hi) // 2
 
     chash = (
         docs.filter(F.col("doc_id") <= mid)

@@ -1045,7 +1045,12 @@ def q_twap_naive_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from market_microstructure_toolkit_spark.operators.impact import simulate_twap_naive
 
     book = synthetic_book(spark, sf_dir).filter(F.col("symbol") == "S0")
-    _, per_slice = simulate_twap_naive(book, "buy", total_qty=40.0, slices=20, depth=BOOK_DEPTH)
+    # want_summary=False: this gate returns the per-slice table; the
+    # summary's eager agg job re-evaluated the walk lineage (round 13)
+    _, per_slice = simulate_twap_naive(
+        book, "buy", total_qty=40.0, slices=20, depth=BOOK_DEPTH,
+        want_summary=False,
+    )
     return per_slice
 
 
@@ -1591,7 +1596,8 @@ def q_twap_real_equal_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         side="buy", target_qty=40.0, slices=16, fee_bps=2.0,
         jitter_ms=0, schedule="equal", depth_cap=BOOK_DEPTH,
     )
-    _, per_slice = simulate_twap_real(book, cfg)
+    # want_summary=False: per-slice gate; skip the summary agg job (r13)
+    _, per_slice = simulate_twap_real(book, cfg, want_summary=False)
     return per_slice
 
 
@@ -1683,7 +1689,8 @@ def q_twap_real_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         side="buy", target_qty=40.0, slices=16, fee_bps=2.0,
         jitter_ms=500, schedule="stochastic", seed=13, depth_cap=BOOK_DEPTH,
     )
-    _, per_slice = simulate_twap_real(book, cfg)
+    # want_summary=False: per-slice gate; skip the summary agg job (r13)
+    _, per_slice = simulate_twap_real(book, cfg, want_summary=False)
     return per_slice
 
 
@@ -2154,8 +2161,16 @@ def q_book_hayashi_yoshida(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(*KEYS, "s", F.col("ts_ms").alias("e"), "r")
         .filter(F.col("s").isNotNull() & (F.col("e") > F.col("s")))
     )
+    # Symbol roster from the RAW book projection, not from ivl: distinct
+    # over ivl re-evaluated the lag-window pass (the filter on s/e keeps
+    # the WindowExec alive under column pruning) just to list symbols.
+    # A symbol in book but absent from ivl (no valid interval) yields
+    # zero a/b rows and therefore zero output rows, so the pair list
+    # built from this superset produces an identical result — for one
+    # column-pruned scan + partial-agg distinct instead of a full
+    # window pass (round 13, guide §1.2).
     syms = sorted(
-        r["symbol"] for r in ivl.select("symbol").distinct().collect()
+        r["symbol"] for r in book.select("symbol").distinct().collect()
     )
     pair_list = [(x, y) for x in syms for y in syms if x < y]
     pair_df = spark.createDataFrame(pair_list, "sym_a string, sym_b string")
@@ -3073,7 +3088,8 @@ def q_twap_almgren_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         side="buy", target_qty=40.0, slices=16, fee_bps=2.0,
         jitter_ms=0, schedule="almgren", kappa=0.35, depth_cap=BOOK_DEPTH,
     )
-    _, per_slice = simulate_twap_real(book, cfg)
+    # want_summary=False: per-slice gate; skip the summary agg job (r13)
+    _, per_slice = simulate_twap_real(book, cfg, want_summary=False)
     return per_slice
 
 

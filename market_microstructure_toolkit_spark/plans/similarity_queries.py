@@ -10,6 +10,7 @@ from market_microstructure_toolkit_spark.functions import microstructure as M
 from market_microstructure_toolkit_spark.plans.base import (
     _emb,
     lsh_keyed_sql,
+    parquet_rows,
     q2k_col,
     register,
 )
@@ -121,7 +122,15 @@ def q_similarity_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     out = lsh_banded_pairs(
-        emb, bits_per_band="auto", n_bands=4, min_cosine=-2.0, max_bucket=1000
+        emb,
+        bits_per_band="auto",
+        n_bands=4,
+        min_cosine=-2.0,
+        max_bucket=1000,
+        # corpus rowcount from the parquet footer (metadata pull;
+        # _emb's spread() is row-preserving) — kills the per-invocation
+        # auto-width count job (round 13, guide §1/§6)
+        n_rows=parquet_rows(f"{sf_dir}/embeddings.parquet"),
     )
     # NaN passthrough (ADVICE r12): Spark's F.floor returns LongType, so
     # floor(NaN*65536+0.5)/65536 silently becomes 0.0 while DuckDB's
@@ -270,8 +279,20 @@ def q_similarity_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(3)
         .select("cid")
     )
+    # query vector straight from the embedding scan (round 13): unlike
+    # single-probe, this branch needs only qv — not the query's argmin
+    # cell — and `v` is the unchanged cast embedding, so routing the
+    # broadcast through `assigned` ran the whole centroid-distance +
+    # argmin aggregate just to pass one row through. The oracle's own
+    # `q` CTE reads FROM emb for the same reason. Plan effect: the BNLJ
+    # build side is a pushed-filter point scan again, not a data-sized
+    # aggregate (PLAN_AUDIT had flagged the aggregate form).
     q = F.broadcast(
-        assigned.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .select(
+            F.transform("embedding", lambda x: x.cast("double")).alias("qv")
+        )
     )
     return (
         assigned.join(probes, "cid")

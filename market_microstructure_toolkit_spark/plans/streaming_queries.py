@@ -31,6 +31,7 @@ from market_microstructure_toolkit_spark.plans.base import (
     _tape_parts,
     _tape2,
     _events_fx,
+    parquet_rows,
     plant_docs,
     register_planted as register,
 )
@@ -370,9 +371,12 @@ def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"dedup_replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    # content-hash-keyed state: size-adaptive like the CDC replay
+    # content-hash-keyed state: size-adaptive like the CDC replay. The
+    # doc count comes from the documents parquet FOOTER (plants are
+    # row-preserving), not a Spark count job (round 13).
     spark.conf.set(
-        "spark.sql.shuffle.partitions", _stream_parts(docs.count())
+        "spark.sql.shuffle.partitions",
+        _stream_parts(parquet_rows(f"{sf_dir}/documents.parquet")),
     )
     try:
         # input-sized output (every kept doc) -> parquet sink
@@ -563,11 +567,23 @@ def q_streaming_vpin_skewed_replay(
     )
     try:
         if composite:
-            lo, hi = (
-                spark.read.parquet(f"{tape_base}/data/*/")
-                .agg(F.min("ts_ms"), F.max("ts_ms"))
-                .first()
+            # ts range from parquet row-group statistics (metadata pull,
+            # exact for INT64; round 13) — the former Spark min/max agg
+            # was a full scheduled job per invocation on a tape whose
+            # footers already carry the answer. Fallback: stats absent.
+            from market_microstructure_toolkit_spark.plans.base import (
+                _glob_parquet_col_range,
             )
+
+            rng = _glob_parquet_col_range(f"{tape_base}/data/*/", "ts_ms")
+            if rng is None:
+                lo, hi = (
+                    spark.read.parquet(f"{tape_base}/data/*/")
+                    .agg(F.min("ts_ms"), F.max("ts_ms"))
+                    .first()
+                )
+            else:
+                lo, hi = rng
             # ~256 epochs across the tape: enough groups to saturate
             # local[32] per micro-batch, few enough that the composer's
             # summary window stays trivially small
@@ -756,9 +772,11 @@ def q_streaming_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"cdc_replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # doc-keyed state: partitions scale with input size (parquet footer
-    # rowcount — a metadata pull), not a pinned constant; see _stream_parts
+    # rowcount — a metadata pull, no Spark count job; plants are
+    # row-preserving), not a pinned constant; see _stream_parts
     spark.conf.set(
-        "spark.sql.shuffle.partitions", _stream_parts(docs.count())
+        "spark.sql.shuffle.partitions",
+        _stream_parts(parquet_rows(f"{sf_dir}/documents.parquet")),
     )
     try:
         # input-sized output (per-doc emissions) -> parquet sink
@@ -1178,7 +1196,9 @@ def q_streaming_foreachbatch_upsert(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        _stream_parts(docs.count(), lo=2, hi=16),
+        _stream_parts(
+            parquet_rows(f"{sf_dir}/documents.parquet"), lo=2, hi=16
+        ),
     )
     try:
         q = (

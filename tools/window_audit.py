@@ -278,23 +278,13 @@ RULES: dict[tuple[str, str], tuple[str, str]] = {
         "guard-unordered",
         "bucket-size count guard (max_bucket) ahead of pair generation",
     ),
-    ("similarity.py", "pq_train_codebooks"): (
-        "config-bounded",
-        "Lloyd-step argmin per (vector, subspace) over K centroids: "
-        "rows = K (config)",
-    ),
+    # round 13: the pq_adc_scores / pq_train_codebooks / ivf_assign
+    # argmin windows were replaced by min(struct(...)) aggregates
+    # (map-side partial agg, no per-group sort) — no window site left
     ("trade_stream.py", "compose_epoch_buckets"): (
         "config-bounded",
         "per-symbol window over EPOCH SUMMARIES: rows = n_epochs "
         "(~256, epoch_ms targets it), not trades",
-    ),
-    ("similarity.py", "pq_adc_scores"): (
-        "config-bounded",
-        "argmin per (vector, subspace) over K centroids: rows = K (config)",
-    ),
-    ("similarity.py", "ivf_assign"): (
-        "config-bounded",
-        "argmin per vector over the centroid list: rows = n_centroids (config)",
     ),
     ("plotting.py", "_stride_sample"): (
         "diagnostic",
