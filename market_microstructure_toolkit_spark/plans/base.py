@@ -145,6 +145,32 @@ def parquet_col_range(path: str, col: str) -> tuple[int, int] | None:
     return lo, hi
 
 
+def parquet_column(path: str, col: str):
+    """ONE column of a parquet file (or dir of part files) as a pyarrow
+    ChunkedArray — an in-process columnar pull for planning constants
+    (round 13, guide §1.2): a gate that needs min/max/distinct of a
+    single source column pays a C++ column decode (~ms on the fixture
+    files, one core) instead of a full scheduled Spark job per
+    invocation. Computed from the parquet input on EVERY call — this is
+    a cheaper scan, not a cache. Only valid for columns the planted
+    projections pass through UNCHANGED; callers must fall back to the
+    Spark aggregate when the column's semantics differ from the raw
+    file's."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+        if _os.path.isdir(path)
+        else [path]
+    )
+    tabs = [pq.read_table(f, columns=[col]) for f in files]
+    return pa.concat_tables(tabs)[col]
+
+
 _KEY_HIST_MEMO: dict[tuple, int] = {}
 
 

@@ -9,8 +9,34 @@ from market_microstructure_toolkit_spark.operators import window_metrics as W
 from market_microstructure_toolkit_spark.plans.base import (
     _events_fx,
     _scratch,
+    parquet_column,
     register_planted as register,
 )
+
+
+def _event_types(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Sorted distinct event_type, pulled from the raw parquet column
+    in-process (round 13, guide §1.2): `plant_events` passes event_type
+    through UNCHANGED, so the raw column IS the planted frame's, and
+    the four gates that need its min/max/value-list each paid a full
+    scheduled Spark scan per invocation for this handful of strings.
+    Recomputed from the parquet input on every call (a cheaper scan,
+    not a cache); Spark-aggregate fallback on any read surprise."""
+    try:
+        import pyarrow.compute as pc
+
+        vals = pc.unique(
+            parquet_column(f"{sf_dir}/events.parquet", "event_type")
+        )
+        out = sorted(v for v in vals.to_pylist() if v is not None)
+        if out:
+            return out
+    except Exception:  # pragma: no cover - exercised only on odd files
+        pass
+    ev = _events_fx(spark, sf_dir)
+    return sorted(
+        r["event_type"] for r in ev.select("event_type").distinct().collect()
+    )
 
 
 _RETENTION_SQL = """
@@ -820,7 +846,9 @@ def q_events_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFram
     base = _scratch(prefix="mmt_hivepart_")
     ev.write.partitionBy("event_type").parquet(f"{base}/events")
     part = spark.read.parquet(f"{base}/events")
-    target = ev.agg(F.min("event_type").alias("m")).collect()[0]["m"]
+    # lexicographic-min type from the raw column pull — no Spark agg
+    # job for a planning constant (round 13; plants keep event_type)
+    target = _event_types(spark, sf_dir)[0]
     day = (F.expr("ts DIV 1000000") / F.lit(86400000)).cast("long")
     return (
         part.filter(F.col("event_type") == target)
@@ -855,10 +883,9 @@ def q_events_pivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql.pivotMaxValues anyway)."""
     ev = _events_fx(spark, sf_dir)
     day = (F.expr("ts DIV 1000000") / F.lit(86400000)).cast("long")
-    types = sorted(
-        r["event_type"]
-        for r in ev.select("event_type").distinct().collect()
-    )
+    # pivot value list from the raw column pull (round 13): same sorted
+    # distinct, minus the per-invocation Spark distinct job
+    types = _event_types(spark, sf_dir)
     wide = (
         ev.select(day.alias("day"), "event_type")
         .groupBy("day")
@@ -1008,7 +1035,9 @@ def q_events_conversion_attribution(
     )
 
     ev = _events_fx(spark, sf_dir)
-    conv_type = ev.agg(F.max("event_type").alias("m")).collect()[0]["m"]
+    # lexicographic-max type from the raw column pull — no Spark agg
+    # job for a planning constant (round 13; plants keep event_type)
+    conv_type = _event_types(spark, sf_dir)[-1]
     return touch_attribution(ev, conv_type, _ATTR_LOOKBACK_NS)
 
 
@@ -1062,7 +1091,9 @@ def q_events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _events_fx(spark, sf_dir)
-    conv_type = ev.agg(F.max("event_type").alias("m")).collect()[0]["m"]
+    # lexicographic-max type from the raw column pull — no Spark agg
+    # job for a planning constant (round 13; plants keep event_type)
+    conv_type = _event_types(spark, sf_dir)[-1]
     attributed = (
         touch_attribution(
             ev, conv_type, _ATTR_LOOKBACK_NS, first=False, keep_conv_ts=True

@@ -29,10 +29,38 @@ from market_microstructure_toolkit_spark.plans.base import (
     _W,
     _scratch,
     book_rows_per_key,
+    parquet_column,
     q2k_col,
     q2k_sql,
     register,
 )
+
+
+def _book_symbols(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Sorted symbol roster of the synthetic book, computed from the
+    raw events user_id column in-process (round 13, guide §1.2): the
+    book derives symbol = 'S' || (user_id % 4) and no plant touches
+    user_id on the book path, so the roster is exactly the distinct
+    residues of the raw column — pulled with one pyarrow column decode
+    instead of a per-invocation Spark distinct job over the book
+    derivation. Spark fallback on NULLs or read surprise."""
+    try:
+        arr = parquet_column(f"{sf_dir}/events.parquet", "user_id")
+        if arr.null_count == 0:
+            import pyarrow.compute as pc
+
+            uniq = pc.unique(arr).to_pylist()
+            # Python % is floored, Spark % truncated — they agree only
+            # for non-negative operands; negative ids take the fallback
+            if all(u >= 0 for u in uniq):
+                res = {u % 4 for u in uniq}
+                return sorted(f"S{r}" for r in res)
+    except Exception:  # pragma: no cover - exercised only on odd files
+        pass
+    book = synthetic_book(spark, sf_dir)
+    return sorted(
+        r["symbol"] for r in book.select("symbol").distinct().collect()
+    )
 
 
 _ROW_METRICS_SQL = f"""{_BOOK_CTE}
@@ -2161,17 +2189,15 @@ def q_book_hayashi_yoshida(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(*KEYS, "s", F.col("ts_ms").alias("e"), "r")
         .filter(F.col("s").isNotNull() & (F.col("e") > F.col("s")))
     )
-    # Symbol roster from the RAW book projection, not from ivl: distinct
+    # Symbol roster from the raw user_id column, not from ivl: distinct
     # over ivl re-evaluated the lag-window pass (the filter on s/e keeps
     # the WindowExec alive under column pruning) just to list symbols.
     # A symbol in book but absent from ivl (no valid interval) yields
     # zero a/b rows and therefore zero output rows, so the pair list
-    # built from this superset produces an identical result — for one
-    # column-pruned scan + partial-agg distinct instead of a full
-    # window pass (round 13, guide §1.2).
-    syms = sorted(
-        r["symbol"] for r in book.select("symbol").distinct().collect()
-    )
+    # built from this superset produces an identical result — for a
+    # metadata-cheap column pull instead of a full window pass
+    # (round 13, guide §1.2; see _book_symbols).
+    syms = _book_symbols(spark, sf_dir)
     pair_list = [(x, y) for x in syms for y in syms if x < y]
     pair_df = spark.createDataFrame(pair_list, "sym_a string, sym_b string")
     a = ivl.join(
@@ -2823,14 +2849,12 @@ def q_book_realized_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("t"),
     )
-    # config-sized driver pull (instrument list), then a map-side
-    # literal-array explode — a distinct-subquery join here would plan
-    # as a keyless BNLJ after Catalyst constant-folds the single
-    # exchange key away
-    syms = sorted(
-        r["symbol"]
-        for r in book.select("symbol").distinct().collect()
-    )
+    # config-sized instrument list from the raw user_id column pull
+    # (round 13, _book_symbols — no per-invocation Spark distinct job),
+    # then a map-side literal-array explode — a distinct-subquery join
+    # here would plan as a keyless BNLJ after Catalyst constant-folds
+    # the single exchange key away
+    syms = _book_symbols(spark, sf_dir)
     symgrid = grid.select(
         "exchange_id",
         F.explode(F.array(*[F.lit(s) for s in syms])).alias("symbol"),
@@ -5131,9 +5155,39 @@ def q_book_depth_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL columns."""
     from market_microstructure_toolkit_spark.schema import infer_depth
 
-    ev = read_events(spark, sf_dir).select(F.expr("ts DIV 1000000").alias("ts_ms"))
-    rng = ev.agg(F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")).collect()[0]
-    cut = (rng["lo"] + rng["hi"]) // 2
+    # ts range from one pyarrow column pull over the raw events file
+    # (round 13, guide §1.2): this gate reads ts UNPLANTED, min/max of
+    # ts_ms = min/max(ts) DIV 1e6 (integer DIV is monotone and the
+    # epoch-nanos are non-negative, so truncating and flooring division
+    # agree) — the former Spark min/max agg was a full scheduled scan
+    # per invocation for one planning constant. Spark fallback on
+    # NULLs/negatives or read surprise.
+    cut = None
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = parquet_column(f"{sf_dir}/events.parquet", "ts")
+        # unit-adaptive ns-per-tick, mirroring read_events: the fixture
+        # generations stored TIMESTAMP(NANOS) or TIMESTAMP(MICROS)
+        unit_ns = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}[
+            arr.type.unit
+        ]
+        per_ms = 1_000_000 // unit_ns  # ticks per millisecond
+        if arr.null_count == 0 and per_ms > 0:
+            mm = pc.min_max(arr.cast(pa.int64())).as_py()
+            if mm["min"] >= 0:
+                cut = (mm["min"] // per_ms + mm["max"] // per_ms) // 2
+    except Exception:  # pragma: no cover - exercised only on odd files
+        cut = None
+    if cut is None:
+        ev = read_events(spark, sf_dir).select(
+            F.expr("ts DIV 1000000").alias("ts_ms")
+        )
+        rng = ev.agg(
+            F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")
+        ).collect()[0]
+        cut = (rng["lo"] + rng["hi"]) // 2
 
     base = _scratch(prefix="mmt_depth_evo_")
     synthetic_book(spark, sf_dir, depth=3).filter(F.col("ts_ms") <= cut).write.parquet(
