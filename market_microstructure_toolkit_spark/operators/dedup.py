@@ -22,7 +22,7 @@ conversions, keeping the SQL oracles engine-agnostic.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -564,15 +564,17 @@ def dedup_clusters(
     # their identity label — an untouched node's neighbor min is NULL and
     # its label-of-label is itself, so every original round recomputed
     # (and checkpointed) an unchanged identity row per singleton. The
-    # loop now runs over edges' endpoint set ∩ df (labels always take
-    # values inside this set: they start there and propagate by min over
-    # it, so restricting the label-of-label side is lossless); singletons
-    # rejoin as identity labels in the final coalesce, which is part of
-    # the returned lazy plan, not an extra job.
-    touched = edges.select(F.col("dst").alias("id")).distinct()
+    # loop runs over the edges' endpoint set, read straight off the
+    # persisted mirrored edges (dst ranges over BOTH pair sides) — no
+    # df semi-join: every call site generates pairs FROM df, so
+    # endpoints ⊆ df[id_col] by construction, and a hypothetical
+    # foreign endpoint would be dropped by the final df-keyed left join
+    # anyway. Singletons rejoin as identity labels in that final
+    # coalesce, which is part of the returned lazy plan, not an extra
+    # job.
     labels = (
-        df.select(F.col(id_col).alias("id"))
-        .join(touched, "id", "leftsemi")
+        edges.select(F.col("dst").alias("id"))
+        .distinct()
         .withColumn("lab", F.col("id"))
     )
     converged = False
@@ -625,6 +627,17 @@ def dedup_clusters(
                     )
                 )
             first_round = False
+            # convergence metric OBSERVED on the checkpoint job itself
+            # (round 13, guide §1.2): the former
+            # `new.filter(__chg).limit(1).count()` was a second
+            # scheduled job per round over the just-checkpointed data;
+            # CollectMetrics rides the materializing action, so each
+            # round is now ONE job. Same short-circuit semantics —
+            # changed==0 is exact, not sampled.
+            obs = Observation()
+            new = new.observe(
+                obs, F.count(F.when(F.col("__chg"), 1)).alias("n_chg")
+            )
             if disk_mode:
                 # persist-then-checkpoint: the reliable checkpoint's file
                 # write reads the DISK_ONLY blocks instead of recomputing
@@ -637,7 +650,7 @@ def dedup_clusters(
                 cached.unpersist()
             else:
                 new = new.localCheckpoint()
-            changed = new.filter(F.col("__chg")).limit(1).count()
+            changed = obs.get["n_chg"]
             labels = new.drop("__chg")
             if changed == 0:
                 converged = True

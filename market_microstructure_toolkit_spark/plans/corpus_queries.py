@@ -1362,10 +1362,15 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-runs the scan + quality scoring — materialize it once.
     kept = docs.join(keep, "doc_id").select("doc_id", "text").localCheckpoint()
     pairs = minhash_lsh_candidates(kept, k=8, rows_per_band=2, shingle_n=3)
+    # canon feeds TWO consumers (the count agg and the token-sum join);
+    # since round 13 dedup_clusters returns a LAZY singleton-rejoin
+    # frame, each consumer would re-run that join — one localCheckpoint
+    # of the id-only canonical set (tiny) truncates it (guide §1.2)
     canon = (
         dedup_clusters(kept, pairs)
         .filter(F.col("doc_id") == F.col("cluster_id"))
         .select("doc_id")
+        .localCheckpoint()
     )
     tok = F.size(F.split(F.col("text"), " ", -1)).cast("long")
     return (
@@ -2444,10 +2449,16 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = docs.join(canon1, "doc_id").localCheckpoint()
     # stage 2: near-dup clusters over the exact survivors
     pairs = minhash_lsh_candidates(s1, k=8, rows_per_band=2, shingle_n=3)
+    # id-only canonical set localCheckpoint'd (round 13): the stage-3+
+    # lazy chain references its consumer subtree repeatedly, and since
+    # dedup_clusters now returns a LAZY singleton-rejoin frame each
+    # re-evaluation would re-run that join — truncate it once (tiny
+    # frame, one job; guide §1.2)
     canon2 = (
         dedup_clusters(s1, pairs)
         .filter(F.col("doc_id") == F.col("cluster_id"))
         .select("doc_id")
+        .localCheckpoint()
     )
     s2 = s1.join(canon2, "doc_id")
     # stage 3: decontamination (broadcast eval shingles, anti-join)
