@@ -571,29 +571,48 @@ def rolling_segmented(
     )
     chunk = (F.col("__pos") / chunk_sz).cast("long")
     last_chunk = ((F.col("__n") - 1) / chunk_sz).cast("long")
-    base = pos.withColumn("__chunk", chunk).withColumn(
-        "__halo", F.lit(0)
+    # One map-side EXPLODE instead of base ∪ halo ∪ halo_fwd unions
+    # (round 13, guide §1.2/§2.4): each union branch re-evaluated the
+    # whole segmented-rank pipeline above (per-segment row_number
+    # window + two broadcast joins) just to emit the same rows with a
+    # different (__chunk, __halo) tag. Per row the copies are decided
+    # by the same predicates the union branches used — a validity-
+    # flagged struct array filtered then exploded — so the surviving
+    # (row, __chunk, __halo) set is IDENTICAL and the rank pipeline
+    # runs exactly once. Union order never mattered: the downstream
+    # chunk windows re-partition and order by __pos.
+    tail_cond = (
+        (F.col("__pos") % chunk_sz >= chunk_sz - F.lit(window - 1))
+        & (chunk < last_chunk)
     )
-    halo = (
-        pos.filter(
-            ((F.col("__pos") % chunk_sz) >= chunk_sz - F.lit(window - 1))
-            & (chunk < last_chunk)
-        )
-        .withColumn("__chunk", chunk + 1)
-        .withColumn("__halo", F.lit(1))
-    )
-    u = base.unionByName(halo)
+    copies = [
+        F.struct(
+            chunk.alias("c"), F.lit(0).alias("h"), F.lit(True).alias("k")
+        ),
+        F.struct(
+            (chunk + 1).alias("c"), F.lit(1).alias("h"), tail_cond.alias("k")
+        ),
+    ]
     if lookahead > 0:
-        halo_fwd = (
-            pos.filter(
-                ((F.col("__pos") % chunk_sz) < F.lit(lookahead))
-                & (chunk > 0)
-            )
-            .withColumn("__chunk", chunk - 1)
-            .withColumn("__halo", F.lit(1))
+        head_cond = (F.col("__pos") % chunk_sz < F.lit(lookahead)) & (
+            chunk > 0
         )
-        u = u.unionByName(halo_fwd)
-    u = u.drop("__n")
+        copies.append(
+            F.struct(
+                (chunk - 1).alias("c"),
+                F.lit(1).alias("h"),
+                head_cond.alias("k"),
+            )
+        )
+    u = (
+        pos.withColumn(
+            "__c",
+            F.explode(F.filter(F.array(*copies), lambda s: s["k"])),
+        )
+        .withColumn("__chunk", F.col("__c.c"))
+        .withColumn("__halo", F.col("__c.h"))
+        .drop("__c", "__n")
+    )
     w_base = Window.partitionBy(*keys, "__chunk").orderBy("__pos")
     stages = agg_builder(w_base)
     if isinstance(stages, dict):
