@@ -141,7 +141,11 @@ def _require_single_series(df: DataFrame) -> None:
         )
 
 
-def _count_single_series(df: DataFrame, narrow: DataFrame | None = None) -> int:
+def _count_single_series(
+    df: DataFrame,
+    narrow: DataFrame | None = None,
+    n_rows: int | None = None,
+) -> int:
     """Row count + single-series contract in ONE aggregate job (round 13,
     guide §1.2/§2.3): the former ``_require_single_series`` distinct-limit
     probe and the separate ``count()`` each cost a full scheduled scan per
@@ -151,9 +155,20 @@ def _count_single_series(df: DataFrame, narrow: DataFrame | None = None) -> int:
     rows per partition. ``narrow`` optionally points the scan at an
     already-projected frame (must still carry the key columns).
 
+    ``n_rows`` (round 13, guide §1.2): metadata-derived row count for
+    inputs whose single-series contract holds BY CONSTRUCTION (the
+    caller filtered to one instrument literal and derived the count
+    from source-file metadata) — skips the scheduled probe job
+    entirely, which at 100 TB is a full input pass per simulator call.
+    Hinting callers take responsibility for both the count's exactness
+    and the contract; the same hint-with-Spark-fallback pattern as
+    ``lsh_banded_pairs(n_rows=...)``.
+
     Raises the same error as :func:`_require_single_series` on a
     multi-instrument frame; returns the row count.
     """
+    if n_rows is not None:
+        return int(n_rows)
     src = narrow if narrow is not None else df
     keys = _series_keys(df)
     aggs = [F.count(F.lit(1)).alias("__n")]
@@ -247,7 +262,7 @@ def _slice_table(
 
 def simulate_twap_naive(
     df: DataFrame, side: Side, total_qty: float, slices: int, depth: int,
-    want_summary: bool = True,
+    want_summary: bool = True, n_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Equal slices at linspace rows; walk each; no book feedback across
     slices (impact.py:205-207). Returns (summary_df, per_slice_df).
@@ -261,7 +276,7 @@ def simulate_twap_naive(
     evaluation of the walk lineage per call (round 13, guide §1.2).
     """
     assert side in ("buy", "sell")
-    n = _count_single_series(df)
+    n = _count_single_series(df, n_rows=n_rows)
     picks = _linspace_picks(n, slices)
     if not picks:
         empty = df.sparkSession.createDataFrame([], "slice int")
@@ -323,7 +338,8 @@ def simulate_twap_naive(
 
 
 def simulate_twap_naive_grouped(
-    df: DataFrame, side: Side, total_qty: float, slices: int, depth: int
+    df: DataFrame, side: Side, total_qty: float, slices: int, depth: int,
+    group_counts: dict[tuple, int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """X3 naive TWAP fanned out over EVERY instrument in the frame in one
     pass — the scale extension the single-series API deliberately refuses
@@ -359,16 +375,27 @@ def simulate_twap_naive_grouped(
             "(exchange_id/symbol); for a bare single recording use "
             "simulate_twap_naive"
         )
-    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n")).collect()
+    # group_counts (round 13, guide §1.2): metadata-derived
+    # {key-tuple: rowcount} in _series_keys order skips the scheduled
+    # groupBy-count job — at 100 TB a full input pass per call. Hinting
+    # callers own the counts' exactness (same contract as the
+    # single-series n_rows hint); the Spark aggregate is the fallback.
+    if group_counts is not None:
+        counts = list(group_counts.items())
+    else:
+        counts = [
+            (tuple(r[k] for k in keys), r["n"])
+            for r in df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n")).collect()
+        ]
     sched_rows = []
-    for r in counts:
-        picks = _linspace_picks(r["n"], slices)
+    for gkey, n in counts:
+        picks = _linspace_picks(n, slices)
         if not picks:
             continue
         sq = total_qty / len(picks)
         for s, pos in enumerate(picks, start=1):
             sched_rows.append(
-                tuple(r[k] for k in keys)
+                tuple(gkey)
                 + (pos, s, sq, pos == picks[0], pos == picks[-1])
             )
     sched_schema = (
@@ -633,7 +660,8 @@ def _slice_sizes(cfg: TwapConfig) -> list[float]:
 
 
 def simulate_twap_real(
-    df: DataFrame, cfg: TwapConfig, want_summary: bool = True
+    df: DataFrame, cfg: TwapConfig, want_summary: bool = True,
+    n_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Jittered schedule + nearest-row as-of + stop-at-first-blank walk +
     fees (impact_twap.py:191-311). Returns (summary_df, per_slice_df).
@@ -659,7 +687,7 @@ def simulate_twap_real(
     # Count + single-series contract fused into one aggregate over the
     # same narrow projection (round 13).
     ts_only = df.select(*_series_keys(df), *_series_order(df))
-    n = _count_single_series(df, narrow=ts_only)
+    n = _count_single_series(df, narrow=ts_only, n_rows=n_rows)
     if n == 0:
         raise ValueError("empty input")
 
@@ -809,7 +837,9 @@ def _vwap_bucket_indices(n: int, slices: int) -> list[int]:
     return idx[:slices]
 
 
-def simulate_vwap_real(df: DataFrame, cfg: VwapConfig) -> tuple[DataFrame, DataFrame]:
+def simulate_vwap_real(
+    df: DataFrame, cfg: VwapConfig, n_rows: int | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Proxy-weighted child sizes + sequential carry recurrence
     (impact_vwap.py:247-377). Returns (summary_df, per_slice_df).
 
@@ -819,8 +849,9 @@ def simulate_vwap_real(df: DataFrame, cfg: VwapConfig) -> tuple[DataFrame, DataF
     runs driver-side — bounded by config, correct at any data scale.
     """
     assert cfg.side in ("buy", "sell")
-    # count + single-series contract in one aggregate job (round 13)
-    n = _count_single_series(df)
+    # count + single-series contract in one aggregate job (round 13);
+    # zero jobs when the caller hints the count from source metadata
+    n = _count_single_series(df, n_rows=n_rows)
     if n == 0:
         raise ValueError("Empty dataframe")
     idx = _vwap_bucket_indices(n, cfg.slices)

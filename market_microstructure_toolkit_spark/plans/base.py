@@ -171,7 +171,86 @@ def parquet_column(path: str, col: str):
     return pa.concat_tables(tabs)[col]
 
 
-_KEY_HIST_MEMO: dict[tuple, int] = {}
+_KEY_HIST_MEMO: dict[tuple, tuple] = {}
+
+
+def _mod4_hist(sf_dir: str) -> tuple[list[int], int] | None:
+    """Full per-residue histogram of ``user_id % 4`` (C-style remainder,
+    matching Spark/DuckDB ``%``) over ``events.parquet``, plus the NULL
+    count — the one narrow arrow column read behind every
+    symbol-cardinality planning constant (``symbol = 'S' || user_id % 4``
+    in the book derivation). Returns ``(counts, n_null)`` where
+    ``counts[res + 3]`` is the rowcount of residue ``res`` in -3..3, or
+    None when the column read surprises (caller falls back to a Spark
+    aggregate). Memoized per (path, size, mtime): planning metadata of
+    the INPUT file, not a result cache."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/events.parquet"
+    try:
+        st = _os.stat(path)
+        memo_key = (_os.path.abspath(path), st.st_size, st.st_mtime_ns)
+    except OSError:
+        memo_key = (_os.path.abspath(path),)
+    hit = _KEY_HIST_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
+    import numpy as np
+
+    try:
+        t = pq.read_table(path, columns=["user_id"])
+        col = t.column("user_id").combine_chunks()
+        n_null = col.null_count
+        vals = col.drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
+    except Exception:
+        return None
+    # C-style remainder (sign of dividend), matching Spark/DuckDB `%` —
+    # numpy's `%` is floor-mod and would merge residue classes for any
+    # negative user_id; +3 shift keeps bincount indices non-negative
+    rem = np.fmod(vals, 4) + 3
+    counts = np.bincount(rem, minlength=7)
+    out = ([int(c) for c in counts], int(n_null))
+    _KEY_HIST_MEMO[memo_key] = out
+    return out
+
+
+def book_symbol_rows(sf_dir: str, residue: int = 0) -> int | None:
+    """Rowcount of the synthetic book filtered to one symbol
+    (``symbol == f'S{residue}'``), from the arrow histogram instead of a
+    scheduled Spark count job (round 13, guide §1.2): the book derivation
+    is one row per event and ``symbol = 'S' || user_id % 4``, so the
+    filtered count IS the residue-class count. NULL user_id rows yield a
+    NULL symbol and never match a literal filter. None on read surprise
+    (caller falls back to the operator's own count job)."""
+    hist = _mod4_hist(sf_dir)
+    if hist is None or not -3 <= residue <= 3:
+        return None
+    return hist[0][residue + 3]
+
+
+def book_symbol_group_counts(
+    sf_dir: str,
+) -> dict[tuple[str, str | None], int] | None:
+    """Per-(exchange_id, symbol) rowcounts of the FULL synthetic book —
+    the grouped simulators' ``groupBy(keys).count()`` pull, from the
+    arrow histogram (round 13, guide §1.2). Matches the Spark collect
+    exactly: only groups present in the data appear; a NULL user_id
+    yields a NULL symbol group ('S' || NULL is NULL). None on read
+    surprise."""
+    hist = _mod4_hist(sf_dir)
+    if hist is None:
+        return None
+    counts, n_null = hist
+    out: dict[tuple[str, str | None], int] = {}
+    for res in range(-3, 4):
+        n = counts[res + 3]
+        if n:
+            out[("sim", f"S{res}")] = n
+    if n_null:
+        out[("sim", None)] = n_null
+    return out
 
 
 def book_rows_per_key(sf_dir: str) -> int:
@@ -192,34 +271,19 @@ def book_rows_per_key(sf_dir: str) -> int:
     it gates that run seconds. On a production deployment the same
     signal comes from catalog/ANALYZE per-key statistics or the measured
     fallback (``use_segmented(None, df)``, which aggregates MAX per-key
-    count); the contract either way is max, never average."""
-    import os as _os
+    count); the contract either way is max, never average.
 
-    import pyarrow.parquet as pq
-
-    path = f"{sf_dir}/events.parquet"
-    try:
-        st = _os.stat(path)
-        memo_key = (_os.path.abspath(path), st.st_size, st.st_mtime_ns)
-    except OSError:
-        memo_key = (_os.path.abspath(path),)
-    hit = _KEY_HIST_MEMO.get(memo_key)
-    if hit is not None:
-        return hit
-    import numpy as np
-
-    t = pq.read_table(path, columns=["user_id"])
-    col = t.column("user_id").combine_chunks()
-    n_null = col.null_count
-    vals = col.drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
-    # C-style remainder (sign of dividend), matching Spark/DuckDB `%` —
-    # numpy's `%` is floor-mod and would merge residue classes for any
-    # negative user_id; +3 shift keeps bincount indices non-negative
-    rem = np.fmod(vals, 4) + 3
-    counts = np.bincount(rem, minlength=7)
-    mx = int(max(int(counts.max()) if counts.size else 0, n_null))
-    _KEY_HIST_MEMO[memo_key] = mx
-    return mx
+    Round 13: the histogram itself moved to :func:`_mod4_hist` (shared
+    with the simulators' rowcount hints); this keeps the same contract —
+    max class count, NULL user_id counting as a fifth bucket."""
+    hist = _mod4_hist(sf_dir)
+    if hist is None:
+        # read surprise: fall back to the footer-rowcount average's old
+        # behavior is WRONG under skew, so fail loudly instead — every
+        # caller treats this hint as required fixture metadata
+        raise RuntimeError(f"book_rows_per_key: cannot read {sf_dir}/events.parquet user_id")
+    counts, n_null = hist
+    return max(max(counts) if counts else 0, n_null)
 
 
 def _tape_parts(spark, glob_path: str, hi: int, per_part: int = 50_000) -> str:

@@ -29,6 +29,8 @@ from market_microstructure_toolkit_spark.plans.base import (
     _W,
     _scratch,
     book_rows_per_key,
+    book_symbol_group_counts,
+    book_symbol_rows,
     parquet_column,
     q2k_col,
     q2k_sql,
@@ -1074,10 +1076,13 @@ def q_twap_naive_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     book = synthetic_book(spark, sf_dir).filter(F.col("symbol") == "S0")
     # want_summary=False: this gate returns the per-slice table; the
-    # summary's eager agg job re-evaluated the walk lineage (round 13)
+    # summary's eager agg job re-evaluated the walk lineage (round 13).
+    # n_rows from the arrow user_id histogram (symbol = 'S' || user_id%4,
+    # one book row per event): kills the remaining count job — the
+    # single-series contract holds by the symbol-literal filter.
     _, per_slice = simulate_twap_naive(
         book, "buy", total_qty=40.0, slices=20, depth=BOOK_DEPTH,
-        want_summary=False,
+        want_summary=False, n_rows=book_symbol_rows(sf_dir, 0),
     )
     return per_slice
 
@@ -1143,8 +1148,12 @@ def q_twap_multi_instrument(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     book = synthetic_book(spark, sf_dir)
+    # group_counts from the arrow user_id histogram (round 13): the
+    # per-(exchange, symbol) rowcounts ARE the residue-class counts, so
+    # the groupBy-count collect job drops; Spark fallback on None.
     _, per_slice = simulate_twap_naive_grouped(
-        book, "buy", total_qty=40.0, slices=20, depth=BOOK_DEPTH
+        book, "buy", total_qty=40.0, slices=20, depth=BOOK_DEPTH,
+        group_counts=book_symbol_group_counts(sf_dir),
     )
     return per_slice
 
@@ -1258,7 +1267,11 @@ def q_vwap_carry_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     book = synthetic_book(spark, sf_dir).filter(F.col("symbol") == "S0")
     cfg = VwapConfig(side="buy", target_qty=100.0, slices=24, depth_k=BOOK_DEPTH,
                      fee_bps=5.0, proxy="topk_sum")
-    _, per_slice = simulate_vwap_real(book, cfg)
+    # n_rows from the arrow user_id histogram (round 13): S0-literal
+    # filter satisfies the single-series contract; count job drops.
+    _, per_slice = simulate_vwap_real(
+        book, cfg, n_rows=book_symbol_rows(sf_dir, 0)
+    )
     return per_slice
 
 
@@ -1625,7 +1638,12 @@ def q_twap_real_equal_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         jitter_ms=0, schedule="equal", depth_cap=BOOK_DEPTH,
     )
     # want_summary=False: per-slice gate; skip the summary agg job (r13)
-    _, per_slice = simulate_twap_real(book, cfg, want_summary=False)
+    # n_rows from the arrow user_id histogram (round 13): the S0-literal
+    # filter satisfies the single-series contract by construction, so
+    # the count job drops; Spark fallback on None.
+    _, per_slice = simulate_twap_real(
+        book, cfg, want_summary=False, n_rows=book_symbol_rows(sf_dir, 0)
+    )
     return per_slice
 
 
@@ -1718,7 +1736,12 @@ def q_twap_real_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         jitter_ms=500, schedule="stochastic", seed=13, depth_cap=BOOK_DEPTH,
     )
     # want_summary=False: per-slice gate; skip the summary agg job (r13)
-    _, per_slice = simulate_twap_real(book, cfg, want_summary=False)
+    # n_rows from the arrow user_id histogram (round 13): the S0-literal
+    # filter satisfies the single-series contract by construction, so
+    # the count job drops; Spark fallback on None.
+    _, per_slice = simulate_twap_real(
+        book, cfg, want_summary=False, n_rows=book_symbol_rows(sf_dir, 0)
+    )
     return per_slice
 
 
@@ -3113,7 +3136,12 @@ def q_twap_almgren_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         jitter_ms=0, schedule="almgren", kappa=0.35, depth_cap=BOOK_DEPTH,
     )
     # want_summary=False: per-slice gate; skip the summary agg job (r13)
-    _, per_slice = simulate_twap_real(book, cfg, want_summary=False)
+    # n_rows from the arrow user_id histogram (round 13): the S0-literal
+    # filter satisfies the single-series contract by construction, so
+    # the count job drops; Spark fallback on None.
+    _, per_slice = simulate_twap_real(
+        book, cfg, want_summary=False, n_rows=book_symbol_rows(sf_dir, 0)
+    )
     return per_slice
 
 
