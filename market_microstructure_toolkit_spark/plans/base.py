@@ -145,6 +145,49 @@ def parquet_col_range(path: str, col: str) -> tuple[int, int] | None:
     return lo, hi
 
 
+def _pull_limits() -> tuple[int, int]:
+    """(max_bytes, max_rows) ceiling for DRIVER-side column decodes —
+    the size gate every full-column pyarrow pull must pass (round 14,
+    r13 verdict #1: the round-13 pulls replaced distributed scans that
+    were slow-but-correct at scale with driver reads that are
+    fast-but-fatal at 100 TB — a 2 TB ts column concatenated in driver
+    memory is an OOM, not an optimization). Defaults: 128 MB of
+    uncompressed column bytes / 50M rows — comfortably above every
+    local fixture, far below driver-heap territory. Env-overridable so
+    tests can force the over-threshold path on a small file."""
+    import os as _os
+
+    return (
+        int(_os.environ.get("SPARK_GRAFT_PULL_MAX_BYTES", str(128 * 1024**2))),
+        int(_os.environ.get("SPARK_GRAFT_PULL_MAX_ROWS", str(50_000_000))),
+    )
+
+
+def _column_pull_fits(files: list[str], col: str) -> bool:
+    """Footer-metadata size gate for a driver-side decode of ``col``:
+    True iff the column's total UNCOMPRESSED byte size and the total
+    rowcount sit under :func:`_pull_limits`. Reads only footers (free —
+    the same metadata the rowcount hints already read); False also when
+    the column is missing, so callers fall back to their Spark path."""
+    import pyarrow.parquet as pq
+
+    max_bytes, max_rows = _pull_limits()
+    rows = 0
+    nbytes = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        try:
+            idx = md.schema.names.index(col)
+        except ValueError:
+            return False
+        rows += md.num_rows
+        for rg in range(md.num_row_groups):
+            nbytes += md.row_group(rg).column(idx).total_uncompressed_size
+        if rows > max_rows or nbytes > max_bytes:
+            return False
+    return True
+
+
 def parquet_column(path: str, col: str):
     """ONE column of a parquet file (or dir of part files) as a pyarrow
     ChunkedArray — an in-process columnar pull for planning constants
@@ -155,7 +198,14 @@ def parquet_column(path: str, col: str):
     a cheaper scan, not a cache. Only valid for columns the planted
     projections pass through UNCHANGED; callers must fall back to the
     Spark aggregate when the column's semantics differ from the raw
-    file's."""
+    file's.
+
+    SIZE-GATED (round 14, r13 verdict #1): raises ValueError when the
+    column's footer-metadata size exceeds :func:`_pull_limits` — every
+    caller already wraps this in try/except with a distributed Spark
+    fallback, so an over-threshold input (the 100 TB case) takes the
+    scale-safe aggregate instead of concatenating terabytes in driver
+    memory."""
     import glob as _glob
     import os as _os
 
@@ -167,52 +217,168 @@ def parquet_column(path: str, col: str):
         if _os.path.isdir(path)
         else [path]
     )
+    if not _column_pull_fits(files, col):
+        raise ValueError(
+            f"parquet_column[{path}:{col}]: over the driver-pull size "
+            "gate — use the distributed fallback"
+        )
     tabs = [pq.read_table(f, columns=[col]) for f in files]
     return pa.concat_tables(tabs)[col]
+
+
+def parquet_ts_range(path: str) -> tuple[int, int, int] | None:
+    """(min, max) of the raw events ``ts`` TIMESTAMP column in the
+    column's OWN unit ticks, plus ticks-per-millisecond, straight from
+    parquet row-group statistics — ``(lo, hi, per_ms)`` with NO column
+    decode at all (round 14, r13 verdict #1: the former full-column
+    driver pull is a scale-killer; timestamps are physical INT64 whose
+    min/max statistics are exact). Returns None (caller falls back to
+    the Spark aggregate) when the column is missing/not a timestamp,
+    any row group lacks exact stats, any NULLs exist (mirroring the
+    pull path's null_count==0 requirement), or units disagree across
+    part files."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+        if _os.path.isdir(path)
+        else [path]
+    )
+    lo: int | None = None
+    hi: int | None = None
+    per_ms: int | None = None
+    for f in files:
+        pf = pq.ParquetFile(f)
+        try:
+            typ = pf.schema_arrow.field("ts").type
+            unit_ns = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}[
+                typ.unit
+            ]
+        except (KeyError, AttributeError):
+            return None
+        p = 1_000_000 // unit_ns  # ticks per millisecond
+        if per_ms is None:
+            per_ms = p
+        elif per_ms != p:
+            return None
+        md = pf.metadata
+        try:
+            idx = md.schema.names.index("ts")
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max or not st.has_null_count:
+                return None
+            if st.null_count != 0:
+                return None
+            mn, mx = st.min_raw, st.max_raw  # physical INT64 ticks
+            if not isinstance(mn, int) or not isinstance(mx, int):
+                return None
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+    if lo is None or hi is None or not per_ms:
+        return None
+    return lo, hi, per_ms
 
 
 _KEY_HIST_MEMO: dict[tuple, tuple] = {}
 
 
+#: last _mod4_hist read failure (str), surfaced by book_rows_per_key's
+#: RuntimeError so a bad file diagnoses itself (r13 ADVICE)
+_MOD4_LAST_ERR: list = []
+
+
 def _mod4_hist(sf_dir: str) -> tuple[list[int], int] | None:
     """Full per-residue histogram of ``user_id % 4`` (C-style remainder,
     matching Spark/DuckDB ``%``) over ``events.parquet``, plus the NULL
-    count — the one narrow arrow column read behind every
-    symbol-cardinality planning constant (``symbol = 'S' || user_id % 4``
-    in the book derivation). Returns ``(counts, n_null)`` where
-    ``counts[res + 3]`` is the rowcount of residue ``res`` in -3..3, or
-    None when the column read surprises (caller falls back to a Spark
-    aggregate). Memoized per (path, size, mtime): planning metadata of
-    the INPUT file, not a result cache."""
+    count — the one narrow column read behind every symbol-cardinality
+    planning constant (``symbol = 'S' || user_id % 4`` in the book
+    derivation). Returns ``(counts, n_null)`` where ``counts[res + 3]``
+    is the rowcount of residue ``res`` in -3..3, or None when the column
+    read surprises (caller falls back to a Spark aggregate). Memoized
+    per (path, size, mtime): planning metadata of the INPUT file, not a
+    result cache; when the stat itself fails the computed histogram is
+    returned WITHOUT memoizing (a later rewrite of the file must not be
+    served a stale histogram — r13 ADVICE).
+
+    SIZE-DISPATCHED (round 14, r13 verdict #1): under the driver-pull
+    gate the histogram is one in-process pyarrow column decode; above
+    it (the 100 TB case) the SAME exact numbers come from one
+    distributed Spark aggregate over the raw file — 8 groups collected,
+    never the column — memoized identically, so the ~40 dispatch-hint
+    call sites pay the scan once per fixture per process."""
     import os as _os
 
     import pyarrow.parquet as pq
 
     path = f"{sf_dir}/events.parquet"
+    memo_ok = True
     try:
         st = _os.stat(path)
         memo_key = (_os.path.abspath(path), st.st_size, st.st_mtime_ns)
     except OSError:
         memo_key = (_os.path.abspath(path),)
+        memo_ok = False
     hit = _KEY_HIST_MEMO.get(memo_key)
     if hit is not None:
         return hit
-    import numpy as np
-
     try:
-        t = pq.read_table(path, columns=["user_id"])
-        col = t.column("user_id").combine_chunks()
-        n_null = col.null_count
-        vals = col.drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
-    except Exception:
+        import glob as _glob
+
+        files = (
+            sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+            if _os.path.isdir(path)
+            else [path]
+        )
+        if _column_pull_fits(files, "user_id"):
+            import numpy as np
+
+            t = pq.read_table(path, columns=["user_id"])
+            col = t.column("user_id").combine_chunks()
+            n_null = col.null_count
+            vals = col.drop_null().to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            # C-style remainder (sign of dividend), matching Spark/DuckDB
+            # `%` — numpy's `%` is floor-mod and would merge residue
+            # classes for any negative user_id; +3 shift keeps bincount
+            # indices non-negative
+            rem = np.fmod(vals, 4) + 3
+            counts = [int(c) for c in np.bincount(rem, minlength=7)]
+        else:
+            # over the driver-pull gate: ONE distributed aggregate over
+            # the raw column (Spark % is C-style like np.fmod; NULL % 4
+            # is NULL and groups under the None key) — 8 rows collected
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise RuntimeError(
+                    "user_id column over the driver-pull size gate and "
+                    "no active SparkSession for the distributed fallback"
+                )
+            rows = (
+                spark.read.parquet(path)
+                .groupBy((F.col("user_id") % 4).alias("r"))
+                .count()
+                .collect()
+            )
+            counts = [0] * 7
+            n_null = 0
+            for r in rows:
+                if r["r"] is None:
+                    n_null = r["count"]
+                else:
+                    counts[int(r["r"]) + 3] = r["count"]
+    except Exception as exc:
+        _MOD4_LAST_ERR[:] = [f"{type(exc).__name__}: {exc}"]
         return None
-    # C-style remainder (sign of dividend), matching Spark/DuckDB `%` —
-    # numpy's `%` is floor-mod and would merge residue classes for any
-    # negative user_id; +3 shift keeps bincount indices non-negative
-    rem = np.fmod(vals, 4) + 3
-    counts = np.bincount(rem, minlength=7)
-    out = ([int(c) for c in counts], int(n_null))
-    _KEY_HIST_MEMO[memo_key] = out
+    out = (counts, int(n_null))
+    if memo_ok:
+        _KEY_HIST_MEMO[memo_key] = out
     return out
 
 
@@ -239,6 +405,11 @@ def book_symbol_group_counts(
     exactly: only groups present in the data appear; a NULL user_id
     yields a NULL symbol group ('S' || NULL is NULL). None on read
     surprise."""
+    from market_microstructure_toolkit_spark.plans.book import (
+        BOOK_EXCHANGE_ID,
+        BOOK_SYMBOL_PREFIX,
+    )
+
     hist = _mod4_hist(sf_dir)
     if hist is None:
         return None
@@ -247,9 +418,9 @@ def book_symbol_group_counts(
     for res in range(-3, 4):
         n = counts[res + 3]
         if n:
-            out[("sim", f"S{res}")] = n
+            out[(BOOK_EXCHANGE_ID, f"{BOOK_SYMBOL_PREFIX}{res}")] = n
     if n_null:
-        out[("sim", None)] = n_null
+        out[(BOOK_EXCHANGE_ID, None)] = n_null
     return out
 
 
@@ -280,8 +451,14 @@ def book_rows_per_key(sf_dir: str) -> int:
     if hist is None:
         # read surprise: fall back to the footer-rowcount average's old
         # behavior is WRONG under skew, so fail loudly instead — every
-        # caller treats this hint as required fixture metadata
-        raise RuntimeError(f"book_rows_per_key: cannot read {sf_dir}/events.parquet user_id")
+        # caller treats this hint as required fixture metadata. The
+        # underlying pyarrow/IO error is surfaced here (r13 ADVICE: the
+        # bare except inside _mod4_hist used to discard it).
+        detail = f" ({_MOD4_LAST_ERR[0]})" if _MOD4_LAST_ERR else ""
+        raise RuntimeError(
+            f"book_rows_per_key: cannot read {sf_dir}/events.parquet "
+            f"user_id{detail}"
+        )
     counts, n_null = hist
     return max(max(counts) if counts else 0, n_null)
 

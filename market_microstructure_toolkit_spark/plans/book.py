@@ -49,6 +49,14 @@ from pyspark.sql import functions as F
 
 BOOK_DEPTH = 5
 
+#: Key literals of the book derivation, shared with the metadata-hint
+#: helpers in plans/base.py (book_symbol_group_counts) so the hint's key
+#: shape and the derivation's literals move together (r13 ADVICE): every
+#: book row carries exchange_id = BOOK_EXCHANGE_ID and
+#: symbol = BOOK_SYMBOL_PREFIX || (user_id % 4).
+BOOK_EXCHANGE_ID = "sim"
+BOOK_SYMBOL_PREFIX = "S"
+
 
 def _plants_on() -> bool:
     return os.environ.get("SPARK_GRAFT_PLANTS", "1") != "0"
@@ -109,8 +117,10 @@ def synthetic_book(spark: SparkSession, sf_dir: str, depth: int = BOOK_DEPTH) ->
         # ts arrives as epoch-nanos (nanosAsLong read); integer-div to
         # millis — matches DuckDB's nanos->micros->epoch_ms flooring.
         "ts_ms": F.expr("ts DIV 1000000"),
-        "exchange_id": F.lit("sim"),
-        "symbol": F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")),
+        "exchange_id": F.lit(BOOK_EXCHANGE_ID),
+        "symbol": F.concat(
+            F.lit(BOOK_SYMBOL_PREFIX), (F.col("user_id") % 4).cast("string")
+        ),
         "book_level": F.lit("L2"),
         "raw_nonce": eid,
         "best_bid": best_bid,
@@ -173,8 +183,8 @@ def book_sql(depth: int = BOOK_DEPTH) -> str:
     return f"""
 SELECT
   epoch_ms(ts) AS ts_ms,
-  'sim' AS exchange_id,
-  'S' || CAST(user_id % 4 AS VARCHAR) AS symbol,
+  '{BOOK_EXCHANGE_ID}' AS exchange_id,
+  '{BOOK_SYMBOL_PREFIX}' || CAST(user_id % 4 AS VARCHAR) AS symbol,
   'L2' AS book_level,
   event_id AS raw_nonce,
   best_bid,

@@ -31,7 +31,7 @@ from market_microstructure_toolkit_spark.plans.base import (
     book_rows_per_key,
     book_symbol_group_counts,
     book_symbol_rows,
-    parquet_column,
+    parquet_ts_range,
     q2k_col,
     q2k_sql,
     register,
@@ -39,26 +39,31 @@ from market_microstructure_toolkit_spark.plans.base import (
 
 
 def _book_symbols(spark: SparkSession, sf_dir: str) -> list[str]:
-    """Sorted symbol roster of the synthetic book, computed from the
-    raw events user_id column in-process (round 13, guide §1.2): the
-    book derives symbol = 'S' || (user_id % 4) and no plant touches
-    user_id on the book path, so the roster is exactly the distinct
-    residues of the raw column — pulled with one pyarrow column decode
-    instead of a per-invocation Spark distinct job over the book
-    derivation. Spark fallback on NULLs or read surprise."""
-    try:
-        arr = parquet_column(f"{sf_dir}/events.parquet", "user_id")
-        if arr.null_count == 0:
-            import pyarrow.compute as pc
+    """Sorted symbol roster of the synthetic book: the book derives
+    symbol = BOOK_SYMBOL_PREFIX || (user_id % 4) and no plant touches
+    user_id on the book path, so the roster is exactly the residues
+    present in the raw column — read off the shared ``_mod4_hist``
+    residue histogram (round 14: memoized per fixture AND
+    size-dispatched to a distributed aggregate above the driver-pull
+    gate, replacing the round-13 full-column pyarrow unique that both
+    re-decoded the column per call and would concatenate it in driver
+    memory at scale). The histogram's np.fmod/Spark ``%`` are both
+    C-style, so negative ids yield the same 'S-1'-shaped symbols as the
+    derivation. Spark fallback on NULL user_ids or read surprise."""
+    from market_microstructure_toolkit_spark.plans.base import _mod4_hist
+    from market_microstructure_toolkit_spark.plans.book import (
+        BOOK_SYMBOL_PREFIX,
+    )
 
-            uniq = pc.unique(arr).to_pylist()
-            # Python % is floored, Spark % truncated — they agree only
-            # for non-negative operands; negative ids take the fallback
-            if all(u >= 0 for u in uniq):
-                res = {u % 4 for u in uniq}
-                return sorted(f"S{r}" for r in res)
-    except Exception:  # pragma: no cover - exercised only on odd files
-        pass
+    hist = _mod4_hist(sf_dir)
+    if hist is not None:
+        counts, n_null = hist
+        if n_null == 0:
+            return sorted(
+                f"{BOOK_SYMBOL_PREFIX}{res}"
+                for res in range(-3, 4)
+                if counts[res + 3]
+            )
     book = synthetic_book(spark, sf_dir)
     return sorted(
         r["symbol"] for r in book.select("symbol").distinct().collect()
@@ -5183,29 +5188,23 @@ def q_book_depth_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL columns."""
     from market_microstructure_toolkit_spark.schema import infer_depth
 
-    # ts range from one pyarrow column pull over the raw events file
-    # (round 13, guide §1.2): this gate reads ts UNPLANTED, min/max of
-    # ts_ms = min/max(ts) DIV 1e6 (integer DIV is monotone and the
-    # epoch-nanos are non-negative, so truncating and flooring division
-    # agree) — the former Spark min/max agg was a full scheduled scan
-    # per invocation for one planning constant. Spark fallback on
-    # NULLs/negatives or read surprise.
+    # ts range from parquet ROW-GROUP STATISTICS (round 14, r13 verdict
+    # #1: the round-13 full-column pyarrow pull decoded the whole ts
+    # column in driver memory — terabytes at 100 TB; timestamp min/max
+    # stats are exact physical INT64, so the range needs NO decode at
+    # all). This gate reads ts UNPLANTED; min/max of ts_ms = min/max(ts)
+    # DIV 1e6 (integer DIV is monotone and the epoch ticks are
+    # non-negative, so truncating and flooring division agree) — same
+    # unit-adaptive per-ms handling as before (TIMESTAMP MICROS/NANOS
+    # fixtures both occur). Spark fallback on NULLs/negatives/missing
+    # stats or read surprise.
     cut = None
     try:
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        arr = parquet_column(f"{sf_dir}/events.parquet", "ts")
-        # unit-adaptive ns-per-tick, mirroring read_events: the fixture
-        # generations stored TIMESTAMP(NANOS) or TIMESTAMP(MICROS)
-        unit_ns = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}[
-            arr.type.unit
-        ]
-        per_ms = 1_000_000 // unit_ns  # ticks per millisecond
-        if arr.null_count == 0 and per_ms > 0:
-            mm = pc.min_max(arr.cast(pa.int64())).as_py()
-            if mm["min"] >= 0:
-                cut = (mm["min"] // per_ms + mm["max"] // per_ms) // 2
+        rng = parquet_ts_range(f"{sf_dir}/events.parquet")
+        if rng is not None:
+            lo, hi, per_ms = rng
+            if lo >= 0 and per_ms > 0:
+                cut = (lo // per_ms + hi // per_ms) // 2
     except Exception:  # pragma: no cover - exercised only on odd files
         cut = None
     if cut is None:

@@ -50,6 +50,11 @@ def main() -> None:
     sc = spark.sparkContext
     sc.setLogLevel("ERROR")
     ui = sc.uiWebUrl
+    if ui is None:
+        # r13 ADVICE: without the UI there is no REST endpoint to read
+        # job counts from — fail with a clear message instead of an
+        # opaque crash inside _rest
+        sys.exit("job_profile needs spark.ui.enabled=true (sc.uiWebUrl is None)")
     app_id = sc.applicationId
 
     names = args.queries or list(REGISTRY)
@@ -67,8 +72,11 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 prof[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
                 break
+            finally:
+                # r13 ADVICE: clear the group even when the gate raises,
+                # so later ad-hoc jobs are not misattributed in the UI
+                sc.setJobGroup(None, None)
             wall = round(time.perf_counter() - t, 3)
-            sc.setJobGroup(None, None)
         else:
             jobs = _rest(ui, app_id, "jobs")
             mine = [j for j in jobs if j.get("jobGroup") == group]
