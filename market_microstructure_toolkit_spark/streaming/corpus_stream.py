@@ -36,6 +36,27 @@ DEDUP_OUTPUT_SCHEMA = StructType(
 DEDUP_STATE_SCHEMA = StructType([StructField("canonical_doc_id", LongType())])
 
 
+def _dedup_tmpl():
+    """One-row output template for the dedup emission (module-level so a
+    reused Python worker builds it once; guide §4.5): `df.copy()` + two
+    `iat` stores cost ~90µs/key vs ~260µs for a fresh dict-of-lists
+    DataFrame — and the per-KEY callback runs tens of thousands of times
+    per micro-batch at high key cardinality, where this constructor was
+    most of addBatch (round 14, guide §4.2). Same dtypes as the dict
+    constructor it replaces (object, int64)."""
+    import pandas as pd
+
+    global _DEDUP_TMPL
+    if _DEDUP_TMPL is None:
+        _DEDUP_TMPL = pd.DataFrame(
+            [["", 0]], columns=["content_hash", "canonical_doc_id"]
+        )
+    return _DEDUP_TMPL
+
+
+_DEDUP_TMPL = None
+
+
 def stateful_exact_dedup(
     stream: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -53,8 +74,6 @@ def stateful_exact_dedup(
     def fn(
         key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
     ) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
-
         if state.exists:
             # already canonicalized in an earlier batch: drain and drop
             for _ in pdfs:
@@ -63,14 +82,17 @@ def stateful_exact_dedup(
         first_id = None
         for f in pdfs:
             if len(f):
-                m = int(f[id_col].min())
+                # ndarray min — Series.min adds ~30µs/key of dispatch
+                # for the same integer (doc_id is non-null int64)
+                m = int(f[id_col].values.min())
                 first_id = m if first_id is None else min(first_id, m)
         if first_id is None:
             return
         state.update((first_id,))
-        yield pd.DataFrame(
-            {"content_hash": [key[0]], "canonical_doc_id": [first_id]}
-        )
+        out = _dedup_tmpl().copy()
+        out.iat[0, 0] = key[0]
+        out.iat[0, 1] = first_id
+        yield out
 
     hashed = stream.select(
         F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col)
@@ -95,6 +117,27 @@ CDC_OUTPUT_SCHEMA = StructType(
         StructField("op", StringType()),
     ]
 )
+
+def _cdc_tmpl():
+    """One-row output template for the CDC emission — same rationale and
+    dtype contract as :func:`_dedup_tmpl` (int64 ids/counters, object
+    strings; NULL text/lang assign as None into the object columns
+    exactly like the dict constructor did)."""
+    import pandas as pd
+
+    global _CDC_TMPL
+    if _CDC_TMPL is None:
+        _CDC_TMPL = pd.DataFrame(
+            [[0, "", "", "", 0, 0, ""]],
+            columns=[
+                "doc_id", "text", "lang", "source", "n_chars", "ver", "op"
+            ],
+        )
+    return _CDC_TMPL
+
+
+_CDC_TMPL = None
+
 
 #: latest winning (version, op, payload) per key — the materialized-view row.
 CDC_STATE_SCHEMA = StructType(
@@ -131,21 +174,31 @@ def stateful_cdc_apply(stream: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def fn(
         key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
     ) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
-
         best = state.get if state.exists else None  # (ver, op, payload...)
+        idx = None
         for f in pdfs:
-            for r in f.itertuples(index=False):
+            if not len(f):
+                continue
+            if idx is None:
+                cloc = f.columns.get_loc
+                idx = tuple(
+                    cloc(c)
+                    for c in ("ver", "op", "text", "lang", "source", "n_chars")
+                )
+            # object-ndarray row scan: itertuples costs ~400µs PER CALL
+            # building its namedtuple factory, and this callback runs
+            # once per KEY per micro-batch (round 14, guide §4.2)
+            for r in f.to_numpy(dtype=object):
                 # normalize: any non-delete op is an upsert (batch
                 # apply_cdc does the same), so the D-wins-tie rule holds
                 # for producers coding inserts 'I' or merges 'M'
                 cand = (
-                    int(r.ver),
-                    "D" if str(r.op) == "D" else "U",
-                    r.text,
-                    r.lang,
-                    r.source,
-                    int(r.n_chars),
+                    int(r[idx[0]]),
+                    "D" if str(r[idx[1]]) == "D" else "U",
+                    r[idx[2]],
+                    r[idx[3]],
+                    r[idx[4]],
+                    int(r[idx[5]]),
                 )
                 if best is None:
                     best = cand
@@ -156,17 +209,15 @@ def stateful_cdc_apply(stream: DataFrame, id_col: str = "doc_id") -> DataFrame:
         if best is None:
             return
         state.update(best)
-        yield pd.DataFrame(
-            {
-                "doc_id": [key[0]],
-                "text": [best[2]],
-                "lang": [best[3]],
-                "source": [best[4]],
-                "n_chars": [best[5]],
-                "ver": [best[0]],
-                "op": [best[1]],
-            }
-        )
+        out = _cdc_tmpl().copy()
+        out.iat[0, 0] = key[0]
+        out.iat[0, 1] = best[2]
+        out.iat[0, 2] = best[3]
+        out.iat[0, 3] = best[4]
+        out.iat[0, 4] = best[5]
+        out.iat[0, 5] = best[0]
+        out.iat[0, 6] = best[1]
+        yield out
 
     return stream.groupBy(id_col).applyInPandasWithState(
         fn,
