@@ -513,7 +513,15 @@ def dedup_clusters(
     # both directions from ONE evaluation of the (possibly expensive)
     # pair plan — a union of two selects over `pairs` would run the
     # candidate-generation join twice before the materialization
-    edges = (
+    # MEMORY_AND_DISK, not DISK_ONLY (round-12 verdict #3): a plain
+    # persist is evictable-with-spill, so small edge sets stay at
+    # memory speed (the unconditional DISK_ONLY cost dedup_clusters
+    # 1.3x at sf0.1) while century-scale sets overflow to disk
+    # instead of pinning heap — the unified memory manager evicts
+    # cached blocks whenever execution needs the space. DISK_ONLY
+    # was only ever needed for the NON-evictable localCheckpoint
+    # label blocks, which the disk_mode dispatch below handles.
+    raw_edges = (
         pairs.select(
             F.explode(
                 F.array(
@@ -527,17 +535,32 @@ def dedup_clusters(
             ).alias("e")
         )
         .select("e.*")
-        # MEMORY_AND_DISK, not DISK_ONLY (round-12 verdict #3): a plain
-        # persist is evictable-with-spill, so small edge sets stay at
-        # memory speed (the unconditional DISK_ONLY cost dedup_clusters
-        # 1.3x at sf0.1) while century-scale sets overflow to disk
-        # instead of pinning heap — the unified memory manager evicts
-        # cached blocks whenever execution needs the space. DISK_ONLY
-        # was only ever needed for the NON-evictable localCheckpoint
-        # label blocks, which the disk_mode dispatch below handles.
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n_edges = edges.count()  # materializes once; doubles as dispatch probe
+    n_edges = raw_edges.count()  # materializes once; doubles as dispatch probe
+    # Loop layout (round 14, r13 verdict #4 / guide §2.4): the edge set
+    # is hash-partitioned AND sorted on the probe key ONCE, so every
+    # round's neighbor join reads the cached layout with partitioning
+    # and ordering intact — the per-round joins then move only the
+    # (much smaller) label set, never the edges. The partition count is
+    # SIZE-ADAPTIVE (~50k edges/partition, clamped to [4, session
+    # shuffle partitions]) so bench-scale loops don't schedule dozens
+    # of near-empty tasks per round while century-scale sets use the
+    # cluster's own sizing; SPARK_GRAFT_CC_PARTS/_CC_EDGES_PER_PART
+    # override for experiments. The unpartitioned parent cache exists
+    # only to (a) price the dispatch probe and (b) keep the expensive
+    # pair plan single-evaluation; it is dropped as soon as the
+    # partitioned layout has materialized in round 1.
+    per_part = int(os.environ.get("SPARK_GRAFT_CC_EDGES_PER_PART", "50000"))
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_parts = int(os.environ.get("SPARK_GRAFT_CC_PARTS", "0")) or max(
+        4, min(conf_parts, (n_edges + per_part - 1) // per_part)
+    )
+    edges = (
+        raw_edges.repartition(n_parts, "src")
+        .sortWithinPartitions("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     force = os.environ.get("SPARK_GRAFT_CC_DISK", "").strip()
     if force in ("0", "1"):
         disk_mode = force == "1"
@@ -577,12 +600,32 @@ def dedup_clusters(
         .distinct()
         .withColumn("lab", F.col("id"))
     )
+    # Per-round join strategy (round 14, r13 verdict #4): the planner's
+    # default broadcasts the label set on EVERY round's three joins —
+    # ~6 separate broadcast-build jobs per round, pure driver/scheduling
+    # latency at bench scale and a per-round collect-to-driver of the
+    # whole label set at any scale. Hinting SHUFFLE_HASH instead makes
+    # each round ONE job: the edges side reads its cached
+    # hash-partitioned/sorted layout with no exchange, and only the
+    # label set (a fraction of the edge set) shuffles. In disk_mode
+    # (century-scale edge sets) the planner already picks non-broadcast
+    # strategies and a per-partition hash build of a huge label set
+    # could OOM where sort-merge spills — leave its choice alone there.
+    # SPARK_GRAFT_CC_JOIN=broadcast restores the old behavior for A/Bs.
+    hint_loop = (
+        os.environ.get("SPARK_GRAFT_CC_JOIN", "").strip() != "broadcast"
+        and not disk_mode
+    )
+
+    def _side(df: DataFrame) -> DataFrame:
+        return df.hint("shuffle_hash") if hint_loop else df
+
     converged = False
     first_round = True
     try:
         for _ in range(max_iters):
             nbr = (
-                edges.join(labels, edges.src == labels.id)
+                edges.join(_side(labels), edges.src == labels.id)
                 .groupBy("dst")
                 .agg(F.min("lab").alias("nlab"))
             )
@@ -599,7 +642,9 @@ def dedup_clusters(
             # identity map, so label-of-label is a provable no-op there
             # (one join and one shuffle saved on the biggest round).
             if first_round:
-                new = labels.join(nbr, labels.id == nbr.dst, "left").select(
+                new = labels.join(
+                    _side(nbr), labels.id == nbr.dst, "left"
+                ).select(
                     "id",
                     F.least(
                         F.col("lab"), F.coalesce("nlab", "lab")
@@ -611,8 +656,8 @@ def dedup_clusters(
                     F.col("id").alias("__pid"), F.col("lab").alias("__plab")
                 )
                 new = (
-                    labels.join(nbr, labels.id == nbr.dst, "left")
-                    .join(l2, F.col("lab") == F.col("__pid"), "left")
+                    labels.join(_side(nbr), labels.id == nbr.dst, "left")
+                    .join(_side(l2), F.col("lab") == F.col("__pid"), "left")
                     .select(
                         "id",
                         F.least(
@@ -650,16 +695,20 @@ def dedup_clusters(
                 cached.unpersist()
             else:
                 new = new.localCheckpoint()
+            # round 1 materialized the partitioned+sorted edge layout;
+            # the unpartitioned parent cache is now dead weight
+            raw_edges.unpersist()
             changed = obs.get["n_chg"]
             labels = new.drop("__chg")
             if changed == 0:
                 converged = True
                 break
     finally:
-        # always release the MEMORY_AND_DISK edge blocks — an
+        # always release the edge blocks (both layouts) — an
         # exception mid-round (e.g. checkpoint IO failure) would
         # otherwise leave them pinned for the session lifetime
         edges.unpersist()
+        raw_edges.unpersist()
     if not converged:
         raise RuntimeError(
             f"dedup_clusters: no fixpoint after {max_iters} rounds "
