@@ -306,11 +306,18 @@ def simhash16(text_col: str = "text") -> Column:
     """
     toks = tokens(text_col)
 
+    # md5 ONCE per token, bound via transform (round 14, guide §1.2 /
+    # §4): higher-order-function lambdas are interpreted
+    # (CodegenFallback) with NO common-subexpression elimination, so the
+    # former `h = F.md5(t)` referenced in each of the 16 bit terms
+    # recomputed the hash 16x per token. The hex array is materialized
+    # once; the fold touches only cheap substring compares.
+    hashes = F.transform(toks, lambda t: F.md5(t))
+
     # All 16 bit counters accumulate in ONE aggregate lambda (see
     # minhash_signature's note on Spark's lambda-variable collision when
     # many higher-order functions share a projection).
-    def step(acc: Column, t: Column) -> Column:
-        h = F.md5(t)
+    def step(acc: Column, h: Column) -> Column:
         return F.struct(
             *[
                 (
@@ -324,14 +331,28 @@ def simhash16(text_col: str = "text") -> Column:
         )
 
     init = F.struct(*[F.lit(0).alias(f"v{b}") for b in range(16)])
-    votes = F.aggregate(toks, init, step)
-    out = F.lit(0)
-    for b in range(16):
-        out = out + F.when(votes[f"v{b}"] > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    votes = F.aggregate(hashes, init, step)
+
+    # Bind the votes struct to a lambda variable before the 16 per-bit
+    # reads (round 14, same single-element-transform trick as
+    # word_shingles): subexpression elimination skips trees containing
+    # lambda variables, so referencing the aggregate 16 times in the
+    # final projection re-ran the WHOLE fold per bit — 16 full passes
+    # over every token's hash. Measured on the sf0.1 corpus: 31.4 s ->
+    # 0.95 s warm for the full expression after both fixes (33x).
+    def fp_of(v: Column) -> Column:
+        out = F.lit(0)
+        for b in range(16):
+            out = out + F.when(v[f"v{b}"] > 0, F.lit(1 << b)).otherwise(
+                F.lit(0)
+            )
+        return out
+
+    fp = F.element_at(F.transform(F.array(votes), fp_of), 1)
     # NULL text -> NULL fingerprint, not 0: zero is a VALID fingerprint
     # class, and bucketing every NULL-text doc into it would mint fake
     # near-dup candidates (caught by the F7 NULL-text plant).
-    return F.when(toks.isNotNull(), out)
+    return F.when(toks.isNotNull(), fp)
 
 
 def _kgram_hashes(t: Column, k: int) -> Column:
